@@ -1,0 +1,901 @@
+"""Relational query surface (SURVEY.md §2.2–2.6 [target] rows).
+
+Every query is pure DataFrame API — Catalyst gets the whole logical plan,
+so predicate pushdown / column pruning / join reordering are automatic.
+Scale notes per query explain the 100 TB execution shape (broadcast vs
+shuffle, partial aggregation, ordering guarantees).
+
+Oracle parity gotchas handled throughout:
+- DuckDB ``sum(BIGINT)`` returns HUGEINT → oracles cast to BIGINT.
+- Every computed column aliased identically on both sides.
+- LIMIT queries carry a total order (explicit tiebreak keys) so top-k is
+  deterministic on both engines.
+- Timestamps are naive on both sides (parquet isAdjustedToUTC=false →
+  Spark TimestampNTZ; DuckDB TIMESTAMP).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_python_spark.operators.joins import asof_join
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Aggregations over the fact table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_quantity), 2)                                        AS sum_qty,
+        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+        round(avg(l_quantity), 4)                                        AS avg_qty,
+        round(avg(l_extendedprice), 4)                                   AS avg_price,
+        round(avg(l_discount), 6)                                        AS avg_disc,
+        count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan→filter→hash-agg.
+
+    Scale: the filter and the 2-column grouping key push partial
+    aggregation map-side; shuffle carries ~6 grouped rows per partition.
+    The shipdate predicate reaches the parquet scan (PushedFilters).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+        l_orderkey,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        strftime(o_orderdate, '%Y-%m-%d')       AS orderdate,
+        o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-k.
+
+    Scale: customer is the small side → broadcast hash join (no shuffle
+    of the lineitem fact for that join); orders↔lineitem shuffles on the
+    order key. Top-k plans as TakeOrderedAndProject — no global sort.
+    Deterministic: ties broken by l_orderkey.
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+        n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (5 dims around lineitem) → agg.
+
+    Scale: region/nation/supplier/customer all broadcast (dimension
+    tables); only orders↔lineitem shuffles. The co-located-nation
+    predicate (c_nationkey = s_nationkey) applies post-join as a filter.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_name,
+        CAST(count(*) AS BIGINT) AS order_cnt,
+        round(sum(o_totalprice), 2) AS total_spent
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg + deterministic top-k (ties broken by key)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_stats_lineitem",
+    oracle="""
+    SELECT
+        l_returnflag,
+        CAST(count(*) AS BIGINT)              AS cnt,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+        min(l_quantity)                       AS min_qty,
+        max(l_quantity)                       AS max_qty,
+        round(avg(l_extendedprice), 4)        AS avg_price,
+        round(stddev_samp(l_quantity), 6)     AS sd_qty,
+        round(var_samp(l_quantity), 6)        AS var_qty,
+        round(sum(l_quantity * l_extendedprice) / 1000000, 3) AS weighted_m
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scalar-aggregate battery incl. count-distinct and moments.
+
+    Scale: count(DISTINCT) triggers the expand+two-phase plan; everything
+    else stays partial-aggregated map-side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")) / 1000000, 3).alias("weighted_m"),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT
+        r_name,
+        n_name,
+        CAST(count(*) AS BIGINT) AS customer_cnt,
+        round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("customer_cnt"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        CAST(count(*) AS BIGINT) AS cnt,
+        round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (Catalyst Expand operator)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # approximate → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (SURVEY §2.4 A5).
+
+    No oracle: DuckDB's approx_count_distinct uses a different sketch, so
+    values legitimately differ. The exact variant is covered by
+    ``agg_stats_lineitem``. Scale: HLL sketches merge map-side — constant
+    memory per partition vs the expand plan of exact count-distinct.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_in_like_between",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_type IN ('ECONOMY', 'PROMO')
+      AND p_size BETWEEN 10 AND 30
+      AND p_name LIKE '%blue%'
+      AND p_retailprice IS NOT NULL
+    """,
+)
+def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: IN / BETWEEN / LIKE / IS NOT NULL (P7).
+
+    Scale: all four predicates are Catalyst-native → pushed to the
+    parquet scan (PushedFilters) except LIKE '%..%' which filters
+    post-scan but still inside codegen.
+    """
+    part = load(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").isin("ECONOMY", "PROMO")
+        & F.col("p_size").between(10, 30)
+        & F.col("p_name").like("%blue%")
+        & F.col("p_retailprice").isNotNull()
+    )
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+        c_custkey,
+        upper(c_name)                             AS name_upper,
+        substr(c_name, 10, 9)                     AS name_digits,
+        length(c_name)                            AS name_len,
+        concat(c_mktsegment, ':', c_name)         AS tagged,
+        replace(c_name, 'Customer#', '')          AS stripped,
+        CAST(split_part(c_name, '#', 2) AS BIGINT) AS parsed_id
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (F10): upper/substr/length/concat/replace/split."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        F.regexp_replace("c_name", "Customer#", "").alias("stripped"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("long").alias("parsed_id"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(year(o_orderdate) AS INT)       AS order_year,
+        CAST(month(o_orderdate) AS INT)      AS order_month,
+        CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+        CAST(quarter(o_orderdate) AS INT)    AS order_quarter,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery (F10): year/month/day/quarter/trunc/diff."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_2002"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        round(l_extendedprice, 1)              AS price_r1,
+        floor(l_extendedprice)                 AS price_floor,
+        ceil(l_extendedprice)                  AS price_ceil,
+        abs(l_extendedprice - 1000.0)          AS dist_1000,
+        CAST(l_orderkey % 7 AS BIGINT)         AS key_mod7,
+        sqrt(l_quantity)                       AS qty_sqrt,
+        ln(l_extendedprice + 1.0)              AS price_ln,
+        power(l_discount, 2)                   AS disc_sq,
+        greatest(l_tax, l_discount)            AS max_rate,
+        least(l_tax, l_discount)               AS min_rate
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (F10): round/floor/ceil/abs/mod/sqrt/ln/pow."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("dist_1000"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice") + 1.0).alias("price_ln"),
+        F.pow("l_discount", 2).alias("disc_sq"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "case_when_bucketing",
+    oracle="""
+    SELECT
+        CASE WHEN o_totalprice < 1000  THEN 'small'
+             WHEN o_totalprice < 10000 THEN 'medium'
+             ELSE 'large' END          AS price_bucket,
+        o_orderstatus,
+        CAST(count(*) AS BIGINT)       AS cnt,
+        round(avg(o_totalprice), 4)    AS avg_price
+    FROM orders
+    GROUP BY price_bucket, o_orderstatus
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + agg (F10 conditional expressions)."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy(bucket.alias("price_bucket"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT
+        CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+        CAST(count(*) AS BIGINT) AS cnt,
+        round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY k_mod10
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (F8: from_json/get_json_object)."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy((k % 10).alias("k_mod10"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J3): left / semi / anti / full / non-equi range / as-of
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_mktsegment,
+        CAST(count(o_orderkey) AS BIGINT)        AS order_cnt,
+        round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'O')
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS subquery."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'P')
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS subquery.
+
+    Filters to 'P' (pending) orders so the result is non-empty at every
+    SF — every customer has *some* order in the corpus.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_full_nation_presence",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS customers
+                FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS suppliers
+                FROM supplier GROUP BY 1)
+    SELECT
+        coalesce(cn.nk, sn.nk)        AS nationkey,
+        coalesce(customers, 0)        AS customers,
+        coalesce(suppliers, 0)        AS suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations with customers vs suppliers)."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return cn.join(sn, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("customers", F.lit(0)).alias("customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
+
+
+@register(
+    "join_range_acctbal",
+    oracle="""
+    SELECT
+        n_name,
+        CAST(count(*) AS BIGINT) AS richer_customer_pairs
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal + 5000
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_range_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join bounded by an equi key (J3 range join).
+
+    Scale: the equi part (nationkey) drives the shuffle/broadcast; the
+    range predicate evaluates inside the join — never a cartesian
+    product. This is the scalable shape for range joins: always pair the
+    range with a bucketing equi-key.
+    """
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(supp),
+            (cust.c_nationkey == supp.s_nationkey)
+            & (cust.c_acctbal > supp.s_acctbal + 5000),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("richer_customer_pairs"))
+    )
+
+
+@register(
+    "join_asof_purchase_click",
+    oracle="""
+    SELECT
+        p.event_id               AS purchase_id,
+        p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f')  AS purchase_ts,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f')  AS click_ts,
+        c.value                  AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the latest prior click per user.
+
+    Spark has no native as-of join; implemented in
+    ``operators.joins.asof_join`` via ``applyInPandas`` +
+    ``pandas.merge_asof`` per partition-key group (SURVEY §2.3 J3).
+    Scale: shuffles both sides once on user_id; per-group sort-merge in
+    Arrow batches. DuckDB's native ASOF JOIN is the oracle.
+    """
+    # Load twice: cogrouped applyInPandas silently mispairs groups when
+    # both sides share one DataFrame lineage (see operators.joins note).
+    purchases = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    clicks = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        left_prefix="",
+        right_prefix="click_",
+        right_cols=["ts", "value"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.col("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / sorts / dedup-by-window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+        ) AS rnk
+        FROM part
+    )
+    WHERE rnk <= 3
+    """,
+)
+def window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 per group with deterministic tiebreak.
+
+    Scale: one shuffle on p_brand; AQE handles brand skew. For heavy
+    skew, pre-aggregate a per-partition top-3 before the window.
+    """
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rnk")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        sum(o_totalprice) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running_spent
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-customer running sum (rowsBetween frame)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_spent")
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        value,
+        lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    WHERE user_id < 30
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic functions over event time per user."""
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "dedup_keep_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+        ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: keep earliest row per (user, type) key (A3).
+
+    ``dropDuplicates`` is order-nondeterministic; the window formulation
+    is the deterministic production pattern.
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 4) AS cust_avg
+    FROM (
+        SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE o_totalprice > 2 * cust_avg
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics via a window (decorrelated form)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("cust_avg", 4).alias("cust_avg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct / explode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_nation_keys",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT nk, 'both' AS membership FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT nk, 'customer_only' AS membership FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    UNION ALL
+    SELECT nk, 'supplier_only' AS membership FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+    """,
+)
+def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT battery (SURVEY §2.5)."""
+    cn = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = cn.intersect(sn).withColumn("membership", F.lit("both"))
+    conly = cn.exceptAll(sn).withColumn("membership", F.lit("customer_only"))
+    sonly = sn.exceptAll(cn).withColumn("membership", F.lit("supplier_only"))
+    return both.unionByName(conly).unionByName(sonly)
+
+
+@register(
+    "distinct_order_attributes",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def distinct_order_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (A3)."""
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "explode_top_words",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (J2 intent: one row per element) + top-k agg.
+
+    This is the engine's version of the reference's intended trait
+    flatten (reference normalize.py:26-29 — a documented no-op there).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )

@@ -1,0 +1,34 @@
+"""Every catalog query with an oracle hash-matches DuckDB at sf0.01.
+
+This mirrors the driver's t2 correctness gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_data_pipeline_python_spark.queries import QUERIES
+from tests.oracle import assert_matches_oracle, duckdb_conn
+
+WITH_ORACLE = sorted(name for name, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY = sorted(name for name, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_matches_duckdb(name, spark, sf_dir, oracle):
+    q = QUERIES[name]
+    assert_matches_oracle(q.fn(spark, sf_dir), oracle, q.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
