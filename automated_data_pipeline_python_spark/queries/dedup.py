@@ -1,1 +1,426 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over ``documents``/``embeddings`` (SURVEY §2.8).
+
+Five dedup families, each a complete pipeline with a value-identical
+DuckDB oracle (portable SHA-derived hashing — see functions.text):
+
+- exact       : canonical-normalize → SHA-256 → group
+- minhash-LSH : shingle → 16 minhash perms → 4 bands → bucket-join →
+                jaccard-verify candidates (the 100 TB-scale path: cost is
+                O(docs × shingles) + bucket joins, never O(docs²))
+- simhash     : 32-bit sign-of-weighted-bits fingerprint + chunk-blocked
+                hamming pairs
+- n-gram jaccard : direct shingle-join pairwise similarity (exact but
+                O(pairs sharing a shingle) — the verify step / small-set path)
+- embedding   : label-blocked cosine near-dup pairs
+
+Scale notes: every pipeline is shuffle-bounded by (doc_id, shingle) or
+bucket keys; none materializes a docs×docs product. At 100 TB the same
+plans hold with shingle-hash salting for hot shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.text import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_hash28,
+    duck_hash60,
+    duck_word_shingles,
+    spark_hash28,
+    spark_hash60,
+    spark_word_shingles,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+_S_TOK = SPARK_TOKENS.format(col="text")
+_D_TOK = DUCK_TOKENS.format(col="text")
+
+# MinHash parameters: 16 permutations in 4 bands of 4 → catches
+# jaccard ≳ 0.5 with high probability. Permutation i: (a_i·h + b_i) mod p
+# with a_i = 2i+1, b_i = i·12582917, p = 2^31 − 1 (all arithmetic stays
+# far below int64 overflow on 28-bit shingle hashes — DuckDB *raises* on
+# BIGINT overflow, so this bound is load-bearing for oracle parity).
+_N_PERM = 16
+_BAND = 4
+_PRIME = 2_147_483_647
+_B_MULT = 12_582_917
+_JACCARD_THRESHOLD = 0.5
+
+
+def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: canonical key (reference cache.py:58-74 pattern → content hash)
+# ---------------------------------------------------------------------------
+
+_NORM_SPARK = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_EXACT_SPARK_SQL = f"""
+SELECT
+    sha2({_NORM_SPARK}, 256) AS content_hash,
+    count(*)                 AS cnt,
+    min(doc_id)              AS canonical_id,
+    max(doc_id)              AS last_id
+FROM documents
+GROUP BY content_hash
+"""
+
+_EXACT_DUCK_SQL = f"""
+SELECT
+    sha256({_NORM_DUCK})     AS content_hash,
+    CAST(count(*) AS BIGINT) AS cnt,
+    min(doc_id)              AS canonical_id,
+    max(doc_id)              AS last_id
+FROM documents
+GROUP BY content_hash
+"""
+
+
+@register("dedup_exact_documents", oracle=_EXACT_DUCK_SQL)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via whitespace-normalized SHA-256 content hash.
+
+    One hash-aggregate over the corpus; the canonical-key construction
+    mirrors the reference's cache key (sha256 of normalized content,
+    reference pipeline/utils/cache.py:58-74).
+    """
+    return _docs_sql(spark, sf_dir, _EXACT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding → candidate pairs → jaccard verification
+# ---------------------------------------------------------------------------
+
+_MINHASH_SPARK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_S_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
+),
+hashed AS (
+    SELECT doc_id, {spark_hash28('shingle')} AS h FROM sh
+),
+perm AS (SELECT explode(sequence(0, {_N_PERM - 1})) AS i),
+mh AS (
+    SELECT doc_id, i, min(((2 * i + 1) * h + i * {_B_MULT}) % {_PRIME}) AS m
+    FROM hashed CROSS JOIN perm
+    GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i div {_BAND} AS band,
+           array_join(transform(array_sort(collect_list(struct(i, m))),
+                                x -> CAST(x.m AS STRING)), ',') AS sig
+    FROM mh
+    GROUP BY doc_id, i div {_BAND}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS isect
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.doc_a
+    JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
+"""
+
+_MINHASH_DUCK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+hashed AS (
+    SELECT doc_id, {duck_hash28('shingle')} AS h FROM sh
+),
+perm AS (SELECT i FROM generate_series(0, {_N_PERM - 1}) AS g(i)),
+mh AS (
+    SELECT doc_id, i, min(((2 * i + 1) * h + i * {_B_MULT}) % {_PRIME}) AS m
+    FROM hashed CROSS JOIN perm
+    GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i // {_BAND} AS band,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+    FROM mh
+    GROUP BY doc_id, i // {_BAND}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS isect
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.doc_a
+    JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_DUCK_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup: MinHash signatures → LSH band buckets → verified pairs.
+
+    Never computes docs×docs: candidates come from equality joins on
+    (band, signature) buckets; only candidates pay the exact-jaccard
+    verification join. This is the shape that scales to 100 TB.
+    """
+    return _docs_sql(spark, sf_dir, _MINHASH_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint + chunk-blocked hamming pairs
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CORE_SPARK = f"""
+WITH toks AS (
+    SELECT doc_id, {_S_TOK} AS w FROM documents
+),
+tok AS (
+    SELECT doc_id, token FROM toks LATERAL VIEW explode(w) t AS token
+),
+th AS (SELECT doc_id, {spark_hash60('token')} AS h FROM tok),
+bits AS (SELECT explode(sequence(0, 31)) AS b),
+acc AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN bits
+    GROUP BY doc_id, b
+),
+sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+                    ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM acc GROUP BY doc_id
+)
+"""
+
+_SIMHASH_CORE_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+tok AS (
+    SELECT doc_id, token FROM toks, UNNEST(w) AS t(token)
+),
+th AS (SELECT doc_id, {duck_hash60('token')} AS h FROM tok),
+bits AS (SELECT b FROM generate_series(0, 31) AS g(b)),
+acc AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN bits
+    GROUP BY doc_id, b
+),
+sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM acc GROUP BY doc_id
+)
+"""
+
+_SIMHASH_SPARK_SQL = _SIMHASH_CORE_SPARK + "SELECT doc_id, simhash FROM sig"
+_SIMHASH_DUCK_SQL = _SIMHASH_CORE_DUCK + "SELECT doc_id, simhash FROM sig"
+
+
+@register("dedup_simhash_signatures", oracle=_SIMHASH_DUCK_SQL)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (sign of per-bit weighted token sums)."""
+    return _docs_sql(spark, sf_dir, _SIMHASH_SPARK_SQL)
+
+
+# Chunk-blocked near-dup pairs: 4 byte-chunks of the signature; pairs
+# sharing any chunk value become candidates (guaranteed complete for
+# hamming ≤ 3, heuristic beyond), then exact hamming filter ≤ 8.
+_HAMMING_MAX = 8
+
+_SIMHASH_PAIRS_TAIL_SPARK = f"""
+, chunks AS (
+    SELECT doc_id, simhash, c, shiftright(simhash, 8 * c) & 255 AS chunk
+    FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS c
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM chunks a JOIN chunks b
+      ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(ha ^ hb) AS INT) AS hamming
+FROM cand
+WHERE bit_count(ha ^ hb) <= {_HAMMING_MAX}
+"""
+
+_SIMHASH_PAIRS_TAIL_DUCK = f"""
+, chunks AS (
+    SELECT doc_id, simhash, c, (simhash >> (8 * c)) & 255 AS chunk
+    FROM sig, generate_series(0, 3) AS g(c)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM chunks a JOIN chunks b
+      ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_CORE_DUCK + _SIMHASH_PAIRS_TAIL_DUCK,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via chunk blocking + exact hamming filter."""
+    return _docs_sql(
+        spark, sf_dir, _SIMHASH_CORE_SPARK + _SIMHASH_PAIRS_TAIL_SPARK
+    )
+
+
+# ---------------------------------------------------------------------------
+# Direct n-gram jaccard (exact pairwise over shingle join)
+# ---------------------------------------------------------------------------
+
+_NGRAM_THRESHOLD = 0.2
+
+
+def _ngram_sql(tok_expr: str, shingles_fn, unnest: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {tok_expr} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks{unnest}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS isect
+    FROM sh s1 JOIN sh s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ngram_sql(
+        _D_TOK,
+        duck_word_shingles,
+        f", UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)",
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram jaccard pairs ≥ 0.2 via shingle equality join.
+
+    Exact but O(pairs sharing a shingle) — at 100 TB this is the
+    *verification* stage after LSH candidate generation, not the
+    discovery stage (hot shingles need frequency-capping/salting).
+    """
+    return _docs_sql(
+        spark,
+        sf_dir,
+        _ngram_sql(
+            _S_TOK,
+            spark_word_shingles,
+            f" LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (label-blocked)
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.4
+
+_SPARK_DOT = (
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _spark_norm(side: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({side}.embedding,"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+_EMB_SPARK_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       floor(({_SPARK_DOT} / ({_spark_norm('a')} * {_spark_norm('b')})) * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SPARK_DOT} / ({_spark_norm('a')} * {_spark_norm('b')}) >= {_COS_THRESHOLD}
+"""
+
+_EMB_DUCK_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1e6 + 0.5) / 1e6
+           AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= {_COS_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DUCK_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked cosine ≥ 0.4.
+
+    The label column acts as the blocking key (clusters) — the equi-join
+    drives the shuffle and the cosine evaluates inside the join, so cost
+    is Σ per-block² rather than global²; at 100 TB the block key comes
+    from a coarse quantizer (IVF centroid), same plan shape.
+    """
+    return _emb_sql(spark, sf_dir, _EMB_SPARK_SQL)

@@ -1,1 +1,181 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windowing over ``events`` (SURVEY §2.7 batch equivalents).
+
+These are the batch twins of the streaming surface in
+``streaming/``: identical window semantics (``F.window`` /
+``F.session_window`` work in batch too), validated against
+gaps-and-islands / time_bucket oracles. The streaming module reuses the
+same transformations over ``readStream`` with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "events_tumbling_10min",
+    oracle="""
+    SELECT
+        strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
+                 '%Y-%m-%d %H:%M:%S')            AS win_start,
+        event_type,
+        CAST(count(*) AS BIGINT)                 AS cnt,
+        floor((sum(value)) * 1e2 + 0.5) / 1e2                     AS total_value
+    FROM events
+    GROUP BY win_start, event_type
+    """,
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event type.
+
+    Scale: window assignment is a pure projection (no shuffle); the
+    grouped agg shuffles on (window, type) with map-side partials.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", _TS_FMT).alias("win_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_10min_5min",
+    oracle="""
+    WITH starts AS (
+        SELECT
+            unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                    time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                        - INTERVAL '5 minutes']) AS win_start,
+            event_type,
+            value
+        FROM events
+    )
+    SELECT
+        strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        CAST(count(*) AS BIGINT)                 AS cnt,
+        floor((avg(value)) * 1e2 + 0.5) / 1e2                     AS avg_value
+    FROM starts
+    GROUP BY win_start
+    """,
+)
+def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide) — each event lands in
+    two windows; the oracle materializes both starts via unnest."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            stable_round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .select(
+            F.date_format("win.start", _TS_FMT).alias("win_start"),
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        strftime(CAST(max(ts) AS TIMESTAMP) + INTERVAL '30 minutes',
+                 '%Y-%m-%d %H:%M:%S.%f')                             AS session_end,
+        CAST(count(*) AS BIGINT)                                     AS n_events,
+        floor((sum(value)) * 1e2 + 0.5) / 1e2                                         AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user.
+
+    Spark's ``session_window`` (works in batch and streaming) defines
+    session end = last event + gap; the oracle mirrors that with
+    gaps-and-islands. Scale: one shuffle on user_id; state is bounded
+    per key in streaming mode.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_hourly_type_matrix",
+    oracle="""
+    SELECT
+        strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+        CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS clicks,
+        CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS views,
+        CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
+        CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signups,
+        CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS errors
+    FROM events
+    GROUP BY hour
+    """,
+)
+def events_hourly_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly conditional-count matrix (pivot shape without a pivot shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    cols = {
+        "clicks": "click",
+        "views": "view",
+        "purchases": "purchase",
+        "signups": "signup",
+        "errors": "error",
+    }
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), _TS_FMT).alias("hour")
+        )
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == v, 1)).alias(k)
+                for k, v in cols.items()
+            ]
+        )
+    )

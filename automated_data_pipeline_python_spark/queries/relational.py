@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.operators.joins import asof_join
+from automated_data_pipeline_python_spark.functions.numeric import stable_round
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
@@ -35,13 +36,13 @@ from automated_data_pipeline_python_spark.tables import load
     SELECT
         l_returnflag,
         l_linestatus,
-        round(sum(l_quantity), 2)                                        AS sum_qty,
-        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-        round(avg(l_quantity), 4)                                        AS avg_qty,
-        round(avg(l_extendedprice), 4)                                   AS avg_price,
-        round(avg(l_discount), 6)                                        AS avg_disc,
+        floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2                                        AS sum_qty,
+        floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2                                   AS sum_base_price,
+        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2                AS sum_disc_price,
+        floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2  AS sum_charge,
+        floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4                                        AS avg_qty,
+        floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4                                   AS avg_price,
+        floor((avg(l_discount)) * 1e6 + 0.5) / 1e6                                        AS avg_disc,
         count(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,13 +62,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            stable_round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -78,7 +79,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         l_orderkey,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
         strftime(o_orderdate, '%Y-%m-%d')       AS orderdate,
         o_orderpriority
     FROM customer
@@ -115,7 +116,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
@@ -127,7 +128,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n_name,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -161,7 +162,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
@@ -172,7 +173,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_custkey,
         c_name,
         CAST(count(*) AS BIGINT) AS order_cnt,
-        round(sum(o_totalprice), 2) AS total_spent
+        floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_spent
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     ORDER BY total_spent DESC, c_custkey
@@ -188,7 +189,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_spent"),
         )
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(20)
@@ -204,10 +205,10 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
         min(l_quantity)                       AS min_qty,
         max(l_quantity)                       AS max_qty,
-        round(avg(l_extendedprice), 4)        AS avg_price,
-        round(stddev_samp(l_quantity), 6)     AS sd_qty,
-        round(var_samp(l_quantity), 6)        AS var_qty,
-        round(sum(l_quantity * l_extendedprice) / 1000000, 3) AS weighted_m
+        floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4        AS avg_price,
+        floor((stddev_samp(l_quantity)) * 1e6 + 0.5) / 1e6     AS sd_qty,
+        floor((var_samp(l_quantity)) * 1e6 + 0.5) / 1e6        AS var_qty,
+        floor((sum(l_quantity * l_extendedprice) / 1000000) * 1e3 + 0.5) / 1e3 AS weighted_m
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -224,10 +225,10 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("distinct_parts"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")) / 1000000, 3).alias("weighted_m"),
+        stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        stable_round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        stable_round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        stable_round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")) / 1000000, 3).alias("weighted_m"),
     )
 
 
@@ -238,7 +239,7 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_name,
         n_name,
         CAST(count(*) AS BIGINT) AS customer_cnt,
-        round(sum(c_acctbal), 2) AS total_acctbal
+        floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -255,7 +256,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("customer_cnt"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        stable_round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
     )
 
 
@@ -266,7 +267,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_orderstatus,
         o_orderpriority,
         CAST(count(*) AS BIGINT) AS cnt,
-        round(sum(o_totalprice), 2) AS total
+        floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -276,7 +277,7 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -417,7 +418,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l_orderkey,
         l_linenumber,
-        round(l_extendedprice, 1)              AS price_r1,
+        floor((l_extendedprice) * 1e1 + 0.5) / 1e1              AS price_r1,
         floor(l_extendedprice)                 AS price_floor,
         ceil(l_extendedprice)                  AS price_ceil,
         abs(l_extendedprice - 1000.0)          AS dist_1000,
@@ -437,7 +438,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_r1"),
+        stable_round("l_extendedprice", 1).alias("price_r1"),
         F.floor("l_extendedprice").cast("double").alias("price_floor"),
         F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
         F.abs(F.col("l_extendedprice") - 1000.0).alias("dist_1000"),
@@ -459,7 +460,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'large' END          AS price_bucket,
         o_orderstatus,
         CAST(count(*) AS BIGINT)       AS cnt,
-        round(avg(o_totalprice), 4)    AS avg_price
+        floor((avg(o_totalprice)) * 1e4 + 0.5) / 1e4    AS avg_price
     FROM orders
     GROUP BY price_bucket, o_orderstatus
     """,
@@ -474,7 +475,7 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.groupBy(bucket.alias("price_bucket"), F.col("o_orderstatus"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("cnt"), stable_round(F.avg("o_totalprice"), 4).alias("avg_price"))
     )
 
 
@@ -484,7 +485,7 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
         CAST(count(*) AS BIGINT) AS cnt,
-        round(sum(value), 2)     AS total_value
+        floor((sum(value)) * 1e2 + 0.5) / 1e2     AS total_value
     FROM events
     GROUP BY k_mod10
     """,
@@ -495,7 +496,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         events.groupBy((k % 10).alias("k_mod10"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), stable_round(F.sum("value"), 2).alias("total_value"))
     )
 
 
@@ -511,7 +512,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_custkey,
         c_mktsegment,
         CAST(count(o_orderkey) AS BIGINT)        AS order_cnt,
-        round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+        floor((coalesce(sum(o_totalprice), 0.0)) * 1e2 + 0.5) / 1e2 AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
@@ -525,7 +526,7 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            stable_round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
         )
     )
 
@@ -808,7 +809,7 @@ def dedup_keep_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_above_customer_avg",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 4) AS cust_avg
+    SELECT o_orderkey, o_custkey, o_totalprice, floor((cust_avg) * 1e4 + 0.5) / 1e4 AS cust_avg
     FROM (
         SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
         FROM orders
@@ -827,7 +828,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.round("cust_avg", 4).alias("cust_avg"),
+            stable_round("cust_avg", 4).alias("cust_avg"),
         )
     )
 

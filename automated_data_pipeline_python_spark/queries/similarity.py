@@ -1,1 +1,247 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over ``embeddings`` (SURVEY §2.8 ANN targets).
+
+- brute-force cosine top-k: the exact baseline (query-set × corpus).
+- random-hyperplane LSH: deterministic pseudo-random planes derived from
+  the portable SHA hash, sign-bit bucket signatures, then ANN restricted
+  to same-bucket candidates — the scale path (candidates ≪ corpus).
+
+All vector math stays JVM-side: posexplode + join + hash-agg for dot
+products, array lambdas (zip_with/aggregate) for pairwise cosine — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.text import (
+    duck_hash60,
+    spark_hash60,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+_DIMS = 64
+_N_PLANES = 4  # 16 buckets
+_N_QUERIES = 5  # query set: vec_id < 5
+_TOP_K = 10
+
+
+def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+_SPARK_DOT = (
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _spark_norm(side: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({side}.embedding,"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+_SPARK_COS = f"{_SPARK_DOT} / ({_spark_norm('a')} * {_spark_norm('b')})"
+
+_DUCK_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
+    " (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
+    "  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+_KNN_SPARK_SQL = f"""
+WITH scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_SPARK_COS} AS cos
+    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+_KNN_DUCK_SQL = f"""
+WITH scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_DUCK_COS} AS cos
+    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("knn_bruteforce_topk", oracle=_KNN_DUCK_SQL)
+def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the query set (vec_id < 5).
+
+    Scale: the query set broadcasts against the corpus; per-partition
+    top-k then a tiny final ranking shuffle (window over query_id).
+    """
+    return _emb_sql(spark, sf_dir, _KNN_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+# Plane weights: deterministic pseudo-random in [-1, 1], derived from the
+# portable hash so both engines build identical planes.
+_SPARK_PLANE_KEY = "concat('hp', CAST(p AS STRING), ':', CAST(d AS STRING))"
+_DUCK_PLANE_KEY = "concat('hp', CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))"
+_SPARK_WT = f"(({spark_hash60(_SPARK_PLANE_KEY)}) % 2001 - 1000) / 1000.0"
+_DUCK_WT = f"(({duck_hash60(_DUCK_PLANE_KEY)}) % 2001 - 1000) / 1000.0"
+
+_BUCKETS_CORE_SPARK = f"""
+WITH planes AS (
+    SELECT p, d, {_SPARK_WT} AS wt
+    FROM (SELECT explode(sequence(0, {_N_PLANES - 1})) AS p)
+    CROSS JOIN (SELECT explode(sequence(0, {_DIMS - 1})) AS d)
+),
+comps AS (
+    SELECT vec_id, pos AS d, CAST(x AS DOUBLE) AS x
+    FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+),
+dots AS (
+    SELECT c.vec_id, p.p, sum(c.x * p.wt) AS dot
+    FROM comps c JOIN planes p ON c.d = p.d
+    GROUP BY c.vec_id, p.p
+),
+buckets AS (
+    SELECT vec_id,
+           sum(CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), p)
+                    ELSE CAST(0 AS BIGINT) END) AS bucket
+    FROM dots GROUP BY vec_id
+)
+"""
+
+_BUCKETS_CORE_DUCK = f"""
+WITH planes AS (
+    SELECT p, d, {_DUCK_WT} AS wt
+    FROM generate_series(0, {_N_PLANES - 1}) AS gp(p)
+    CROSS JOIN generate_series(0, {_DIMS - 1}) AS gd(d)
+),
+comps AS (
+    SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+    FROM embeddings, generate_series(0, {_DIMS - 1}) AS g(d)
+),
+dots AS (
+    SELECT c.vec_id, p.p, sum(c.x * p.wt) AS dot
+    FROM comps c JOIN planes p ON c.d = p.d
+    GROUP BY c.vec_id, p.p
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+)
+"""
+
+_HIST_TAIL = """
+SELECT bucket, count(*) AS n_vectors
+FROM buckets GROUP BY bucket
+"""
+_HIST_TAIL_DUCK = """
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
+FROM buckets GROUP BY bucket
+"""
+
+
+@register("ann_lsh_bucket_histogram", oracle=_BUCKETS_CORE_DUCK + _HIST_TAIL_DUCK)
+def ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH signature buckets + occupancy histogram."""
+    return _emb_sql(spark, sf_dir, _BUCKETS_CORE_SPARK + _HIST_TAIL)
+
+
+_ANN_TAIL = f"""
+, scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {{cos}} AS cos
+    FROM embeddings a
+    JOIN buckets ba ON ba.vec_id = a.vec_id
+    JOIN buckets bb ON bb.bucket = ba.bucket
+    JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_BUCKETS_CORE_DUCK + _ANN_TAIL.format(cos=_DUCK_COS),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: cosine ranking restricted to same-LSH-bucket.
+
+    Scale: bucket equality drives the join (candidates ≈ corpus/2^planes
+    per query); exact cosine only on candidates. More planes + multiple
+    tables trade recall for cost — the plan shape is unchanged.
+    """
+    return _emb_sql(spark, sf_dir, _BUCKETS_CORE_SPARK + _ANN_TAIL.format(cos=_SPARK_COS))
+
+
+# ---------------------------------------------------------------------------
+# Norm stats (sanity surface for the vector column)
+# ---------------------------------------------------------------------------
+
+_NORM_SPARK_SQL = """
+WITH norms AS (
+    SELECT label,
+           sqrt(aggregate(transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm
+    FROM embeddings
+)
+SELECT label, count(*) AS n, floor((avg(nrm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+       floor((min(nrm)) * 1e6 + 0.5) / 1e6 AS min_norm, floor((max(nrm)) * 1e6 + 0.5) / 1e6 AS max_norm
+FROM norms GROUP BY label
+"""
+
+_NORM_DUCK_SQL = """
+WITH norms AS (
+    SELECT label,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n, floor((avg(nrm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+       floor((min(nrm)) * 1e6 + 0.5) / 1e6 AS min_norm, floor((max(nrm)) * 1e6 + 0.5) / 1e6 AS max_norm
+FROM norms GROUP BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_DUCK_SQL)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector norm statistics."""
+    return _emb_sql(spark, sf_dir, _NORM_SPARK_SQL)

@@ -1,1 +1,276 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.8, LLM-data ops).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — each expressed as a declarative plan (Spark SQL over a
+temp view: identical Catalyst treatment to the DataFrame API, zero
+Python UDFs) with a value-identical DuckDB oracle.
+
+Scale: every query here is embarrassingly parallel per document (no
+shuffle except final aggregation) — the shape that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.text import (
+    DUCK_TOKENS,
+    LANG_STOPWORDS,
+    SPARK_TOKENS,
+    duck_hash60,
+    duck_stopword_hits,
+    duck_word_shingles,
+    spark_hash60,
+    spark_stopword_hits,
+    spark_word_shingles,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+_S_TOK = SPARK_TOKENS.format(col="text")
+_D_TOK = DUCK_TOKENS.format(col="text")
+
+
+def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + wordish-regex, SURVEY §2.8 "token counting")
+# ---------------------------------------------------------------------------
+
+_TOKENS_SPARK_SQL = f"""
+SELECT
+    doc_id,
+    size({_S_TOK})                                         AS n_tokens,
+    size(regexp_extract_all(text, '[a-z]+', 0))            AS n_words,
+    length(text)                                           AS n_chars_measured,
+    floor((CAST(aggregate(transform({_S_TOK}, t -> length(t)), 0,
+               (acc, x) -> acc + x) AS DOUBLE)
+          / size({_S_TOK})) * 1e6 + 0.5) / 1e6                             AS avg_token_len,
+    CAST(size({_S_TOK}) * 4 / 3 AS INT)                    AS est_bpe_tokens
+FROM documents
+"""
+
+_TOKENS_DUCK_SQL = f"""
+SELECT
+    doc_id,
+    CAST(len({_D_TOK}) AS INT)                             AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT)   AS n_words,
+    CAST(length(text) AS INT)                              AS n_chars_measured,
+    floor((CAST(list_sum(list_transform({_D_TOK}, t -> length(t))) AS DOUBLE)
+          / len({_D_TOK})) * 1e6 + 0.5) / 1e6                              AS avg_token_len,
+    CAST(len({_D_TOK}) * 4 // 3 AS INT)                    AS est_bpe_tokens
+FROM documents
+"""
+
+
+@register("text_token_counts", oracle=_TOKENS_DUCK_SQL)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counts and a 4/3-heuristic BPE estimate."""
+    return _docs_sql(spark, sf_dir, _TOKENS_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / distinct-ratio / stopword-ratio composite)
+# ---------------------------------------------------------------------------
+
+_QUALITY_SPARK_SQL = f"""
+WITH feats AS (
+    SELECT
+        doc_id,
+        lang,
+        size({_S_TOK}) AS n_tokens,
+        CAST(size(array_distinct({_S_TOK})) AS DOUBLE) / size({_S_TOK}) AS distinct_ratio,
+        CAST({spark_stopword_hits(_S_TOK, "en")} AS DOUBLE) / size({_S_TOK}) AS stop_ratio,
+        CAST(length(text) AS DOUBLE) / size({_S_TOK}) AS chars_per_token
+    FROM documents
+)
+SELECT
+    doc_id,
+    lang,
+    n_tokens,
+    floor((distinct_ratio) * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+    floor((stop_ratio) * 1e6 + 0.5) / 1e6     AS stop_ratio,
+    floor((chars_per_token) * 1e6 + 0.5) / 1e6 AS chars_per_token,
+    floor((0.4 * least(n_tokens / 100.0, 1.0)
+          + 0.4 * distinct_ratio
+          + 0.2 * least(stop_ratio * 5.0, 1.0)) * 1e6 + 0.5) / 1e6 AS quality_score,
+    CASE WHEN n_tokens < 20 THEN 'too_short'
+         WHEN distinct_ratio < 0.2 THEN 'repetitive'
+         ELSE 'ok' END AS quality_flag
+FROM feats
+"""
+
+_QUALITY_DUCK_SQL = f"""
+WITH feats AS (
+    SELECT
+        doc_id,
+        lang,
+        CAST(len({_D_TOK}) AS INT) AS n_tokens,
+        CAST(len(list_distinct({_D_TOK})) AS DOUBLE) / len({_D_TOK}) AS distinct_ratio,
+        CAST({duck_stopword_hits(_D_TOK, "en")} AS DOUBLE) / len({_D_TOK}) AS stop_ratio,
+        CAST(length(text) AS DOUBLE) / len({_D_TOK}) AS chars_per_token
+    FROM documents
+)
+SELECT
+    doc_id,
+    lang,
+    n_tokens,
+    floor((distinct_ratio) * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+    floor((stop_ratio) * 1e6 + 0.5) / 1e6     AS stop_ratio,
+    floor((chars_per_token) * 1e6 + 0.5) / 1e6 AS chars_per_token,
+    floor((0.4 * least(n_tokens / 100.0, 1.0)
+          + 0.4 * distinct_ratio
+          + 0.2 * least(stop_ratio * 5.0, 1.0)) * 1e6 + 0.5) / 1e6 AS quality_score,
+    CASE WHEN n_tokens < 20 THEN 'too_short'
+         WHEN distinct_ratio < 0.2 THEN 'repetitive'
+         ELSE 'ok' END AS quality_flag
+FROM feats
+"""
+
+
+@register("text_quality_scores", oracle=_QUALITY_DUCK_SQL)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score + flag."""
+    return _docs_sql(spark, sf_dir, _QUALITY_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-profile heuristic, deterministic argmax)
+# ---------------------------------------------------------------------------
+
+_LANGS = list(LANG_STOPWORDS)  # fixed priority order for ties
+
+
+def _langid_sql(tok: str, hits_fn) -> str:
+    hit_cols = ",\n        ".join(
+        f"{hits_fn(tok, lang)} AS {lang}_hits" for lang in _LANGS
+    )
+    # Deterministic argmax: first language (in _LANGS order) whose score
+    # is >= all later ones.
+    pred = "CASE "
+    for i, lang in enumerate(_LANGS):
+        rest = [f"{other}_hits" for other in _LANGS[i + 1 :]]
+        if rest:
+            cond = " AND ".join(f"{lang}_hits >= {r}" for r in rest)
+            pred += f"WHEN {cond} THEN '{lang}' "
+        else:
+            pred += f"ELSE '{lang}' END"
+    return f"""
+WITH scored AS (
+    SELECT
+        doc_id,
+        lang AS actual_lang,
+        {hit_cols}
+    FROM documents
+)
+SELECT
+    doc_id,
+    actual_lang,
+    en_hits, de_hits, es_hits, fr_hits, zh_hits,
+    {pred} AS predicted_lang,
+    CASE WHEN {pred} = actual_lang THEN 1 ELSE 0 END AS is_correct
+FROM scored
+"""
+
+
+@register(
+    "text_language_id",
+    oracle=_langid_sql(_D_TOK, duck_stopword_hits),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-profile language ID with deterministic argmax."""
+    return _docs_sql(spark, sf_dir, _langid_sql(_S_TOK, spark_stopword_hits))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (min-hash of char 8-grams + word-3-gram extremes)
+# ---------------------------------------------------------------------------
+
+_FP_SPARK_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_S_TOK} AS toks, text FROM documents
+)
+SELECT
+    doc_id,
+    array_min(transform({spark_word_shingles('toks', 3)},
+              s -> {spark_hash60('s')}))                        AS shingle_min,
+    array_max(transform({spark_word_shingles('toks', 3)},
+              s -> {spark_hash60('s')}))                        AS shingle_max,
+    array_min(transform(
+        CASE WHEN length(text) >= 8
+             THEN transform(sequence(1, length(text) - 7), i -> substr(text, i, 8))
+             ELSE array(text) END,
+        g -> {spark_hash60('g')}))                              AS char_fp
+FROM base
+"""
+
+_FP_DUCK_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_D_TOK} AS toks, text FROM documents
+)
+SELECT
+    doc_id,
+    list_min(list_transform({duck_word_shingles('toks', 3)},
+             s -> {duck_hash60('s')}))                          AS shingle_min,
+    list_max(list_transform({duck_word_shingles('toks', 3)},
+             s -> {duck_hash60('s')}))                          AS shingle_max,
+    list_min(list_transform(
+        CASE WHEN length(text) >= 8
+             THEN list_transform(generate_series(1, length(text) - 7),
+                                 i -> substr(text, i, 8))
+             ELSE [text] END,
+        g -> {duck_hash60('g')}))                               AS char_fp
+FROM base
+"""
+
+
+@register("text_fingerprints", oracle=_FP_DUCK_SQL)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling char-8-gram min-hash + word-shingle extremes per document.
+
+    The same SHA-derived 60-bit hash on both engines makes fingerprints
+    bit-identical — the canonical-key pattern of the reference's cache
+    keys (reference pipeline/utils/cache.py:58-74) reused for content
+    addressing.
+    """
+    return _docs_sql(spark, sf_dir, _FP_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Corpus stats rollup
+# ---------------------------------------------------------------------------
+
+_STATS_SPARK_SQL = f"""
+SELECT
+    lang,
+    source,
+    count(*)                                  AS n_docs,
+    floor((avg(n_chars)) * 1e4 + 0.5) / 1e4                    AS avg_chars,
+    CAST(sum(size({_S_TOK})) AS BIGINT)       AS total_tokens,
+    min(n_chars)                              AS min_chars,
+    max(n_chars)                              AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+_STATS_DUCK_SQL = f"""
+SELECT
+    lang,
+    source,
+    CAST(count(*) AS BIGINT)                  AS n_docs,
+    floor((avg(n_chars)) * 1e4 + 0.5) / 1e4                    AS avg_chars,
+    CAST(sum(len({_D_TOK})) AS BIGINT)        AS total_tokens,
+    min(n_chars)                              AS min_chars,
+    max(n_chars)                              AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("text_corpus_stats", oracle=_STATS_DUCK_SQL)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup by (lang, source)."""
+    return _docs_sql(spark, sf_dir, _STATS_SPARK_SQL)
