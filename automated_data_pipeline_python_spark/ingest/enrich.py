@@ -1,0 +1,73 @@
+"""Distinct-URL batch enrichment: the relational form of per-row fetch.
+
+The reference enriches each NFT by fetching its ``metadata_url`` per row
+(``pipeline/collectors/nft.py:15-23``), using a Redis response cache to
+absorb duplicate URLs. Relationally that is a LEFT JOIN against a
+``metadata(url, payload)`` table — so the Spark-native shape is:
+
+1. ``distinct()`` the URL column (deduplicates fetches *by
+   construction*, subsuming the response cache within a run),
+2. fetch each distinct URL (driver-side below; swap in ``mapInPandas``
+   over URL partitions for large fan-out),
+3. broadcast/left-join the fetched table back.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections.abc import Awaitable, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def enrichment_join(nfts: DataFrame, metadata: DataFrame, url_col: str = "metadata_url") -> DataFrame:
+    """``nfts LEFT JOIN metadata ON metadata_url`` (SURVEY §2.3 J1).
+
+    Broadcast the fetched side: it is bounded by distinct-URL count.
+    """
+    return nfts.join(F.broadcast(metadata), on=url_col, how="left")
+
+
+def fetch_distinct_urls(
+    df: DataFrame,
+    fetch: Callable[[str], Awaitable[dict]],
+    url_col: str = "metadata_url",
+    payload_field: str = "attributes",
+    max_concurrency: int = 15,
+) -> DataFrame:
+    """Fetch each distinct non-null URL once → ``(url, traits)`` table.
+
+    Driver-side async fan-out with bounded concurrency (reference
+    api.py:54); suitable for dimension-sized URL sets. The result joins
+    back via :func:`enrichment_join`.
+    """
+    from automated_data_pipeline_python_spark.ingest.fetcher import RetryingFetcher
+    from automated_data_pipeline_python_spark.schemas import TRAIT_TYPE
+
+    urls = [
+        r[0]
+        for r in df.select(url_col).where(F.col(url_col).isNotNull() & (F.col(url_col) != "")).distinct().collect()
+    ]
+    fetcher = RetryingFetcher(fetch, max_concurrency=max_concurrency)
+
+    async def run() -> list[tuple]:
+        async def one(u: str) -> tuple:
+            try:
+                payload = await fetcher.get(u)
+                return (u, payload.get(payload_field))
+            except Exception:
+                fetcher.stats.errors += 1
+                return (u, None)
+
+        return list(await asyncio.gather(*(one(u) for u in urls)))
+
+    rows = asyncio.run(run())
+    schema = T.StructType(
+        [
+            T.StructField(url_col, T.StringType()),
+            T.StructField("traits", T.ArrayType(TRAIT_TYPE)),
+        ]
+    )
+    return df.sparkSession.createDataFrame(rows, schema=schema)

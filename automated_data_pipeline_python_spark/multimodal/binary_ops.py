@@ -1,0 +1,207 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY §2.8 target).
+
+Media travel as opaque ``binary`` columns plus typed metadata — the
+standard large-scale layout (media bytes inline for small assets, or a
+``uri`` column pointing into object storage for large ones). All
+Spark-side mechanics here are real and tested: schemas, Arrow-batched
+``mapInPandas`` signatures, partition-size control. Only the codec
+itself is stubbed — the image/audio libraries are not in this
+environment — behind ``decode=`` hooks:
+
+- ``decode=None``     → raise NotImplementedError at *execution* time
+                        with a clear message (plumbing still planable)
+- ``decode=fake_*``   → deterministic SHA-derived fake, for tests
+
+Swap ``decode`` for a Pillow/ffmpeg-backed callable in deployment; the
+plan, schema, and batch shape do not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Magic-byte prefixes for format sniffing (pure metadata; no codec).
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "riff"),  # wav/avi container
+    (b"\x00\x00\x00", "mp4"),  # ftyp boxes start with size
+    (b"ID3", "mp3"),
+    (b"OggS", "ogg"),
+]
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("offset_bytes", T.LongType()),
+    ]
+)
+
+
+def sniff_format(data: bytes | None) -> str:
+    if not data:
+        return "empty"
+    for magic, name in _MAGIC:
+        if data.startswith(magic):
+            return name
+    return "unknown"
+
+
+def media_metadata(df: DataFrame, id_col: str = "media_id", binary_col: str = "data") -> DataFrame:
+    """Size/hash/format metadata per media row — Arrow-batched mapInPandas.
+
+    This is the cheap always-run pass: no codec, bounded memory per batch.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf[binary_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_bytes": data.map(lambda b: 0 if b is None else len(b)),
+                    "sha256": data.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "format": data.map(sniff_format),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(compute, schema=MEDIA_META_SCHEMA)
+
+
+def fake_image_decode(data: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for a codec: dims derived from content hash."""
+    h = hashlib.sha256(data).digest()
+    return 16 + h[0] % 1024, 16 + h[1] % 1024, ("RGB", "RGBA", "L")[h[2] % 3]
+
+
+def decode_images(
+    df: DataFrame,
+    decode: Callable[[bytes], tuple[int, int, str]] | None = None,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+) -> DataFrame:
+    """Decode pass → (width, height, mode). Codec injected; stub by default."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode is None:
+            raise NotImplementedError(
+                "no image codec in this environment: pass decode= "
+                "(e.g. a Pillow-backed callable) to decode_images()"
+            )
+        for pdf in batches:
+            decoded = [decode(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mode": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(compute, schema=IMAGE_DECODE_SCHEMA)
+
+
+def fake_feature_extract(data: bytes, dims: int = 8) -> list[float]:
+    """Deterministic SHA-derived feature vector (codec stand-in)."""
+    h = hashlib.sha256(data).digest()
+    return [((h[i] << 8 | h[i + 1]) / 65535.0) * 2 - 1 for i in range(0, dims * 2, 2)]
+
+
+def extract_features(
+    df: DataFrame,
+    extractor: Callable[[bytes], list[float]] | None = None,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+) -> DataFrame:
+    """Feature-extraction pass → array<float> column (ANN-ready)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if extractor is None:
+            raise NotImplementedError(
+                "no feature model in this environment: pass extractor= "
+                "to extract_features()"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "features": [extractor(b) for b in pdf[binary_col]],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(compute, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled frame.
+
+    Offsets are computed structurally (evenly spaced byte offsets) — the
+    real decoder would seek to these; the fan-out (rows × frames) and
+    schema are the actual plumbing under test.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[binary_col]):
+                size = len(b or b"")
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append((size * i) // max(n_frames, 1))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "offset_bytes": offs}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(compute, schema=FRAME_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as media blobs (test corpus has
+    no binary table; the plumbing is payload-agnostic)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("data"),
+    )

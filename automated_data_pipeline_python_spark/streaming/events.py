@@ -1,0 +1,131 @@
+"""Structured Streaming surface over the events table (SURVEY §2.7).
+
+The transformations are plain DataFrame functions, usable on batch and
+streaming inputs alike — the engine's batch/stream parity contract: the
+batch twins in ``queries/events.py`` are validated against the DuckDB
+oracle, and the streaming tests assert stream == batch on the same data.
+
+Source notes: the corpus stores TIMESTAMP(NANOS), which Spark's parquet
+reader rejects; the stream reader declares ``ts`` as LONG (with the
+``nanosAsLong`` conf) and rebuilds a TimestampNTZ exactly like
+``tables.load`` does for batch.
+
+Scale: file-source streaming reads incrementally (``maxFilesPerTrigger``
+for backpressure — the streaming analogue of the reference's bounded
+queue, reference pipeline/collectors/nft.py:63); watermarks bound state
+for windows, sessions, and dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Events schema as stored (ts is nanos -> LONG under nanosAsLong).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_NTZ_FROM_NANOS = (
+    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory).withColumn("ts", F.expr(_NTZ_FROM_NANOS))
+
+
+# --- transformations (batch- and stream-compatible) -----------------------
+
+
+def tumbling_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window counts per event type."""
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (inactivity gap)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Late-data bound; required for append-mode windows and stateful dedup.
+
+    Watermarks demand TimestampType (not NTZ) — cast first; the
+    session-tz interpretation only affects state bookkeeping, not values.
+    """
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", delay
+    )
+
+
+def dedup_events(events: DataFrame, within_watermark: bool = False) -> DataFrame:
+    """Stateful dedup on event_id.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` bounds state by the
+    watermark delay (exactly-once per id within the late window) —
+    apply :func:`with_watermark` first. Batch: plain dropDuplicates.
+    """
+    if within_watermark:
+        return events.dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+# --- test/driver helper ----------------------------------------------------
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into an
+    in-memory table; returns the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,80 @@
+"""Multimodal plumbing tests: binary columns through mapInPandas passes."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from automated_data_pipeline_python_spark.multimodal.binary_ops import (
+    decode_images,
+    documents_as_media,
+    extract_features,
+    fake_feature_extract,
+    fake_image_decode,
+    media_metadata,
+    sample_frames,
+    sniff_format,
+)
+from automated_data_pipeline_python_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return documents_as_media(load(spark, SF_DIR, "documents")).cache()
+
+
+def test_sniff_format_magic_bytes():
+    assert sniff_format(b"\x89PNG\r\n\x1a\n....") == "png"
+    assert sniff_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert sniff_format(b"GIF89a...") == "gif"
+    assert sniff_format(b"") == "empty"
+    assert sniff_format(None) == "empty"
+    assert sniff_format(b"plain text") == "unknown"
+
+
+def test_media_metadata_matches_local_hash(spark, media):
+    docs = {r.doc_id: r.text for r in load(spark, SF_DIR, "documents").collect()}
+    meta = {r.media_id: r for r in media_metadata(media).collect()}
+    assert set(meta) == set(docs)
+    some = sorted(docs)[:10]
+    for did in some:
+        raw = docs[did].encode("utf-8")
+        assert meta[did].n_bytes == len(raw)
+        assert meta[did].sha256 == hashlib.sha256(raw).hexdigest()
+        assert meta[did].format == "unknown"
+
+
+def test_decode_without_codec_raises_cleanly(spark, media):
+    df = decode_images(media)  # plan builds fine (lazy)
+    with pytest.raises(Exception, match="no image codec"):
+        df.collect()
+
+
+def test_decode_with_fake_codec(spark, media):
+    rows = decode_images(media, decode=fake_image_decode).collect()
+    assert len(rows) == media.count()
+    assert all(16 <= r.width <= 1040 and 16 <= r.height <= 1040 for r in rows)
+    assert all(r.mode in {"RGB", "RGBA", "L"} for r in rows)
+    # Determinism: same content -> same decode
+    again = decode_images(media, decode=fake_image_decode).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_feature_extraction_shape_and_range(spark, media):
+    feats = extract_features(media, extractor=fake_feature_extract).collect()
+    assert len(feats) == media.count()
+    assert all(len(r.features) == 8 for r in feats)
+    assert all(-1.0 <= v <= 1.0 for r in feats for v in r.features)
+
+
+def test_frame_sampling_fanout(spark, media):
+    n = media.count()
+    frames = sample_frames(media, n_frames=4)
+    assert frames.count() == 4 * n
+    one = frames.filter("media_id = 0").orderBy("frame_index").collect()
+    assert [r.frame_index for r in one] == [0, 1, 2, 3]
+    assert one[0].offset_bytes == 0
+    assert all(b.offset_bytes >= a.offset_bytes for a, b in zip(one, one[1:]))
