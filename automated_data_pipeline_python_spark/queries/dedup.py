@@ -55,6 +55,20 @@ def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def _materialize_view(df: DataFrame, name: str) -> None:
+    """Compute once and register for reuse within a query.
+
+    Spark inlines CTEs, so a WITH-subtree referenced N times runs N
+    times; self-joining pipelines (LSH bands, simhash chunks) would pay
+    the whole hash pipeline repeatedly. ``localCheckpoint`` materializes
+    the intermediate (GC-managed, no lingering cache entries), and a
+    temp view exposes it to the tail SQL. DuckDB materializes multiply-
+    referenced CTEs on its own, so oracles keep the single-statement
+    form.
+    """
+    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+
+
 def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(sql)
@@ -193,15 +207,67 @@ WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
 """
 
 
+_MINHASH_SH_SPARK = f"""
+WITH toks AS (
+    SELECT doc_id, {_S_TOK} AS w FROM documents
+)
+SELECT DISTINCT doc_id, shingle
+FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
+"""
+
+_MINHASH_BANDS_SPARK = f"""
+WITH hashed AS (
+    SELECT doc_id, {spark_hash28('shingle')} AS h FROM mh_sh
+),
+perm AS (SELECT explode(sequence(0, {_N_PERM - 1})) AS i),
+mh AS (
+    SELECT doc_id, i, min(((2 * i + 1) * h + i * {_B_MULT}) % {_PRIME}) AS m
+    FROM hashed CROSS JOIN perm
+    GROUP BY doc_id, i
+)
+SELECT doc_id, i div {_BAND} AS band,
+       array_join(transform(array_sort(collect_list(struct(i, m))),
+                            x -> CAST(x.m AS STRING)), ',') AS sig
+FROM mh
+GROUP BY doc_id, i div {_BAND}
+"""
+
+_MINHASH_TAIL_SPARK = f"""
+WITH cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM mh_bands a JOIN mh_bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS isect
+    FROM cand c
+    JOIN mh_sh s1 ON s1.doc_id = c.doc_a
+    JOIN mh_sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
+"""
+
+
 @register("dedup_minhash_lsh", oracle=_MINHASH_DUCK_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup: MinHash signatures → LSH band buckets → verified pairs.
 
     Never computes docs×docs: candidates come from equality joins on
     (band, signature) buckets; only candidates pay the exact-jaccard
-    verification join. This is the shape that scales to 100 TB.
+    verification join. The shingle set and band signatures are
+    materialized once (multiply referenced downstream).
     """
-    return _docs_sql(spark, sf_dir, _MINHASH_SPARK_SQL)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
+    _materialize_view(spark.sql(_MINHASH_BANDS_SPARK), "mh_bands")
+    return spark.sql(_MINHASH_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -213,13 +279,18 @@ WITH toks AS (
     SELECT doc_id, {_S_TOK} AS w FROM documents
 ),
 tok AS (
-    SELECT doc_id, token FROM toks LATERAL VIEW explode(w) t AS token
+    -- aggregate multiplicity BEFORE hashing and the 32-bit fanout:
+    -- distinct (doc, token) rows are ~vocab-bounded, so this collapses
+    -- the explode by the token-repetition factor at any scale
+    SELECT doc_id, token, count(*) AS cnt
+    FROM toks LATERAL VIEW explode(w) t AS token
+    GROUP BY doc_id, token
 ),
-th AS (SELECT doc_id, {spark_hash60('token')} AS h FROM tok),
+th AS (SELECT doc_id, {spark_hash60('token')} AS h, cnt FROM tok),
 bits AS (SELECT explode(sequence(0, 31)) AS b),
 acc AS (
     SELECT doc_id, b,
-           sum(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+           sum(CASE WHEN (shiftright(h, b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
     FROM th CROSS JOIN bits
     GROUP BY doc_id, b
 ),
@@ -236,13 +307,15 @@ WITH toks AS (
     SELECT doc_id, {_D_TOK} AS w FROM documents
 ),
 tok AS (
-    SELECT doc_id, token FROM toks, UNNEST(w) AS t(token)
+    SELECT doc_id, token, count(*) AS cnt
+    FROM toks, UNNEST(w) AS t(token)
+    GROUP BY doc_id, token
 ),
-th AS (SELECT doc_id, {duck_hash60('token')} AS h FROM tok),
+th AS (SELECT doc_id, {duck_hash60('token')} AS h, cnt FROM tok),
 bits AS (SELECT b FROM generate_series(0, 31) AS g(b)),
 acc AS (
     SELECT doc_id, b,
-           sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+           sum(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
     FROM th CROSS JOIN bits
     GROUP BY doc_id, b
 ),
@@ -270,9 +343,9 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAMMING_MAX = 8
 
 _SIMHASH_PAIRS_TAIL_SPARK = f"""
-, chunks AS (
+WITH chunks AS (
     SELECT doc_id, simhash, c, shiftright(simhash, 8 * c) & 255 AS chunk
-    FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS c
+    FROM simhash_sig LATERAL VIEW explode(sequence(0, 3)) t AS c
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -307,10 +380,15 @@ WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
     oracle=_SIMHASH_CORE_DUCK + _SIMHASH_PAIRS_TAIL_DUCK,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via chunk blocking + exact hamming filter."""
-    return _docs_sql(
-        spark, sf_dir, _SIMHASH_CORE_SPARK + _SIMHASH_PAIRS_TAIL_SPARK
+    """SimHash near-dup pairs via chunk blocking + exact hamming filter.
+
+    Signatures are materialized once — the chunk self-join references
+    them twice and would otherwise recompute the token-hash pipeline.
+    """
+    _materialize_view(
+        _docs_sql(spark, sf_dir, _SIMHASH_SPARK_SQL), "simhash_sig"
     )
+    return spark.sql(_SIMHASH_PAIRS_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -345,6 +423,23 @@ WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
 """
 
 
+_NGRAM_TAIL_SPARK = f"""
+WITH sizes AS (SELECT doc_id, count(*) AS n FROM ng_sh GROUP BY doc_id),
+inter AS (
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS isect
+    FROM ng_sh s1 JOIN ng_sh s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+"""
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=_ngram_sql(
@@ -358,17 +453,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact but O(pairs sharing a shingle) — at 100 TB this is the
     *verification* stage after LSH candidate generation, not the
-    discovery stage (hot shingles need frequency-capping/salting).
+    discovery stage (hot shingles need frequency-capping/salting). The
+    shingle set is materialized once (referenced three times).
     """
-    return _docs_sql(
-        spark,
-        sf_dir,
-        _ngram_sql(
-            _S_TOK,
-            spark_word_shingles,
-            f" LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle",
-        ),
-    )
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
+    return spark.sql(_NGRAM_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------

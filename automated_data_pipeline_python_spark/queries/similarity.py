@@ -32,6 +32,12 @@ def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def _materialize_view(df: DataFrame, name: str) -> None:
+    """Compute once, register for reuse (Spark inlines CTEs — a bucket
+    table referenced twice would run the whole LSH pipeline twice)."""
+    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact baseline)
 # ---------------------------------------------------------------------------
@@ -198,6 +204,14 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """
 
 
+# Spark variant of the tail, reading the materialized bucket view
+# (Spark inlines CTEs, so the single-statement form would run the whole
+# LSH pipeline once per bucket reference).
+_ANN_TAIL_SPARK = "WITH scored AS (" + _ANN_TAIL.format(cos=_SPARK_COS).split(
+    ", scored AS (", 1
+)[1].replace("JOIN buckets", "JOIN lsh_buckets")
+
+
 @register(
     "ann_lsh_topk",
     oracle=_BUCKETS_CORE_DUCK + _ANN_TAIL.format(cos=_DUCK_COS),
@@ -209,7 +223,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query); exact cosine only on candidates. More planes + multiple
     tables trade recall for cost — the plan shape is unchanged.
     """
-    return _emb_sql(spark, sf_dir, _BUCKETS_CORE_SPARK + _ANN_TAIL.format(cos=_SPARK_COS))
+    _materialize_view(
+        _emb_sql(spark, sf_dir, _BUCKETS_CORE_SPARK + "SELECT * FROM buckets"),
+        "lsh_buckets",
+    )
+    return spark.sql(_ANN_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,11 @@ def main() -> None:
 
     from automated_data_pipeline_python_spark.queries import QUERIES
 
+    # Warm up codegen/shuffle/python-worker paths once so per-query
+    # timings measure the queries, not JVM cold start.
+    warm = spark.range(1_000_000).selectExpr("id", "id % 7 AS k")
+    warm.groupBy("k").count().write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES.get(name)
