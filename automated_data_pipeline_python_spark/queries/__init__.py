@@ -15,6 +15,7 @@ from automated_data_pipeline_python_spark.queries.catalog import (  # noqa: F401
 # Import for registration side effects.
 from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     relational,
+    relational2,
     text,
     dedup,
     similarity,

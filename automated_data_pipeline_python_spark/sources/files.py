@@ -1,0 +1,65 @@
+"""File format readers/writers with engine conventions baked in.
+
+Conventions (each is a 100 TB lesson, enforced here so callers can't
+forget):
+- explicit schema always (inference scans data twice and drifts);
+- writes are directory datasets, optionally partitioned;
+- CSV with header + explicit null token; JSON as JSONL (splittable).
+
+The bronze zone uses JSONL (append-friendly, schema-on-read), silver
+and beyond use parquet (columnar, predicate pushdown) — mirroring the
+reference's raw-API-JSON → parquet flow (reference
+pipeline/load/store.py) with a durable layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+NULL_TOKEN = "\\N"
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("nullValue", NULL_TOKEN)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("nullValue", NULL_TOKEN)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSONL reader (one object per line — splittable at scale)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

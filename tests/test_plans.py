@@ -1,0 +1,81 @@
+"""Execution-shape guardrails: assert the plans we designed for scale.
+
+Correctness tests can stay green while a plan silently degrades (e.g. a
+broadcast join falling back to sort-merge + shuffle of the fact table).
+These tests pin the intended physical shape of headline queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_data_pipeline_python_spark.plans import plan_report
+from automated_data_pipeline_python_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def reports(spark):
+    return {
+        name: plan_report(QUERIES[name].fn(spark, SF))
+        for name in [
+            "q1_pricing_summary",
+            "q3_shipping_priority",
+            "q5_region_revenue",
+            "filter_in_like_between",
+            "join_asof_purchase_click",
+            "text_quality_scores",
+            "knn_bruteforce_topk",
+        ]
+    }
+
+
+def test_q1_filter_pushed_to_scan(reports):
+    r = reports["q1_pricing_summary"]
+    assert r.scans == 1
+    assert r.scans_with_pushed_filters == 1
+    assert r.python_free
+    # scan -> partial agg -> single exchange -> final agg
+    assert r.exchanges == 1
+
+
+def test_q3_broadcasts_dimensions(reports):
+    r = reports["q3_shipping_priority"]
+    assert r.broadcast_joins >= 1  # customer side must broadcast
+    assert r.python_free
+
+
+def test_q5_star_join_broadcasts_all_dims(reports):
+    r = reports["q5_region_revenue"]
+    # customer/supplier/nation/region broadcast; only orders<->lineitem
+    # may shuffle.
+    assert r.broadcast_joins >= 4
+    assert r.sort_merge_joins <= 1
+    assert r.python_free
+
+
+def test_part_filters_pushed(reports):
+    r = reports["filter_in_like_between"]
+    assert r.scans_with_pushed_filters == 1
+    assert r.exchanges == 0  # pure scan+filter: no shuffle at all
+
+
+def test_asof_join_is_single_python_stage(reports):
+    r = reports["join_asof_purchase_click"]
+    # exactly one Arrow cogroup boundary; everything else JVM
+    assert r.python_evals == 1
+
+
+def test_text_and_vector_queries_are_python_free(reports):
+    assert reports["text_quality_scores"].python_free
+    assert reports["knn_bruteforce_topk"].python_free
+
+
+def test_whole_stage_codegen_active(spark):
+    # Under AQE the codegen spans only appear in the final (executed)
+    # plan, so run the query before inspecting.
+    for name in ("q1_pricing_summary", "q3_shipping_priority"):
+        df = QUERIES[name].fn(spark, SF)
+        df.collect()
+        assert plan_report(df).codegen_spans >= 1, name
