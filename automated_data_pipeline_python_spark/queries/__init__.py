@@ -16,6 +16,7 @@ from automated_data_pipeline_python_spark.queries.catalog import (  # noqa: F401
 from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     relational,
     relational2,
+    relational3,
     text,
     dedup,
     similarity,
