@@ -21,6 +21,7 @@ plans hold with shingle-hash salting for hot shingles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.functions.text import (
     DUCK_TOKENS,
@@ -514,3 +515,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a coarse quantizer (IVF centroid), same plan shape.
     """
     return _emb_sql(spark, sf_dir, _EMB_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_DUCK_SQL = f"""
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS isect
+    FROM sh s1 JOIN sh s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes na ON inter.doc_a = na.doc_id
+    JOIN sizes nb ON inter.doc_b = nb.doc_id
+    WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_DUCK_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over jaccard-0.2 pairs.
+
+    The genuinely iterative operator in the catalog: Spark runs min-label
+    propagation to a fixpoint (operators.clusters, GraphX-style); the
+    oracle is DuckDB's recursive-CTE transitive closure. Component id =
+    min doc_id in the cluster = the canonical document to keep.
+    """
+    from automated_data_pipeline_python_spark.operators.clusters import (
+        connected_components,
+    )
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
+    pairs = spark.sql(_NGRAM_TAIL_SPARK).select("doc_a", "doc_b")
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )

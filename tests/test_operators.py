@@ -1,0 +1,101 @@
+"""Unit tests: skew-salted join, connected components, observability, logs."""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_python_spark.observability import (
+    observe_counters,
+    observed,
+)
+from automated_data_pipeline_python_spark.operators.clusters import (
+    connected_components,
+)
+from automated_data_pipeline_python_spark.operators.skew import salted_join
+from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.utils.logs import setup_logging
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark):
+        # Skewed fact: customer key 7 repeated heavily.
+        orders = load(spark, SF, "orders")
+        skewed = orders.withColumn(
+            "o_custkey", F.when(F.col("o_orderkey") % 3 == 0, 7).otherwise(F.col("o_custkey"))
+        )
+        cust = load(spark, SF, "customer")
+        plain = skewed.join(cust, skewed.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "c_custkey"
+        )
+        cust2 = load(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+        salted = salted_join(skewed, cust2, on="o_custkey", num_salts=4).select(
+            "o_orderkey", F.col("o_custkey").alias("c_custkey")
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_left_preserves_unmatched(self, spark):
+        orders = load(spark, SF, "orders").limit(100)
+        ghost = spark.range(0).selectExpr("id AS o_custkey", "id AS extra")
+        out = salted_join(orders, ghost, on="o_custkey", how="left")
+        assert out.count() == 100
+        assert out.filter("extra IS NULL").count() == 100
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+        )
+        got = {
+            (r.node, r.component) for r in connected_components(edges).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+    def test_two_merging_chains(self, spark):
+        # Two chains that meet: 1-2-3 and 5-4-3 -> all one component.
+        edges = spark.createDataFrame([(1, 2), (2, 3), (5, 4), (4, 3)], ["src", "dst"])
+        comps = {r.node: r.component for r in connected_components(edges).collect()}
+        assert set(comps.values()) == {1}
+
+
+class TestObservability:
+    def test_observed_row_and_null_counts(self, spark):
+        df, obs = observed(
+            load(spark, SF, "customer").withColumn(
+                "c_custkey", F.when(F.col("c_custkey") % 10 == 0, None).otherwise(F.col("c_custkey"))
+            )
+        )
+        n = df.count()
+        assert obs.get["rows"] == n
+        assert obs.get["null_c_custkey"] == 15
+
+    def test_observe_counters_custom(self, spark):
+        df, obs = observe_counters(
+            load(spark, SF, "orders"),
+            "order_metrics",
+            n=F.count(F.lit(1)),
+            total=F.sum("o_totalprice"),
+            open_orders=F.count(F.when(F.col("o_orderstatus") == "O", 1)),
+        )
+        df.write.format("noop").mode("overwrite").save()
+        m = obs.get
+        assert m["n"] == 1500
+        assert m["open_orders"] > 0
+        assert m["total"] > 0
+
+
+class TestLogs:
+    def test_setup_logging_idempotent_and_rotating(self, tmp_path):
+        logfile = str(tmp_path / "engine.log")
+        root = setup_logging(logfile=logfile)
+        n_handlers = len(root.handlers)
+        setup_logging(logfile=logfile)  # idempotent
+        assert len(root.handlers) == n_handlers
+        logging.getLogger("engine.test").info("hello rotating file")
+        root.handlers[-1].flush()
+        assert "hello rotating file" in open(logfile).read()
+        assert logging.getLogger("py4j").level == logging.WARNING
