@@ -129,3 +129,29 @@ def run_to_memory(
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    handle_batch,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> None:
+    """Execute a stream to completion through a foreachBatch sink.
+
+    ``handle_batch(batch_df, batch_id)`` receives each micro-batch as a
+    normal DataFrame — the escape hatch for sinks Spark lacks natively
+    (upserts, multi-table writes, external indexes). Exactly-once
+    depends on the handler being idempotent per batch_id.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(handle_batch)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()

@@ -97,3 +97,101 @@ def test_dedup_within_watermark_drops_duplicates(spark, events_dir, tmp_path):
     n_unique = load(spark, SF_DIR, "events").select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.distinct().count() == n_unique
+
+
+def _write_events_file(spark, rows, path):
+    """rows: (event_id, ts_iso_micros, user_id, type, value)."""
+    df = spark.createDataFrame(
+        [
+            (eid, ts, uid, et, val, "{}")
+            for eid, ts, uid, et, val in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', CAST(ts AS TIMESTAMP_NTZ)) AS LONG) * 1000 AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(path))
+    return df
+
+
+def test_watermark_drops_late_rows_in_append_windows(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from automated_data_pipeline_python_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        with_watermark,
+    )
+
+    # Spark drops a late row once the watermark passed its window end in
+    # a PRIOR batch (state evicted) — merely being older than the
+    # current watermark is not enough (verified empirically on 4.1:
+    # numRowsDroppedByWatermark stays 0 until eviction). So: two batches
+    # push the watermark past the 10:00 window, a third delivers the
+    # late row.
+    d = tmp_path / "late"
+    d.mkdir()
+    _write_events_file(
+        spark,
+        [(1, "2024-01-01 10:00:01", 1, "click", 1.0),
+         (2, "2024-01-01 10:05:00", 1, "click", 1.0)],
+        d / "gen1",
+    )
+    _write_events_file(
+        spark, [(3, "2024-01-01 12:00:00", 1, "click", 1.0)], d / "gen2"
+    )
+    _write_events_file(
+        spark, [(4, "2024-01-01 12:30:00", 1, "click", 1.0)], d / "gen3"
+    )
+    _write_events_file(
+        spark,
+        [(5, "2024-01-01 10:02:00", 1, "click", 1.0),   # late -> dropped
+         (6, "2024-01-01 13:00:00", 1, "click", 1.0)],
+        d / "gen4",
+    )
+    watch = tmp_path / "late_watch"
+    watch.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, sub in enumerate(sorted(d.iterdir())):
+        for f in sub.glob("*.parquet"):
+            dest = watch / f"part-{i:03d}.parquet"
+            shutil.copy(f, dest)
+            # File-source batch order follows modification time, not
+            # path — pin distinct mtimes so gen1 is the first batch.
+            os.utime(dest, (now - 600 + i * 60, now - 600 + i * 60))
+
+    stream = read_events_stream(spark, str(watch), max_files_per_trigger=1)
+    windowed = (
+        with_watermark(stream, "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .count()
+        .select(F.date_format("win.start", "HH:mm").alias("start"), "count")
+    )
+    got = {
+        r.start: r["count"]
+        for r in run_to_memory(windowed, "t_late", output_mode="append").collect()
+    }
+    # The 10:00 window closed with 2 events; the late 4th never counted.
+    assert got.get("10:00") == 2
+
+
+def test_foreach_batch_sink_receives_all_rows(spark, events_dir):
+    from automated_data_pipeline_python_spark.streaming.events import (
+        read_events_stream,
+        run_foreach_batch,
+    )
+
+    seen: dict[int, int] = {}
+
+    def handle(batch_df, batch_id):
+        seen[batch_id] = batch_df.count()
+
+    run_foreach_batch(read_events_stream(spark, events_dir), handle)
+    assert sum(seen.values()) == load(spark, SF_DIR, "events").count()
