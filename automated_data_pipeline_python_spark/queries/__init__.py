@@ -17,6 +17,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     relational,
     relational2,
     relational3,
+    relational4,
     windows2,
     text,
     dedup,

@@ -99,3 +99,41 @@ class TestLogs:
         root.handlers[-1].flush()
         assert "hello rotating file" in open(logfile).read()
         assert logging.getLogger("py4j").level == logging.WARNING
+
+
+class TestPandasUdafParity:
+    def test_grouped_slope_matches_jvm_regr_slope(self, spark):
+        from automated_data_pipeline_python_spark.queries.relational4 import (
+            grouped_slope_pandas,
+        )
+
+        got = {
+            r.o_custkey: r.slope
+            for r in grouped_slope_pandas(spark, SF).collect()
+            if r.slope == r.slope  # drop NaN (single-order customers)
+        }
+        orders = load(spark, SF, "orders")
+        want = {
+            r.o_custkey: r.slope
+            for r in orders.selectExpr(
+                "o_custkey",
+                "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01', o_orderdate) AS DOUBLE) / 86400 AS x",
+                "o_totalprice",
+            )
+            .groupBy("o_custkey")
+            .agg(F.expr("regr_slope(o_totalprice, x)").alias("slope"))
+            .collect()
+            if r.slope is not None
+        }
+        assert set(got) == set(want)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-6 * max(1.0, abs(want[k])), k
+
+    def test_sample_is_seed_deterministic(self, spark):
+        from automated_data_pipeline_python_spark.queries.relational4 import (
+            sample_reproducible,
+        )
+
+        a = sorted(map(tuple, sample_reproducible(spark, SF).collect()))
+        b = sorted(map(tuple, sample_reproducible(spark, SF).collect()))
+        assert a == b and len(a) > 0
