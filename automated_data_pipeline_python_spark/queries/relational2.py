@@ -300,7 +300,7 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
     """,
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +314,7 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders_sq
-        WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders_sq)
+        WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders_sq)
         """
     )
 

@@ -1,0 +1,19 @@
+"""Hermetic fake transports for the paginated REST data source.
+
+Live in the package (not tests/) so Python worker processes can import
+them by dotted path regardless of how the test runner set up sys.path.
+"""
+
+from __future__ import annotations
+
+
+def fake_pages_of_ten(page: int) -> dict:
+    return {
+        "items": [
+            {"identifier": str(page * 10 + i), "page_of": page} for i in range(10)
+        ]
+    }
+
+
+def fake_single_item(page: int) -> dict:
+    return {"items": [{"identifier": str(page), "name": f"n{page}"}]}

@@ -155,3 +155,34 @@ def run_foreach_batch(
     finally:
         if q.isActive:
             q.stop()
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing: per-user running event count/value.
+
+    ``applyInPandasWithState`` is the custom-operator escape hatch of
+    Structured Streaming (SURVEY §2.7): explicit GroupState per key,
+    updated each micro-batch, emitted in update mode. State here is two
+    numbers per user — bounded regardless of stream length. A timeout
+    (GroupStateTimeout) would evict idle users in production.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -68,3 +68,47 @@ def test_timestamp_roundtrip_csv(spark, tmp_path):
     write_csv(df, path)
     back = read_csv(spark, path, df.schema)
     assert _sorted(back) == _sorted(df)
+
+
+class TestPaginatedRestDataSource:
+    def test_distributed_fetch_reads_all_pages(self, spark):
+        from automated_data_pipeline_python_spark.sources import rest
+
+        rest.register(spark)
+        df = (
+            spark.read.format("paginated_rest")
+            .option(
+                "transport",
+                "automated_data_pipeline_python_spark.sources.transports_testing:fake_pages_of_ten",
+            )
+            .option("pages", 7)
+            .option("pagesPerPartition", 2)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4  # ceil(7/2) page ranges
+        rows = df.collect()
+        assert len(rows) == 70
+        import json as _json
+
+        ids = sorted(int(_json.loads(r.record)["identifier"]) for r in rows)
+        assert ids == list(range(70))
+
+    def test_records_parse_into_typed_bronze(self, spark):
+        from pyspark.sql import functions as F
+        from automated_data_pipeline_python_spark.sources import rest
+
+        rest.register(spark)
+        df = (
+            spark.read.format("paginated_rest")
+            .option(
+                "transport",
+                "automated_data_pipeline_python_spark.sources.transports_testing:fake_single_item",
+            )
+            .option("pages", 3)
+            .load()
+        )
+        typed = df.select(
+            F.get_json_object("record", "$.identifier").cast("int").alias("identifier"),
+            F.get_json_object("record", "$.name").alias("name"),
+        )
+        assert sorted(map(tuple, typed.collect())) == [(0, "n0"), (1, "n1"), (2, "n2")]

@@ -195,3 +195,55 @@ def test_foreach_batch_sink_receives_all_rows(spark, events_dir):
 
     run_foreach_batch(read_events_stream(spark, events_dir), handle)
     assert sum(seen.values()) == load(spark, SF_DIR, "events").count()
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    import os
+    import time
+    from pyspark.sql import functions as F
+    from automated_data_pipeline_python_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    d = tmp_path / "state_watch"
+    d.mkdir()
+    now = time.time()
+    for i, cond in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        part = ev.filter(cond).selectExpr(
+            "event_id",
+            "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts) AS LONG) * 1000 AS ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        sub = tmp_path / f"gen{i}"
+        part.coalesce(1).write.parquet(str(sub))
+        for f in sub.glob("*.parquet"):
+            dest = d / f"part-{i:03d}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (now - 600 + i * 60,) * 2)
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = run_to_memory(
+        running_user_totals(stream), "t_state", output_mode="update"
+    )
+    # update mode re-emits per batch; the final (max) row per user is the
+    # accumulated state — must equal the plain batch aggregate.
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("v"))
+        .collect()
+    )
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert {r.user_id: (r.n, round(r.v, 6)) for r in final} == {
+        k: (n, round(v, 6)) for k, (n, v) in want.items()
+    }
