@@ -13,6 +13,7 @@ Python UDFs anywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.functions.text import (
     duck_hash60,
@@ -22,7 +23,8 @@ from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
 _DIMS = 64
-_N_PLANES = 4  # 16 buckets
+_N_PLANES = 3   # 8 buckets per table
+_N_TABLES = 4   # union of candidates across tables (recall knob)
 _N_QUERIES = 5  # query set: vec_id < 5
 _TOP_K = 10
 
@@ -116,38 +118,44 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Plane weights: deterministic pseudo-random in [-1, 1], derived from the
 # portable hash so both engines build identical planes.
-_SPARK_PLANE_KEY = "concat('hp', CAST(p AS STRING), ':', CAST(d AS STRING))"
-_DUCK_PLANE_KEY = "concat('hp', CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))"
+_SPARK_PLANE_KEY = (
+    "concat('hp', CAST(t AS STRING), ':', CAST(p AS STRING), ':', CAST(d AS STRING))"
+)
+_DUCK_PLANE_KEY = (
+    "concat('hp', CAST(t AS VARCHAR), ':', CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))"
+)
 _SPARK_WT = f"(({spark_hash60(_SPARK_PLANE_KEY)}) % 2001 - 1000) / 1000.0"
 _DUCK_WT = f"(({duck_hash60(_DUCK_PLANE_KEY)}) % 2001 - 1000) / 1000.0"
 
 _BUCKETS_CORE_SPARK = f"""
 WITH planes AS (
-    SELECT p, d, {_SPARK_WT} AS wt
-    FROM (SELECT explode(sequence(0, {_N_PLANES - 1})) AS p)
+    SELECT t, p, d, {_SPARK_WT} AS wt
+    FROM (SELECT explode(sequence(0, {_N_TABLES - 1})) AS t)
+    CROSS JOIN (SELECT explode(sequence(0, {_N_PLANES - 1})) AS p)
     CROSS JOIN (SELECT explode(sequence(0, {_DIMS - 1})) AS d)
 ),
 comps AS (
     SELECT vec_id, pos AS d, CAST(x AS DOUBLE) AS x
-    FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+    FROM embeddings LATERAL VIEW posexplode(embedding) e AS pos, x
 ),
 dots AS (
-    SELECT c.vec_id, p.p, sum(c.x * p.wt) AS dot
+    SELECT c.vec_id, p.t, p.p, sum(c.x * p.wt) AS dot
     FROM comps c JOIN planes p ON c.d = p.d
-    GROUP BY c.vec_id, p.p
+    GROUP BY c.vec_id, p.t, p.p
 ),
 buckets AS (
-    SELECT vec_id,
+    SELECT vec_id, t,
            sum(CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), p)
                     ELSE CAST(0 AS BIGINT) END) AS bucket
-    FROM dots GROUP BY vec_id
+    FROM dots GROUP BY vec_id, t
 )
 """
 
 _BUCKETS_CORE_DUCK = f"""
 WITH planes AS (
-    SELECT p, d, {_DUCK_WT} AS wt
-    FROM generate_series(0, {_N_PLANES - 1}) AS gp(p)
+    SELECT t, p, d, {_DUCK_WT} AS wt
+    FROM generate_series(0, {_N_TABLES - 1}) AS gt(t)
+    CROSS JOIN generate_series(0, {_N_PLANES - 1}) AS gp(p)
     CROSS JOIN generate_series(0, {_DIMS - 1}) AS gd(d)
 ),
 comps AS (
@@ -155,25 +163,25 @@ comps AS (
     FROM embeddings, generate_series(0, {_DIMS - 1}) AS g(d)
 ),
 dots AS (
-    SELECT c.vec_id, p.p, sum(c.x * p.wt) AS dot
+    SELECT c.vec_id, p.t, p.p, sum(c.x * p.wt) AS dot
     FROM comps c JOIN planes p ON c.d = p.d
-    GROUP BY c.vec_id, p.p
+    GROUP BY c.vec_id, p.t, p.p
 ),
 buckets AS (
-    SELECT vec_id,
+    SELECT vec_id, t,
            CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-    FROM dots GROUP BY vec_id
+    FROM dots GROUP BY vec_id, t
 )
 """
 
 _HIST_TAIL = """
-SELECT bucket, count(*) AS n_vectors
-FROM buckets GROUP BY bucket
+SELECT t, bucket, count(*) AS n_vectors
+FROM buckets GROUP BY t, bucket
 """
 _HIST_TAIL_DUCK = """
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
-FROM buckets GROUP BY bucket
+SELECT t, bucket, CAST(count(*) AS BIGINT) AS n_vectors
+FROM buckets GROUP BY t, bucket
 """
 
 
@@ -188,9 +196,11 @@ _ANN_TAIL = f"""
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            {{cos}} AS cos
     FROM embeddings a
-    JOIN buckets ba ON ba.vec_id = a.vec_id
-    JOIN buckets bb ON bb.bucket = ba.bucket
-    JOIN embeddings b ON b.vec_id = bb.vec_id AND b.vec_id != a.vec_id
+    JOIN (SELECT DISTINCT ba.vec_id AS qa, bb.vec_id AS nb
+          FROM buckets ba JOIN buckets bb
+            ON bb.t = ba.t AND bb.bucket = ba.bucket) cand
+      ON cand.qa = a.vec_id
+    JOIN embeddings b ON b.vec_id = cand.nb AND b.vec_id != a.vec_id
     WHERE a.vec_id < {_N_QUERIES}
 ),
 ranked AS (
@@ -207,9 +217,13 @@ FROM ranked WHERE rnk <= {_TOP_K}
 # Spark variant of the tail, reading the materialized bucket view
 # (Spark inlines CTEs, so the single-statement form would run the whole
 # LSH pipeline once per bucket reference).
-_ANN_TAIL_SPARK = "WITH scored AS (" + _ANN_TAIL.format(cos=_SPARK_COS).split(
-    ", scored AS (", 1
-)[1].replace("JOIN buckets", "JOIN lsh_buckets")
+_ANN_TAIL_SPARK = (
+    "WITH scored AS ("
+    + _ANN_TAIL.format(cos=_SPARK_COS)
+    .split(", scored AS (", 1)[1]
+    .replace("FROM buckets", "FROM lsh_buckets")
+    .replace("JOIN buckets", "JOIN lsh_buckets")
+)
 
 
 @register(
@@ -263,3 +277,43 @@ FROM norms GROUP BY label
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector norm statistics."""
     return _emb_sql(spark, sf_dir, _NORM_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (centroids) -> probe nearest cells
+# ---------------------------------------------------------------------------
+
+
+
+@register("ann_ivf_cell_assignment", oracle=None)
+def ann_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    Rows-only check (the full pipeline is validated structurally by
+    tests/test_similarity.py: assignment is total, cells are balanced,
+    and IVF top-k achieves high recall vs brute force). Centroids are
+    per-label means — the plan shape (small centroid table broadcast
+    against the corpus, argmin via window) is exactly an IVF index
+    build; swap the centroid source for sampled k-means at scale.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    centroids = comps.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    dist = (
+        comps.alias("v")
+        .join(centroids.alias("ct"), F.col("v.d") == F.col("ct.d"))
+        .groupBy(
+            F.col("v.vec_id").alias("vec_id"), F.col("ct.label").alias("cell")
+        )
+        .agg(F.sum((F.col("v.x") - F.col("ct.c")) ** 2).alias("dist"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "cell")
+    )
