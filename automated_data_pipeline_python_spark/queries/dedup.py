@@ -280,26 +280,56 @@ WITH toks AS (
     SELECT doc_id, {_S_TOK} AS w FROM documents
 ),
 tok AS (
-    -- aggregate multiplicity BEFORE hashing and the 32-bit fanout:
-    -- distinct (doc, token) rows are ~vocab-bounded, so this collapses
-    -- the explode by the token-repetition factor at any scale
+    -- aggregate multiplicity BEFORE hashing: distinct (doc, token) rows
+    -- are vocab-bounded, collapsing the stream by the repetition factor
     SELECT doc_id, token, count(*) AS cnt
     FROM toks LATERAL VIEW explode(w) t AS token
     GROUP BY doc_id, token
 ),
 th AS (SELECT doc_id, {spark_hash60('token')} AS h, cnt FROM tok),
-bits AS (SELECT explode(sequence(0, 31)) AS b),
+-- all 32 bit-sums as one aggregation pass: no 32-way row fanout, the
+-- shuffle carries one row per doc instead of 32
 acc AS (
-    SELECT doc_id, b,
-           sum(CASE WHEN (shiftright(h, b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
-    FROM th CROSS JOIN bits
-    GROUP BY doc_id, b
+    SELECT doc_id,
+           sum(CASE WHEN (shiftright(h, 0) & 1) = 1 THEN cnt ELSE -cnt END) AS s0,
+           sum(CASE WHEN (shiftright(h, 1) & 1) = 1 THEN cnt ELSE -cnt END) AS s1,
+           sum(CASE WHEN (shiftright(h, 2) & 1) = 1 THEN cnt ELSE -cnt END) AS s2,
+           sum(CASE WHEN (shiftright(h, 3) & 1) = 1 THEN cnt ELSE -cnt END) AS s3,
+           sum(CASE WHEN (shiftright(h, 4) & 1) = 1 THEN cnt ELSE -cnt END) AS s4,
+           sum(CASE WHEN (shiftright(h, 5) & 1) = 1 THEN cnt ELSE -cnt END) AS s5,
+           sum(CASE WHEN (shiftright(h, 6) & 1) = 1 THEN cnt ELSE -cnt END) AS s6,
+           sum(CASE WHEN (shiftright(h, 7) & 1) = 1 THEN cnt ELSE -cnt END) AS s7,
+           sum(CASE WHEN (shiftright(h, 8) & 1) = 1 THEN cnt ELSE -cnt END) AS s8,
+           sum(CASE WHEN (shiftright(h, 9) & 1) = 1 THEN cnt ELSE -cnt END) AS s9,
+           sum(CASE WHEN (shiftright(h, 10) & 1) = 1 THEN cnt ELSE -cnt END) AS s10,
+           sum(CASE WHEN (shiftright(h, 11) & 1) = 1 THEN cnt ELSE -cnt END) AS s11,
+           sum(CASE WHEN (shiftright(h, 12) & 1) = 1 THEN cnt ELSE -cnt END) AS s12,
+           sum(CASE WHEN (shiftright(h, 13) & 1) = 1 THEN cnt ELSE -cnt END) AS s13,
+           sum(CASE WHEN (shiftright(h, 14) & 1) = 1 THEN cnt ELSE -cnt END) AS s14,
+           sum(CASE WHEN (shiftright(h, 15) & 1) = 1 THEN cnt ELSE -cnt END) AS s15,
+           sum(CASE WHEN (shiftright(h, 16) & 1) = 1 THEN cnt ELSE -cnt END) AS s16,
+           sum(CASE WHEN (shiftright(h, 17) & 1) = 1 THEN cnt ELSE -cnt END) AS s17,
+           sum(CASE WHEN (shiftright(h, 18) & 1) = 1 THEN cnt ELSE -cnt END) AS s18,
+           sum(CASE WHEN (shiftright(h, 19) & 1) = 1 THEN cnt ELSE -cnt END) AS s19,
+           sum(CASE WHEN (shiftright(h, 20) & 1) = 1 THEN cnt ELSE -cnt END) AS s20,
+           sum(CASE WHEN (shiftright(h, 21) & 1) = 1 THEN cnt ELSE -cnt END) AS s21,
+           sum(CASE WHEN (shiftright(h, 22) & 1) = 1 THEN cnt ELSE -cnt END) AS s22,
+           sum(CASE WHEN (shiftright(h, 23) & 1) = 1 THEN cnt ELSE -cnt END) AS s23,
+           sum(CASE WHEN (shiftright(h, 24) & 1) = 1 THEN cnt ELSE -cnt END) AS s24,
+           sum(CASE WHEN (shiftright(h, 25) & 1) = 1 THEN cnt ELSE -cnt END) AS s25,
+           sum(CASE WHEN (shiftright(h, 26) & 1) = 1 THEN cnt ELSE -cnt END) AS s26,
+           sum(CASE WHEN (shiftright(h, 27) & 1) = 1 THEN cnt ELSE -cnt END) AS s27,
+           sum(CASE WHEN (shiftright(h, 28) & 1) = 1 THEN cnt ELSE -cnt END) AS s28,
+           sum(CASE WHEN (shiftright(h, 29) & 1) = 1 THEN cnt ELSE -cnt END) AS s29,
+           sum(CASE WHEN (shiftright(h, 30) & 1) = 1 THEN cnt ELSE -cnt END) AS s30,
+           sum(CASE WHEN (shiftright(h, 31) & 1) = 1 THEN cnt ELSE -cnt END) AS s31
+    FROM th
+    GROUP BY doc_id
 ),
 sig AS (
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
-                    ELSE CAST(0 AS BIGINT) END) AS simhash
-    FROM acc GROUP BY doc_id
+           CASE WHEN s0 > 0 THEN shiftleft(CAST(1 AS BIGINT), 0) ELSE CAST(0 AS BIGINT) END + CASE WHEN s1 > 0 THEN shiftleft(CAST(1 AS BIGINT), 1) ELSE CAST(0 AS BIGINT) END + CASE WHEN s2 > 0 THEN shiftleft(CAST(1 AS BIGINT), 2) ELSE CAST(0 AS BIGINT) END + CASE WHEN s3 > 0 THEN shiftleft(CAST(1 AS BIGINT), 3) ELSE CAST(0 AS BIGINT) END + CASE WHEN s4 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4) ELSE CAST(0 AS BIGINT) END + CASE WHEN s5 > 0 THEN shiftleft(CAST(1 AS BIGINT), 5) ELSE CAST(0 AS BIGINT) END + CASE WHEN s6 > 0 THEN shiftleft(CAST(1 AS BIGINT), 6) ELSE CAST(0 AS BIGINT) END + CASE WHEN s7 > 0 THEN shiftleft(CAST(1 AS BIGINT), 7) ELSE CAST(0 AS BIGINT) END + CASE WHEN s8 > 0 THEN shiftleft(CAST(1 AS BIGINT), 8) ELSE CAST(0 AS BIGINT) END + CASE WHEN s9 > 0 THEN shiftleft(CAST(1 AS BIGINT), 9) ELSE CAST(0 AS BIGINT) END + CASE WHEN s10 > 0 THEN shiftleft(CAST(1 AS BIGINT), 10) ELSE CAST(0 AS BIGINT) END + CASE WHEN s11 > 0 THEN shiftleft(CAST(1 AS BIGINT), 11) ELSE CAST(0 AS BIGINT) END + CASE WHEN s12 > 0 THEN shiftleft(CAST(1 AS BIGINT), 12) ELSE CAST(0 AS BIGINT) END + CASE WHEN s13 > 0 THEN shiftleft(CAST(1 AS BIGINT), 13) ELSE CAST(0 AS BIGINT) END + CASE WHEN s14 > 0 THEN shiftleft(CAST(1 AS BIGINT), 14) ELSE CAST(0 AS BIGINT) END + CASE WHEN s15 > 0 THEN shiftleft(CAST(1 AS BIGINT), 15) ELSE CAST(0 AS BIGINT) END + CASE WHEN s16 > 0 THEN shiftleft(CAST(1 AS BIGINT), 16) ELSE CAST(0 AS BIGINT) END + CASE WHEN s17 > 0 THEN shiftleft(CAST(1 AS BIGINT), 17) ELSE CAST(0 AS BIGINT) END + CASE WHEN s18 > 0 THEN shiftleft(CAST(1 AS BIGINT), 18) ELSE CAST(0 AS BIGINT) END + CASE WHEN s19 > 0 THEN shiftleft(CAST(1 AS BIGINT), 19) ELSE CAST(0 AS BIGINT) END + CASE WHEN s20 > 0 THEN shiftleft(CAST(1 AS BIGINT), 20) ELSE CAST(0 AS BIGINT) END + CASE WHEN s21 > 0 THEN shiftleft(CAST(1 AS BIGINT), 21) ELSE CAST(0 AS BIGINT) END + CASE WHEN s22 > 0 THEN shiftleft(CAST(1 AS BIGINT), 22) ELSE CAST(0 AS BIGINT) END + CASE WHEN s23 > 0 THEN shiftleft(CAST(1 AS BIGINT), 23) ELSE CAST(0 AS BIGINT) END + CASE WHEN s24 > 0 THEN shiftleft(CAST(1 AS BIGINT), 24) ELSE CAST(0 AS BIGINT) END + CASE WHEN s25 > 0 THEN shiftleft(CAST(1 AS BIGINT), 25) ELSE CAST(0 AS BIGINT) END + CASE WHEN s26 > 0 THEN shiftleft(CAST(1 AS BIGINT), 26) ELSE CAST(0 AS BIGINT) END + CASE WHEN s27 > 0 THEN shiftleft(CAST(1 AS BIGINT), 27) ELSE CAST(0 AS BIGINT) END + CASE WHEN s28 > 0 THEN shiftleft(CAST(1 AS BIGINT), 28) ELSE CAST(0 AS BIGINT) END + CASE WHEN s29 > 0 THEN shiftleft(CAST(1 AS BIGINT), 29) ELSE CAST(0 AS BIGINT) END + CASE WHEN s30 > 0 THEN shiftleft(CAST(1 AS BIGINT), 30) ELSE CAST(0 AS BIGINT) END + CASE WHEN s31 > 0 THEN shiftleft(CAST(1 AS BIGINT), 31) ELSE CAST(0 AS BIGINT) END AS simhash
+    FROM acc
 )
 """
 
@@ -313,18 +343,47 @@ tok AS (
     GROUP BY doc_id, token
 ),
 th AS (SELECT doc_id, {duck_hash60('token')} AS h, cnt FROM tok),
-bits AS (SELECT b FROM generate_series(0, 31) AS g(b)),
 acc AS (
-    SELECT doc_id, b,
-           sum(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
-    FROM th CROSS JOIN bits
-    GROUP BY doc_id, b
+    SELECT doc_id,
+           sum(CASE WHEN ((h >> 0) & 1) = 1 THEN cnt ELSE -cnt END) AS s0,
+           sum(CASE WHEN ((h >> 1) & 1) = 1 THEN cnt ELSE -cnt END) AS s1,
+           sum(CASE WHEN ((h >> 2) & 1) = 1 THEN cnt ELSE -cnt END) AS s2,
+           sum(CASE WHEN ((h >> 3) & 1) = 1 THEN cnt ELSE -cnt END) AS s3,
+           sum(CASE WHEN ((h >> 4) & 1) = 1 THEN cnt ELSE -cnt END) AS s4,
+           sum(CASE WHEN ((h >> 5) & 1) = 1 THEN cnt ELSE -cnt END) AS s5,
+           sum(CASE WHEN ((h >> 6) & 1) = 1 THEN cnt ELSE -cnt END) AS s6,
+           sum(CASE WHEN ((h >> 7) & 1) = 1 THEN cnt ELSE -cnt END) AS s7,
+           sum(CASE WHEN ((h >> 8) & 1) = 1 THEN cnt ELSE -cnt END) AS s8,
+           sum(CASE WHEN ((h >> 9) & 1) = 1 THEN cnt ELSE -cnt END) AS s9,
+           sum(CASE WHEN ((h >> 10) & 1) = 1 THEN cnt ELSE -cnt END) AS s10,
+           sum(CASE WHEN ((h >> 11) & 1) = 1 THEN cnt ELSE -cnt END) AS s11,
+           sum(CASE WHEN ((h >> 12) & 1) = 1 THEN cnt ELSE -cnt END) AS s12,
+           sum(CASE WHEN ((h >> 13) & 1) = 1 THEN cnt ELSE -cnt END) AS s13,
+           sum(CASE WHEN ((h >> 14) & 1) = 1 THEN cnt ELSE -cnt END) AS s14,
+           sum(CASE WHEN ((h >> 15) & 1) = 1 THEN cnt ELSE -cnt END) AS s15,
+           sum(CASE WHEN ((h >> 16) & 1) = 1 THEN cnt ELSE -cnt END) AS s16,
+           sum(CASE WHEN ((h >> 17) & 1) = 1 THEN cnt ELSE -cnt END) AS s17,
+           sum(CASE WHEN ((h >> 18) & 1) = 1 THEN cnt ELSE -cnt END) AS s18,
+           sum(CASE WHEN ((h >> 19) & 1) = 1 THEN cnt ELSE -cnt END) AS s19,
+           sum(CASE WHEN ((h >> 20) & 1) = 1 THEN cnt ELSE -cnt END) AS s20,
+           sum(CASE WHEN ((h >> 21) & 1) = 1 THEN cnt ELSE -cnt END) AS s21,
+           sum(CASE WHEN ((h >> 22) & 1) = 1 THEN cnt ELSE -cnt END) AS s22,
+           sum(CASE WHEN ((h >> 23) & 1) = 1 THEN cnt ELSE -cnt END) AS s23,
+           sum(CASE WHEN ((h >> 24) & 1) = 1 THEN cnt ELSE -cnt END) AS s24,
+           sum(CASE WHEN ((h >> 25) & 1) = 1 THEN cnt ELSE -cnt END) AS s25,
+           sum(CASE WHEN ((h >> 26) & 1) = 1 THEN cnt ELSE -cnt END) AS s26,
+           sum(CASE WHEN ((h >> 27) & 1) = 1 THEN cnt ELSE -cnt END) AS s27,
+           sum(CASE WHEN ((h >> 28) & 1) = 1 THEN cnt ELSE -cnt END) AS s28,
+           sum(CASE WHEN ((h >> 29) & 1) = 1 THEN cnt ELSE -cnt END) AS s29,
+           sum(CASE WHEN ((h >> 30) & 1) = 1 THEN cnt ELSE -cnt END) AS s30,
+           sum(CASE WHEN ((h >> 31) & 1) = 1 THEN cnt ELSE -cnt END) AS s31
+    FROM th
+    GROUP BY doc_id
 ),
 sig AS (
     SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
-                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-    FROM acc GROUP BY doc_id
+           CAST(CASE WHEN s0 > 0 THEN (CAST(1 AS BIGINT) << 0) ELSE CAST(0 AS BIGINT) END + CASE WHEN s1 > 0 THEN (CAST(1 AS BIGINT) << 1) ELSE CAST(0 AS BIGINT) END + CASE WHEN s2 > 0 THEN (CAST(1 AS BIGINT) << 2) ELSE CAST(0 AS BIGINT) END + CASE WHEN s3 > 0 THEN (CAST(1 AS BIGINT) << 3) ELSE CAST(0 AS BIGINT) END + CASE WHEN s4 > 0 THEN (CAST(1 AS BIGINT) << 4) ELSE CAST(0 AS BIGINT) END + CASE WHEN s5 > 0 THEN (CAST(1 AS BIGINT) << 5) ELSE CAST(0 AS BIGINT) END + CASE WHEN s6 > 0 THEN (CAST(1 AS BIGINT) << 6) ELSE CAST(0 AS BIGINT) END + CASE WHEN s7 > 0 THEN (CAST(1 AS BIGINT) << 7) ELSE CAST(0 AS BIGINT) END + CASE WHEN s8 > 0 THEN (CAST(1 AS BIGINT) << 8) ELSE CAST(0 AS BIGINT) END + CASE WHEN s9 > 0 THEN (CAST(1 AS BIGINT) << 9) ELSE CAST(0 AS BIGINT) END + CASE WHEN s10 > 0 THEN (CAST(1 AS BIGINT) << 10) ELSE CAST(0 AS BIGINT) END + CASE WHEN s11 > 0 THEN (CAST(1 AS BIGINT) << 11) ELSE CAST(0 AS BIGINT) END + CASE WHEN s12 > 0 THEN (CAST(1 AS BIGINT) << 12) ELSE CAST(0 AS BIGINT) END + CASE WHEN s13 > 0 THEN (CAST(1 AS BIGINT) << 13) ELSE CAST(0 AS BIGINT) END + CASE WHEN s14 > 0 THEN (CAST(1 AS BIGINT) << 14) ELSE CAST(0 AS BIGINT) END + CASE WHEN s15 > 0 THEN (CAST(1 AS BIGINT) << 15) ELSE CAST(0 AS BIGINT) END + CASE WHEN s16 > 0 THEN (CAST(1 AS BIGINT) << 16) ELSE CAST(0 AS BIGINT) END + CASE WHEN s17 > 0 THEN (CAST(1 AS BIGINT) << 17) ELSE CAST(0 AS BIGINT) END + CASE WHEN s18 > 0 THEN (CAST(1 AS BIGINT) << 18) ELSE CAST(0 AS BIGINT) END + CASE WHEN s19 > 0 THEN (CAST(1 AS BIGINT) << 19) ELSE CAST(0 AS BIGINT) END + CASE WHEN s20 > 0 THEN (CAST(1 AS BIGINT) << 20) ELSE CAST(0 AS BIGINT) END + CASE WHEN s21 > 0 THEN (CAST(1 AS BIGINT) << 21) ELSE CAST(0 AS BIGINT) END + CASE WHEN s22 > 0 THEN (CAST(1 AS BIGINT) << 22) ELSE CAST(0 AS BIGINT) END + CASE WHEN s23 > 0 THEN (CAST(1 AS BIGINT) << 23) ELSE CAST(0 AS BIGINT) END + CASE WHEN s24 > 0 THEN (CAST(1 AS BIGINT) << 24) ELSE CAST(0 AS BIGINT) END + CASE WHEN s25 > 0 THEN (CAST(1 AS BIGINT) << 25) ELSE CAST(0 AS BIGINT) END + CASE WHEN s26 > 0 THEN (CAST(1 AS BIGINT) << 26) ELSE CAST(0 AS BIGINT) END + CASE WHEN s27 > 0 THEN (CAST(1 AS BIGINT) << 27) ELSE CAST(0 AS BIGINT) END + CASE WHEN s28 > 0 THEN (CAST(1 AS BIGINT) << 28) ELSE CAST(0 AS BIGINT) END + CASE WHEN s29 > 0 THEN (CAST(1 AS BIGINT) << 29) ELSE CAST(0 AS BIGINT) END + CASE WHEN s30 > 0 THEN (CAST(1 AS BIGINT) << 30) ELSE CAST(0 AS BIGINT) END + CASE WHEN s31 > 0 THEN (CAST(1 AS BIGINT) << 31) ELSE CAST(0 AS BIGINT) END AS BIGINT) AS simhash
+    FROM acc
 )
 """
 
@@ -339,9 +398,13 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Chunk-blocked near-dup pairs: 4 byte-chunks of the signature; pairs
-# sharing any chunk value become candidates (guaranteed complete for
-# hamming ≤ 3, heuristic beyond), then exact hamming filter ≤ 8.
-_HAMMING_MAX = 8
+# sharing any chunk value become candidates, then exact hamming filter.
+# With threshold 3 < 4 chunks the blocking is pigeonhole-COMPLETE (any
+# pair within hamming 3 must agree on at least one chunk) — and on this
+# shared-vocabulary corpus a loose threshold (8) degenerates to ~2.6M
+# pairs at sf0.1, i.e. "everything matches everything": tight thresholds
+# are what keep simhash output near-dup-sized at scale.
+_HAMMING_MAX = 3
 
 _SIMHASH_PAIRS_TAIL_SPARK = f"""
 WITH chunks AS (

@@ -32,8 +32,12 @@ HEADLINE = [
     "join_asof_purchase_click",
     "explode_top_words",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "dedup_exact_documents",
     "knn_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_tfidf_top_terms",
+    "events_tumbling_10min",
     "events_sessionization",
 ]
 
