@@ -1,0 +1,119 @@
+"""End-to-end pipeline: the reference's ``main.py`` re-expressed.
+
+COLLECT → TRANSFORM → LOAD → QUERY (reference main.py:38-73 stages plus
+the query the reference deferred to a "future DuckDB/PostgreSQL layer",
+README.md:145-155):
+
+1. collect: paginated fetch with enrichment via the worker pipeline
+   (injectable transport — pass a real HTTP client's coroutine to run
+   against a live API),
+2. transform: schema application, identifier cast, trait explode,
+3. load: parquet datasets (empty-safe),
+4. query: top trait (type, value) pairs by count — the flagship
+   aggregation over the exploded traits table.
+
+Run: ``python examples/nft_pipeline.py [output_dir]``
+"""
+
+from __future__ import annotations
+
+import asyncio
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from automated_data_pipeline_python_spark.ingest.fetcher import (
+    RetryingFetcher,
+    collect_with_enrichment,
+)
+from automated_data_pipeline_python_spark.ingest.normalize import (
+    from_records,
+    normalize_nfts,
+)
+from automated_data_pipeline_python_spark.ingest.store import write_tables
+from automated_data_pipeline_python_spark.session import get_spark
+
+
+def demo_transport(n_pages: int = 5, per_page: int = 200):
+    """Deterministic stand-in for the OpenSea API (no network in this
+    environment); swap for an httpx-backed coroutine in deployment."""
+
+    async def fetch(url: str) -> dict:
+        if url.startswith("api://collection/page/"):
+            page = int(url.rsplit("/", 1)[1])
+            items = [
+                {
+                    "identifier": str(page * per_page + i),
+                    "collection": "demo",
+                    "contract": "0xdemo",
+                    "token_standard": "erc721",
+                    "name": f"Demo #{page * per_page + i}",
+                    "metadata_url": f"api://meta/{(page * per_page + i) % 40}",
+                }
+                for i in range(per_page)
+            ]
+            nxt = f"api://collection/page/{page + 1}" if page + 1 < n_pages else None
+            return {"items": items, "next": nxt}
+        if url.startswith("api://meta/"):
+            k = int(url.rsplit("/", 1)[1])
+            return {
+                "attributes": [
+                    {"trait_type": "color", "value": ["red", "green", "blue", "gold"][k % 4]},
+                    {"trait_type": "tier", "value": str(k % 5)},
+                ]
+            }
+        raise KeyError(url)
+
+    return fetch
+
+
+def run_pipeline(spark, output_dir: str, transport=None) -> dict:
+    transport = transport or demo_transport()
+    list_fetcher = RetryingFetcher(transport, max_concurrency=2)  # reference api_clients.py:10
+    enrich_fetcher = RetryingFetcher(transport, max_concurrency=15)  # :17
+
+    # COLLECT (reference main.py:38-49)
+    records = asyncio.run(
+        collect_with_enrichment(
+            list_fetcher,
+            enrich_fetcher,
+            "api://collection/page/0",
+            next_url=lambda page, _u: page.get("next"),
+            enrich_url=lambda item: item.get("metadata_url"),
+            apply_enrichment=lambda item, extra: {**item, "traits": extra["attributes"]},
+            queue_size=500,  # reference nft.py:63
+            workers=15,  # reference nft.py:83
+        )
+    )
+
+    # TRANSFORM (reference main.py:51-67)
+    tables = normalize_nfts(from_records(spark, records))
+
+    # LOAD (reference main.py:69-73)
+    write_tables(tables, output_dir, prefix="demo_")
+
+    # QUERY (SURVEY §7 phase 2 flagship)
+    top_traits = (
+        spark.read.parquet(f"{output_dir}/demo_traits")
+        .groupBy("trait_type", "value")
+        .count()
+        .orderBy(F.desc("count"), "trait_type", "value")
+        .limit(10)
+    )
+    return {
+        "n_records": len(records),
+        "enriched": enrich_fetcher.stats.enriched,
+        "top_traits": top_traits.collect(),
+    }
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nft_pipeline_demo"
+    spark = get_spark(app_name="nft-pipeline-demo")
+    result = run_pipeline(spark, out)
+    print(f"collected {result['n_records']} records ({result['enriched']} enriched)")
+    for row in result["top_traits"]:
+        print(f"  {row.trait_type}={row.value}: {row['count']}")
+    spark.stop()

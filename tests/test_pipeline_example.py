@@ -1,0 +1,22 @@
+"""End-to-end pipeline example: collect -> transform -> load -> query."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/examples")
+
+from nft_pipeline import demo_transport, run_pipeline  # noqa: E402
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    result = run_pipeline(spark, str(tmp_path), transport=demo_transport(3, 50))
+    assert result["n_records"] == 150
+    assert result["enriched"] == 150
+    top = result["top_traits"]
+    assert len(top) == 9  # 4 colors + 5 tiers distinct (type, value) pairs
+    # 40 metadata urls cycle 4 colors -> each color ~uniform; counts sane
+    colors = {r.value: r["count"] for r in top if r.trait_type == "color"}
+    assert sum(colors.values()) <= 150 and len(colors) >= 2
+    # silver tables landed
+    assert spark.read.parquet(str(tmp_path / "demo_nfts")).count() == 150

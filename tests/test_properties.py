@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for parity-critical helpers.
+
+These pin the *cross-engine determinism* properties the oracle gate
+depends on — checked against DuckDB directly, over generated inputs
+rather than the fixed corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from automated_data_pipeline_python_spark.functions.numeric import sql_stable_round
+from automated_data_pipeline_python_spark.ingest.cachekeys import (
+    build_cache_key,
+    normalize_url,
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+class TestStableRound:
+    @given(
+        x=st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        d=st.integers(min_value=0, max_value=6),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_python_floor_model_matches_duckdb(self, x, d, duck):
+        # The SQL fragment must compute exactly floor(x*10^d + 0.5)/10^d
+        # under IEEE doubles — the same model Python implements.
+        expected = math.floor(x * float(10**d) + 0.5) / float(10**d)
+        got = duck.execute(f"SELECT {sql_stable_round(str(x), d)}").fetchone()[0]
+        assert got == expected
+
+    @given(n=st.integers(min_value=-1000, max_value=1000))
+    @settings(max_examples=50, deadline=None)
+    def test_exact_half_rounds_up(self, n, duck):
+        # n + 0.5 is exactly representable, so at d=0 the half must round
+        # toward +inf (never banker's rounding) — in both engines' model.
+        x = n + 0.5
+        got = duck.execute(f"SELECT {sql_stable_round(str(x), 0)}").fetchone()[0]
+        assert got == n + 1
+
+
+_url_path = st.text(
+    alphabet="abcdefghij/", min_size=0, max_size=20
+).map(lambda s: "/" + s.strip("/"))
+_params = st.lists(
+    st.tuples(
+        st.text(alphabet="abcxyz", min_size=1, max_size=5),
+        st.text(alphabet="0123456789", min_size=0, max_size=5),
+    ),
+    max_size=5,
+)
+
+
+class TestCacheKeyProperties:
+    @given(host=st.sampled_from(["API.Example.com", "api.example.com"]), path=_url_path, params=_params)
+    @settings(max_examples=100, deadline=None)
+    def test_key_invariant_under_param_order_and_case(self, host, path, params):
+        qs1 = "&".join(f"{k}={v}" for k, v in params)
+        qs2 = "&".join(f"{k}={v}" for k, v in reversed(params))
+        u1 = f"http://{host}{path}?{qs1}#frag"
+        u2 = f"http://{host.lower()}{path}?{qs2}"
+        assert build_cache_key(u1) == build_cache_key(u2)
+
+    @given(path=_url_path)
+    @settings(max_examples=50, deadline=None)
+    def test_normalization_idempotent(self, path):
+        u = f"HTTP://Host.X{path}?b=2&a=1"
+        once = normalize_url(u)
+        assert normalize_url(once) == once
+
+
+class TestPortableHash:
+    @given(s=st.text(min_size=0, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_hash60_parity_python_vs_duckdb(self, s, duck):
+        # Python reference model of the shared hash primitive; Spark-side
+        # parity is exercised by every oracle query in the suite.
+        import hashlib
+
+        expected = int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:15], 16)
+        got = duck.execute(
+            "SELECT CAST('0x' || substr(sha256(?), 1, 15) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert got == expected
+        assert 0 <= got < 2**60
