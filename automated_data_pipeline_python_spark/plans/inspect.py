@@ -34,6 +34,10 @@ class PlanReport:
 
 def plan_report(df: DataFrame) -> PlanReport:
     text = df._jdf.queryExecution().executedPlan().toString()
+    # After execution AQE prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — count only the final one.
+    if "== Final Plan ==" in text:
+        text = text.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
     rep = PlanReport(text=text)
     for line in text.splitlines():
         if re.search(r"\bExchange\b", line) and "Reused" not in line:

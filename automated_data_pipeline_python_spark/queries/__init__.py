@@ -18,6 +18,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     relational2,
     relational3,
     relational4,
+    relational5,
     windows2,
     text,
     dedup,
