@@ -63,3 +63,36 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_csv_permissive(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """CSV reader that quarantines malformed rows instead of failing.
+
+    Adds a ``_corrupt_record`` column holding the raw text of rows that
+    failed to parse (dead-letter pattern — at 100 TB a single bad row
+    must not kill a 6-hour job; filter on the column to split
+    good/quarantine outputs).
+    """
+    full = schema.add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(full)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def read_jsonl_permissive(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSONL reader with corrupt-record quarantine (see read_csv_permissive)."""
+    full = schema.add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

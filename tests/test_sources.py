@@ -112,3 +112,64 @@ class TestPaginatedRestDataSource:
             F.get_json_object("record", "$.name").alias("name"),
         )
         assert sorted(map(tuple, typed.collect())) == [(0, "n0"), (1, "n1"), (2, "n2")]
+
+
+class TestPermissiveReads:
+    def test_csv_quarantines_malformed_rows(self, spark, tmp_path):
+        from pyspark.sql import types as T
+        from automated_data_pipeline_python_spark.sources.files import (
+            read_csv_permissive,
+        )
+
+        p = tmp_path / "dirty.csv"
+        p.write_text(
+            "id,price\n"
+            "1,10.5\n"
+            "2,not-a-number\n"
+            "3,30.25\n"
+        )
+        schema = T.StructType(
+            [T.StructField("id", T.IntegerType()), T.StructField("price", T.DoubleType())]
+        )
+        df = read_csv_permissive(spark, str(p), schema).cache()
+        good = df.filter("_corrupt_record IS NULL")
+        bad = df.filter("_corrupt_record IS NOT NULL")
+        assert good.count() == 2
+        assert bad.count() == 1
+        assert "not-a-number" in bad.collect()[0]._corrupt_record
+
+    def test_jsonl_quarantines_malformed_rows(self, spark, tmp_path):
+        from pyspark.sql import types as T
+        from automated_data_pipeline_python_spark.sources.files import (
+            read_jsonl_permissive,
+        )
+
+        p = tmp_path / "dirty.jsonl"
+        p.write_text(
+            '{"id": 1, "price": 10.5}\n'
+            "this is not json at all\n"
+            '{"id": 3, "price": 30.25}\n'
+        )
+        schema = T.StructType(
+            [T.StructField("id", T.IntegerType()), T.StructField("price", T.DoubleType())]
+        )
+        df = read_jsonl_permissive(spark, str(p), schema).cache()
+        assert df.filter("_corrupt_record IS NULL").count() == 2
+        assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+
+
+def test_register_views_enables_raw_sql(spark):
+    from automated_data_pipeline_python_spark.tables import register_views
+
+    register_views(spark, SF)
+    out = spark.sql(
+        """
+        SELECT r_name, count(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    ).collect()
+    assert sum(r.n for r in out) == 150
+    assert len(out) == 5
