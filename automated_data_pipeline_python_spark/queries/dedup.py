@@ -220,17 +220,36 @@ _MINHASH_BANDS_SPARK = f"""
 WITH hashed AS (
     SELECT doc_id, {spark_hash28('shingle')} AS h FROM mh_sh
 ),
-perm AS (SELECT explode(sequence(0, {_N_PERM - 1})) AS i),
-mh AS (
-    SELECT doc_id, i, min(((2 * i + 1) * h + i * {_B_MULT}) % {_PRIME}) AS m
-    FROM hashed CROSS JOIN perm
-    GROUP BY doc_id, i
+-- all 16 permutation minima in ONE aggregation pass (no 16-way row
+-- fanout; the shuffle carries one row per doc)
+mins AS (
+    SELECT doc_id,
+           min(((1) * h + 0) % 2147483647) AS m0,
+           min(((3) * h + 12582917) % 2147483647) AS m1,
+           min(((5) * h + 25165834) % 2147483647) AS m2,
+           min(((7) * h + 37748751) % 2147483647) AS m3,
+           min(((9) * h + 50331668) % 2147483647) AS m4,
+           min(((11) * h + 62914585) % 2147483647) AS m5,
+           min(((13) * h + 75497502) % 2147483647) AS m6,
+           min(((15) * h + 88080419) % 2147483647) AS m7,
+           min(((17) * h + 100663336) % 2147483647) AS m8,
+           min(((19) * h + 113246253) % 2147483647) AS m9,
+           min(((21) * h + 125829170) % 2147483647) AS m10,
+           min(((23) * h + 138412087) % 2147483647) AS m11,
+           min(((25) * h + 150995004) % 2147483647) AS m12,
+           min(((27) * h + 163577921) % 2147483647) AS m13,
+           min(((29) * h + 176160838) % 2147483647) AS m14,
+           min(((31) * h + 188743755) % 2147483647) AS m15
+    FROM hashed
+    GROUP BY doc_id
 )
-SELECT doc_id, i div {_BAND} AS band,
-       array_join(transform(array_sort(collect_list(struct(i, m))),
-                            x -> CAST(x.m AS STRING)), ',') AS sig
-FROM mh
-GROUP BY doc_id, i div {_BAND}
+SELECT doc_id, band, sig
+FROM mins
+LATERAL VIEW stack(4,
+        0, concat_ws(',', CAST(m0 AS STRING), CAST(m1 AS STRING), CAST(m2 AS STRING), CAST(m3 AS STRING)),
+        1, concat_ws(',', CAST(m4 AS STRING), CAST(m5 AS STRING), CAST(m6 AS STRING), CAST(m7 AS STRING)),
+        2, concat_ws(',', CAST(m8 AS STRING), CAST(m9 AS STRING), CAST(m10 AS STRING), CAST(m11 AS STRING)),
+        3, concat_ws(',', CAST(m12 AS STRING), CAST(m13 AS STRING), CAST(m14 AS STRING), CAST(m15 AS STRING))) t AS band, sig
 """
 
 _MINHASH_TAIL_SPARK = f"""
