@@ -179,3 +179,55 @@ def events_hourly_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@register(
+    "events_hierarchical_rollup",
+    oracle="""
+    SELECT
+        strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type,
+        CAST(count(*) AS BIGINT)                   AS cnt,
+        floor((sum(value)) * 1e2 + 0.5) / 1e2      AS total_value,
+        min(value)                                 AS min_value,
+        max(value)                                 AS max_value
+    FROM events
+    GROUP BY hour, event_type
+    """,
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hour aggregates composed
+    from a minute-level rollup instead of raw events.
+
+    The continuous-aggregation pattern: materialize fine-grained
+    rollups once, derive every coarser grain by *re-aggregating the
+    rollup* (count→sum, sum→sum, min→min, max→max — all decomposable
+    aggregates). At 100 TB the hourly pass reads minutes-table rows
+    (~1/N of raw); the oracle aggregates raw directly, proving the
+    composition is lossless.
+    """
+    ev = load(spark, sf_dir, "events")
+    minutely = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        minutely.groupBy(
+            F.date_format(F.date_trunc("hour", "minute"), _TS_FMT).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            stable_round(F.sum("total_value"), 2).alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
