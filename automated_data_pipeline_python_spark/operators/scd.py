@@ -1,0 +1,78 @@
+"""Slowly-changing-dimension Type-2 merge (warehouse upsert pattern).
+
+Given the current dimension state (with validity windows) and a new
+snapshot, produce the next state:
+
+- unchanged rows pass through,
+- changed rows: the current version closes (valid_to = batch time,
+  is_current = false) and a new version opens,
+- new keys open their first version,
+- keys absent from the snapshot optionally close (hard-delete capture).
+
+Pure DataFrame ops — one full-outer join per merge, no driver loops. At
+100 TB both sides partition by the business key; with bucketed dim
+storage (see storage.py) the join is shuffle-free. On lakehouse tables
+(Delta/Iceberg) the same logic runs through MERGE INTO; this is the
+engine-native formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = "9999-12-31 00:00:00"
+
+
+def scd2_merge(
+    current: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_ts: str,
+    close_missing: bool = False,
+) -> DataFrame:
+    """Next SCD2 state from ``current`` (key, tracked..., valid_from,
+    valid_to, is_current) and ``snapshot`` (key, tracked...).
+
+    ``batch_ts`` is the effective timestamp string for this merge.
+    Historical (non-current) rows pass through untouched.
+    """
+    history = current.filter(~F.col("is_current"))
+    live = current.filter(F.col("is_current"))
+    snap = snapshot.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__n_{c}") for c in tracked]
+    )
+    joined = live.join(snap, live[key] == F.col("__k"), "full_outer")
+
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~(
+            F.col(c).eqNullSafe(F.col(f"__n_{c}"))
+        )
+    in_live = F.col(key).isNotNull()
+    in_snap = F.col("__k").isNotNull()
+    ts = F.lit(batch_ts).cast("timestamp_ntz")
+
+    # Existing versions: keep open if unchanged; close if changed (or
+    # missing from the snapshot when close_missing).
+    kept = joined.filter(in_live).select(
+        key,
+        *tracked,
+        "valid_from",
+        F.when(
+            (in_snap & changed) | (~in_snap & F.lit(close_missing)), ts
+        ).otherwise(F.col("valid_to")).alias("valid_to"),
+        F.when(
+            (in_snap & changed) | (~in_snap & F.lit(close_missing)), F.lit(False)
+        ).otherwise(F.lit(True)).alias("is_current"),
+    )
+    # New versions: changed keys + brand-new keys.
+    opened = joined.filter(in_snap & (~in_live | changed)).select(
+        F.col("__k").alias(key),
+        *[F.col(f"__n_{c}").alias(c) for c in tracked],
+        ts.alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return history.unionByName(kept).unionByName(opened)

@@ -137,3 +137,91 @@ class TestPandasUdafParity:
         a = sorted(map(tuple, sample_reproducible(spark, SF).collect()))
         b = sorted(map(tuple, sample_reproducible(spark, SF).collect()))
         assert a == b and len(a) > 0
+
+
+class TestScd2Merge:
+    def _state(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "cust_id long, segment string, balance double, "
+            "valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean",
+        )
+
+    def test_full_lifecycle(self, spark):
+        from automated_data_pipeline_python_spark.operators.scd import (
+            OPEN_END,
+            scd2_merge,
+        )
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        t_end = dt.datetime(9999, 12, 31)
+        current = self._state(
+            spark,
+            [
+                (1, "GOLD", 100.0, t0, t_end, True),     # unchanged
+                (2, "SILVER", 50.0, t0, t_end, True),    # will change
+                (3, "BRONZE", 10.0, t0, t_end, True),    # missing from snapshot
+                (2, "BRONZE", 5.0, dt.datetime(2023, 1, 1), t0, False),  # history
+            ],
+        )
+        snapshot = spark.createDataFrame(
+            [(1, "GOLD", 100.0), (2, "GOLD", 75.0), (4, "SILVER", 20.0)],
+            "cust_id long, segment string, balance double",
+        )
+        out = scd2_merge(
+            current, snapshot, key="cust_id",
+            tracked=["segment", "balance"], batch_ts="2024-06-01 00:00:00",
+        )
+        rows = {(r.cust_id, str(r.valid_from), r.is_current): r for r in out.collect()}
+        assert len(rows) == 6  # 4 existing + 1 new version of 2 + new key 4
+
+        # unchanged key 1: still current, original window
+        assert rows[(1, "2024-01-01 00:00:00", True)].segment == "GOLD"
+        # changed key 2: old version closed at batch ts
+        closed = rows[(2, "2024-01-01 00:00:00", False)]
+        assert str(closed.valid_to) == "2024-06-01 00:00:00"
+        # ... and new version open
+        new2 = rows[(2, "2024-06-01 00:00:00", True)]
+        assert (new2.segment, new2.balance) == ("GOLD", 75.0)
+        # missing key 3 stays open (close_missing=False)
+        assert (3, "2024-01-01 00:00:00", True) in rows
+        # brand-new key 4 opened
+        assert rows[(4, "2024-06-01 00:00:00", True)].segment == "SILVER"
+        # historical row untouched
+        assert (2, "2023-01-01 00:00:00", False) in rows
+
+    def test_close_missing_hard_deletes(self, spark):
+        from automated_data_pipeline_python_spark.operators.scd import scd2_merge
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        t_end = dt.datetime(9999, 12, 31)
+        current = self._state(spark, [(1, "GOLD", 1.0, t0, t_end, True)])
+        empty_snap = spark.createDataFrame(
+            [], "cust_id long, segment string, balance double"
+        )
+        out = scd2_merge(
+            current, empty_snap, key="cust_id",
+            tracked=["segment", "balance"], batch_ts="2024-06-01 00:00:00",
+            close_missing=True,
+        ).collect()
+        assert len(out) == 1
+        assert out[0].is_current is False
+        assert str(out[0].valid_to) == "2024-06-01 00:00:00"
+
+    def test_merge_is_idempotent_on_same_snapshot(self, spark):
+        from automated_data_pipeline_python_spark.operators.scd import scd2_merge
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        t_end = dt.datetime(9999, 12, 31)
+        current = self._state(spark, [(1, "GOLD", 1.0, t0, t_end, True)])
+        snap = spark.createDataFrame(
+            [(1, "GOLD", 1.0)], "cust_id long, segment string, balance double"
+        )
+        once = scd2_merge(current, snap, "cust_id", ["segment", "balance"], "2024-06-01 00:00:00")
+        twice = scd2_merge(once, snap, "cust_id", ["segment", "balance"], "2024-07-01 00:00:00")
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )
