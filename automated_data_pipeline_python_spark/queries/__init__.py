@@ -19,6 +19,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     relational3,
     relational4,
     relational5,
+    tpch2,
     windows2,
     text,
     dedup,
