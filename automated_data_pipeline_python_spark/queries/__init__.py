@@ -20,6 +20,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     relational4,
     relational5,
     tpch2,
+    modern_sql,
     windows2,
     text,
     dedup,

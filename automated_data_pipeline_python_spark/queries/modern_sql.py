@@ -1,0 +1,168 @@
+"""Modern SQL surface: recursive CTEs, LATERAL joins, Python UDTFs.
+
+Spark 4 additions that widen the engine's query-language surface beyond
+classic TPC-H shapes (SURVEY.md §2.5/§2.8 [target] rows):
+
+- ``WITH RECURSIVE`` (SPARK-24497, Spark 4.0) — used for the canonical
+  analytics task it unlocks: generating a complete time spine and
+  gap-filling a sparse aggregate against it.
+- ``LATERAL`` correlated derived tables — top-k-per-group without a
+  window function; Catalyst plans a LateralJoin and decorrelates.
+  NOTE: the correlation key must be type-aligned (an INT literal probe
+  against a BIGINT column silently yields empty results — always
+  correlate on same-typed columns).
+- Python UDTFs (``@udtf``, Spark 4) — the table-function boundary. One
+  row in, N typed rows out, registered per-session. Slow path by
+  design; kept off the headline bench and used where per-row Python
+  generation is the *point* (API-surface parity), not for hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+
+@register(
+    "gapfill_monthly_orders",
+    oracle="""
+    WITH RECURSIVE months(month_start) AS (
+        SELECT TIMESTAMP '1995-01-01 00:00:00'
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM months
+        WHERE month_start < TIMESTAMP '2001-08-01 00:00:00'
+    )
+    SELECT strftime(month_start, '%Y-%m') AS month,
+           count(o_orderkey)              AS n_orders,
+           coalesce(floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2, 0.0)
+                                          AS total_price
+    FROM months
+    LEFT JOIN orders ON date_trunc('month', o_orderdate) = month_start
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def gapfill_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE month spine + left join = zero-filled time series.
+
+    The spine guarantees one row per month 1995-01..2001-08 (80 rows)
+    even for months with no orders — the gap-filling pattern every
+    time-series report needs (sparse input, dense output).
+
+    Scale: the spine is 80 rows — broadcast side of the join; the fact
+    aggregates per month BEFORE any skew can matter (month domain is
+    tiny). Recursion depth 80 < Spark's default cteRecursionLevelLimit
+    of 100.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gapfill")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(month_start) AS (
+            SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT month_start + INTERVAL 1 MONTH FROM months
+            WHERE month_start < TIMESTAMP_NTZ '2001-08-01 00:00:00'
+        )
+        SELECT date_format(month_start, 'yyyy-MM') AS month,
+               count(o_orderkey)                   AS n_orders,
+               coalesce(floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2, 0.0)
+                                                   AS total_price
+        FROM months
+        LEFT JOIN orders_gapfill ON date_trunc('month', o_orderdate) = month_start
+        GROUP BY month
+        ORDER BY month
+        """
+    )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) top_orders
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table: top-2 orders per customer.
+
+    The window-function twin is `window_top3_parts_per_brand`; this one
+    exercises the LateralJoin operator and Catalyst's decorrelation of
+    an ORDER BY + LIMIT subquery. Customers with no orders drop out
+    (inner lateral) — deterministic on both engines. Total order:
+    (c_custkey, o_totalprice DESC, o_orderkey).
+
+    Scale: decorrelates to a ranked window over orders grouped by
+    custkey — one shuffle on the correlation key, no per-row subquery
+    execution.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer_lat,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) top_orders
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@register(
+    "udtf_long_words",
+    oracle="""
+    SELECT doc_id, ws[i] AS word, CAST(i - 1 AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+    WHERE length(ws[i]) >= 7
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF boundary: per-row table generation (word, position).
+
+    Splits each document on single spaces (Python ``split(' ')`` ==
+    DuckDB ``string_split(text, ' ')``, both keeping empty tokens) and
+    keeps words of length ≥ 7 with their 0-based position.
+
+    The built-in twin is posexplode(split(...)) — `explode_top_words`
+    covers that JVM path; this entry pins down the UDTF API surface:
+    typed schema, per-session registration, lateral correlation to a
+    table column. Slow path (row-at-a-time Python) — excluded from the
+    headline bench by design.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class LongWords:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF protocol
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                if len(w) >= 7:
+                    yield (w, i)
+
+    spark.udtf.register("long_words_udtf", LongWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, word, pos
+        FROM documents_udtf, LATERAL long_words_udtf(text)
+        ORDER BY doc_id, pos
+        """
+    )
