@@ -231,3 +231,53 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@register(
+    "events_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id                                        AS click_id,
+           p.event_id                                        AS purchase_id,
+           strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value                                           AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+      AND p.event_type = 'purchase'
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join.
+
+    Runs the EXACT code path used by streaming
+    (``streaming.events.click_purchase_stream_join`` — watermarks are
+    no-ops in batch), so the oracle hash-check covers the stream-stream
+    join semantics too; tests/test_streaming.py separately asserts
+    stream == batch on the same function.
+
+    Scale: equi-key on user_id carries the shuffle; the time-range
+    predicate is a post-join filter in batch and the state-eviction
+    bound in streaming.
+    """
+    from automated_data_pipeline_python_spark.streaming.events import (
+        click_purchase_stream_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    joined = click_purchase_stream_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "purchase_value",
+    )

@@ -157,6 +157,52 @@ def run_foreach_batch(
             q.stop()
 
 
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: purchases within ``within`` of
+    a click by the same user.
+
+    Both sides MUST carry a watermark and the join condition MUST bound
+    the event-time range — that pair is what lets Spark evict join
+    state: a buffered click can be dropped once the purchase-side
+    watermark passes ``click_ts + within``. Without the range bound,
+    state grows without limit (the join would have to buffer every row
+    forever).
+
+    Works identically on batch inputs (watermark is a no-op in batch),
+    which is how the tests pin stream == batch semantics.
+
+    Scale: state is hash-partitioned on user_id; per-key state holds
+    only rows inside the watermark horizon. Skewed users bound state
+    growth per key, not per cluster.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        ).withWatermark("click_ts", watermark_delay)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        ).withWatermark("purchase_ts", watermark_delay)
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value")
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Arbitrary stateful processing: per-user running event count/value.
 

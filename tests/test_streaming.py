@@ -247,3 +247,28 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     assert {r.user_id: (r.n, round(r.v, 6)) for r in final} == {
         k: (n, round(v, 6)) for k, (n, v) in want.items()
     }
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    from automated_data_pipeline_python_spark.streaming.events import (
+        click_purchase_stream_join,
+    )
+
+    # Two INDEPENDENT stream reads (separate sources, like separate topics).
+    clicks = read_events_stream(spark, events_dir).filter("event_type = 'click'")
+    purchases = read_events_stream(spark, events_dir).filter(
+        "event_type = 'purchase'"
+    )
+    got = run_to_memory(
+        click_purchase_stream_join(clicks, purchases),
+        "t_ss_join",
+        output_mode="append",
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    want = click_purchase_stream_join(
+        ev.filter("event_type = 'click'"), ev.filter("event_type = 'purchase'")
+    )
+    cols = ["user_id", "click_id", "purchase_id"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0
