@@ -1,0 +1,88 @@
+"""Data-quality report over the star schema (reference README.md:152
+"Data Quality" planned feature, built Spark-first — see quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark import quality as Q
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+
+@register(
+    "dq_star_schema_report",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS check_name,
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_ref_orders',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           count(*) FILTER (WHERE l_quantity <= 0)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_ref_customer',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'orders_orderkey_not_null',
+           count(*) FILTER (WHERE o_orderkey IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           count(*) - count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_range',
+           count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 450000)
+    FROM orders
+    ORDER BY check_name
+    """,
+)
+def dq_star_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the star schema: 8 checks, 3 scans total.
+
+    Row/set checks per table fuse into one aggregation pass each
+    (orders: 5 checks in one scan; lineitem: 2 in one); referential
+    checks are broadcast anti joins. The totalprice range is
+    deliberately tight (≤ 450k) so the report proves non-zero
+    violation counts flow through, not just zeros.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    orders_report = Q.violation_report(
+        orders,
+        [
+            Q.not_null("orders_orderkey_not_null", "o_orderkey"),
+            Q.unique("orders_orderkey_unique", "o_orderkey"),
+            Q.accepted_values("orders_status_accepted", "o_orderstatus", ["O", "F", "P"]),
+            Q.in_range("orders_totalprice_range", "o_totalprice", 0.0, 450000.0),
+        ],
+    )
+    li_report = Q.violation_report(
+        li,
+        [
+            Q.in_range("lineitem_discount_range", "l_discount", 0.0, 1.0),
+            Q.Expectation("lineitem_quantity_positive", (li.l_quantity <= 0)),
+        ],
+    )
+    refs = Q.referential_report(
+        "lineitem_orderkey_ref_orders", li, "l_orderkey", orders, "o_orderkey"
+    ).unionByName(
+        Q.referential_report(
+            "orders_custkey_ref_customer", orders, "o_custkey", cust, "c_custkey"
+        )
+    )
+    return (
+        orders_report.unionByName(li_report).unionByName(refs).orderBy("check_name")
+    )

@@ -317,3 +317,85 @@ def ann_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("vec_id", "cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k search (deterministic seed centroids -> oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_N_IVF_CELLS = 8
+_N_PROBE = 2
+_IVF_TOP_K = 5
+
+_IVF_SQL_TEMPLATE = """
+WITH centroids AS (
+    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {cells}
+),
+assign AS (
+    SELECT a.vec_id, b.cid, {cos} AS cos
+    FROM embeddings a CROSS JOIN centroids b
+),
+ranked_assign AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+    FROM assign
+),
+cells AS (SELECT vec_id, cid FROM ranked_assign WHERE rnk = 1),
+probes AS (
+    SELECT vec_id AS query_id, cid
+    FROM ranked_assign WHERE vec_id < {queries} AND rnk <= {nprobe}
+),
+candidates AS (
+    SELECT p.query_id, m.vec_id AS neighbor_id
+    FROM probes p JOIN cells m ON m.cid = p.cid
+    WHERE m.vec_id != p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id, {cos} AS cos
+    FROM candidates c
+    JOIN embeddings a ON a.vec_id = c.query_id
+    JOIN embeddings b ON b.vec_id = c.neighbor_id
+),
+final_rank AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id,
+       floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim,
+       CAST(rnk AS INT) AS rnk
+FROM final_rank WHERE rnk <= {k}
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_SQL_TEMPLATE.format(
+        cells=_N_IVF_CELLS, queries=_N_QUERIES, nprobe=_N_PROBE, k=_IVF_TOP_K,
+        cos=_DUCK_COS,
+    ),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: coarse-quantize, probe nprobe cells, exact re-rank.
+
+    Deterministic seed centroids (vec_id < 8) make the whole pipeline
+    oracle-checkable end-to-end — the companion
+    `ann_ivf_cell_assignment` keeps the production centroid source
+    (per-label means / sampled k-means at scale). Search cost is
+    candidates-only: |probed cells| ≈ nprobe/cells of the corpus,
+    versus the full corpus for brute force.
+
+    Scale: centroids broadcast (tiny); assignment is one pass over the
+    corpus; the candidate join shuffles on cell id — cells bound skew
+    because assignment is 1:1. Re-rank touches ~nprobe/cells of the
+    data per query.
+    """
+    return _emb_sql(
+        spark,
+        sf_dir,
+        _IVF_SQL_TEMPLATE.format(
+            cells=_N_IVF_CELLS, queries=_N_QUERIES, nprobe=_N_PROBE, k=_IVF_TOP_K,
+            cos=_SPARK_COS,
+        ),
+    )
