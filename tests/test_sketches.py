@@ -1,0 +1,48 @@
+"""HLL sketch semantics: accuracy and mergeability (queries/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_python_spark.queries.sketches import (
+    sketch_user_reach_rollup,
+    user_reach_sketches,
+)
+from automated_data_pipeline_python_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sketch_estimates_close_to_exact(spark):
+    got = {
+        r.event_type: r.distinct_users
+        for r in sketch_user_reach_rollup(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["TOTAL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.02 * exact[k]), (k, est, exact[k])
+
+
+def test_union_of_sketches_equals_sketch_of_union(spark):
+    ev = load(spark, SF_DIR, "events")
+    merged = (
+        user_reach_sketches(ev)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    # Same sketch family/parameters -> identical estimate, not just close.
+    assert merged == direct
