@@ -52,3 +52,30 @@ def sketch_user_reach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users")
     ).select(F.lit("TOTAL").alias("event_type"), "distinct_users")
     return per_type.unionByName(total).orderBy("event_type")
+
+
+@register("sketch_heavy_hitter_terms", oracle=None)
+def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch heavy hitters: top-10 corpus terms via approx_top_k.
+
+    The streaming/mergeable counterpart of `text_tfidf_top_terms`'s
+    exact counting: approx_top_k keeps a bounded sketch per partition
+    and merges — memory is O(k), not O(vocabulary). Rows-only (sketch
+    internals are engine-specific); tests/test_sketches.py asserts the
+    sketch agrees with exact counts at test scale.
+
+    Scale: the token explode never shuffles raw tokens — each partition
+    reduces to one bounded sketch; the merge moves KBs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .agg(F.expr("approx_top_k(term, 10)").alias("tk"))
+        .select(F.posexplode("tk").alias("rnk0", "entry"))
+        .select(
+            (F.col("rnk0") + 1).cast("int").alias("rnk"),
+            F.col("entry.item").alias("term"),
+            F.col("entry.count").cast("long").alias("cnt"),
+        )
+    )

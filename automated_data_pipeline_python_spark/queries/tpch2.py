@@ -325,15 +325,23 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_suppkey
     HAVING sum(l_extendedprice * (1 - l_discount)) > (
-        SELECT 0.0103 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem
+        SELECT 1.02 * sum(l_extendedprice * (1 - l_discount))
+               / count(DISTINCT l_suppkey)
+        FROM lineitem
     )
     ORDER BY supplier_value DESC, l_suppkey
     """,
 )
 def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: grouped value vs a global-total threshold.
+    """TPC-H Q11 shape: grouped value vs a global threshold subquery.
 
     No partsupp table, so value is discounted revenue per supplier.
+    The threshold is 1.02× the MEAN supplier value (TPC-H's fixed
+    fraction of the total selects nothing once the supplier count
+    scales up — per-supplier share shrinks as 1/suppliers, so the
+    cutoff must be scale-free to stay selective AND non-empty at
+    every SF).
+
     Scale: Catalyst evaluates the scalar subquery once (subquery
     broadcast), and both aggregations are partial+final over the same
     scan — the fact table is read twice but shuffled only as one row
@@ -348,7 +356,9 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_q11
         GROUP BY l_suppkey
         HAVING sum(l_extendedprice * (1 - l_discount)) > (
-            SELECT 0.0103 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem_q11
+            SELECT 1.02 * sum(l_extendedprice * (1 - l_discount))
+                   / count(DISTINCT l_suppkey)
+            FROM lineitem_q11
         )
         ORDER BY supplier_value DESC, l_suppkey
         """

@@ -39,6 +39,13 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "events_tumbling_10min",
     "events_sessionization",
+    "q8_market_share",
+    "q21_sole_late_shipper",
+    "events_interval_join",
+    "gapfill_monthly_orders",
+    "ann_ivf_topk",
+    "dq_star_schema_report",
+    "sketch_user_reach_rollup",
 ]
 
 

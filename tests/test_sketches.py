@@ -46,3 +46,24 @@ def test_union_of_sketches_equals_sketch_of_union(spark):
     )
     # Same sketch family/parameters -> identical estimate, not just close.
     assert merged == direct
+
+
+def test_heavy_hitters_agree_with_exact_counts(spark):
+    from automated_data_pipeline_python_spark.queries.sketches import (
+        sketch_heavy_hitter_terms,
+    )
+
+    got = {r.term: r.cnt for r in sketch_heavy_hitter_terms(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents")
+    exact = dict(
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter("length(t) > 0")
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .limit(30)
+        .collect()
+    )
+    assert len(got) == 10
+    for term, cnt in got.items():
+        assert term in exact and abs(cnt - exact[term]) <= 0.02 * exact[term]
