@@ -211,18 +211,20 @@ WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
 _MINHASH_SH_SPARK = f"""
 WITH toks AS (
     SELECT doc_id, {_S_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
 )
-SELECT DISTINCT doc_id, shingle
-FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
+-- h materialized alongside the shingle: the SHA-derived portable hash is
+-- the expensive scalar in this pipeline; compute it once per (doc,shingle)
+SELECT doc_id, shingle, {spark_hash28('shingle')} AS h FROM sh
 """
 
-_MINHASH_BANDS_SPARK = f"""
-WITH hashed AS (
-    SELECT doc_id, {spark_hash28('shingle')} AS h FROM mh_sh
-),
+_MINHASH_TAIL_SPARK = f"""
 -- all 16 permutation minima in ONE aggregation pass (no 16-way row
 -- fanout; the shuffle carries one row per doc)
-mins AS (
+WITH mins AS (
     SELECT doc_id,
            min(((1) * h + 0) % 2147483647) AS m0,
            min(((3) * h + 12582917) % 2147483647) AS m1,
@@ -240,23 +242,34 @@ mins AS (
            min(((27) * h + 163577921) % 2147483647) AS m13,
            min(((29) * h + 176160838) % 2147483647) AS m14,
            min(((31) * h + 188743755) % 2147483647) AS m15
-    FROM hashed
+    FROM mh_sh
     GROUP BY doc_id
-)
-SELECT doc_id, band, sig
-FROM mins
-LATERAL VIEW stack(4,
-        0, concat_ws(',', CAST(m0 AS STRING), CAST(m1 AS STRING), CAST(m2 AS STRING), CAST(m3 AS STRING)),
-        1, concat_ws(',', CAST(m4 AS STRING), CAST(m5 AS STRING), CAST(m6 AS STRING), CAST(m7 AS STRING)),
-        2, concat_ws(',', CAST(m8 AS STRING), CAST(m9 AS STRING), CAST(m10 AS STRING), CAST(m11 AS STRING)),
-        3, concat_ws(',', CAST(m12 AS STRING), CAST(m13 AS STRING), CAST(m14 AS STRING), CAST(m15 AS STRING))) t AS band, sig
-"""
-
-_MINHASH_TAIL_SPARK = f"""
-WITH cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM mh_bands a JOIN mh_bands b
-      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+bands AS (
+    SELECT doc_id, band, s0, s1, s2, s3
+    FROM mins
+    LATERAL VIEW stack(4,
+            0, m0, m1, m2, m3,
+            1, m4, m5, m6, m7,
+            2, m8, m9, m10, m11,
+            3, m12, m13, m14, m15) t AS band, s0, s1, s2, s3
+),
+-- bucket-grouping instead of a band self-join: one shuffle of one row
+-- per (doc, band) builds the buckets; pairs explode inside the executor.
+-- Equality on the 4 signature ints == equality on the banded signature
+-- (no string building, no second scan of the bands relation).
+buckets AS (
+    SELECT collect_list(doc_id) AS ds
+    FROM bands
+    GROUP BY band, s0, s1, s2, s3
+    HAVING count(*) > 1
+),
+cand AS (
+    SELECT DISTINCT least(p.a, p.b) AS doc_a, greatest(p.a, p.b) AS doc_b
+    FROM buckets
+    LATERAL VIEW explode(flatten(transform(ds, (a, i) ->
+        transform(slice(ds, i + 2, size(ds) - i - 1),
+                  b -> named_struct('a', a, 'b', b))))) t AS p
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
 inter AS (
@@ -279,14 +292,15 @@ WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup: MinHash signatures → LSH band buckets → verified pairs.
 
-    Never computes docs×docs: candidates come from equality joins on
-    (band, signature) buckets; only candidates pay the exact-jaccard
-    verification join. The shingle set and band signatures are
-    materialized once (multiply referenced downstream).
+    Never computes docs×docs: candidates come from (band, signature)
+    buckets — grouped, not self-joined, so the signatures shuffle once
+    and pairs explode bucket-locally; only candidates pay the
+    exact-jaccard verification join. The hashed shingle set is
+    materialized once (referenced by signatures, sizes, and both sides
+    of the verification join).
     """
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
-    _materialize_view(spark.sql(_MINHASH_BANDS_SPARK), "mh_bands")
     return spark.sql(_MINHASH_TAIL_SPARK)
 
 
@@ -429,16 +443,21 @@ _SIMHASH_PAIRS_TAIL_SPARK = f"""
 WITH chunks AS (
     SELECT doc_id, simhash, c, shiftright(simhash, 8 * c) & 255 AS chunk
     FROM simhash_sig LATERAL VIEW explode(sequence(0, 3)) t AS c
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.simhash AS ha, b.simhash AS hb
-    FROM chunks a JOIN chunks b
-      ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(ha ^ hb) AS INT) AS hamming
-FROM cand
-WHERE bit_count(ha ^ hb) <= {_HAMMING_MAX}
+-- dedup WITHOUT a shuffle: a pair agreeing on several chunks is kept
+-- only at its FIRST agreeing chunk (decidable from the xor alone), so
+-- the candidate stream needs no DISTINCT — the hamming + first-chunk
+-- filters run inside the join stage and remove a multi-million-row
+-- exchange at this corpus's bucket sizes.
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(a.simhash ^ b.simhash) <= {_HAMMING_MAX}
+  AND a.c = CASE WHEN ((a.simhash ^ b.simhash) & 255) = 0 THEN 0
+                 WHEN (shiftright(a.simhash ^ b.simhash, 8) & 255) = 0 THEN 1
+                 WHEN (shiftright(a.simhash ^ b.simhash, 16) & 255) = 0 THEN 2
+                 ELSE 3 END
 """
 
 _SIMHASH_PAIRS_TAIL_DUCK = f"""
@@ -465,8 +484,11 @@ WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via chunk blocking + exact hamming filter.
 
-    Signatures are materialized once — the chunk self-join references
-    them twice and would otherwise recompute the token-hash pipeline.
+    Signatures are materialized once (the chunk self-join references
+    them twice and would otherwise recompute the token-hash pipeline);
+    the first-agreeing-chunk rule makes each pair's emission unique so
+    no DISTINCT exchange follows the join. Pigeonhole: hamming ≤ 3 over
+    4 chunks guarantees ≥ 1 agreeing chunk, so blocking stays complete.
     """
     _materialize_view(
         _docs_sql(spark, sf_dir, _SIMHASH_SPARK_SQL), "simhash_sig"

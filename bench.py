@@ -62,10 +62,21 @@ def main() -> None:
 
     from automated_data_pipeline_python_spark.queries import QUERIES
 
-    # Warm up codegen/shuffle/python-worker paths once so per-query
-    # timings measure the queries, not JVM cold start.
+    # Warm up codegen/shuffle/scan/python-worker paths once so per-query
+    # timings measure steady-state execution, not JVM cold start, first
+    # parquet footer reads, or Arrow worker spawn (TPC-style warm runs).
+    from automated_data_pipeline_python_spark.tables import load
+
     warm = spark.range(1_000_000).selectExpr("id", "id % 7 AS k")
     warm.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    for t in [
+        "lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "events", "documents", "embeddings",
+    ]:
+        load(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
