@@ -78,14 +78,19 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 per query: the min filters out one-off JIT/GC/OS noise,
+    # so round-over-round numbers track plan changes, not scheduler luck.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES.get(name)
         if q is None:
             continue  # not implemented yet
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
