@@ -1,10 +1,18 @@
-"""File sources/sinks (SURVEY §2.1 S4/S6): parquet, CSV, JSON, JSONL."""
+"""File sources/sinks (SURVEY §2.1 S4/S6): parquet, ORC, CSV, JSON/JSONL,
+line text, and whole-file binary (multimodal ingest edge)."""
 
 from automated_data_pipeline_python_spark.sources.files import (  # noqa: F401
+    read_binary_files,
     read_csv,
+    read_csv_permissive,
     read_json,
+    read_jsonl_permissive,
+    read_orc,
     read_parquet,
+    read_text,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
+    write_text,
 )

@@ -65,6 +65,55 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC reader — same columnar/pushdown class as parquet (Hive-side
+    interop; Spark pushes predicates and prunes columns identically)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text reader: one `value` string row per line.
+
+    The raw-corpus entry point (e.g. one document per line before
+    parsing) — splittable, so a 100 TB corpus parallelizes by block.
+    """
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a single string column as line-oriented text."""
+    df.write.mode(mode).text(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Whole-file binary reader: (path, modificationTime, length, content).
+
+    The ingest edge for multimodal columns — media files land as opaque
+    ``binary`` content plus metadata, then flow through
+    ``multimodal/binary_ops.py``. Files are NOT splittable (one row per
+    file), so at 100 TB the parallelism unit is the file: shard media
+    into object-store prefixes and let the file listing distribute.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_csv_permissive(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

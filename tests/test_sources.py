@@ -173,3 +173,41 @@ def test_register_views_enables_raw_sql(spark):
     ).collect()
     assert sum(r.n for r in out) == 150
     assert len(out) == 5
+
+
+def test_orc_roundtrip_with_pushdown(spark, nationlike, tmp_path):
+    from automated_data_pipeline_python_spark.sources import read_orc, write_orc
+
+    path = str(tmp_path / "cust_orc")
+    write_orc(nationlike, path, partition_by=["c_mktsegment"])
+    back = read_orc(spark, path)
+    assert _sorted(back.select(*nationlike.columns)) == _sorted(nationlike)
+    pruned = back.filter("c_mktsegment = 'BUILDING' AND c_custkey > 50")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_text_roundtrip_lines(spark, tmp_path):
+    from automated_data_pipeline_python_spark.sources import read_text, write_text
+
+    docs = load(spark, SF, "documents").selectExpr("text AS value").limit(20)
+    path = str(tmp_path / "corpus_txt")
+    write_text(docs, path)
+    back = read_text(spark, path)
+    assert _sorted(back) == _sorted(docs)
+
+
+def test_binary_files_reader(spark, tmp_path):
+    from automated_data_pipeline_python_spark.sources import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.bin").write_bytes(b"\x89PNG-fake-a")
+    (media / "b.bin").write_bytes(b"\x89PNG-fake-bb")
+    (media / "skip.txt").write_text("not media")
+    df = read_binary_files(spark, str(media), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\x89PNG-fake-a"
+    assert rows["b.bin"].length == 12
