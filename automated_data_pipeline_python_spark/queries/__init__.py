@@ -21,6 +21,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     relational5,
     tpch2,
     modern_sql,
+    curation,
     dq,
     sketches,
     windows2,

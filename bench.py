@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "dq_star_schema_report",
     "sketch_user_reach_rollup",
+    "corpus_curation_funnel",
 ]
 
 
