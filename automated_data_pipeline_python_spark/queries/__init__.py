@@ -22,6 +22,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     tpch2,
     modern_sql,
     curation,
+    clustering,
     dq,
     sketches,
     windows2,

@@ -1,0 +1,126 @@
+"""K-means Lloyd refinement over the embeddings table (SURVEY §2.8).
+
+The index-build step IVF assumes: start from deterministic seed
+centroids and run Lloyd iterations (assign → recompute means) entirely
+as relational algebra — cross join against the (tiny, broadcastable)
+centroid set for assignment, long-form position explode + avg for the
+update, re-collected to arrays for the next round. Two iterations are
+unrolled here so DuckDB can run the identical computation as a single
+SQL statement (the oracle); `operators/clusters.py` holds the
+driver-looped generalization pattern for unbounded iteration counts.
+
+Cross-engine float discipline: distances and updated centroid
+components are snapped to a 1e-6 grid at every step (floor(x*1e6+0.5)
+form), and argmin ties break on cell id — so differing float summation
+orders between engines cannot flip an assignment.
+
+Scale: per iteration the corpus is read once, the shuffle keys are
+(vec) for argmin and (cell, dim) for the update — both bounded by data
+size, never by pairs; centroids are k·d doubles (broadcast-sized at any
+corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+_K = 8  # seed cells: embeddings of vec_id < _K (same seeding as IVF)
+
+
+def _sql(dot, explode, collect, cast_vec, bigint) -> str:
+    def d2(a: str, b: str) -> str:
+        expr = f"{dot(a, a)} - 2 * {dot(a, b)} + {dot(b, b)}"
+        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+    return f"""
+WITH base AS (
+    SELECT vec_id, {cast_vec} AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {_K}),
+a1 AS (
+    SELECT b.vec_id, c0.cell, {d2('b.v', 'c0.c')} AS dist
+    FROM base b CROSS JOIN c0
+),
+m1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+        FROM a1
+    ) r WHERE rnk = 1
+),
+u1 AS (
+    SELECT cell, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+    FROM ({explode('m1')}) e1
+    GROUP BY cell, d
+),
+c1 AS (SELECT cell, {collect} AS c FROM u1 GROUP BY cell),
+a2 AS (
+    SELECT b.vec_id, c1.cell, {d2('b.v', 'c1.c')} AS dist
+    FROM base b CROSS JOIN c1
+),
+m2 AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+        FROM a2
+    ) r WHERE rnk = 1
+),
+u2 AS (
+    SELECT cell, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+    FROM ({explode('m2')}) e2
+    GROUP BY cell, d
+),
+c2 AS (SELECT cell, {collect} AS c FROM u2 GROUP BY cell),
+members AS (SELECT cell, count(*) AS n FROM m2 GROUP BY cell)
+SELECT
+    c2.cell,
+    {bigint('members.n')} AS n_members,
+    floor(sqrt({dot('c2.c', 'c2.c')}) * 1e6 + 0.5) / 1e6 AS centroid_norm,
+    floor(sqrt(greatest({d2('c1.c', 'c2.c')}, 0)) * 1e6 + 0.5) / 1e6 AS drift
+FROM c2
+JOIN c1 ON c1.cell = c2.cell
+JOIN members ON members.cell = c2.cell
+ORDER BY c2.cell
+"""
+
+
+_SPARK_SQL = _sql(
+    dot=lambda a, b: (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+    ),
+    explode=lambda m: (
+        f"SELECT {m}.cell, d, x FROM {m} "
+        f"JOIN base ON base.vec_id = {m}.vec_id "
+        f"LATERAL VIEW posexplode(base.v) t AS d, x"
+    ),
+    collect="transform(array_sort(collect_list(named_struct('d', d, 'c', c))), s -> s.c)",
+    cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
+    bigint=lambda e: e,
+)
+
+_DUCK_SQL = _sql(
+    dot=lambda a, b: f"list_dot_product({a}, {b})",
+    explode=lambda m: (
+        f"SELECT {m}.cell, unnest(generate_series(1, len(base.v))) AS d, "
+        f"unnest(base.v) AS x FROM {m} "
+        f"JOIN base ON base.vec_id = {m}.vec_id"
+    ),
+    collect="list(c ORDER BY d)",
+    cast_vec="embedding::DOUBLE[]",
+    bigint=lambda e: f"CAST({e} AS BIGINT)",
+)
+
+
+@register("kmeans_lloyd_refine", oracle=_DUCK_SQL)
+def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations from IVF seed centroids.
+
+    Returns per-cell membership, centroid norm, and inter-iteration
+    drift (the convergence signal a driver loop would test against).
+    """
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_SPARK_SQL)

@@ -45,3 +45,18 @@ def test_bucket_histogram_covers_corpus(spark):
     rows = QUERIES["ann_lsh_bucket_histogram"].fn(spark, SF).collect()
     assert sum(r.n_vectors for r in rows) == 500 * 4  # one entry per table
     assert 4 < len(rows) <= 32
+
+
+def test_kmeans_refine_membership_total_and_drift(spark):
+    from automated_data_pipeline_python_spark.queries.clustering import (
+        kmeans_lloyd_refine,
+    )
+    from automated_data_pipeline_python_spark.tables import load
+
+    out = kmeans_lloyd_refine(spark, SF).collect()
+    n_vecs = load(spark, SF, "embeddings").count()
+    # every vector is assigned to exactly one surviving cell
+    assert sum(r.n_members for r in out) == n_vecs
+    assert all(r.drift >= 0.0 for r in out)
+    # refinement actually moved centroids off their seed vectors
+    assert any(r.drift > 0.0 for r in out)
