@@ -47,6 +47,7 @@ HEADLINE = [
     "dq_star_schema_report",
     "sketch_user_reach_rollup",
     "corpus_curation_funnel",
+    "kmeans_lloyd_refine",
 ]
 
 
