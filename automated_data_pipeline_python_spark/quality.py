@@ -89,11 +89,15 @@ def referential_report(
 ) -> DataFrame:
     """Count child rows whose FK has no matching parent PK (orphans).
 
+    NULL FKs are not orphans (matches SQL ``NOT IN`` / the DuckDB
+    oracle in queries/dq.py, which never counts NULL keys) — a bare
+    left-anti join would count them.
+
     Scale: broadcast anti join when the parent is a dimension; for
     fact-to-fact references the anti join shuffles on the key like any
     equi-join.
     """
-    orphans = child.join(
+    orphans = child.filter(F.col(fk).isNotNull()).join(
         F.broadcast(parent.select(pk)), child[fk] == parent[pk], "left_anti"
     )
     return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(

@@ -12,22 +12,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.functions.numeric import (
+    exact_avg,
+    exact_sum,
+    snap_scaled,
+    sql_exact_avg,
+    sql_exact_sum,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+# events.value is 2dp — sums snap to the 1e-2 grid so totals are
+# order-independent across engines (see functions/numeric.py).
 
 
 @register(
     "events_tumbling_10min",
-    oracle="""
+    oracle=f"""
     SELECT
         strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
                  '%Y-%m-%d %H:%M:%S')            AS win_start,
         event_type,
         CAST(count(*) AS BIGINT)                 AS cnt,
-        floor((sum(value)) * 1e2 + 0.5) / 1e2                     AS total_value
+        floor(({sql_exact_sum("value", 2)}) * 1e2 + 0.5) / 1e2    AS total_value
     FROM events
     GROUP BY win_start, event_type
     """,
@@ -43,7 +52,7 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            stable_round(F.sum("value"), 2).alias("total_value"),
+            stable_round(exact_sum("value", 2), 2).alias("total_value"),
         )
         .select(
             F.date_format("win.start", _TS_FMT).alias("win_start"),
@@ -56,7 +65,7 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sliding_10min_5min",
-    oracle="""
+    oracle=f"""
     WITH starts AS (
         SELECT
             unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
@@ -69,7 +78,7 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
         CAST(count(*) AS BIGINT)                 AS cnt,
-        floor((avg(value)) * 1e2 + 0.5) / 1e2                     AS avg_value
+        floor(({sql_exact_avg("value", 2)}) * 1e2 + 0.5) / 1e2    AS avg_value
     FROM starts
     GROUP BY win_start
     """,
@@ -82,7 +91,7 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            stable_round(F.avg("value"), 2).alias("avg_value"),
+            stable_round(exact_avg("value", 2), 2).alias("avg_value"),
         )
         .select(
             F.date_format("win.start", _TS_FMT).alias("win_start"),
@@ -94,17 +103,17 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionization",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -114,7 +123,7 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         strftime(CAST(max(ts) AS TIMESTAMP) + INTERVAL '30 minutes',
                  '%Y-%m-%d %H:%M:%S.%f')                             AS session_end,
         CAST(count(*) AS BIGINT)                                     AS n_events,
-        floor((sum(value)) * 1e2 + 0.5) / 1e2                                         AS total_value
+        floor(({sql_exact_sum("value", 2)}) * 1e2 + 0.5) / 1e2       AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -132,7 +141,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(F.sum("value"), 2).alias("total_value"),
+            stable_round(exact_sum("value", 2), 2).alias("total_value"),
         )
         .select(
             "user_id",
@@ -183,12 +192,12 @@ def events_hourly_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hierarchical_rollup",
-    oracle="""
+    oracle=f"""
     SELECT
         strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
         event_type,
         CAST(count(*) AS BIGINT)                   AS cnt,
-        floor((sum(value)) * 1e2 + 0.5) / 1e2      AS total_value,
+        floor(({sql_exact_sum("value", 2)}) * 1e2 + 0.5) / 1e2 AS total_value,
         min(value)                                 AS min_value,
         max(value)                                 AS max_value
     FROM events
@@ -214,7 +223,9 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("total_value"),
+            # Keep the partial sum as exact snapped DECIMAL so the
+            # rollup→rollup composition stays order-independent.
+            F.sum(snap_scaled("value", 2)).alias("total_value_c"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -226,7 +237,9 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("cnt").alias("cnt"),
-            stable_round(F.sum("total_value"), 2).alias("total_value"),
+            stable_round(
+                F.sum("total_value_c").cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )

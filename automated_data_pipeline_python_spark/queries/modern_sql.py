@@ -21,13 +21,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from automated_data_pipeline_python_spark.functions.numeric import sql_exact_sum
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
-
-@register(
-    "gapfill_monthly_orders",
-    oracle="""
+# Shared gap-fill oracle: DuckDB builds the month spine with a recursive
+# CTE (cheap there — single-node iteration over 80 rows); the Spark side
+# of the HEADLINE query uses sequence()+explode instead, because Spark
+# executes each recursion level as a separate job — a driver-side
+# iteration bottleneck that scales with spine length (80 months ≈ 8 s;
+# a daily spine would be 2,400 iterations).
+_GAPFILL_ORACLE = f"""
     WITH RECURSIVE months(month_start) AS (
         SELECT TIMESTAMP '1995-01-01 00:00:00'
         UNION ALL
@@ -36,29 +40,65 @@ from automated_data_pipeline_python_spark.tables import load
     )
     SELECT strftime(month_start, '%Y-%m') AS month,
            count(o_orderkey)              AS n_orders,
-           coalesce(floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2, 0.0)
+           coalesce(floor(({sql_exact_sum("o_totalprice", 2)}) * 1e2 + 0.5) / 1e2, 0.0)
                                           AS total_price
     FROM months
     LEFT JOIN orders ON date_trunc('month', o_orderdate) = month_start
     GROUP BY month
     ORDER BY month
-    """,
-)
+    """
+
+
+@register("gapfill_monthly_orders", oracle=_GAPFILL_ORACLE)
 def gapfill_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive-CTE month spine + left join = zero-filled time series.
+    """sequence()+explode month spine + left join = zero-filled series.
 
     The spine guarantees one row per month 1995-01..2001-08 (80 rows)
     even for months with no orders — the gap-filling pattern every
     time-series report needs (sparse input, dense output).
 
-    Scale: the spine is 80 rows — broadcast side of the join; the fact
-    aggregates per month BEFORE any skew can matter (month domain is
-    tiny). Recursion depth 80 < Spark's default cteRecursionLevelLimit
-    of 100.
+    Scale: ``explode(sequence(start, end, interval))`` generates the
+    spine in ONE codegen stage — constant cost in spine length, unlike
+    the recursive-CTE formulation (kept as the separate API-surface
+    entry ``gapfill_recursive_spine``) which runs one Spark job per
+    month. The 80-row spine broadcasts; the fact aggregates per month
+    before any skew can matter.
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gapfill")
     return spark.sql(
+        f"""
+        WITH months AS (
+            SELECT explode(sequence(
+                TIMESTAMP_NTZ '1995-01-01 00:00:00',
+                TIMESTAMP_NTZ '2001-08-01 00:00:00',
+                INTERVAL 1 MONTH)) AS month_start
+        )
+        SELECT date_format(month_start, 'yyyy-MM') AS month,
+               count(o_orderkey)                   AS n_orders,
+               coalesce(floor(({sql_exact_sum("o_totalprice", 2)}) * 1e2 + 0.5) / 1e2, 0.0)
+                                                   AS total_price
+        FROM months
+        LEFT JOIN orders_gapfill ON date_trunc('month', o_orderdate) = month_start
+        GROUP BY month
+        ORDER BY month
         """
+    )
+
+
+@register("gapfill_recursive_spine", oracle=_GAPFILL_ORACLE)
+def gapfill_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE spine (SPARK-24497, Spark 4) — API-surface twin of
+    ``gapfill_monthly_orders``; identical output, same oracle.
+
+    Kept OFF the headline bench: Spark executes each recursion level as
+    its own micro-batch job (depth 80 < the default
+    cteRecursionLevelLimit of 100), which is the scale-killer the
+    sequence() formulation avoids. This entry pins the recursive-CTE
+    language surface itself.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gapfill_rec")
+    return spark.sql(
+        f"""
         WITH RECURSIVE months(month_start) AS (
             SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00'
             UNION ALL
@@ -67,10 +107,10 @@ def gapfill_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT date_format(month_start, 'yyyy-MM') AS month,
                count(o_orderkey)                   AS n_orders,
-               coalesce(floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2, 0.0)
+               coalesce(floor(({sql_exact_sum("o_totalprice", 2)}) * 1e2 + 0.5) / 1e2, 0.0)
                                                    AS total_price
         FROM months
-        LEFT JOIN orders_gapfill ON date_trunc('month', o_orderdate) = month_start
+        LEFT JOIN orders_gapfill_rec ON date_trunc('month', o_orderdate) = month_start
         GROUP BY month
         ORDER BY month
         """

@@ -20,9 +20,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.operators.joins import asof_join
-from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.functions.numeric import (
+    exact_avg,
+    exact_sum,
+    snap_scaled,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_snap_scaled,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
+
+# Money sums snap per-row to an integer grid before SUM so the total is
+# order-independent (see functions/numeric.py). Grid = decimal
+# granularity of the expression: money 2dp, price*(1-disc) 4dp,
+# price*(1-disc)*(1+tax) 6dp, events.value 6dp.
+_REV = "l_extendedprice * (1 - l_discount)"
 
 
 # ---------------------------------------------------------------------------
@@ -32,17 +46,17 @@ from automated_data_pipeline_python_spark.tables import load
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT
         l_returnflag,
         l_linestatus,
-        floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2                                        AS sum_qty,
-        floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2                                   AS sum_base_price,
-        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2                AS sum_disc_price,
-        floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2  AS sum_charge,
-        floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4                                        AS avg_qty,
-        floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4                                   AS avg_price,
-        floor((avg(l_discount)) * 1e6 + 0.5) / 1e6                                        AS avg_disc,
+        floor(({sql_exact_sum("l_quantity", 2)}) * 1e2 + 0.5) / 1e2                 AS sum_qty,
+        floor(({sql_exact_sum("l_extendedprice", 2)}) * 1e2 + 0.5) / 1e2            AS sum_base_price,
+        floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2                         AS sum_disc_price,
+        floor(({sql_exact_sum(_REV + " * (1 + l_tax)", 6)}) * 1e2 + 0.5) / 1e2      AS sum_charge,
+        floor(({sql_exact_avg("l_quantity", 2)}) * 1e4 + 0.5) / 1e4                 AS avg_qty,
+        floor(({sql_exact_avg("l_extendedprice", 2)}) * 1e4 + 0.5) / 1e4            AS avg_price,
+        floor(({sql_exact_avg("l_discount", 2)}) * 1e6 + 0.5) / 1e6                 AS avg_disc,
         count(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -62,13 +76,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            stable_round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            stable_round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            stable_round(F.avg("l_discount"), 6).alias("avg_disc"),
+            stable_round(exact_sum("l_quantity", 2), 2).alias("sum_qty"),
+            stable_round(exact_sum("l_extendedprice", 2), 2).alias("sum_base_price"),
+            stable_round(exact_sum(disc_price, 4), 2).alias("sum_disc_price"),
+            stable_round(exact_sum(disc_price * (1 + F.col("l_tax")), 6), 2).alias("sum_charge"),
+            stable_round(exact_avg("l_quantity", 2), 4).alias("avg_qty"),
+            stable_round(exact_avg("l_extendedprice", 2), 4).alias("avg_price"),
+            stable_round(exact_avg("l_discount", 2), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -76,10 +90,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT
         l_orderkey,
-        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
+        floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2 AS revenue,
         strftime(o_orderdate, '%Y-%m-%d')       AS orderdate,
         o_orderpriority
     FROM customer
@@ -116,7 +130,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(stable_round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
@@ -125,10 +139,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT
         n_name,
-        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
+        floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -162,18 +176,18 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(stable_round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue"))
     )
 
 
 @register(
     "top_customers_by_revenue",
-    oracle="""
+    oracle=f"""
     SELECT
         c_custkey,
         c_name,
         CAST(count(*) AS BIGINT) AS order_cnt,
-        floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_spent
+        floor(({sql_exact_sum("o_totalprice", 2)}) * 1e2 + 0.5) / 1e2 AS total_spent
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     ORDER BY total_spent DESC, c_custkey
@@ -189,26 +203,31 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            stable_round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            stable_round(exact_sum("o_totalprice", 2), 2).alias("total_spent"),
         )
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(20)
     )
 
 
+_QTY_S1 = sql_exact_sum("l_quantity", 2)
+_QTY_S2 = sql_exact_sum("l_quantity * l_quantity", 2)
+_QTY_VAR = f"(({_QTY_S2}) - ({_QTY_S1}) * ({_QTY_S1}) / count(l_quantity)) / (count(l_quantity) - 1)"
+
+
 @register(
     "agg_stats_lineitem",
-    oracle="""
+    oracle=f"""
     SELECT
         l_returnflag,
         CAST(count(*) AS BIGINT)              AS cnt,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
         min(l_quantity)                       AS min_qty,
         max(l_quantity)                       AS max_qty,
-        floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4        AS avg_price,
-        floor((stddev_samp(l_quantity)) * 1e6 + 0.5) / 1e6     AS sd_qty,
-        floor((var_samp(l_quantity)) * 1e6 + 0.5) / 1e6        AS var_qty,
-        floor((sum(l_quantity * l_extendedprice) / 1000000) * 1e3 + 0.5) / 1e3 AS weighted_m
+        floor(({sql_exact_avg("l_extendedprice", 2)}) * 1e4 + 0.5) / 1e4        AS avg_price,
+        floor((sqrt({_QTY_VAR})) * 1e6 + 0.5) / 1e6     AS sd_qty,
+        floor(({_QTY_VAR}) * 1e6 + 0.5) / 1e6           AS var_qty,
+        floor(({sql_exact_sum("l_quantity * l_extendedprice", 2)} / 1000000) * 1e3 + 0.5) / 1e3 AS weighted_m
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -217,29 +236,38 @@ def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scalar-aggregate battery incl. count-distinct and moments.
 
     Scale: count(DISTINCT) triggers the expand+two-phase plan; everything
-    else stays partial-aggregated map-side.
+    else stays partial-aggregated map-side. Variance/stddev use the
+    two-moment formula over order-independent snapped sums — the builtin
+    ``var_samp``/``stddev_samp`` accumulate doubles in partition order,
+    which is not reproducible across engines (or runs) at a rounding
+    boundary.
     """
     li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    s1 = exact_sum(qty, 2)
+    s2 = exact_sum(qty * qty, 2)
+    n = F.count(qty)
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct("l_partkey").alias("distinct_parts"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        stable_round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        stable_round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        stable_round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")) / 1000000, 3).alias("weighted_m"),
+        stable_round(exact_avg("l_extendedprice", 2), 4).alias("avg_price"),
+        stable_round(F.sqrt(var), 6).alias("sd_qty"),
+        stable_round(var, 6).alias("var_qty"),
+        stable_round(exact_sum(qty * F.col("l_extendedprice"), 2) / 1000000, 3).alias("weighted_m"),
     )
 
 
 @register(
     "agg_rollup_region_nation",
-    oracle="""
+    oracle=f"""
     SELECT
         r_name,
         n_name,
         CAST(count(*) AS BIGINT) AS customer_cnt,
-        floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS total_acctbal
+        floor(({sql_exact_sum("c_acctbal", 2)}) * 1e2 + 0.5) / 1e2 AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -256,18 +284,18 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("customer_cnt"),
-        stable_round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        stable_round(exact_sum("c_acctbal", 2), 2).alias("total_acctbal"),
     )
 
 
 @register(
     "agg_cube_status_priority",
-    oracle="""
+    oracle=f"""
     SELECT
         o_orderstatus,
         o_orderpriority,
         CAST(count(*) AS BIGINT) AS cnt,
-        floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total
+        floor(({sql_exact_sum("o_totalprice", 2)}) * 1e2 + 0.5) / 1e2 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -277,7 +305,7 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        stable_round(F.sum("o_totalprice"), 2).alias("total"),
+        stable_round(exact_sum("o_totalprice", 2), 2).alias("total"),
     )
 
 
@@ -424,8 +452,8 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         abs(l_extendedprice - 1000.0)          AS dist_1000,
         CAST(l_orderkey % 7 AS BIGINT)         AS key_mod7,
         sqrt(l_quantity)                       AS qty_sqrt,
-        ln(l_extendedprice + 1.0)              AS price_ln,
-        power(l_discount, 2)                   AS disc_sq,
+        floor((ln(l_extendedprice + 1.0)) * 1e6 + 0.5) / 1e6 AS price_ln,
+        floor((power(l_discount, 2)) * 1e6 + 0.5) / 1e6      AS disc_sq,
         greatest(l_tax, l_discount)            AS max_rate,
         least(l_tax, l_discount)               AS min_rate
     FROM lineitem
@@ -433,7 +461,12 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function battery (F10): round/floor/ceil/abs/mod/sqrt/ln/pow."""
+    """Math function battery (F10): round/floor/ceil/abs/mod/sqrt/ln/pow.
+
+    ``ln``/``pow`` are NOT correctly-rounded by IEEE (JVM Math.log and
+    libm disagree by 1 ulp on ~1% of inputs) — their outputs are rounded
+    to 6dp on both sides. ``sqrt`` IS correctly-rounded, left exact.
+    """
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
     return li.select(
         "l_orderkey",
@@ -444,8 +477,8 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice") - 1000.0).alias("dist_1000"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.log(F.col("l_extendedprice") + 1.0).alias("price_ln"),
-        F.pow("l_discount", 2).alias("disc_sq"),
+        stable_round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        stable_round(F.pow("l_discount", 2), 6).alias("disc_sq"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
     )
@@ -453,14 +486,14 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "case_when_bucketing",
-    oracle="""
+    oracle=f"""
     SELECT
         CASE WHEN o_totalprice < 1000  THEN 'small'
              WHEN o_totalprice < 10000 THEN 'medium'
              ELSE 'large' END          AS price_bucket,
         o_orderstatus,
         CAST(count(*) AS BIGINT)       AS cnt,
-        floor((avg(o_totalprice)) * 1e4 + 0.5) / 1e4    AS avg_price
+        floor(({sql_exact_avg("o_totalprice", 2)}) * 1e4 + 0.5) / 1e4    AS avg_price
     FROM orders
     GROUP BY price_bucket, o_orderstatus
     """,
@@ -475,17 +508,17 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.groupBy(bucket.alias("price_bucket"), F.col("o_orderstatus"))
-        .agg(F.count(F.lit(1)).alias("cnt"), stable_round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("cnt"), stable_round(exact_avg("o_totalprice", 2), 4).alias("avg_price"))
     )
 
 
 @register(
     "json_extract_events",
-    oracle="""
+    oracle=f"""
     SELECT
         CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
         CAST(count(*) AS BIGINT) AS cnt,
-        floor((sum(value)) * 1e2 + 0.5) / 1e2     AS total_value
+        floor(({sql_exact_sum("value", 6)}) * 1e2 + 0.5) / 1e2     AS total_value
     FROM events
     GROUP BY k_mod10
     """,
@@ -496,7 +529,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         events.groupBy((k % 10).alias("k_mod10"))
-        .agg(F.count(F.lit(1)).alias("cnt"), stable_round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), stable_round(exact_sum("value", 6), 2).alias("total_value"))
     )
 
 
@@ -507,12 +540,12 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_left_order_counts",
-    oracle="""
+    oracle=f"""
     SELECT
         c_custkey,
         c_mktsegment,
         CAST(count(o_orderkey) AS BIGINT)        AS order_cnt,
-        floor((coalesce(sum(o_totalprice), 0.0)) * 1e2 + 0.5) / 1e2 AS total_spent
+        floor((coalesce({sql_exact_sum("o_totalprice", 2)}, 0.0)) * 1e2 + 0.5) / 1e2 AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
@@ -526,7 +559,7 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
-            stable_round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            stable_round(F.coalesce(exact_sum("o_totalprice", 2), F.lit(0.0)), 2).alias("total_spent"),
         )
     )
 
@@ -719,21 +752,26 @@ def window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_running_total",
-    oracle="""
+    oracle=f"""
     SELECT
         o_custkey,
         o_orderkey,
-        sum(o_totalprice) OVER (
+        CAST(sum({sql_snap_scaled("o_totalprice", 2)}) OVER (
             PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS running_spent
+        ) AS DOUBLE) / 1e2 AS running_spent
     FROM orders
     WHERE o_custkey < 200
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window: per-customer running sum (rowsBetween frame)."""
+    """Analytic window: per-customer running sum (rowsBetween frame).
+
+    The frame sum runs over cent-snapped integers: DuckDB evaluates
+    window sums with a segment tree (pairwise accumulation order), Spark
+    left-to-right — raw double frames disagree at the last ulp.
+    """
     orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
     w = (
         Window.partitionBy("o_custkey")
@@ -741,7 +779,11 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
-        "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_spent")
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(snap_scaled("o_totalprice", 2)).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_spent"
+        ),
     )
 
 
@@ -808,21 +850,31 @@ def dedup_keep_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_above_customer_avg",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey, o_totalprice, floor((cust_avg) * 1e4 + 0.5) / 1e4 AS cust_avg
     FROM (
-        SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        SELECT *, CAST(sum({sql_snap_scaled("o_totalprice", 2)})
+                       OVER (PARTITION BY o_custkey) AS DOUBLE) / 1e2
+                  / count(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
         FROM orders
     )
     WHERE o_totalprice > 2 * cust_avg
     """,
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-subquery semantics via a window (decorrelated form)."""
+    """Correlated-subquery semantics via a window (decorrelated form).
+
+    The per-customer average is an exact snapped sum / count — the
+    ``> 2 * cust_avg`` predicate compares against it, so a last-ulp
+    divergence would flip row membership, not just a printed digit.
+    """
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(snap_scaled("o_totalprice", 2)).over(w).cast("double") / F.lit(100.0)
+    ) / F.count("o_totalprice").over(w)
     return (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        orders.withColumn("cust_avg", cust_avg)
         .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
         .select(
             "o_orderkey",

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.functions.numeric import (
+    snap_scaled,
+    sql_exact_avg,
+    sql_snap_scaled,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
@@ -23,13 +28,14 @@ from automated_data_pipeline_python_spark.tables import load
 
 @register(
     "pivot_status_by_priority",
-    oracle="""
+    oracle=f"""
     SELECT
         o_orderpriority,
         CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS status_o,
         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS status_f,
         CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS status_p,
-        floor((sum(o_totalprice) FILTER (o_orderstatus = 'O')) * 1e2 + 0.5) / 1e2 AS total_o
+        floor((CAST(sum({sql_snap_scaled("o_totalprice", 2)})
+                    FILTER (o_orderstatus = 'O') AS DOUBLE) / 1e2) * 1e2 + 0.5) / 1e2 AS total_o
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -43,7 +49,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("o_totalprice").alias("total"),
+            F.sum(snap_scaled("o_totalprice", 2)).alias("total"),
         )
     )
     return pivoted.select(
@@ -51,7 +57,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O_cnt", F.lit(0)).alias("status_o"),
         F.coalesce("F_cnt", F.lit(0)).alias("status_f"),
         F.coalesce("P_cnt", F.lit(0)).alias("status_p"),
-        stable_round(F.col("O_total"), 2).alias("total_o"),
+        stable_round(F.col("O_total").cast("double") / F.lit(100.0), 2).alias("total_o"),
     )
 
 
@@ -160,12 +166,36 @@ def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("map_functions_demo", oracle=None)  # maps have no stable SQL render
+@register(
+    "map_functions_demo",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey   AS order_key,
+           o_totalprice AS order_price,
+           CAST(cnt AS INT) AS n_orders,
+           CAST(big AS INT) AS n_big_orders,
+           first_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey) AS cnt,
+               count(*) FILTER (o_totalprice > 1000.0)
+                   OVER (PARTITION BY o_custkey)      AS big,
+               first_value(o_totalprice)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS first_price
+        FROM orders
+    )
+    """,
+)
 def map_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed column surface (F10): build, lookup, keys, filter.
+    """Map-typed column surface (F10): build, entries, values, filter.
 
-    Rows-only check: map key order is engine-dependent, so there is no
-    canonical cross-engine rendering to hash against.
+    The plan builds a real MapType column per customer
+    (map_from_entries ← sorted collect_list), interrogates it with
+    map_filter / map_values / size, then EXPLODES map_entries back to
+    scalar rows — map key order is engine-dependent, so rows (not the
+    map itself) are the canonical cross-engine rendering the driver can
+    sort and hash. The DuckDB oracle mirrors the semantics with
+    windowed counts (it has no equivalent map pipeline).
     """
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -177,12 +207,19 @@ def map_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_cust.select(
         "o_custkey",
+        F.explode(F.map_entries("order_prices")).alias("e"),
         F.size("order_prices").alias("n_orders"),
-        F.map_keys("order_prices").alias("order_keys"),
-        F.element_at(F.map_values("order_prices"), 1).alias("first_price"),
         F.size(
             F.map_filter("order_prices", lambda _, v: v > 1000.0)
         ).alias("n_big_orders"),
+        F.element_at(F.map_values("order_prices"), 1).alias("first_price"),
+    ).select(
+        "o_custkey",
+        F.col("e.key").alias("order_key"),
+        F.col("e.value").alias("order_price"),
+        "n_orders",
+        "n_big_orders",
+        "first_price",
     )
 
 
@@ -297,10 +334,10 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_subquery_above_avg",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.9 * (SELECT {sql_exact_avg("o_totalprice", 2)} FROM orders)
     """,
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,10 +348,10 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice
         FROM orders_sq
-        WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders_sq)
+        WHERE o_totalprice > 1.9 * (SELECT {sql_exact_avg("o_totalprice", 2)} FROM orders_sq)
         """
     )
 

@@ -12,9 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.functions.numeric import (
+    exact_sum,
+    sql_exact_sum,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
+
+# price*(1-discount) is exact on a 1e-4 grid (2dp price × 2dp discount);
+# summing it snapped to that grid is order-independent — see
+# functions/numeric.py. REV is the shared SQL fragment for oracles.
+_REV = "l_extendedprice * (1 - l_discount)"
 
 
 @register(
@@ -70,12 +79,12 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q7_nation_trade_by_year",
-    oracle="""
+    oracle=f"""
     SELECT
         n1.n_name AS cust_nation,
         n2.n_name AS supp_nation,
         CAST(year(o_orderdate) AS INT) AS order_year,
-        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS volume
+        floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2 AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -90,7 +99,11 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
 def q7_nation_trade_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two roles of one dimension (nation twice) +
     year bucketing. The nation table broadcasts twice under different
-    aliases — no self-join ambiguity because each gets its own read."""
+    aliases — no self-join ambiguity because each gets its own read.
+
+    The revenue sum is snapped per-row to the 1e-4 grid before summing
+    (order-independent; round-1 failed here when Spark's and DuckDB's
+    accumulation orders rounded a borderline total in opposite ways)."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -112,7 +125,7 @@ def q7_nation_trade_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation", year.alias("order_year"))
         .agg(
             stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("volume")
         )
     )
@@ -152,12 +165,11 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue_ratio",
-    oracle="""
+    oracle=f"""
     SELECT
-        floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
-                           THEN l_extendedprice * (1 - l_discount)
-                           ELSE 0.0 END)
-               / sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4
+        floor((100.0 * ({sql_exact_sum(
+            f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0.0 END", 4)})
+               / ({sql_exact_sum(_REV, 4)})) * 1e4 + 0.5) / 1e4
             AS promo_revenue_pct
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -178,8 +190,8 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             stable_round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * exact_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), 4)
+                / exact_sum(rev, 4),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -234,9 +246,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_predicates",
-    oracle="""
+    oracle=f"""
     SELECT
-        floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
+        floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2 AS revenue,
         CAST(count(*) AS BIGINT) AS matched_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -270,7 +282,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.filter(cond).agg(
         stable_round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
         ).alias("revenue"),
         F.count(F.lit(1)).alias("matched_lines"),
     )

@@ -8,39 +8,68 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_sum,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
 
-@register(
-    "agg_corr_regression",
-    oracle="""
-    SELECT
-        l_returnflag,
-        floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) / 1e6        AS qty_price_corr,
-        floor((covar_samp(l_quantity, l_discount)) * 1e6 + 0.5) / 1e6       AS qty_disc_covar,
-        floor((regr_slope(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4  AS price_per_qty,
-        floor((regr_intercept(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4 AS price_at_zero,
-        floor((regr_r2(l_extendedprice, l_quantity)) * 1e6 + 0.5) / 1e6     AS r2
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
+def _corr_sql(table: str) -> str:
+    """Bivariate statistics from exact snapped moment sums.
+
+    The builtin corr/covar/regr_* aggregates accumulate doubles in
+    partition order — not reproducible across engines at a rounding
+    boundary. Computing them from order-independent moment sums
+    (Σx, Σy, Σx², Σy², Σxy — each snapped to its decimal grid, summed
+    as DECIMAL) makes every downstream double op a deterministic
+    function of exact inputs. Identical SQL text runs on both engines,
+    so even the operation ORDER matches.
+    """
+    sx = sql_exact_sum("l_quantity", 2)
+    sy = sql_exact_sum("l_extendedprice", 2)
+    sd = sql_exact_sum("l_discount", 2)
+    sxx = sql_exact_sum("l_quantity * l_quantity", 4)
+    syy = sql_exact_sum("l_extendedprice * l_extendedprice", 4)
+    sxy = sql_exact_sum("l_quantity * l_extendedprice", 4)
+    sxd = sql_exact_sum("l_quantity * l_discount", 4)
+    return f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               {sx} AS sx, {sy} AS sy, {sd} AS sd,
+               {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy, {sxd} AS sxd
+        FROM {table}
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+        floor(((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6 + 0.5) / 1e6
+            AS qty_price_corr,
+        floor(((sxd - sx * sd / n) / (n - 1)) * 1e6 + 0.5) / 1e6
+            AS qty_disc_covar,
+        floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e4 + 0.5) / 1e4
+            AS price_per_qty,
+        floor(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) * 1e4 + 0.5) / 1e4
+            AS price_at_zero,
+        floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6 + 0.5) / 1e6
+            AS r2
+    FROM m
+    """
+
+
+@register("agg_corr_regression", oracle=_corr_sql("lineitem"))
 def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics: corr/covar/linear regression per group.
 
-    All single-pass JVM aggregates (sum-of-products accumulators) —
-    partial-aggregated map-side like any sum.
+    Single aggregation pass (all moments partial-aggregate map-side);
+    see ``_corr_sql`` for why the moments formulation replaces the
+    builtin corr/covar/regr_* accumulators.
     """
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        stable_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        stable_round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
-        stable_round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
-        stable_round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_at_zero"),
-        stable_round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
-    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_corr")
+    return spark.sql(_corr_sql("lineitem_corr"))
 
 
 @register(

@@ -24,13 +24,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.functions.numeric import (
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
 
 def _ts(s: str) -> F.Column:
     return F.lit(s).cast("timestamp_ntz")
+
+
+# Order-independent money sums (see functions/numeric.py): snap rows to
+# the expression's decimal grid before SUM. Critical here because several
+# of these queries COMPARE sums (Q11 HAVING, Q15 max, Q22 threshold) —
+# a borderline raw-double sum can flip row membership between engines.
+_REV = "l_extendedprice * (1 - l_discount)"
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +102,8 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2 AS revenue
+    oracle=f"""
+    SELECT floor(({sql_exact_sum("l_extendedprice * l_discount", 4)}) * 1e2 + 0.5) / 1e2 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
@@ -114,7 +127,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(stable_round(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2).alias("revenue"))
     )
 
 
@@ -125,11 +138,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT
         CAST(year(o_orderdate) AS INT) AS o_year,
-        floor((sum(CASE WHEN supp_nation = 'NATION_2'
-                        THEN volume ELSE 0 END) / sum(volume)) * 1e6 + 0.5) / 1e6
+        floor((({sql_exact_sum(
+            "CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END", 4)})
+               / ({sql_exact_sum("volume", 4)})) * 1e6 + 0.5) / 1e6
             AS mkt_share
     FROM (
         SELECT o_orderdate,
@@ -185,8 +199,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             stable_round(
-                F.sum(F.when(F.col("sn.n_name") == "NATION_2", volume).otherwise(F.lit(0.0)))
-                / F.sum(volume),
+                exact_sum(
+                    F.when(F.col("sn.n_name") == "NATION_2", volume).otherwise(F.lit(0.0)), 4
+                )
+                / exact_sum(volume, 4),
                 6,
             ).alias("mkt_share")
         )
@@ -201,10 +217,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_type_profit",
-    oracle="""
+    oracle=f"""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INT) AS o_year,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
+           floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2
                AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
@@ -239,7 +255,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias(
                 "sum_profit"
             )
         )
@@ -254,9 +270,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
+           floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2
                AS revenue,
            floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS acctbal,
            n_name
@@ -291,7 +307,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias(
                 "revenue"
             )
         )
@@ -318,14 +334,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_suppliers",
-    oracle="""
+    oracle=f"""
     SELECT l_suppkey,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
+           floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2
                AS supplier_value
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) > (
-        SELECT 1.02 * sum(l_extendedprice * (1 - l_discount))
+    HAVING ({sql_exact_sum(_REV, 4)}) > (
+        SELECT 1.02 * ({sql_exact_sum(_REV, 4)})
                / count(DISTINCT l_suppkey)
         FROM lineitem
     )
@@ -349,14 +365,14 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q11")
     return spark.sql(
-        """
+        f"""
         SELECT l_suppkey,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
+               floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2
                    AS supplier_value
         FROM lineitem_q11
         GROUP BY l_suppkey
-        HAVING sum(l_extendedprice * (1 - l_discount)) > (
-            SELECT 1.02 * sum(l_extendedprice * (1 - l_discount))
+        HAVING ({sql_exact_sum(_REV, 4)}) > (
+            SELECT 1.02 * ({sql_exact_sum(_REV, 4)})
                    / count(DISTINCT l_suppkey)
             FROM lineitem_q11
         )
@@ -419,10 +435,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2
+               floor(({sql_exact_sum(_REV, 4)}) * 1e2 + 0.5) / 1e2
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -452,7 +468,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        stable_round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias(
             "total_revenue"
         )
     )
@@ -522,8 +538,8 @@ def q16_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_quantity_revenue",
-    oracle="""
-    SELECT floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
+    oracle=f"""
+    SELECT floor(({sql_exact_sum("l_extendedprice", 2)} / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
@@ -543,8 +559,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
     load(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
     return spark.sql(
-        """
-        SELECT floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
+        f"""
+        SELECT floor(({sql_exact_sum("l_extendedprice", 2)} / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
         FROM lineitem_q17
         JOIN part_q17 ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#23'
@@ -680,14 +696,14 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_dormant_customers",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
            count(*) AS numcust,
-           floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS totacctbal
+           floor(({sql_exact_sum("c_acctbal", 2)}) * 1e2 + 0.5) / 1e2 AS totacctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (
-        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        SELECT {sql_exact_avg("c_acctbal", 2)} FROM customer WHERE c_acctbal > 0.0
       )
       AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) <= 3
     GROUP BY n_name
@@ -707,14 +723,14 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation_q22")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
     return spark.sql(
-        """
+        f"""
         SELECT n_name,
                count(*) AS numcust,
-               floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS totacctbal
+               floor(({sql_exact_sum("c_acctbal", 2)}) * 1e2 + 0.5) / 1e2 AS totacctbal
         FROM customer_q22
         JOIN nation_q22 ON c_nationkey = n_nationkey
         WHERE c_acctbal > (
-            SELECT avg(c_acctbal) FROM customer_q22 WHERE c_acctbal > 0.0
+            SELECT {sql_exact_avg("c_acctbal", 2)} FROM customer_q22 WHERE c_acctbal > 0.0
           )
           AND (SELECT count(*) FROM orders_q22 WHERE o_custkey = c_custkey) <= 3
         GROUP BY n_name

@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.functions.numeric import stable_round
+from automated_data_pipeline_python_spark.functions.numeric import (
+    snap_scaled,
+    sql_snap_scaled,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.functions.text import (
     DUCK_TOKENS,
     SPARK_TOKENS,
@@ -65,14 +69,14 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_range_frame",
-    oracle="""
+    oracle=f"""
     SELECT
         o_custkey,
         o_orderkey,
-        floor((sum(o_totalprice) OVER (
+        floor((CAST(sum({sql_snap_scaled("o_totalprice", 2)}) OVER (
             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
-        )) * 1e2 + 0.5) / 1e2 AS trailing_90d_spend
+        ) AS DOUBLE) / 1e2) * 1e2 + 0.5) / 1e2 AS trailing_90d_spend
     FROM orders
     WHERE o_custkey < 100
     """,
@@ -81,7 +85,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event time: trailing-90-day spend per customer.
 
     Expressed over epoch seconds so the frame bound is an exact integer
-    range in both engines (90 d = 7,776,000 s).
+    range in both engines (90 d = 7,776,000 s). The frame sums
+    cent-snapped integers — DuckDB's segment-tree window accumulation
+    order differs from Spark's, so raw double frames drift by ulps.
     """
     orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
@@ -93,7 +99,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        stable_round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+        stable_round(
+            F.sum(snap_scaled("o_totalprice", 2)).over(w).cast("double") / F.lit(100.0), 2
+        ).alias("trailing_90d_spend"),
     )
 
 

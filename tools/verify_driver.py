@@ -4,14 +4,22 @@ Vanilla SparkSession (NOT the session factory) + `import __spark_entry__`
 + DuckDB views over the same parquet. Compares sorted column names, row
 count, and canonicalized sorted rows per query.
 
-Usage: python tools/verify_driver.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/verify_driver.py [sf_dir] [name_substring ...]
+       (default /root/testdata/sf0.01, all queries)
+
+Floats canonicalize at full precision (%.17g): the driver hashes raw
+values, so a one-ULP divergence between engines is a real failure — a
+6-sig-digit canon would hide exactly the q7-style cent-off bugs.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 from datetime import date, datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 from pyspark.sql import SparkSession
@@ -28,7 +36,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        return f"{v:.6e}"
+        return f"{v:.17g}"
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):
@@ -45,13 +53,14 @@ def rows_canon(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
-def main(sf: str) -> int:
+def main(sf: str, only: list[str] | None = None) -> int:
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     import __spark_entry__ as E
 
-    n = len(E.entry(spark).collect())
-    assert n > 0, "entry() returned 0 rows"
-    print(f"entry() ok: {n} rows")
+    if not only:
+        n = len(E.entry(spark).collect())
+        assert n > 0, "entry() returned 0 rows"
+        print(f"entry() ok: {n} rows")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -64,6 +73,8 @@ def main(sf: str) -> int:
 
     failed, empty = [], []
     for name, fn in queries.items():
+        if only and not any(s in name for s in only):
+            continue
         try:
             sdf = fn(spark, sf)
             srows = sdf.collect()
@@ -97,9 +108,14 @@ def main(sf: str) -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match oracle")
 
-    print(f"\n{len(queries)} queries, {len(failed)} failed, empties: {empty or 'none'}")
+    ran = len(queries) if not only else sum(
+        1 for n in queries if any(s in n for s in only)
+    )
+    print(f"\n{ran} queries, {len(failed)} failed, empties: {empty or 'none'}")
     return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    sys.exit(main(sf_dir, args[1:] or None))
