@@ -565,6 +565,41 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_order_counts",
+    oracle=f"""
+    SELECT
+        c_custkey,
+        c_mktsegment,
+        CAST(count(o_orderkey) AS BIGINT)        AS order_cnt,
+        floor((coalesce({sql_exact_sum("o_totalprice", 2)}, 0.0)) * 1e2 + 0.5) / 1e2 AS total_spent
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_right_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (J3): the mirror of ``join_left_order_counts``
+    with the fact on the build side — all customers preserved, including
+    those with zero orders.
+
+    Scale: Catalyst normalizes right-outer to left-outer by swapping
+    inputs, so the physical plan is identical to the left variant; the
+    entry pins the API/SQL surface itself.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            stable_round(F.coalesce(exact_sum("o_totalprice", 2), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
     "join_semi_customers_with_orders",
     oracle="""
     SELECT c_custkey, c_name

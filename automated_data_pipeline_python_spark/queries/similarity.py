@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from automated_data_pipeline_python_spark.functions.numeric import sql_exact_avg
 from automated_data_pipeline_python_spark.functions.text import (
     duck_hash60,
     spark_hash60,
@@ -50,28 +51,35 @@ _SPARK_DOT = (
     " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
+_DUCK_DOT = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 
-def _spark_norm(side: str) -> str:
-    return (
-        f"sqrt(aggregate(transform({side}.embedding,"
-        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-
-
-_SPARK_COS = f"{_SPARK_DOT} / ({_spark_norm('a')} * {_spark_norm('b')})"
-
-_DUCK_COS = (
-    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
-    " (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
-    "  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+# Pre-normed vector relation: each side's L2 norm is computed ONCE PER
+# ROW here, not once per candidate pair (the round-1 knn plan inlined
+# sqrt(aggregate(...)) for both sides of every pair — ~2× the necessary
+# 64-dim work on the hottest bench query). Spark inlines CTEs, so each
+# reference re-derives emb_n from its own scan — exactly one norm pass
+# per join side, with the query-side filter pushed through.
+_SPARK_EMB_N_CTE = (
+    "emb_n AS (SELECT vec_id, embedding,"
+    " sqrt(aggregate(transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm FROM embeddings)"
+)
+_DUCK_EMB_N_CTE = (
+    "emb_n AS (SELECT vec_id, embedding,"
+    " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm"
+    " FROM embeddings)"
 )
 
-_KNN_SPARK_SQL = f"""
-WITH scored AS (
+# Cosine over pre-normed sides `a`/`b` (both must carry `nrm`).
+_SPARK_COS = f"{_SPARK_DOT} / (a.nrm * b.nrm)"
+_DUCK_COS = f"{_DUCK_DOT} / (a.nrm * b.nrm)"
+
+_KNN_TAIL = f"""
+scored AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           {_SPARK_COS} AS cos
-    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+           {{cos}} AS cos
+    FROM emb_n a JOIN emb_n b ON b.vec_id != a.vec_id
     WHERE a.vec_id < {_N_QUERIES}
 ),
 ranked AS (
@@ -84,22 +92,8 @@ SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim, CAST(rn
 FROM ranked WHERE rnk <= {_TOP_K}
 """
 
-_KNN_DUCK_SQL = f"""
-WITH scored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           {_DUCK_COS} AS cos
-    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
-    WHERE a.vec_id < {_N_QUERIES}
-),
-ranked AS (
-    SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id) AS rnk
-    FROM scored
-)
-SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim, CAST(rnk AS INT) AS rnk
-FROM ranked WHERE rnk <= {_TOP_K}
-"""
+_KNN_SPARK_SQL = f"WITH {_SPARK_EMB_N_CTE},\n{_KNN_TAIL.format(cos=_SPARK_COS)}"
+_KNN_DUCK_SQL = f"WITH {_DUCK_EMB_N_CTE},\n{_KNN_TAIL.format(cos=_DUCK_COS)}"
 
 
 @register("knn_bruteforce_topk", oracle=_KNN_DUCK_SQL)
@@ -108,6 +102,8 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the query set broadcasts against the corpus; per-partition
     top-k then a tiny final ranking shuffle (window over query_id).
+    Norms come from the shared pre-normed relation (one pass per side),
+    not per-pair recomputation.
     """
     return _emb_sql(spark, sf_dir, _KNN_SPARK_SQL)
 
@@ -192,15 +188,16 @@ def ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_TAIL = f"""
-, scored AS (
+{{emb_n}},
+scored AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            {{cos}} AS cos
-    FROM embeddings a
+    FROM emb_n a
     JOIN (SELECT DISTINCT ba.vec_id AS qa, bb.vec_id AS nb
-          FROM buckets ba JOIN buckets bb
+          FROM {{buckets}} ba JOIN {{buckets}} bb
             ON bb.t = ba.t AND bb.bucket = ba.bucket) cand
       ON cand.qa = a.vec_id
-    JOIN embeddings b ON b.vec_id = cand.nb AND b.vec_id != a.vec_id
+    JOIN emb_n b ON b.vec_id = cand.nb AND b.vec_id != a.vec_id
     WHERE a.vec_id < {_N_QUERIES}
 ),
 ranked AS (
@@ -214,27 +211,26 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """
 
 
-# Spark variant of the tail, reading the materialized bucket view
-# (Spark inlines CTEs, so the single-statement form would run the whole
-# LSH pipeline once per bucket reference).
-_ANN_TAIL_SPARK = (
-    "WITH scored AS ("
-    + _ANN_TAIL.format(cos=_SPARK_COS)
-    .split(", scored AS (", 1)[1]
-    .replace("FROM buckets", "FROM lsh_buckets")
-    .replace("JOIN buckets", "JOIN lsh_buckets")
-)
+# Spark variant reads the materialized bucket view (Spark inlines CTEs,
+# so the single-statement form would run the whole LSH pipeline once per
+# bucket reference).
+_ANN_TAIL_SPARK = "WITH " + _ANN_TAIL.format(
+    emb_n=_SPARK_EMB_N_CTE, cos=_SPARK_COS, buckets="lsh_buckets"
+).lstrip()
 
 
 @register(
     "ann_lsh_topk",
-    oracle=_BUCKETS_CORE_DUCK + _ANN_TAIL.format(cos=_DUCK_COS),
+    oracle=_BUCKETS_CORE_DUCK
+    + ","
+    + _ANN_TAIL.format(emb_n=_DUCK_EMB_N_CTE, cos=_DUCK_COS, buckets="buckets"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to same-LSH-bucket.
 
     Scale: bucket equality drives the join (candidates ≈ corpus/2^planes
-    per query); exact cosine only on candidates. More planes + multiple
+    per query); exact cosine only on candidates, with norms from the
+    pre-normed relation (one pass per side). More planes + multiple
     tables trade recall for cost — the plan shape is unchanged.
     """
     _materialize_view(
@@ -248,7 +244,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Norm stats (sanity surface for the vector column)
 # ---------------------------------------------------------------------------
 
-_NORM_SPARK_SQL = """
+# avg over full-mantissa doubles is order-dependent — snap norms to a
+# 1e-8 grid and sum exactly (functions/numeric.py) so the 1e4-rounded
+# average is bit-identical across engines and partitionings.
+_NORM_SPARK_SQL = f"""
 WITH norms AS (
     SELECT label,
            sqrt(aggregate(transform(embedding,
@@ -256,18 +255,20 @@ WITH norms AS (
                 CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm
     FROM embeddings
 )
-SELECT label, count(*) AS n, floor((avg(nrm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+SELECT label, count(*) AS n,
+       floor(({sql_exact_avg("nrm", 8)}) * 1e4 + 0.5) / 1e4 AS avg_norm,
        floor((min(nrm)) * 1e6 + 0.5) / 1e6 AS min_norm, floor((max(nrm)) * 1e6 + 0.5) / 1e6 AS max_norm
 FROM norms GROUP BY label
 """
 
-_NORM_DUCK_SQL = """
+_NORM_DUCK_SQL = f"""
 WITH norms AS (
     SELECT label,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
     FROM embeddings
 )
-SELECT label, CAST(count(*) AS BIGINT) AS n, floor((avg(nrm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       floor(({sql_exact_avg("nrm", 8)}) * 1e4 + 0.5) / 1e4 AS avg_norm,
        floor((min(nrm)) * 1e6 + 0.5) / 1e6 AS min_norm, floor((max(nrm)) * 1e6 + 0.5) / 1e6 AS max_norm
 FROM norms GROUP BY label
 """
@@ -328,12 +329,13 @@ _N_PROBE = 2
 _IVF_TOP_K = 5
 
 _IVF_SQL_TEMPLATE = """
-WITH centroids AS (
-    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {cells}
+WITH {emb_n},
+centroids AS (
+    SELECT vec_id AS cid, embedding, nrm FROM emb_n WHERE vec_id < {cells}
 ),
 assign AS (
     SELECT a.vec_id, b.cid, {cos} AS cos
-    FROM embeddings a CROSS JOIN centroids b
+    FROM emb_n a CROSS JOIN centroids b
 ),
 ranked_assign AS (
     SELECT vec_id, cid,
@@ -353,8 +355,8 @@ candidates AS (
 scored AS (
     SELECT c.query_id, c.neighbor_id, {cos} AS cos
     FROM candidates c
-    JOIN embeddings a ON a.vec_id = c.query_id
-    JOIN embeddings b ON b.vec_id = c.neighbor_id
+    JOIN emb_n a ON a.vec_id = c.query_id
+    JOIN emb_n b ON b.vec_id = c.neighbor_id
 ),
 final_rank AS (
     SELECT query_id, neighbor_id, cos,
@@ -373,7 +375,7 @@ FROM final_rank WHERE rnk <= {k}
     "ann_ivf_topk",
     oracle=_IVF_SQL_TEMPLATE.format(
         cells=_N_IVF_CELLS, queries=_N_QUERIES, nprobe=_N_PROBE, k=_IVF_TOP_K,
-        cos=_DUCK_COS,
+        cos=_DUCK_COS, emb_n=_DUCK_EMB_N_CTE,
     ),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,6 +398,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _IVF_SQL_TEMPLATE.format(
             cells=_N_IVF_CELLS, queries=_N_QUERIES, nprobe=_N_PROBE, k=_IVF_TOP_K,
-            cos=_SPARK_COS,
+            cos=_SPARK_COS, emb_n=_SPARK_EMB_N_CTE,
         ),
     )
