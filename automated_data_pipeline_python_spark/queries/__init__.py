@@ -27,6 +27,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     sketches,
     windows2,
     text,
+    training,
     dedup,
     similarity,
     events,
@@ -52,6 +53,8 @@ _PRIORITY = [
     "dedup_simhash_signatures",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh_capped",
     "dedup_embedding_cosine",
     "dedup_clusters",
     # LLM-data: similarity / ANN
@@ -71,6 +74,8 @@ _PRIORITY = [
     "text_redact_patterns",
     # LLM-data: curation / quality / sketches
     "corpus_curation_funnel",
+    "contamination_ngram_overlap",
+    "pack_sequences_chunked",
     "dq_star_schema_report",
     "sketch_user_reach_rollup",
     "sketch_heavy_hitter_terms",
@@ -100,12 +105,10 @@ _PRIORITY = [
     "orders_above_customer_avg",
     "window_running_total",
     "window_range_frame",
-    # Join / window family representatives
+    # Join family representative (the other join/window variants all
+    # earned green rows in round 1 and rotate out for the new LLM-data
+    # entries — skew-capped dedup, decontamination, sequence packing)
     "join_asof_purchase_click",
-    "join_left_order_counts",
-    "join_full_nation_presence",
-    "join_range_acctbal",
-    "window_top3_parts_per_brand",
 ]
 
 

@@ -567,6 +567,159 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hot-key mitigation: frequency-capped discovery + bucket-capped LSH
+# ---------------------------------------------------------------------------
+# A shingle present in k docs contributes k·(k−1)/2 candidate pairs, all
+# landing on ONE shuffle key — the classic scale-killer for shingle-join
+# discovery (one boilerplate sentence in 50% of a 100 TB corpus is ~1e15
+# pairs on a single task). The production fix is frequency capping: drop
+# shingles whose document frequency exceeds a cap from the DISCOVERY
+# stage only (they carry no discriminative signal; the pair explosion is
+# quadratic in df, so the cap bounds per-key work at cap·(cap−1)/2).
+# Verification stays exact over the FULL shingle sets, so jaccard values
+# are unchanged — the only semantic delta is that pairs sharing *only*
+# hot shingles are not discovered (documented recall trade-off; such
+# pairs are boilerplate-overlap, not near-duplicates).
+#
+# The hot list is tiny by construction (heavy hitters), so Spark takes
+# it broadcast: the big shingle relation never reshuffles for the cap.
+
+_HOT_DF_CAP = 6
+
+_NGRAM_CAPPED_TAIL_SPARK = f"""
+WITH hot AS (
+    SELECT shingle FROM ng_sh GROUP BY shingle HAVING count(*) > {_HOT_DF_CAP}
+),
+disc AS (
+    SELECT /*+ BROADCAST(hot) */ s.doc_id, s.shingle
+    FROM ng_sh s LEFT ANTI JOIN hot ON s.shingle = hot.shingle
+),
+cand AS (
+    SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+    FROM disc s1 JOIN disc s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ng_sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS isect
+    FROM cand c
+    JOIN ng_sh s1 ON s1.doc_id = c.doc_a
+    JOIN ng_sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+"""
+
+_NGRAM_CAPPED_DUCK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+hot AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_HOT_DF_CAP}
+),
+disc AS (
+    SELECT s.doc_id, s.shingle FROM sh s
+    WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = s.shingle)
+),
+cand AS (
+    SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+    FROM disc s1 JOIN disc s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS isect
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.doc_a
+    JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard_capped", oracle=_NGRAM_CAPPED_DUCK_SQL)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs with frequency-capped candidate discovery.
+
+    Discovery joins only on shingles with document frequency ≤
+    {cap}: per-shuffle-key work is bounded at cap·(cap−1)/2 pairs no
+    matter how skewed the corpus (tests/test_skew.py proves the bound
+    on a 50%%-hot-shingle fixture). Verification is exact over the full
+    shingle sets. The hot list is heavy-hitters-small and broadcast.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
+    return spark.sql(_NGRAM_CAPPED_TAIL_SPARK)
+
+
+# LSH analog: a degenerate band bucket (thousands of near-identical docs)
+# explodes quadratically inside one executor task. Cap the bucket size:
+# buckets larger than the cap are dropped from pair generation (their
+# members are boilerplate-identical clusters better handled by exact
+# dedup; each surviving bucket emits ≤ cap·(cap−1)/2 pairs).
+
+_BUCKET_CAP = 8
+
+_MINHASH_CAPPED_TAIL_SPARK = _MINHASH_TAIL_SPARK.replace(
+    "HAVING count(*) > 1",
+    f"HAVING count(*) BETWEEN 2 AND {_BUCKET_CAP}",
+)
+
+_MINHASH_CAPPED_DUCK_SQL = _MINHASH_DUCK_SQL.replace(
+    """cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),""",
+    f"""bsz AS (
+    SELECT band, sig, count(*) AS c FROM bands GROUP BY band, sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    JOIN bsz ON bsz.band = a.band AND bsz.sig = a.sig
+    WHERE bsz.c BETWEEN 2 AND {_BUCKET_CAP}
+),""",
+)
+
+
+# .replace() no-ops silently on drift — fail at import instead.
+assert _MINHASH_CAPPED_TAIL_SPARK != _MINHASH_TAIL_SPARK
+assert _MINHASH_CAPPED_DUCK_SQL != _MINHASH_DUCK_SQL
+
+
+@register("dedup_minhash_lsh_capped", oracle=_MINHASH_CAPPED_DUCK_SQL)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup with bucket-size-capped pair generation.
+
+    Identical to dedup_minhash_lsh except band buckets larger than
+    {cap} members are skipped — per-bucket pair emission is bounded at
+    cap·(cap−1)/2, so one degenerate signature cluster can no longer
+    serialize a task (tests/test_skew.py proves the bound under a
+    30-identical-docs fixture).
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
+    return spark.sql(_MINHASH_CAPPED_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup (label-blocked)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,366 @@
+"""Training-data pipeline operators beyond the reference's surface.
+
+The operations a 100 TB LLM pre-training data pipeline runs after
+dedup (queries/dedup.py) and quality scoring (queries/text.py):
+
+- benchmark decontamination (n-gram overlap against an eval set)
+- repetition detection (within-document duplication signals)
+- deterministic stratified sampling (hash-bucket quotas per stratum)
+- sequence packing (concat-and-chunk token spans into fixed budgets)
+- domain mixture weights (resampling factors toward a target mix)
+
+All five are single-scan or two-scan shapes with broadcast-sized small
+sides and integer/exact arithmetic, so every query carries a DuckDB
+oracle. Scale notes inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.text import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_hash28,
+    duck_word_shingles,
+    spark_hash28,
+    spark_word_shingles,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+_S_TOK = SPARK_TOKENS.format(col="text")
+_D_TOK = DUCK_TOKENS.format(col="text")
+
+
+def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+def _materialize_view(df: DataFrame, name: str) -> None:
+    """Compute once, reuse by name (Spark inlines CTEs; see dedup.py)."""
+    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap vs a held-out eval set
+# ---------------------------------------------------------------------------
+# The eval set here is the deterministic slice doc_id % 19 == 0 (a real
+# deployment joins the actual benchmark corpus — identical plan shape).
+# Scale: the benchmark shingle set is eval-sized (tiny vs the corpus),
+# so Spark broadcasts it; the corpus shingle relation is scanned once
+# and never reshuffles — cost is O(corpus shingles), no pair explosion.
+
+_CONTAM_MOD = 19
+
+_CONTAM_SH_SPARK = f"""
+WITH toks AS (
+    SELECT doc_id, {_S_TOK} AS w FROM documents
+)
+SELECT DISTINCT doc_id, shingle
+FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
+"""
+
+_CONTAM_TAIL_SPARK = f"""
+WITH bench AS (
+    SELECT DISTINCT shingle FROM ct_sh WHERE doc_id % {_CONTAM_MOD} = 0
+)
+SELECT /*+ BROADCAST(b) */
+       c.doc_id,
+       count(*)                                       AS n_shingles,
+       count(b.shingle)                               AS n_contaminated,
+       floor((CAST(count(b.shingle) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+                                                      AS contamination_ratio
+FROM (SELECT doc_id, shingle FROM ct_sh WHERE doc_id % {_CONTAM_MOD} != 0) c
+LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+_CONTAM_DUCK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT)         AS n_shingles,
+       CAST(count(b.shingle) AS BIGINT) AS n_contaminated,
+       floor((CAST(count(b.shingle) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+                                        AS contamination_ratio
+FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % {_CONTAM_MOD} != 0) c
+LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+
+@register("contamination_ngram_overlap", oracle=_CONTAM_DUCK_SQL)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram overlap against a held-out benchmark slice.
+
+    contamination_ratio = |doc shingles ∩ benchmark shingles| / |doc
+    shingles|; a curation pipeline drops or flags docs above a
+    threshold before training. The shingle relation is materialized
+    once (benchmark and corpus sides both read it); the benchmark
+    shingle set is broadcast.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_CONTAM_SH_SPARK), "ct_sh")
+    return spark.sql(_CONTAM_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection: within-document duplication signals
+# ---------------------------------------------------------------------------
+# Boilerplate and degenerate generations repeat tokens/n-grams far more
+# than natural text. Signals: distinct-token ratio, top-token share,
+# duplicate-trigram ratio. Two corpus scans (token stats, trigram
+# stats), both partial-aggregated map-side; no joins bigger than
+# doc-count rows.
+
+_REPEAT_SPARK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_S_TOK} AS w FROM documents
+),
+tok AS (
+    SELECT doc_id, token, count(*) AS cnt
+    FROM toks LATERAL VIEW explode(w) t AS token
+    GROUP BY doc_id, token
+),
+tokagg AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS top_cnt
+    FROM tok GROUP BY doc_id
+),
+tris AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                AS n_tri,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_tri_distinct
+    FROM (SELECT doc_id, shingle
+          FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle)
+    GROUP BY doc_id
+)
+SELECT a.doc_id,
+       a.n_tokens,
+       floor((CAST(a.n_distinct AS DOUBLE) / a.n_tokens) * 1e6 + 0.5) / 1e6 AS distinct_token_ratio,
+       floor((CAST(a.top_cnt AS DOUBLE) / a.n_tokens) * 1e6 + 0.5) / 1e6    AS top_token_share,
+       coalesce(floor((1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri) * 1e6 + 0.5) / 1e6,
+                CAST(0 AS DOUBLE))                                          AS dup_trigram_ratio
+FROM tokagg a LEFT JOIN tris t ON a.doc_id = t.doc_id
+"""
+
+_REPEAT_DUCK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+tok AS (
+    SELECT doc_id, token, count(*) AS cnt
+    FROM toks, UNNEST(w) AS t(token)
+    GROUP BY doc_id, token
+),
+tokagg AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS top_cnt
+    FROM tok GROUP BY doc_id
+),
+tris AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                AS n_tri,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_tri_distinct
+    FROM (SELECT doc_id, shingle
+          FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle))
+    GROUP BY doc_id
+)
+SELECT a.doc_id,
+       a.n_tokens,
+       floor((CAST(a.n_distinct AS DOUBLE) / a.n_tokens) * 1e6 + 0.5) / 1e6 AS distinct_token_ratio,
+       floor((CAST(a.top_cnt AS DOUBLE) / a.n_tokens) * 1e6 + 0.5) / 1e6    AS top_token_share,
+       coalesce(floor((1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri) * 1e6 + 0.5) / 1e6,
+                CAST(0 AS DOUBLE))                                          AS dup_trigram_ratio
+FROM tokagg a LEFT JOIN tris t ON a.doc_id = t.doc_id
+"""
+
+
+@register("text_repetition_scores", oracle=_REPEAT_DUCK_SQL)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: distinct-token ratio, top-token share,
+    duplicate-trigram ratio — the standard degenerate-text filters."""
+    return _docs_sql(spark, sf_dir, _REPEAT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: hash-bucket quotas per stratum
+# ---------------------------------------------------------------------------
+# rand()-based sampling is neither reproducible across engines nor
+# stable under retries; production pipelines sample on a content hash.
+# Stratum rates: en 50%, de 30%, everything else 10%. One scan, the
+# predicate evaluates row-local (no shuffle at all) — at 100 TB this is
+# a map-only job.
+
+_SAMPLE_RATE_CASE = (
+    "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END"
+)
+
+_SAMPLE_SPARK_SQL = f"""
+SELECT doc_id, lang, source, bucket
+FROM (
+    SELECT doc_id, lang, source,
+           pmod({spark_hash28('CAST(doc_id AS STRING)')}, 100) AS bucket
+    FROM documents
+)
+WHERE bucket < {_SAMPLE_RATE_CASE}
+"""
+
+_SAMPLE_DUCK_SQL = f"""
+SELECT doc_id, lang, source, bucket
+FROM (
+    SELECT doc_id, lang, source,
+           {duck_hash28('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+    FROM documents
+)
+WHERE bucket < {_SAMPLE_RATE_CASE}
+"""
+
+
+@register("sample_stratified_deterministic", oracle=_SAMPLE_DUCK_SQL)
+def sample_stratified_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-bucket stratified sample (en 50%, de 30%, else 10%).
+
+    The SHA-derived bucket is a pure function of doc_id, so the sample
+    is identical across engines, retries, and partitionings — unlike
+    rand()/TABLESAMPLE. Map-only: no shuffle.
+    """
+    return _docs_sql(spark, sf_dir, _SAMPLE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk token spans into fixed budgets
+# ---------------------------------------------------------------------------
+# GPT-style packing: concatenate each source's docs in a deterministic
+# order and slice the token stream at seq_len boundaries; a doc spans
+# 1..k packs. The running-total window partitions by source — at 100 TB
+# packing runs per shard/file (same plan, narrower partitions), never a
+# global sort. Emission is sequence()/generate_series explode — pure
+# codegen, no iteration.
+
+_PACK_LEN = 512
+
+_PACK_SPARK_SQL = f"""
+WITH base AS (
+    SELECT source, doc_id, CAST(size({_S_TOK}) AS BIGINT) AS n_tok
+    FROM documents
+),
+pos AS (
+    SELECT source, doc_id, n_tok,
+           sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM base WHERE n_tok > 0
+)
+SELECT source, doc_id, pack_id,
+       least(cum, (pack_id + 1) * {_PACK_LEN})
+           - greatest(cum - n_tok, pack_id * {_PACK_LEN}) AS tokens_in_pack
+FROM pos
+LATERAL VIEW explode(sequence((cum - n_tok) div {_PACK_LEN},
+                              (cum - 1) div {_PACK_LEN})) t AS pack_id
+"""
+
+_PACK_DUCK_SQL = f"""
+WITH base AS (
+    SELECT source, doc_id, CAST(len({_D_TOK}) AS BIGINT) AS n_tok
+    FROM documents
+),
+pos AS (
+    SELECT source, doc_id, n_tok,
+           CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM base WHERE n_tok > 0
+)
+SELECT source, doc_id, pack_id,
+       least(cum, (pack_id + 1) * {_PACK_LEN})
+           - greatest(cum - n_tok, pack_id * {_PACK_LEN}) AS tokens_in_pack
+FROM pos, UNNEST(generate_series((cum - n_tok) // {_PACK_LEN},
+                                 (cum - 1) // {_PACK_LEN})) AS t(pack_id)
+"""
+
+
+@register("pack_sequences_chunked", oracle=_PACK_DUCK_SQL)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into {len}-token packs.
+
+    Each (source, doc) maps to the pack ids its token span crosses,
+    with the token count it contributes to each — the exact bookkeeping
+    a training loader needs. Deterministic (doc_id order), one window
+    shuffle on source, emission fully codegen'd.
+    """
+    return _docs_sql(spark, sf_dir, _PACK_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weights: resampling factors toward a target mix
+# ---------------------------------------------------------------------------
+# Given per-language token counts, compute each language's share and
+# the resample weight that would equalize the mixture (target = uniform
+# across observed languages; a deployment passes its own targets).
+# Aggregate-then-broadcast: per-language rollup is lang-count-sized.
+
+_MIX_SPARK_SQL = f"""
+WITH per AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(size({_S_TOK})) AS BIGINT)   AS n_tokens
+    FROM documents
+    GROUP BY lang
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT)      AS n_langs
+    FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       floor((CAST(n_tokens AS DOUBLE) / total_tokens) * 1e6 + 0.5) / 1e6 AS token_share,
+       floor((1.0 / n_langs) * 1e6 + 0.5) / 1e6                           AS target_share,
+       floor(((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total_tokens)) * 1e6 + 0.5) / 1e6
+                                                                          AS resample_weight
+FROM per CROSS JOIN tot
+"""
+
+_MIX_DUCK_SQL = f"""
+WITH per AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT)            AS n_docs,
+           CAST(sum(len({_D_TOK})) AS BIGINT)  AS n_tokens
+    FROM documents
+    GROUP BY lang
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT)      AS n_langs
+    FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       floor((CAST(n_tokens AS DOUBLE) / total_tokens) * 1e6 + 0.5) / 1e6 AS token_share,
+       floor((1.0 / n_langs) * 1e6 + 0.5) / 1e6                           AS target_share,
+       floor(((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total_tokens)) * 1e6 + 0.5) / 1e6
+                                                                          AS resample_weight
+FROM per CROSS JOIN tot
+"""
+
+
+@register("mixture_domain_weights", oracle=_MIX_DUCK_SQL)
+def mixture_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token shares + resampling weights toward a uniform
+    target mixture (weight = target_share / actual_share)."""
+    return _docs_sql(spark, sf_dir, _MIX_SPARK_SQL)

@@ -18,6 +18,8 @@ def test_window_covers_llm_data_families():
     window = set(_PRIORITY)
     for required in [
         "dedup_exact_documents", "dedup_minhash_lsh", "dedup_simhash_pairs",
+        "dedup_ngram_jaccard_capped", "dedup_minhash_lsh_capped",
+        "contamination_ngram_overlap", "pack_sequences_chunked",
         "knn_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
         "kmeans_lloyd_refine", "text_tfidf_top_terms", "text_language_id",
         "corpus_curation_funnel", "events_tumbling_10min",
