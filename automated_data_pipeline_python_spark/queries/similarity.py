@@ -371,6 +371,88 @@ FROM final_rank WHERE rnk <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of LSH and IVF vs brute force
+# ---------------------------------------------------------------------------
+# The metric an index deployment actually tunes on: what fraction of
+# the exact top-k does each approximate method retrieve per query.
+# Composes the three pipelines above — everything deterministic, so the
+# whole evaluation is oracle-checkable. Cost is the sum of the parts
+# (each sub-pipeline keeps its own scale shape; the final join is
+# queries×k rows — trivial).
+
+_LSH_DUCK_FULL = (
+    _BUCKETS_CORE_DUCK
+    + ","
+    + _ANN_TAIL.format(emb_n=_DUCK_EMB_N_CTE, cos=_DUCK_COS, buckets="buckets")
+)
+
+_IVF_DUCK_FULL = _IVF_SQL_TEMPLATE.format(
+    cells=_N_IVF_CELLS, queries=_N_QUERIES, nprobe=_N_PROBE, k=_IVF_TOP_K,
+    cos=_DUCK_COS, emb_n=_DUCK_EMB_N_CTE,
+)
+
+_RECALL_DUCK_SQL = f"""
+WITH exact AS ({_KNN_DUCK_SQL}),
+lsh AS ({_LSH_DUCK_FULL}),
+ivf AS ({_IVF_DUCK_FULL}),
+lsh_recall AS (
+    SELECT 'lsh' AS method, e.query_id, CAST({_TOP_K} AS INT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           floor((count(a.neighbor_id) / CAST({_TOP_K} AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall
+    FROM exact e LEFT JOIN lsh a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+),
+ivf_recall AS (
+    SELECT 'ivf' AS method, e.query_id, CAST({_IVF_TOP_K} AS INT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           floor((count(a.neighbor_id) / CAST({_IVF_TOP_K} AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall
+    FROM exact e LEFT JOIN ivf a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    WHERE e.rnk <= {_IVF_TOP_K}
+    GROUP BY e.query_id
+)
+SELECT * FROM lsh_recall UNION ALL SELECT * FROM ivf_recall
+"""
+
+
+@register("ann_recall_at_k", oracle=_RECALL_DUCK_SQL)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of LSH (k=10) and IVF (k=5) against brute-force truth.
+
+    Per query vector: |approx top-k ∩ exact top-k| / k. The evaluation
+    loop a real ANN deployment runs when tuning planes/tables/nprobe.
+    """
+    exact = knn_bruteforce_topk(spark, sf_dir)
+    lsh = ann_lsh_topk(spark, sf_dir)
+    ivf = ann_ivf_topk(spark, sf_dir)
+
+    def recall(e: DataFrame, a: DataFrame, k: int, method: str) -> DataFrame:
+        hits = (
+            e.join(
+                a.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("hit").alias("hits"))
+        )
+        return hits.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.lit(k).cast("int").alias("k"),
+            "hits",
+            (F.floor(F.col("hits") / F.lit(float(k)) * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "recall"
+            ),
+        )
+
+    return recall(exact, lsh, _TOP_K, "lsh").unionAll(
+        recall(exact.filter(F.col("rnk") <= _IVF_TOP_K), ivf, _IVF_TOP_K, "ivf")
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle=_IVF_SQL_TEMPLATE.format(
