@@ -72,6 +72,38 @@ def test_text_and_vector_queries_are_python_free(reports):
     assert reports["knn_bruteforce_topk"].python_free
 
 
+def test_training_ops_plan_shapes(spark):
+    """The scale claims in queries/training.py, pinned:
+    sampling is map-only (zero exchanges), packing shuffles once (the
+    per-source window), contamination broadcasts the eval-set side, and
+    every training op stays JVM-side."""
+    sample = plan_report(
+        QUERIES["sample_stratified_deterministic"].fn(spark, SF)
+    )
+    assert sample.exchanges == 0
+    assert sample.python_free
+
+    pack = plan_report(QUERIES["pack_sequences_chunked"].fn(spark, SF))
+    assert pack.exchanges == 1
+    assert pack.python_free
+
+    contam = plan_report(QUERIES["contamination_ngram_overlap"].fn(spark, SF))
+    assert contam.broadcast_joins >= 1
+    assert contam.sort_merge_joins == 0
+    assert contam.python_free
+
+    repeat = plan_report(QUERIES["text_repetition_scores"].fn(spark, SF))
+    assert repeat.python_free
+
+
+def test_capped_dedup_stays_broadcast_and_python_free(spark):
+    """The hot-list anti-join must not reshuffle the shingle relation
+    into a sort-merge join, and no Python appears anywhere."""
+    r = plan_report(QUERIES["dedup_ngram_jaccard_capped"].fn(spark, SF))
+    assert r.broadcast_joins >= 1
+    assert r.python_free
+
+
 def test_whole_stage_codegen_active(spark):
     # Under AQE the codegen spans only appear in the final (executed)
     # plan, so run the query before inspecting.
