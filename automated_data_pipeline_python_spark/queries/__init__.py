@@ -32,6 +32,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     similarity,
     events,
     multimodal,
+    warehouse,
 )
 
 # ---------------------------------------------------------------------------

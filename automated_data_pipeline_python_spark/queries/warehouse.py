@@ -1,0 +1,75 @@
+"""Warehouse-maintenance queries: SCD Type-2 merge as a catalog entry.
+
+The operator lives in ``operators/scd.py`` (pure DataFrame, one
+full-outer join per merge); this query drives it end-to-end on the
+``customer`` dimension with a deterministic synthetic snapshot so the
+whole merge is DuckDB-oracle-checkable: delinquent customers
+(``c_acctbal < 0``) move to segment ``DELINQUENT`` — their open
+version closes at the batch timestamp and a new version opens — while
+everyone else passes through untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_python_spark.operators.scd import (
+    OPEN_END,
+    scd2_merge,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+_T0 = "1992-01-01 00:00:00"
+_BATCH = "1998-01-01 00:00:00"
+
+_SCD2_DUCK_SQL = f"""
+WITH cur AS (
+    SELECT c_custkey AS cust_key, c_mktsegment AS segment, c_acctbal
+    FROM customer
+)
+-- unchanged: still the original open version
+SELECT cust_key, segment,
+       TIMESTAMP '{_T0}'       AS valid_from,
+       TIMESTAMP '{OPEN_END}'  AS valid_to,
+       true                    AS is_current
+FROM cur WHERE c_acctbal >= 0
+UNION ALL
+-- changed: the original version, closed at the batch timestamp
+SELECT cust_key, segment,
+       TIMESTAMP '{_T0}', TIMESTAMP '{_BATCH}', false
+FROM cur WHERE c_acctbal < 0
+UNION ALL
+-- changed: the new open version
+SELECT cust_key, 'DELINQUENT',
+       TIMESTAMP '{_BATCH}', TIMESTAMP '{OPEN_END}', true
+FROM cur WHERE c_acctbal < 0
+"""
+
+
+@register("scd2_customer_segments", oracle=_SCD2_DUCK_SQL)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: delinquent customers change segment, others pass.
+
+    Scale: one full-outer join on the business key; with bucketed
+    dimension storage (storage.py) the join is shuffle-free. Lakehouse
+    deployments express the same logic as MERGE INTO.
+    """
+    cust = load(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_T0).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snapshot = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.when(F.col("c_acctbal") < 0, F.lit("DELINQUENT"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return scd2_merge(
+        current, snapshot, key="cust_key", tracked=["segment"], batch_ts=_BATCH
+    )

@@ -37,6 +37,23 @@ class TestSaltedJoin:
         )
         assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
+    def test_salt_spreads_hot_key_over_shuffle_keys(self, spark):
+        """The mechanism under test: a key carried by 90% of the fact
+        rows maps to num_salts distinct (key, salt) shuffle keys, so no
+        single reducer partition receives the whole hot key."""
+        from pyspark.sql import functions as F
+
+        hot = spark.range(900).select(F.lit(7).alias("k"), "id")
+        cold = spark.range(100).select((F.col("id") % 50).alias("k"), "id")
+        fact = hot.unionByName(cold)
+        salted = fact.withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
+        )
+        spread = (
+            salted.filter("k = 7").select("__salt").distinct().count()
+        )
+        assert spread == 8
+
     def test_left_preserves_unmatched(self, spark):
         orders = load(spark, SF, "orders").limit(100)
         ghost = spark.range(0).selectExpr("id AS o_custkey", "id AS extra")
