@@ -814,6 +814,77 @@ SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
 """
 
 
+_SURVIVORS_DUCK_SQL = f"""
+WITH RECURSIVE
+toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS isect
+    FROM sh s1 JOIN sh s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes na ON inter.doc_a = na.doc_id
+    JOIN sizes nb ON inter.doc_b = nb.doc_id
+    WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM comp c WHERE c.node = d.doc_id AND c.component != d.doc_id
+)
+"""
+
+
+@register("dedup_remove_near_duplicates", oracle=_SURVIVORS_DUCK_SQL)
+def dedup_remove_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of fuzzy dedup: the surviving corpus.
+
+    Each near-dup cluster (jaccard ≥ 0.2 connected components) keeps
+    only its canonical member (min doc_id); singletons pass through.
+    Spark side: candidate pairs → min-label propagation → anti-join of
+    the non-canonical set against the corpus (AQE broadcasts it when
+    it is small; at high dup rates it stays a shuffled anti-join —
+    the non-canonical set can approach corpus size, so an unconditional
+    broadcast would be wrong at 100 TB).
+    """
+    from automated_data_pipeline_python_spark.operators.clusters import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
+    pairs = spark.sql(_NGRAM_TAIL_SPARK).select("doc_a", "doc_b")
+    dupes = (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .filter(F.col("component") != F.col("node"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
 @register("dedup_clusters", oracle=_CLUSTERS_DUCK_SQL)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over jaccard-0.2 pairs.

@@ -294,3 +294,43 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
         "purchase_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view → click → purchase conversion per user
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST(1 AS INT) AS stage_no, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT 'click', CAST(2 AS INT), CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', CAST(3 AS INT), CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+@register("events_funnel_conversion", oracle=_FUNNEL_SQL)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: users whose first view precedes a later
+    click that precedes a later purchase (product-analytics staple).
+
+    Scale: three filtered min-aggregations chained by user_id equi-joins
+    — every shuffle keys on user_id, so AQE can reuse the exchange; no
+    window sort over full event history is needed.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_FUNNEL_SQL)

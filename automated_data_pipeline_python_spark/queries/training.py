@@ -364,3 +364,55 @@ def mixture_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token shares + resampling weights toward a uniform
     target mixture (weight = target_share / actual_share)."""
     return _docs_sql(spark, sf_dir, _MIX_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-group reservoir sampling: deterministic k docs per stratum
+# ---------------------------------------------------------------------------
+# The distributed equivalent of a per-group reservoir: rank by content
+# hash inside each (lang, source) stratum and keep the first k. The
+# hash gives a uniform, engine/retry/partitioning-independent order;
+# doc_id breaks the (improbable) hash ties so the k-set is total-ordered.
+# Scale: one shuffle on the stratum key; per-group sort cost is bounded
+# by stratum size (use the aggregate min_by-k pattern if strata are
+# huge and k tiny).
+
+_GROUP_K = 5
+
+_GROUP_SAMPLE_SPARK_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           {spark_hash28('CAST(doc_id AS STRING)')} AS hsh
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY hsh, doc_id) AS rn
+    FROM h
+)
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {_GROUP_K}
+"""
+
+_GROUP_SAMPLE_DUCK_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           {duck_hash28('CAST(doc_id AS VARCHAR)')} AS hsh
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY hsh, doc_id) AS rn
+    FROM h
+)
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {_GROUP_K}
+"""
+
+
+@register("sample_per_group_reservoir", oracle=_GROUP_SAMPLE_DUCK_SQL)
+def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample (hash-ranked reservoir)."""
+    return _docs_sql(spark, sf_dir, _GROUP_SAMPLE_SPARK_SQL)
