@@ -212,3 +212,46 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return docs.select("doc_id", redacted.alias("redacted_tail_64"))
+
+
+# ---------------------------------------------------------------------------
+# LOCF forward fill: last_value IGNORE NULLS (timeseries staple)
+# ---------------------------------------------------------------------------
+# error events carry no reading (value → NULL); the last observation is
+# carried forward per user. Spark: last(..., ignoreNulls) over a
+# running frame; DuckDB: last_value(... IGNORE NULLS). One shuffle on
+# user_id; the frame is running (no full-partition buffering).
+
+_LOCF_DUCK_SQL = """
+SELECT event_id, user_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_filled
+FROM events
+"""
+
+
+@register("events_locf_forward_fill", oracle=_LOCF_DUCK_SQL)
+def events_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry each user's last non-null reading
+    across error events. Deterministic via the (ts, event_id) order."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    reading = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        F.last(reading, ignorenulls=True).over(w).alias("value_filled"),
+    )
