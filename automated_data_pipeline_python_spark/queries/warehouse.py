@@ -14,10 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.operators.scd import (
-    OPEN_END,
-    scd2_merge,
-)
+from automated_data_pipeline_python_spark.operators.scd import scd2_merge
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
@@ -29,11 +26,11 @@ WITH cur AS (
     SELECT c_custkey AS cust_key, c_mktsegment AS segment, c_acctbal
     FROM customer
 )
--- unchanged: still the original open version
+-- unchanged: still the original open version (NULL valid_to = open)
 SELECT cust_key, segment,
-       TIMESTAMP '{_T0}'       AS valid_from,
-       TIMESTAMP '{OPEN_END}'  AS valid_to,
-       true                    AS is_current
+       TIMESTAMP '{_T0}'         AS valid_from,
+       CAST(NULL AS TIMESTAMP)   AS valid_to,
+       true                      AS is_current
 FROM cur WHERE c_acctbal >= 0
 UNION ALL
 -- changed: the original version, closed at the batch timestamp
@@ -43,7 +40,7 @@ FROM cur WHERE c_acctbal < 0
 UNION ALL
 -- changed: the new open version
 SELECT cust_key, 'DELINQUENT',
-       TIMESTAMP '{_BATCH}', TIMESTAMP '{OPEN_END}', true
+       TIMESTAMP '{_BATCH}', CAST(NULL AS TIMESTAMP), true
 FROM cur WHERE c_acctbal < 0
 """
 
@@ -61,7 +58,7 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cust_key"),
         F.col("c_mktsegment").alias("segment"),
         F.lit(_T0).cast("timestamp_ntz").alias("valid_from"),
-        F.lit(OPEN_END).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
     snapshot = load(spark, sf_dir, "customer").select(

@@ -165,14 +165,11 @@ class TestScd2Merge:
         )
 
     def test_full_lifecycle(self, spark):
-        from automated_data_pipeline_python_spark.operators.scd import (
-            OPEN_END,
-            scd2_merge,
-        )
+        from automated_data_pipeline_python_spark.operators.scd import scd2_merge
         import datetime as dt
 
         t0 = dt.datetime(2024, 1, 1)
-        t_end = dt.datetime(9999, 12, 31)
+        t_end = None  # NULL valid_to = open version (Arrow-safe sentinel)
         current = self._state(
             spark,
             [
@@ -198,9 +195,10 @@ class TestScd2Merge:
         # changed key 2: old version closed at batch ts
         closed = rows[(2, "2024-01-01 00:00:00", False)]
         assert str(closed.valid_to) == "2024-06-01 00:00:00"
-        # ... and new version open
+        # ... and new version open (NULL valid_to)
         new2 = rows[(2, "2024-06-01 00:00:00", True)]
         assert (new2.segment, new2.balance) == ("GOLD", 75.0)
+        assert new2.valid_to is None
         # missing key 3 stays open (close_missing=False)
         assert (3, "2024-01-01 00:00:00", True) in rows
         # brand-new key 4 opened
@@ -213,7 +211,7 @@ class TestScd2Merge:
         import datetime as dt
 
         t0 = dt.datetime(2024, 1, 1)
-        t_end = dt.datetime(9999, 12, 31)
+        t_end = None
         current = self._state(spark, [(1, "GOLD", 1.0, t0, t_end, True)])
         empty_snap = spark.createDataFrame(
             [], "cust_id long, segment string, balance double"
@@ -232,7 +230,7 @@ class TestScd2Merge:
         import datetime as dt
 
         t0 = dt.datetime(2024, 1, 1)
-        t_end = dt.datetime(9999, 12, 31)
+        t_end = None
         current = self._state(spark, [(1, "GOLD", 1.0, t0, t_end, True)])
         snap = spark.createDataFrame(
             [(1, "GOLD", 1.0)], "cust_id long, segment string, balance double"
