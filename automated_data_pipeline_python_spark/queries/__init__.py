@@ -33,6 +33,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     events,
     multimodal,
     warehouse,
+    rag,
 )
 
 # ---------------------------------------------------------------------------
