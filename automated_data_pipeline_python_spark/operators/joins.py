@@ -1,13 +1,22 @@
 """Join operators beyond Spark's built-in surface (SURVEY.md §2.3 J3).
 
-As-of join: Spark SQL has no native AS OF join, so we implement the
-standard distributed recipe — shuffle both sides once on a coarse hash
-bucket of the ``by`` key, then one Arrow-batched ``pandas.merge_asof``
-(with ``by=`` for per-key matching) per bucket via cogrouped
-``applyInPandas``.
+Spark SQL has no native AS OF join; two implementations live here.
 
-Why buckets instead of grouping on the key itself: each cogroup group
-costs a Python round trip, so millions of tiny per-key groups are pure
+``asof_join_union_window`` (preferred, pure JVM): union both sides
+with a side marker, one running window per ``by`` key ordered by
+(time, marker), and ``last(right_struct, ignorenulls)`` carries the
+most recent right row forward onto each left row. One shuffle + one
+sort on the key, everything inside whole-stage codegen / WindowExec's
+O(n) running frame — no Python anywhere. The right row travels as ONE
+struct so its fields can never be mixed across rows (two independent
+``last`` calls could pair a ts from one row with a value from another
+when the value is genuinely null).
+
+``asof_join`` (Arrow cogroup): the ``pandas.merge_asof`` formulation —
+kept as the escape hatch for semantics the window can't express
+(e.g. ``direction='nearest'``) and as the documented Pandas-boundary
+example. Buckets instead of per-key groups: each cogroup group costs a
+Python round trip, so millions of tiny per-key groups are pure
 overhead (measured ~8s for 1,500 no-op groups on local[32]); with
 ``num_buckets ≈ 2×parallelism`` the per-call overhead amortizes over
 thousands of rows, and executor memory is bounded by bucket size
@@ -22,11 +31,104 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET = "__asof_bucket"
+
+
+def asof_join_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: Sequence[str],
+    left_prefix: str = "",
+    right_prefix: str = "right_",
+    direction: str = "backward",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join, pure JVM (union + running window).
+
+    ``direction='backward'`` matches the latest right row with
+    ``right[on] <= left[on]`` per ``by`` key (DuckDB ``ASOF LEFT JOIN``
+    semantics, ties inclusive); ``'forward'`` the earliest with
+    ``right[on] >= left[on]``. Unmatched left rows survive with nulls.
+    ``tolerance`` is a SQL interval body (e.g. ``'10 minutes'``)
+    bounding ``|left[on] - right[on]|``.
+
+    Among right rows tied on (by, on), the one greatest under the
+    carried-struct field order wins — deterministic across runs and
+    partitionings (pandas ``merge_asof`` keeps whichever sorted last;
+    an engine must pick *stably*, so we define the pick).
+
+    Scale: ONE shuffle + sort on ``by`` for both sides together;
+    ``last(ignorenulls)`` over the running frame is O(n) streaming
+    state in WindowExec — no pair materialization, no Python. Key skew
+    lands on one task, as for any per-key window; salt upstream for a
+    pathological key.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    right_schema = {f.name: f.dataType for f in right.schema.fields}
+    carry = list(dict.fromkeys([on, *right_cols]))  # on first, for tolerance
+    rs_type = T.StructType(
+        [T.StructField(c, right_schema[c], True) for c in carry]
+    )
+    left_fields = list(left.schema.fields)
+    out_names = [left_prefix + f.name for f in left_fields] + [
+        right_prefix + c for c in right_cols
+    ]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"asof_join output columns collide: {out_names}")
+
+    l_u = left.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rs_type).alias("__rs"),
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in left_fields],
+    )
+    r_u = right.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("__rs"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+            for f in left_fields
+        ],
+    )
+    on_ord = F.col("__on").asc() if direction == "backward" else F.col("__on").desc()
+    w = (
+        Window.partitionBy("__by")
+        # right rows (0) sort before left at equal __on → ties inclusive;
+        # __rs asc makes the duplicate-right pick deterministic.
+        .orderBy(on_ord, F.col("__is_left").asc(), F.col("__rs").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_u.unionByName(r_u)
+        .withColumn("__m", F.last("__rs", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    if tolerance is not None:
+        gap_ok = (
+            F.col("__m")[on] >= F.col("__on") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("__m")[on] <= F.col("__on") + F.expr(f"INTERVAL {tolerance}")
+        )
+        matched = matched.withColumn(
+            "__m", F.when(gap_ok, F.col("__m")).otherwise(F.lit(None).cast(rs_type))
+        )
+    return matched.select(
+        *[
+            F.col(f"__l_{f.name}").alias(left_prefix + f.name)
+            for f in left_fields
+        ],
+        *[F.col("__m")[c].alias(right_prefix + c) for c in right_cols],
+    )
 
 
 def asof_join(

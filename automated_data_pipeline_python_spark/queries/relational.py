@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.operators.joins import asof_join
+from automated_data_pipeline_python_spark.operators.joins import (
+    asof_join,
+    asof_join_union_window,
+)
 from automated_data_pipeline_python_spark.functions.numeric import (
     exact_avg,
     exact_sum,
@@ -724,11 +727,51 @@ def join_range_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: each purchase matched to the latest prior click per user.
 
-    Spark has no native as-of join; implemented in
-    ``operators.joins.asof_join`` via ``applyInPandas`` +
-    ``pandas.merge_asof`` per partition-key group (SURVEY §2.3 J3).
-    Scale: shuffles both sides once on user_id; per-group sort-merge in
-    Arrow batches. DuckDB's native ASOF JOIN is the oracle.
+    Spark has no native as-of join; this headline path is
+    ``operators.joins.asof_join_union_window`` — union + running
+    window, pure JVM (SURVEY §2.3 J3). Scale: one shuffle + sort on
+    user_id for both sides together; WindowExec's running frame is
+    O(n) streaming state. DuckDB's native ASOF JOIN is the oracle.
+    """
+    purchases = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    clicks = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    joined = asof_join_union_window(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        left_prefix="",
+        right_prefix="click_",
+        right_cols=["ts", "value"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.col("click_value"),
+    )
+
+
+@register(
+    "join_asof_arrow_cogroup",
+    oracle="""
+    SELECT
+        p.event_id               AS purchase_id,
+        p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f')  AS purchase_ts,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f')  AS click_ts,
+        c.value                  AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_arrow_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics through the Arrow cogroup path
+    (``operators.joins.asof_join``: bucketed cogrouped applyInPandas +
+    ``pandas.merge_asof``) — the documented Pandas-boundary example and
+    the escape hatch for ``direction='nearest'``.
     """
     # Load twice: cogrouped applyInPandas silently mispairs groups when
     # both sides share one DataFrame lineage (see operators.joins note).

@@ -240,3 +240,104 @@ class TestScd2Merge:
         assert sorted(map(tuple, once.collect())) == sorted(
             map(tuple, twice.collect())
         )
+
+
+class TestAsofUnionWindow:
+    def _sides(self, spark):
+        import datetime as dt
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        left = spark.createDataFrame(
+            [(1, t(10), "a"), (1, t(20), "b"), (2, t(5), "c"), (3, t(9), "d")],
+            "k long, ts timestamp_ntz, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, t(10), 100.0), (1, t(15), 150.0), (2, t(7), 70.0)],
+            "k long, ts timestamp_ntz, v double",
+        )
+        return left, right
+
+    def test_backward_with_inclusive_ties_and_unmatched(self, spark):
+        from automated_data_pipeline_python_spark.operators.joins import (
+            asof_join_union_window,
+        )
+
+        left, right = self._sides(spark)
+        out = asof_join_union_window(
+            left, right, on="ts", by="k", right_cols=["ts", "v"]
+        )
+        rows = {r.tag: r for r in out.collect()}
+        assert rows["a"].right_v == 100.0  # tie on ts is inclusive
+        assert rows["b"].right_v == 150.0  # latest prior
+        assert rows["c"].right_v is None  # right row is later → unmatched
+        assert rows["d"].right_v is None  # key with no right rows
+        assert len(rows) == 4  # left-join cardinality preserved
+
+    def test_matches_cogroup_implementation(self, spark):
+        from automated_data_pipeline_python_spark.operators.joins import (
+            asof_join,
+            asof_join_union_window,
+        )
+
+        purchases = load(spark, SF, "events").filter(F.col("event_type") == "purchase")
+        clicks = load(spark, SF, "events").filter(F.col("event_type") == "click")
+        a = asof_join_union_window(
+            purchases, clicks, on="ts", by="user_id",
+            right_prefix="click_", right_cols=["ts", "value"],
+        ).select("event_id", "click_ts", "click_value")
+        p2 = load(spark, SF, "events").filter(F.col("event_type") == "purchase")
+        c2 = load(spark, SF, "events").filter(F.col("event_type") == "click")
+        b = asof_join(
+            p2, c2, on="ts", by="user_id",
+            right_prefix="click_", right_cols=["ts", "value"],
+        ).select("event_id", "click_ts", "click_value")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_forward_direction(self, spark):
+        from automated_data_pipeline_python_spark.operators.joins import (
+            asof_join_union_window,
+        )
+
+        left, right = self._sides(spark)
+        out = asof_join_union_window(
+            left, right, on="ts", by="k", right_cols=["v"], direction="forward"
+        )
+        rows = {r.tag: r for r in out.collect()}
+        assert rows["c"].right_v == 70.0  # earliest right at/after ts
+        assert rows["b"].right_v is None  # nothing at/after minute 20
+        assert rows["a"].right_v == 100.0  # tie inclusive
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from automated_data_pipeline_python_spark.operators.joins import (
+            asof_join_union_window,
+        )
+
+        left, right = self._sides(spark)
+        out = asof_join_union_window(
+            left, right, on="ts", by="k",
+            right_cols=["ts", "v"], tolerance="3 minutes",
+        )
+        rows = {r.tag: r for r in out.collect()}
+        assert rows["a"].right_v == 100.0  # gap 0 ≤ 3 min
+        assert rows["b"].right_v is None  # gap 5 min > 3 min → nulled
+
+    def test_duplicate_right_ts_pick_is_deterministic(self, spark):
+        from automated_data_pipeline_python_spark.operators.joins import (
+            asof_join_union_window,
+        )
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, t)], "k long, ts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(1, t, x) for x in (5.0, 1.0, 9.0, 3.0)],
+            "k long, ts timestamp_ntz, v double",
+        )
+        picks = {
+            asof_join_union_window(
+                left.repartition(n), right.repartition(7 - n),
+                on="ts", by="k", right_cols=["v"],
+            ).collect()[0].right_v
+            for n in (1, 2, 3)
+        }
+        assert picks == {9.0}  # greatest under struct order, any partitioning

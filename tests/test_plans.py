@@ -25,6 +25,7 @@ def reports(spark):
             "q5_region_revenue",
             "filter_in_like_between",
             "join_asof_purchase_click",
+            "join_asof_arrow_cogroup",
             "text_quality_scores",
             "knn_bruteforce_topk",
         ]
@@ -61,8 +62,15 @@ def test_part_filters_pushed(reports):
     assert r.exchanges == 0  # pure scan+filter: no shuffle at all
 
 
-def test_asof_join_is_single_python_stage(reports):
+def test_asof_join_headline_is_python_free(reports):
+    # union + running-window formulation: pure JVM, one shuffle on the key
     r = reports["join_asof_purchase_click"]
+    assert r.python_free
+    assert r.exchanges == 1
+
+
+def test_asof_join_cogroup_is_single_python_stage(reports):
+    r = reports["join_asof_arrow_cogroup"]
     # exactly one Arrow cogroup boundary; everything else JVM
     assert r.python_evals == 1
 
