@@ -5,10 +5,11 @@ streaming inputs alike — the engine's batch/stream parity contract: the
 batch twins in ``queries/events.py`` are validated against the DuckDB
 oracle, and the streaming tests assert stream == batch on the same data.
 
-Source notes: the corpus stores TIMESTAMP(NANOS), which Spark's parquet
-reader rejects; the stream reader declares ``ts`` as LONG (with the
-``nanosAsLong`` conf) and rebuilds a TimestampNTZ exactly like
-``tables.load`` does for batch.
+Source notes: the corpus has shipped ``ts`` as both TIMESTAMP(NANOS)
+(surfaced as LONG under the ``nanosAsLong`` conf) and plain
+``timestamp[us]`` across generations; the stream reader probes the
+directory's actual schema with a batch read and branches exactly like
+``tables.load`` does.
 
 Scale: file-source streaming reads incrementally (``maxFilesPerTrigger``
 for backpressure — the streaming analogue of the reference's bounded
@@ -22,18 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Events schema as stored (ts is nanos -> LONG under nanosAsLong).
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 _NTZ_FROM_NANOS = (
     "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
 )
@@ -42,12 +31,22 @@ _NTZ_FROM_NANOS = (
 def read_events_stream(
     spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
+    """File-source stream over a directory of events parquet files.
+
+    File-source streams require a declared schema; we take it from a
+    batch read of the same directory (one driver-side footer read, no
+    data scan) so the stream follows whatever physical type the corpus
+    ships — LONG (nanos corpus) or a timestamp type (us corpus).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    stored_schema = spark.read.parquet(directory).schema
+    reader = spark.readStream.schema(stored_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(directory).withColumn("ts", F.expr(_NTZ_FROM_NANOS))
+    stream = reader.parquet(directory)
+    if isinstance(stored_schema["ts"].dataType, T.LongType):
+        return stream.withColumn("ts", F.expr(_NTZ_FROM_NANOS))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 # --- transformations (batch- and stream-compatible) -----------------------

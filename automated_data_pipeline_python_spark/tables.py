@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = (
     "region",
@@ -34,21 +35,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; we read nanos as long (legacy conf, runtime-settable)
-    and rebuild a TimestampNTZ via NTZ-base timestampadd — a
-    timezone-free conversion (sub-microsecond parts are zero in the
-    corpus, verified, so the micros truncation is lossless).
+    ``events.parquet`` has shipped with two physical types for ``ts``
+    across corpus generations: TIMESTAMP(NANOS) (which Spark's parquet
+    reader surfaces as LONG under the ``nanosAsLong`` legacy conf) and
+    plain ``timestamp[us]`` (read as a timestamp type directly). Branch
+    on the dtype Spark actually reads so either corpus works: LONG →
+    rebuild TimestampNTZ via NTZ-base timestampadd (timezone-free;
+    sub-microsecond parts are zero in the nanos corpus, so the micros
+    truncation is lossless); timestamp → cast to TIMESTAMP_NTZ so the
+    engine sees NTZ everywhere regardless of session timezone.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 

@@ -38,9 +38,15 @@ class TestStableRound:
     @settings(max_examples=200, deadline=None)
     def test_python_floor_model_matches_duckdb(self, x, d, duck):
         # The SQL fragment must compute exactly floor(x*10^d + 0.5)/10^d
-        # under IEEE doubles — the same model Python implements.
+        # under IEEE doubles — the same model Python implements. Bind x
+        # as a parameter: the fragment's contract is over DOUBLE
+        # expressions (columns), and a bare decimal literal would parse
+        # as DECIMAL in DuckDB, whose DECIMAL->DOUBLE cast double-rounds
+        # once the unscaled integer exceeds 2^53.
         expected = math.floor(x * float(10**d) + 0.5) / float(10**d)
-        got = duck.execute(f"SELECT {sql_stable_round(str(x), d)}").fetchone()[0]
+        got = duck.execute(
+            f"SELECT {sql_stable_round('?::DOUBLE', d)}", [x]
+        ).fetchone()[0]
         assert got == expected
 
     @given(n=st.integers(min_value=-1000, max_value=1000))

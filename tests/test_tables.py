@@ -1,0 +1,68 @@
+"""tables.load must work for every table against whatever physical dtype
+the driver's corpus ships — the ts column of events.parquet has already
+changed across corpus regenerations (TIMESTAMP(NANOS) in rounds 1-2,
+timestamp[us] from round 3), and an assumption baked into the loader cost
+a full round. These tests introspect, never assume.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from automated_data_pipeline_python_spark import tables
+from tests.conftest import SF_SMOKE
+
+_TS_ROWS = [
+    datetime.datetime(2024, 1, 1, 0, 0, 0),
+    datetime.datetime(2024, 1, 15, 12, 30, 45),
+    datetime.datetime(2024, 1, 30, 23, 59, 59),
+]
+
+
+def _write_events(path, ts_unit: str) -> None:
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(_TS_ROWS, pa.timestamp(ts_unit)),
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_load_every_table_from_shipped_corpus(spark):
+    """Whatever the corpus ships, every table loads and counts."""
+    for name in tables.TABLE_NAMES:
+        df = tables.load(spark, SF_SMOKE, name)
+        assert df.count() > 0, name
+
+
+def test_shipped_events_ts_is_timestamp_ntz(spark):
+    df = tables.load(spark, SF_SMOKE, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+    lo, hi = df.selectExpr("min(ts)", "max(ts)").first()
+    assert lo.year >= 2000 and hi.year <= 2100  # sane epoch, no unit mixup
+
+
+@pytest.mark.parametrize("ts_unit", ["ns", "us", "ms"])
+def test_load_events_any_parquet_timestamp_unit(spark, tmp_path, ts_unit):
+    """Simulated corpora: nanos (rounds 1-2), micros (round 3+), millis.
+
+    The loader must branch on the dtype Spark actually reads and always
+    yield the same TimestampNTZ values.
+    """
+    sf_dir = tmp_path / f"corpus_{ts_unit}"
+    sf_dir.mkdir()
+    _write_events(str(sf_dir / "events.parquet"), ts_unit)
+    df = tables.load(spark, str(sf_dir), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == _TS_ROWS
