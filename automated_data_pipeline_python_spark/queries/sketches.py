@@ -54,28 +54,56 @@ def sketch_user_reach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(total).orderBy("event_type")
 
 
-@register("sketch_heavy_hitter_terms", oracle=None)
+_HEAVY_HITTER_ORACLE = """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+counted AS (
+    SELECT term, count(*) AS cnt FROM toks WHERE length(term) > 0 GROUP BY term
+),
+ranked AS (
+    SELECT term, cnt,
+           row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+    FROM counted
+)
+SELECT CAST(rnk AS INT) AS rnk, term, cnt FROM ranked WHERE rnk <= 10
+"""
+
+
+@register("sketch_heavy_hitter_terms", oracle=_HEAVY_HITTER_ORACLE)
 def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-sketch heavy hitters: top-10 corpus terms via approx_top_k.
 
     The streaming/mergeable counterpart of `text_tfidf_top_terms`'s
     exact counting: approx_top_k keeps a bounded sketch per partition
-    and merges — memory is O(k), not O(vocabulary). Rows-only (sketch
-    internals are engine-specific); tests/test_sketches.py asserts the
-    sketch agrees with exact counts at test scale.
+    and merges — memory is O(k), not O(vocabulary). The sketch is exact
+    whenever distinct items per partition stay within maxItemsTracked
+    (default 10000; this corpus' vocabulary is far below it), which is
+    what lets the DuckDB exact-count oracle hash-match. We over-fetch
+    k=25 from the sketch and re-rank with a (cnt DESC, term) tiebreak so
+    ties at the top-10 boundary resolve identically in both engines
+    (approx_top_k's own tie order is unspecified).
 
     Scale: the token explode never shuffles raw tokens — each partition
-    reduces to one bounded sketch; the merge moves KBs.
+    reduces to one bounded sketch; the merge moves KBs. The re-rank
+    window sees ≤25 rows.
     """
+    from pyspark.sql.window import Window
+
     docs = load(spark, sf_dir, "documents")
-    return (
+    top = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .filter(F.length("term") > 0)
-        .agg(F.expr("approx_top_k(term, 10)").alias("tk"))
-        .select(F.posexplode("tk").alias("rnk0", "entry"))
+        .agg(F.expr("approx_top_k(term, 25)").alias("tk"))
+        .select(F.explode("tk").alias("entry"))
         .select(
-            (F.col("rnk0") + 1).cast("int").alias("rnk"),
             F.col("entry.item").alias("term"),
             F.col("entry.count").cast("long").alias("cnt"),
         )
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "term", "cnt")
     )
