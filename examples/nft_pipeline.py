@@ -12,7 +12,10 @@ README.md:145-155):
 4. query: top trait (type, value) pairs by count — the flagship
    aggregation over the exploded traits table.
 
-Run: ``python examples/nft_pipeline.py [output_dir]``
+Run: ``python examples/nft_pipeline.py [output_dir]`` — serves the demo
+API over a loopback HTTP server and drives the COLLECT stage through
+the real pooled transport (``ingest.transport.PooledHttpTransport``);
+pass ``--in-process`` to skip HTTP and use the coroutine stand-in.
 """
 
 from __future__ import annotations
@@ -69,8 +72,50 @@ def demo_transport(n_pages: int = 5, per_page: int = 200):
     return fetch
 
 
-def run_pipeline(spark, output_dir: str, transport=None) -> dict:
+def serve_demo_api(n_pages: int = 5, per_page: int = 200):
+    """Serve the demo collection over loopback HTTP so the pipeline can
+    exercise the REAL pooled transport. Returns (base_url, shutdown)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    inner = demo_transport(n_pages=n_pages, per_page=per_page)
+    base_holder: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            try:
+                page = asyncio.run(inner("api:/" + self.path))
+            except KeyError:
+                self.send_response(404)
+                self.end_headers()
+                return
+            # Rewrite api:// URLs to this server's own base URL.
+            body = json.dumps(page).replace("api://", base_holder[0] + "/").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    base_holder.append(f"http://127.0.0.1:{server.server_address[1]}")
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    def shutdown():
+        server.shutdown()
+        thread.join(timeout=5)
+
+    return base_holder[0], shutdown
+
+
+def run_pipeline(spark, output_dir: str, transport=None, first_url=None) -> dict:
     transport = transport or demo_transport()
+    first_url = first_url or "api://collection/page/0"
     list_fetcher = RetryingFetcher(transport, max_concurrency=2)  # reference api_clients.py:10
     enrich_fetcher = RetryingFetcher(transport, max_concurrency=15)  # :17
 
@@ -79,7 +124,7 @@ def run_pipeline(spark, output_dir: str, transport=None) -> dict:
         collect_with_enrichment(
             list_fetcher,
             enrich_fetcher,
-            "api://collection/page/0",
+            first_url,
             next_url=lambda page, _u: page.get("next"),
             enrich_url=lambda item: item.get("metadata_url"),
             apply_enrichment=lambda item, extra: {**item, "traits": extra["attributes"]},
@@ -110,9 +155,24 @@ def run_pipeline(spark, output_dir: str, transport=None) -> dict:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nft_pipeline_demo"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "/tmp/nft_pipeline_demo"
     spark = get_spark(app_name="nft-pipeline-demo")
-    result = run_pipeline(spark, out)
+    if "--in-process" in sys.argv:
+        result = run_pipeline(spark, out)
+    else:
+        from automated_data_pipeline_python_spark.ingest.transport import make_transport
+
+        base, shutdown = serve_demo_api()
+        try:
+            result = run_pipeline(
+                spark,
+                out,
+                transport=make_transport(headers={"X-Api-Key": "demo"}),
+                first_url=f"{base}/collection/page/0",
+            )
+        finally:
+            shutdown()
     print(f"collected {result['n_records']} records ({result['enriched']} enriched)")
     for row in result["top_traits"]:
         print(f"  {row.trait_type}={row.value}: {row['count']}")
