@@ -49,6 +49,89 @@ def read_events_stream(
     return stream.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source (SURVEY §2.1 S7): monotonically increasing
+    ``(timestamp, value)`` rows — the standard load-generator / smoke
+    source for streaming topologies. Exactly-once contract: collected
+    values form a contiguous 0..N-1 sequence, no gaps or duplicates
+    across micro-batches (pinned by tests/test_streaming.py).
+    """
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def rate_as_events(rate: DataFrame) -> DataFrame:
+    """Shape the rate source like the events table so every events
+    transformation (windows, sessions, dedup) runs on generated load."""
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").cast("timestamp_ntz").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+# Kafka payload contract: JSON-encoded events records in `value`.
+EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),  # ISO-8601 in the payload
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-shaped frame (``value: binary``) into events rows.
+
+    Separated from the source so it is testable without the Kafka
+    connector jar and identical for batch backfills
+    (``spark.read.format("kafka")``) and streams.
+    """
+    return (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), EVENTS_JSON_SCHEMA).alias("r")
+        )
+        .select("r.*")
+        .withColumn("ts", F.to_timestamp_ntz("ts"))
+    )
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (SURVEY §2.1 S7) → parsed events rows.
+
+    Requires the spark-sql-kafka connector on the classpath (a published
+    Spark artifact; not bundled in this container — the parse stage
+    above carries the testable logic). Scale: one Spark input partition
+    per Kafka partition; use ``maxOffsetsPerTrigger`` for backpressure
+    parity with the file source's ``maxFilesPerTrigger``.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_events(raw)
+
+
 # --- transformations (batch- and stream-compatible) -----------------------
 
 
