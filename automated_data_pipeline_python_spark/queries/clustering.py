@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _K = 8  # seed cells: embeddings of vec_id < _K (same seeding as IVF)
 
@@ -122,5 +122,5 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns per-cell membership, centroid norm, and inter-iteration
     drift (the convergence signal a driver loop would test against).
     """
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_SPARK_SQL)

@@ -25,7 +25,7 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_stopword_hits,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _S_TOK = SPARK_TOKENS.format(col="text")
 _D_TOK = DUCK_TOKENS.format(col="text")
@@ -129,5 +129,5 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id among docs that survived both gates, picked by a window over
     the content hash so no self-join or second scan is needed.
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_FUNNEL_SPARK_SQL)

@@ -34,7 +34,7 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_word_shingles,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _S_TOK = SPARK_TOKENS.format(col="text")
 _D_TOK = DUCK_TOKENS.format(col="text")
@@ -52,7 +52,7 @@ _JACCARD_THRESHOLD = 0.5
 
 
 def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(sql)
 
 
@@ -71,7 +71,7 @@ def _materialize_view(df: DataFrame, name: str) -> None:
 
 
 def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(sql)
 
 
@@ -299,7 +299,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once (referenced by signatures, sizes, and both sides
     of the verification join).
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
     return spark.sql(_MINHASH_TAIL_SPARK)
 
@@ -561,7 +561,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovery stage (hot shingles need frequency-capping/salting). The
     shingle set is materialized once (referenced three times).
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
     return spark.sql(_NGRAM_TAIL_SPARK)
 
@@ -662,7 +662,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a 50%%-hot-shingle fixture). Verification is exact over the full
     shingle sets. The hot list is heavy-hitters-small and broadcast.
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
     return spark.sql(_NGRAM_CAPPED_TAIL_SPARK)
 
@@ -714,7 +714,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize a task (tests/test_skew.py proves the bound under a
     30-identical-docs fixture).
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
     return spark.sql(_MINHASH_CAPPED_TAIL_SPARK)
 
@@ -871,7 +871,7 @@ def dedup_remove_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_scaled(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
     pairs = spark.sql(_NGRAM_TAIL_SPARK).select("doc_a", "doc_b")
@@ -898,7 +898,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
     pairs = spark.sql(_NGRAM_TAIL_SPARK).select("doc_a", "doc_b")
     return connected_components(pairs, src="doc_a", dst="doc_b").select(

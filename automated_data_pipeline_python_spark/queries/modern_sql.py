@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from automated_data_pipeline_python_spark.functions.numeric import sql_exact_sum
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 # Shared gap-fill oracle: DuckDB builds the month spine with a recursive
 # CTE (cheap there — single-node iteration over 80 rows); the Spark side
@@ -210,7 +210,7 @@ def udtf_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield (w, i)
 
     spark.udtf.register("long_words_udtf", LongWords)
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
     return spark.sql(
         """
         SELECT doc_id, word, pos

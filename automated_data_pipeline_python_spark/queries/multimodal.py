@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 
 @register(
@@ -33,7 +33,7 @@ def multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure projection (no shuffle); the hash doubles as the
     content-address for exact media dedup.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_scaled(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.octet_length("text").alias("n_bytes"),

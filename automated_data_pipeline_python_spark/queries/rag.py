@@ -25,19 +25,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _CHUNK = 160  # window (chars)
 _STRIDE = 120  # step (chars) -> 40-char overlap between neighbors
 
 
 def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(sql)
 
 
 def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(sql)
 
 

@@ -33,7 +33,7 @@ from automated_data_pipeline_python_spark.functions.numeric import (
     stable_round,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 # Money sums snap per-row to an integer grid before SUM so the total is
 # order-independent (see functions/numeric.py). Grid = decimal
@@ -1021,7 +1021,7 @@ def explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the engine's version of the reference's intended trait
     flatten (reference normalize.py:26-29 — a documented no-op there).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_scaled(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         .filter(F.col("word") != "")

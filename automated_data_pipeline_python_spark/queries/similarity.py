@@ -21,7 +21,7 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_hash60,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _DIMS = 64
 _N_PLANES = 3   # 8 buckets per table
@@ -31,7 +31,7 @@ _TOP_K = 10
 
 
 def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(sql)
 
 
@@ -297,7 +297,7 @@ def ann_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus, argmin via window) is exactly an IVF index
     build; swap the centroid source for sampled k-means at scale.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_scaled(spark, sf_dir, "embeddings")
     from pyspark.sql import Window as W
 
     comps = emb.select(

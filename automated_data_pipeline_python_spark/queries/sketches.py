@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 
 def user_reach_sketches(events: DataFrame) -> DataFrame:
@@ -90,7 +90,7 @@ def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_scaled(spark, sf_dir, "documents")
     top = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .filter(F.length("term") > 0)

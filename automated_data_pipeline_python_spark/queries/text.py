@@ -25,14 +25,14 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_word_shingles,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _S_TOK = SPARK_TOKENS.format(col="text")
 _D_TOK = DUCK_TOKENS.format(col="text")
 
 
 def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(sql)
 
 

@@ -27,14 +27,20 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_word_shingles,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _S_TOK = SPARK_TOKENS.format(col="text")
 _D_TOK = DUCK_TOKENS.format(col="text")
 
 
-def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+def _docs_sql(
+    spark: SparkSession, sf_dir: str, sql: str, scaled: bool = False
+) -> DataFrame:
+    # scaled=True only for tokenize/shingle-heavy pipelines where per-row
+    # compute dominates; cheap scan+filter shapes (sampling, mixture)
+    # stay exchange-free (tests/test_plans.py pins that).
+    loader = load_scaled if scaled else load
+    loader(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(sql)
 
 
@@ -109,7 +115,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (benchmark and corpus sides both read it); the benchmark
     shingle set is broadcast.
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_CONTAM_SH_SPARK), "ct_sh")
     return spark.sql(_CONTAM_TAIL_SPARK)
 
@@ -190,11 +196,58 @@ FROM tokagg a LEFT JOIN tris t ON a.doc_id = t.doc_id
 """
 
 
+# Map-only rewrite: every metric is per-document, so nothing needs an
+# explode or a shuffle — compute over the token ARRAY row-locally.
+# top_cnt (the mode count) folds over the SORTED array tracking the
+# current/best run length: O(n log n) per row, linear memory, instead of
+# the O(distinct*n) filter-per-distinct-token form.
+_TOP_RUN = (
+    "aggregate(array_sort(w),"
+    " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+    " (acc, x) -> named_struct("
+    "   'prev', x,"
+    "   'run',  IF(x <=> acc.prev, acc.run + 1, 1L),"
+    "   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))),"
+    " acc -> acc.best)"
+)
+
+_REPEAT_SPARK_MAPONLY = f"""
+WITH base AS (
+    SELECT doc_id, {_S_TOK} AS w FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(size(w) AS BIGINT)                 AS n_tokens,
+           CAST(size(array_distinct(w)) AS BIGINT) AS n_distinct,
+           {_TOP_RUN}                              AS top_cnt,
+           {spark_word_shingles('w', 3)}           AS tris
+    FROM base
+)
+SELECT doc_id,
+       n_tokens,
+       floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS distinct_token_ratio,
+       floor((CAST(top_cnt AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6    AS top_token_share,
+       coalesce(floor((1.0 - CAST(size(array_distinct(tris)) AS DOUBLE)
+                           / nullif(size(tris), 0)) * 1e6 + 0.5) / 1e6,
+                CAST(0 AS DOUBLE))                                      AS dup_trigram_ratio
+FROM m
+"""
+
+
 @register("text_repetition_scores", oracle=_REPEAT_DUCK_SQL)
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition: distinct-token ratio, top-token share,
-    duplicate-trigram ratio — the standard degenerate-text filters."""
-    return _docs_sql(spark, sf_dir, _REPEAT_SPARK_SQL)
+    duplicate-trigram ratio — the standard degenerate-text filters.
+
+    Scale: map-only compute — zero joins, no per-token shuffle. The
+    prior relational form (explode → groupBy(doc_id, token) → join)
+    shuffled every token occurrence twice and re-ran the tokenizer per
+    CTE reference (Spark inlines CTEs); the array form computes all
+    four metrics row-locally over ``tables.load_scaled`` partitions
+    (full-width locally, no added shuffle at real scale), so the
+    sort+fold compute stays embarrassingly parallel at 100 TB.
+    """
+    return _docs_sql(spark, sf_dir, _REPEAT_SPARK_MAPONLY, scaled=True)
 
 
 # ---------------------------------------------------------------------------

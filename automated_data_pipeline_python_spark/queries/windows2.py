@@ -17,7 +17,7 @@ from automated_data_pipeline_python_spark.functions.text import (
     SPARK_TOKENS,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.tables import load
+from automated_data_pipeline_python_spark.tables import load, load_scaled
 
 _S_TOK = SPARK_TOKENS.format(col="text")
 _D_TOK = DUCK_TOKENS.format(col="text")
@@ -139,7 +139,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations over the exploded token stream; the idf table is tiny
     (vocab-sized) → broadcast join back.
     """
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(
         f"""
         WITH tok AS (

@@ -64,6 +64,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_scaled(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table for compute-heavy per-row pipelines (tokenize, hash,
+    shingle, vector math).
+
+    A small corpus arrives as ONE input split (file size below
+    ``spark.sql.files.maxPartitionBytes``), which serializes every
+    downstream map stage onto a single core until the first exchange —
+    the dominant cost for SHA/tokenizer/fold-heavy operators. When (and
+    only when) the scan yields fewer partitions than the session's
+    parallelism, round-robin repartition: locally that turns a
+    single-core pipeline into a full-width one for a few-MB shuffle; on
+    a real multi-file 100 TB corpus the scan already has more splits
+    than cores and this is a no-op — no shuffle is ever added at scale.
+    """
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
