@@ -904,3 +904,132 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: cluster-then-prune (SemDeDup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+# The third dedup modality next to lexical (minhash/ngram) and pairwise
+# cosine: coarse-quantize the corpus into k-means cells, then drop any
+# vector whose cosine to a lower-id vector IN THE SAME CELL exceeds the
+# threshold — one representative survives per semantic near-dup set.
+# Cells make the pair stage Σ per-cell² instead of corpus²; in a real
+# deployment cell count scales with N so per-cell population (and
+# therefore pair cost) stays constant.
+
+_SD_CELLS = 8
+_SD_THRESHOLD = 0.4
+
+
+def _sd_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+_SD_ASSIGN_SPARK = f"""
+WITH base AS (
+    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {_SD_CELLS}),
+d AS (
+    SELECT b.vec_id, c0.cell,
+           floor(({_sd_dot('b.v', 'b.v')} - 2 * {_sd_dot('b.v', 'c0.c')}
+                  + {_sd_dot('c0.c', 'c0.c')}) * 1e6 + 0.5) / 1e6 AS dist
+    FROM base b CROSS JOIN c0
+)
+SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d
+) r WHERE rn = 1
+"""
+
+_SD_COS = (
+    f"{_sd_dot('va.v', 'vb.v')}"
+    f" / (sqrt({_sd_dot('va.v', 'va.v')}) * sqrt({_sd_dot('vb.v', 'vb.v')}))"
+)
+
+_SD_TAIL_SPARK = f"""
+WITH base AS (
+    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+j AS (
+    SELECT bb.vec_id AS vec_id, aa.vec_id AS lower_id, {_SD_COS} AS cs
+    FROM sd_asn aa
+    JOIN sd_asn bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+    JOIN base va ON va.vec_id = aa.vec_id
+    JOIN base vb ON vb.vec_id = bb.vec_id
+),
+dups AS (
+    SELECT vec_id, min(lower_id) AS dup_of
+    FROM j WHERE cs >= {_SD_THRESHOLD}
+    GROUP BY vec_id
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept, d.dup_of
+FROM sd_asn s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+_SD_DUCK_DOT_AB = "list_dot_product(va.v, vb.v)"
+
+_SEMDEDUP_DUCK_SQL = f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {_SD_CELLS}),
+d AS (
+    SELECT b.vec_id, c0.cell,
+           floor((list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, c0.c)
+                  + list_dot_product(c0.c, c0.c)) * 1e6 + 0.5) / 1e6 AS dist
+    FROM base b CROSS JOIN c0
+),
+asn AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d
+    ) r WHERE rn = 1
+),
+j AS (
+    SELECT bb.vec_id AS vec_id, aa.vec_id AS lower_id,
+           list_dot_product(va.v, vb.v)
+             / (sqrt(list_dot_product(va.v, va.v))
+                * sqrt(list_dot_product(vb.v, vb.v))) AS cs
+    FROM asn aa
+    JOIN asn bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+    JOIN base va ON va.vec_id = aa.vec_id
+    JOIN base vb ON vb.vec_id = bb.vec_id
+),
+dups AS (
+    SELECT vec_id, min(lower_id) AS dup_of
+    FROM j WHERE cs >= {_SD_THRESHOLD}
+    GROUP BY vec_id
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept, d.dup_of
+FROM asn s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+
+@register("semdedup_cluster_prune", oracle=_SEMDEDUP_DUCK_SQL)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cell blocking + within-cell cosine prune.
+
+    Every vector is assigned to its nearest deterministic seed centroid
+    (vec_id < 8, the IVF seeding — snapped L2, argmin ties break on
+    cell); a vector is pruned when any lower-id vector in the SAME cell
+    has cosine >= 0.4 (dup_of = the smallest such id; kept = no such
+    neighbor). One representative per semantic near-dup set survives.
+
+    Scale: centroids broadcast; assignment is one corpus pass; the pair
+    stage joins on cell id, so cost is Σ per-cell², never corpus² —
+    with cell count scaled to corpus size, per-cell population is a
+    constant. The assignment is materialized once (both pair sides and
+    the final projection read it; Spark would otherwise inline the CTE
+    three times).
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    _materialize_view(spark.sql(_SD_ASSIGN_SPARK), "sd_asn")
+    return spark.sql(_SD_TAIL_SPARK)
