@@ -483,3 +483,158 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos=_SPARK_COS, emb_n=_SPARK_EMB_N_CTE,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC search) — the fourth index family
+# ---------------------------------------------------------------------------
+# PQ completes the index spectrum (brute force / LSH / IVF / PQ): split
+# each vector into M subspaces, quantize every subvector to its nearest
+# per-subspace codeword, and answer queries by Asymmetric Distance
+# Computation — the exact query subvectors against a tiny (M × codes)
+# lookup of codeword distances, summed across subspaces. Memory per
+# vector collapses from D floats to M code ids; at 100 TB that is the
+# difference between an index that fits executor memory and one that
+# doesn't. Codebooks are seeded deterministically (vec_id < codes, the
+# IVF seeding) so the whole pipeline is oracle-checkable; a real
+# deployment trains them with per-subspace k-means (same plan shape as
+# queries/clustering.py).
+
+_PQ_M = 4                      # subspaces
+_PQ_SUBDIM = _DIMS // _PQ_M    # 16 dims each
+_PQ_CODES = 8
+_PQ_TOP_K = 5
+
+
+def _pq_d2_spark(a: str, b: str) -> str:
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    expr = (
+        f"{dot.format(x=a, y=a)} - 2 * {dot.format(x=a, y=b)}"
+        f" + {dot.format(x=b, y=b)}"
+    )
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+def _pq_d2_duck(a: str, b: str) -> str:
+    expr = (
+        f"list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b})"
+    )
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+# Subvector relation: one row per (vector, subspace). Materialized once
+# on the Spark side — the codebook, encode, and query stages all read it
+# and Spark would inline the slice+cast subtree three times.
+_PQ_SUB_SPARK = f"""
+WITH base AS (
+    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)
+SELECT vec_id, m, slice(v, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}) AS sv
+FROM base LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS m
+"""
+
+_PQ_TAIL_SPARK = f"""
+WITH cb AS (
+    SELECT vec_id AS code, m, sv AS cw FROM pq_sub WHERE vec_id < {_PQ_CODES}
+),
+enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_pq_d2_spark('s.sv', 'cb.cw')}, cb.code) AS rn
+        FROM pq_sub s JOIN cb ON s.m = cb.m
+    ) r WHERE rn = 1
+),
+qd AS (
+    SELECT q.vec_id AS query_id, cb.m, cb.code,
+           {_pq_d2_spark('q.sv', 'cb.cw')} AS pd
+    FROM pq_sub q JOIN cb ON q.m = cb.m
+    WHERE q.vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT qd.query_id, e.vec_id AS neighbor_id, sum(qd.pd) AS adist
+    FROM enc e JOIN qd ON qd.m = e.m AND qd.code = e.code
+    WHERE e.vec_id != qd.query_id
+    GROUP BY qd.query_id, e.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id,
+       floor((adist) * 1e6 + 0.5) / 1e6 AS approx_dist,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_PQ_TOP_K}
+"""
+
+_PQ_DUCK_SQL = f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sub AS (
+    SELECT vec_id, m,
+           list_slice(v, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
+    FROM base, generate_series(0, {_PQ_M - 1}) AS g(m)
+),
+cb AS (
+    SELECT vec_id AS code, m, sv AS cw FROM sub WHERE vec_id < {_PQ_CODES}
+),
+enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_pq_d2_duck('s.sv', 'cb.cw')}, cb.code) AS rn
+        FROM sub s JOIN cb ON s.m = cb.m
+    ) r WHERE rn = 1
+),
+qd AS (
+    SELECT q.vec_id AS query_id, cb.m, cb.code,
+           {_pq_d2_duck('q.sv', 'cb.cw')} AS pd
+    FROM sub q JOIN cb ON q.m = cb.m
+    WHERE q.vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT qd.query_id, e.vec_id AS neighbor_id, sum(qd.pd) AS adist
+    FROM enc e JOIN qd ON qd.m = e.m AND qd.code = e.code
+    WHERE e.vec_id != qd.query_id
+    GROUP BY qd.query_id, e.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id,
+       floor((adist) * 1e6 + 0.5) / 1e6 AS approx_dist,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_PQ_TOP_K}
+"""
+
+
+@register("ann_pq_adc_topk", oracle=_PQ_DUCK_SQL)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index + ADC top-k: encode (M=4 subspaces × 8 codes), search by
+    summed query-to-codeword subspace distances.
+
+    Subspace distances are snapped to the 1e-6 grid, so the 4-term ADC
+    sum is exact and order-independent (grid partials add without
+    rounding); ranking ties break on neighbor_id — deterministic on
+    both engines.
+
+    Scale: the encoded corpus is M small ints per vector; a query costs
+    one (M × codes)-row lookup table plus an aggregation over candidate
+    codes — never a 64-dim dot per candidate. Codebooks broadcast; the
+    encode stage is one corpus pass per subspace. The subvector relation
+    is materialized once (codebook, encode, and query stages share it).
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    _materialize_view(spark.sql(_PQ_SUB_SPARK), "pq_sub")
+    return spark.sql(_PQ_TAIL_SPARK)

@@ -66,3 +66,15 @@ def test_load_events_any_parquet_timestamp_unit(spark, tmp_path, ts_unit):
     assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
     got = sorted(r.ts for r in df.select("ts").collect())
     assert got == _TS_ROWS
+
+
+def test_load_scaled_widens_single_split_scan(spark):
+    """A one-split corpus fans out to the session parallelism; tables
+    already scanning at/above parallelism pass through un-shuffled."""
+    from automated_data_pipeline_python_spark.tables import load_scaled
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    scaled = load_scaled(spark, SF_SMOKE, "documents")
+    assert scaled.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert scaled.count() == docs.count()
