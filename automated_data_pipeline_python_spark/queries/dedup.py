@@ -118,50 +118,6 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding → candidate pairs → jaccard verification
 # ---------------------------------------------------------------------------
 
-_MINHASH_SPARK_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, {_S_TOK} AS w FROM documents
-),
-sh AS (
-    SELECT DISTINCT doc_id, shingle
-    FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
-),
-hashed AS (
-    SELECT doc_id, {spark_hash28('shingle')} AS h FROM sh
-),
-perm AS (SELECT explode(sequence(0, {_N_PERM - 1})) AS i),
-mh AS (
-    SELECT doc_id, i, min(((2 * i + 1) * h + i * {_B_MULT}) % {_PRIME}) AS m
-    FROM hashed CROSS JOIN perm
-    GROUP BY doc_id, i
-),
-bands AS (
-    SELECT doc_id, i div {_BAND} AS band,
-           array_join(transform(array_sort(collect_list(struct(i, m))),
-                                x -> CAST(x.m AS STRING)), ',') AS sig
-    FROM mh
-    GROUP BY doc_id, i div {_BAND}
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS isect
-    FROM cand c
-    JOIN sh s1 ON s1.doc_id = c.doc_a
-    JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
-    GROUP BY c.doc_a, c.doc_b
-)
-SELECT doc_a, doc_b,
-       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
-FROM inter
-JOIN sizes na ON inter.doc_a = na.doc_id
-JOIN sizes nb ON inter.doc_b = nb.doc_id
-WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
-"""
 
 _MINHASH_DUCK_SQL = f"""
 WITH toks AS (
@@ -271,20 +227,26 @@ cand AS (
         transform(slice(ds, i + 2, size(ds) - i - 1),
                   b -> named_struct('a', a, 'b', b))))) t AS p
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS isect
+-- verify: per-doc shingle ARRAYS + array_intersect, evaluated inside
+-- the candidate join -- the shingle relation shuffles ONCE into arrays
+-- (one row per doc) instead of re-joining 2x per candidate pair and
+-- re-aggregating; intersection size is exact (shingles are distinct)
+arrs AS (
+    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
+    FROM mh_sh GROUP BY doc_id
+),
+ver AS (
+    SELECT c.doc_a, c.doc_b,
+           size(array_intersect(a.shs, b.shs)) AS isect,
+           a.n AS na, b.n AS nb
     FROM cand c
-    JOIN mh_sh s1 ON s1.doc_id = c.doc_a
-    JOIN mh_sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
-    GROUP BY c.doc_a, c.doc_b
+    JOIN arrs a ON c.doc_a = a.doc_id
+    JOIN arrs b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b,
-       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
-FROM inter
-JOIN sizes na ON inter.doc_a = na.doc_id
-JOIN sizes nb ON inter.doc_b = nb.doc_id
-WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
+       floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM ver
+WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_JACCARD_THRESHOLD}
 """
 
 
@@ -599,20 +561,22 @@ cand AS (
     FROM disc s1 JOIN disc s2
       ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM ng_sh GROUP BY doc_id),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS isect
+arrs AS (
+    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
+    FROM ng_sh GROUP BY doc_id
+),
+ver AS (
+    SELECT c.doc_a, c.doc_b,
+           size(array_intersect(a.shs, b.shs)) AS isect,
+           a.n AS na, b.n AS nb
     FROM cand c
-    JOIN ng_sh s1 ON s1.doc_id = c.doc_a
-    JOIN ng_sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
-    GROUP BY c.doc_a, c.doc_b
+    JOIN arrs a ON c.doc_a = a.doc_id
+    JOIN arrs b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b,
-       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
-FROM inter
-JOIN sizes na ON inter.doc_a = na.doc_id
-JOIN sizes nb ON inter.doc_b = nb.doc_id
-WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+       floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM ver
+WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_NGRAM_THRESHOLD}
 """
 
 _NGRAM_CAPPED_DUCK_SQL = f"""
