@@ -78,3 +78,35 @@ def test_load_scaled_widens_single_split_scan(spark):
     scaled = load_scaled(spark, SF_SMOKE, "documents")
     assert scaled.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert scaled.count() == docs.count()
+
+
+def test_corpus_schema_contract(spark):
+    """Early warning for corpus regenerations: the columns the query
+    catalog depends on must exist with compatible types. A drift here
+    fails ONE assertion instead of dozens of driver rows (the round-3
+    events-ts regeneration cost a full round; see tables.load)."""
+    expected = {
+        "documents": {"doc_id": "bigint", "text": "string", "lang": "string",
+                      "source": "string"},
+        "embeddings": {"vec_id": "bigint", "label": "int",
+                       "embedding": "array<float>"},
+        "events": {"event_id": "bigint", "ts": "timestamp_ntz",
+                   "user_id": "bigint", "event_type": "string",
+                   "value": "double", "props": "string"},
+        "orders": {"o_orderkey": "bigint", "o_custkey": "bigint",
+                   "o_totalprice": "double", "o_orderdate": "timestamp_ntz",
+                   "o_orderstatus": "string", "o_orderpriority": "string"},
+        "lineitem": {"l_orderkey": "bigint", "l_partkey": "bigint",
+                     "l_suppkey": "bigint", "l_quantity": "double",
+                     "l_extendedprice": "double", "l_discount": "double",
+                     "l_tax": "double", "l_returnflag": "string",
+                     "l_linestatus": "string", "l_shipdate": "timestamp_ntz"},
+    }
+    for table, cols in expected.items():
+        df = tables.load(spark, SF_SMOKE, table)
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for col, typ in cols.items():
+            assert col in actual, f"{table}.{col} missing (corpus drift?)"
+            assert actual[col] == typ, (
+                f"{table}.{col}: expected {typ}, corpus ships {actual[col]}"
+            )
