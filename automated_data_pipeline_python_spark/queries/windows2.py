@@ -137,17 +137,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: term frequencies and document frequencies are two hash
     aggregations over the exploded token stream; the idf table is tiny
-    (vocab-sized) → broadcast join back.
+    (vocab-sized) → broadcast join back. The (doc, token, tf) relation
+    is materialized once — both the df aggregation and the scoring join
+    read it, and Spark would otherwise inline the tokenize+explode+agg
+    pipeline into each reference (2× the corpus work).
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(
+    spark.sql(
         f"""
-        WITH tok AS (
-            SELECT doc_id, token, count(*) AS tf
-            FROM (SELECT doc_id, {_S_TOK} AS w FROM documents)
-            LATERAL VIEW explode(w) t AS token
-            GROUP BY doc_id, token
-        ),
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, {_S_TOK} AS w FROM documents)
+        LATERAL VIEW explode(w) t AS token
+        GROUP BY doc_id, token
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("tfidf_tok")
+    return spark.sql(
+        """
+        WITH tok AS (SELECT * FROM tfidf_tok),
         n_docs AS (SELECT count(*) AS n FROM documents),
         df AS (SELECT token, count(*) AS dfreq FROM tok GROUP BY token),
         scored AS (
