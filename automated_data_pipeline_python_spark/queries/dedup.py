@@ -903,30 +903,29 @@ d AS (
            floor(({_sd_dot('b.v', 'b.v')} - 2 * {_sd_dot('b.v', 'c0.c')}
                   + {_sd_dot('c0.c', 'c0.c')}) * 1e6 + 0.5) / 1e6 AS dist
     FROM base b CROSS JOIN c0
+),
+asn AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d
+    ) r WHERE rn = 1
 )
-SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-    FROM d
-) r WHERE rn = 1
+-- one row per vector with its cell, components, and L2 norm: the pair
+-- stage then pays ONE dot per pair (norms precomputed per row, the
+-- knn pre-norm discipline) instead of three
+SELECT a.vec_id, a.cell, b.v,
+       sqrt({_sd_dot('b.v', 'b.v')}) AS nrm
+FROM asn a JOIN base b ON a.vec_id = b.vec_id
 """
 
-_SD_COS = (
-    f"{_sd_dot('va.v', 'vb.v')}"
-    f" / (sqrt({_sd_dot('va.v', 'va.v')}) * sqrt({_sd_dot('vb.v', 'vb.v')}))"
-)
+_SD_COS = f"{_sd_dot('aa.v', 'bb.v')} / (aa.nrm * bb.nrm)"
 
 _SD_TAIL_SPARK = f"""
-WITH base AS (
-    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-),
-j AS (
+WITH j AS (
     SELECT bb.vec_id AS vec_id, aa.vec_id AS lower_id, {_SD_COS} AS cs
     FROM sd_asn aa
     JOIN sd_asn bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
-    JOIN base va ON va.vec_id = aa.vec_id
-    JOIN base vb ON vb.vec_id = bb.vec_id
 ),
 dups AS (
     SELECT vec_id, min(lower_id) AS dup_of

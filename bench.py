@@ -52,6 +52,8 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "pack_sequences_chunked",
     "text_repetition_scores",
+    "semdedup_cluster_prune",
+    "ann_pq_adc_topk",
 ]
 
 
