@@ -218,3 +218,55 @@ def udtf_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured analytics (Spark 4)
+# ---------------------------------------------------------------------------
+
+_VARIANT_DUCK_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                        AS cnt,
+       min(k)                                          AS min_k,
+       max(k)                                          AS max_k,
+       floor((CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+                                                       AS avg_k
+FROM (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+) t
+GROUP BY event_type
+"""
+
+
+@register("variant_props_stats", oracle=_VARIANT_DUCK_SQL)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4).
+
+    ``parse_json`` decodes props into Spark's binary VARIANT encoding
+    once per row; ``variant_get`` then extracts a typed field without
+    re-parsing — the modern engine surface for schemaless columns (the
+    string-path twin ``json_extract_events`` uses get_json_object). The
+    integer sum keeps the average exact on both engines.
+
+    Scale: VARIANT's advantage is exactly the 100 TB case — shredded
+    binary storage beats per-query string parsing when many queries
+    touch few fields; this plan parses once and aggregates map-side.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_variant")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*)  AS cnt,
+               min(k)    AS min_k,
+               max(k)    AS max_k,
+               floor((CAST(sum(k) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4
+                         AS avg_k
+        FROM (
+            SELECT event_type,
+                   variant_get(parse_json(props), '$.k', 'int') AS k
+            FROM events_variant
+        ) t
+        GROUP BY event_type
+        """
+    )
