@@ -996,3 +996,92 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     _materialize_view(spark.sql(_SD_ASSIGN_SPARK), "sd_asn")
     return spark.sql(_SD_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality evaluation: LSH recall against exact-jaccard truth
+# ---------------------------------------------------------------------------
+# The dedup twin of `ann_recall_at_k` ("measure, don't guess"): ground
+# truth = ALL pairs with jaccard >= 0.5 (exact shingle join — affordable
+# at evaluation scale, never the production path); retrieved = the
+# minhash-LSH pipeline's verified pairs. Precision is 1.0 by
+# construction (LSH candidates are exact-verified); recall < 1 exactly
+# when no band signature collides for a true pair — the number this
+# query reports is the one you tune bands/permutations against.
+
+_LSH_EVAL_SPARK_TRUTH = f"""
+WITH arrs AS (
+    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
+    FROM mh_sh GROUP BY doc_id
+),
+cand AS (
+    SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+    FROM mh_sh s1 JOIN mh_sh s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+),
+ver AS (
+    SELECT c.doc_a, c.doc_b,
+           size(array_intersect(a.shs, b.shs)) AS isect, a.n AS na, b.n AS nb
+    FROM cand c
+    JOIN arrs a ON c.doc_a = a.doc_id
+    JOIN arrs b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b FROM ver
+WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_JACCARD_THRESHOLD}
+"""
+
+_LSH_EVAL_TAIL_SPARK = """
+SELECT
+    CAST(count(*) AS BIGINT)        AS n_true,
+    CAST(count(r.doc_a) AS BIGINT)  AS n_retrieved,
+    floor((CAST(count(r.doc_a) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+                                    AS recall
+FROM truth_pairs t
+LEFT JOIN lsh_pairs r ON t.doc_a = r.doc_a AND t.doc_b = r.doc_b
+"""
+
+_LSH_EVAL_DUCK_SQL = f"""
+WITH lsh AS ({_MINHASH_DUCK_SQL}),
+toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS isect
+    FROM sh s1 JOIN sh s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+),
+truth AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes na ON inter.doc_a = na.doc_id
+    JOIN sizes nb ON inter.doc_b = nb.doc_id
+    WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
+)
+SELECT
+    CAST(count(*) AS BIGINT)        AS n_true,
+    CAST(count(r.doc_a) AS BIGINT)  AS n_retrieved,
+    floor((CAST(count(r.doc_a) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+                                    AS recall
+FROM truth t
+LEFT JOIN lsh r ON t.doc_a = r.doc_a AND t.doc_b = r.doc_b
+"""
+
+
+@register("dedup_lsh_recall_eval", oracle=_LSH_EVAL_DUCK_SQL)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of minhash-LSH dedup vs exact jaccard-0.5 ground truth.
+
+    Scale: the exact-truth side is evaluation-only (run on a sampled
+    slice in production); the LSH side is the production pipeline
+    unchanged. Both read the one materialized shingle relation.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
+    _materialize_view(spark.sql(_LSH_EVAL_SPARK_TRUTH), "truth_pairs")
+    spark.sql(_MINHASH_TAIL_SPARK).createOrReplaceTempView("lsh_pairs")
+    return spark.sql(_LSH_EVAL_TAIL_SPARK)
