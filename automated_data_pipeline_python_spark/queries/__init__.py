@@ -99,17 +99,21 @@ _PRIORITY = [
     "join_asof_purchase_click",
     "sketch_user_reach_rollup",
     "sketch_heavy_hitter_terms",
-    # (c) green sentinels, one per family
-    "q1_pricing_summary",
-    "q8_market_share",
+    # (c) new round-4 operators — registered after the window was first
+    # drawn up; they need their first driver rows
+    "semdedup_cluster_prune",
+    "ann_pq_adc_topk",
+    "variant_props_stats",
+    "dedup_lsh_recall_eval",
+    # (d) sentinels: queries REWRITTEN this round (gapfill agg-then-join,
+    # minhash array_intersect verify, tfidf materialization) plus three
+    # stable family greens to catch broad regressions
     "gapfill_monthly_orders",
-    "lateral_top2_orders_per_customer",
     "dedup_minhash_lsh",
-    "knn_bruteforce_topk",
     "text_tfidf_top_terms",
-    "contamination_ngram_overlap",
-    "corpus_curation_funnel",
+    "q1_pricing_summary",
     "dq_star_schema_report",
+    "contamination_ngram_overlap",
     "chunk_documents_overlap",
 ]
 
