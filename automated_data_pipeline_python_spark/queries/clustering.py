@@ -31,17 +31,24 @@ _K = 8  # seed cells: embeddings of vec_id < _K (same seeding as IVF)
 
 
 def _sql(dot, explode, collect, cast_vec, bigint) -> str:
-    def d2(a: str, b: str) -> str:
-        expr = f"{dot(a, a)} - 2 * {dot(a, b)} + {dot(b, b)}"
+    # Self-dots are precomputed per row (base.nrm2, cX.cnrm2): the
+    # assignment cross join then pays ONE dot per (vector, cell) instead
+    # of three. Same left-to-right expression tree as the inline form
+    # ((nrm2 - 2*dot) + cnrm2), so every snapped distance is bit-identical.
+    def d2(bn: str, a: str, b: str, cn: str) -> str:
+        expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
         return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
 
     return f"""
 WITH base AS (
-    SELECT vec_id, {cast_vec} AS v FROM embeddings
+    SELECT vec_id, v, {dot('v', 'v')} AS nrm2
+    FROM (SELECT vec_id, {cast_vec} AS v FROM embeddings) b0
 ),
-c0 AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {_K}),
+c0 AS (
+    SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
+),
 a1 AS (
-    SELECT b.vec_id, c0.cell, {d2('b.v', 'c0.c')} AS dist
+    SELECT b.vec_id, c0.cell, {d2('b.nrm2', 'b.v', 'c0.c', 'c0.cnrm2')} AS dist
     FROM base b CROSS JOIN c0
 ),
 m1 AS (
@@ -56,9 +63,12 @@ u1 AS (
     FROM ({explode('m1')}) e1
     GROUP BY cell, d
 ),
-c1 AS (SELECT cell, {collect} AS c FROM u1 GROUP BY cell),
+c1 AS (
+    SELECT cell, c, {dot('c', 'c')} AS cnrm2
+    FROM (SELECT cell, {collect} AS c FROM u1 GROUP BY cell) cc1
+),
 a2 AS (
-    SELECT b.vec_id, c1.cell, {d2('b.v', 'c1.c')} AS dist
+    SELECT b.vec_id, c1.cell, {d2('b.nrm2', 'b.v', 'c1.c', 'c1.cnrm2')} AS dist
     FROM base b CROSS JOIN c1
 ),
 m2 AS (
@@ -73,13 +83,16 @@ u2 AS (
     FROM ({explode('m2')}) e2
     GROUP BY cell, d
 ),
-c2 AS (SELECT cell, {collect} AS c FROM u2 GROUP BY cell),
+c2 AS (
+    SELECT cell, c, {dot('c', 'c')} AS cnrm2
+    FROM (SELECT cell, {collect} AS c FROM u2 GROUP BY cell) cc2
+),
 members AS (SELECT cell, count(*) AS n FROM m2 GROUP BY cell)
 SELECT
     c2.cell,
     {bigint('members.n')} AS n_members,
-    floor(sqrt({dot('c2.c', 'c2.c')}) * 1e6 + 0.5) / 1e6 AS centroid_norm,
-    floor(sqrt(greatest({d2('c1.c', 'c2.c')}, 0)) * 1e6 + 0.5) / 1e6 AS drift
+    floor(sqrt(c2.cnrm2) * 1e6 + 0.5) / 1e6 AS centroid_norm,
+    floor(sqrt(greatest({d2('c1.cnrm2', 'c1.c', 'c2.c', 'c2.cnrm2')}, 0)) * 1e6 + 0.5) / 1e6 AS drift
 FROM c2
 JOIN c1 ON c1.cell = c2.cell
 JOIN members ON members.cell = c2.cell
