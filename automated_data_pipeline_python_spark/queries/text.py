@@ -274,3 +274,61 @@ GROUP BY lang, source
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup by (lang, source)."""
     return _docs_sql(spark, sf_dir, _STATS_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing vectorizer (the "hashing trick")
+# ---------------------------------------------------------------------------
+# Deterministic text -> vector bridge when no neural embeddings exist:
+# each token lands in bucket hash(token) % 64 with a hash-derived sign;
+# the doc's vector is the signed count sum per bucket (sparse long
+# form). All-integer arithmetic, so the oracle parity is exact by
+# construction. Collisions are the accepted trade of the trick —
+# bounded dimensionality at any vocabulary size, no fitted state, and
+# any two engines that agree on the hash agree on the vectors.
+
+_HASH_DIM = 64
+
+
+def _hash_embed_sql(tok_expr: str, unnest: str, hash60) -> str:
+    h = hash60("token")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {tok_expr} AS w FROM documents
+),
+tok AS (
+    SELECT doc_id, token, count(*) AS cnt
+    FROM toks{unnest}
+    GROUP BY doc_id, token
+),
+h AS (SELECT doc_id, {h} AS hh, cnt FROM tok)
+SELECT doc_id,
+       CAST(hh % {_HASH_DIM} AS INT) AS bucket,
+       CAST(sum(CASE WHEN (hh >> {6}) % 2 = 1 THEN cnt ELSE -cnt END) AS BIGINT)
+           AS val
+FROM h
+GROUP BY doc_id, CAST(hh % {_HASH_DIM} AS INT)
+"""
+
+
+@register(
+    "text_hash_embedding",
+    oracle=_hash_embed_sql(
+        _D_TOK, ", UNNEST(w) AS t(token)", duck_hash60
+    ),
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim feature-hashed document vectors (sparse long form).
+
+    Scale: one tokenize pass + one (doc, bucket) aggregation — map-side
+    partials collapse the token stream to ≤64 rows per doc before the
+    shuffle. The output feeds the cosine/ANN family wherever neural
+    embeddings are absent.
+    """
+    return _docs_sql(
+        spark,
+        sf_dir,
+        _hash_embed_sql(
+            _S_TOK, " LATERAL VIEW explode(w) t AS token", spark_hash60
+        ),
+    )
