@@ -33,3 +33,35 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: str | list[str],
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist parquet range-clustered on ``cluster_by`` (Z-order-lite).
+
+    ``repartitionByRange`` gives each output file a narrow,
+    non-overlapping key range and ``sortWithinPartitions`` orders rows
+    inside it, so parquet row-group min/max statistics become tight:
+    a point or range predicate on the cluster key prunes to ~1 file /
+    row group at ANY corpus size — the read-side complement to
+    predicate pushdown. At 100 TB this is the difference between a key
+    lookup scanning one row group and scanning every file.
+
+    Contrast :func:`write_bucketed` (hash buckets, for shuffle-free
+    JOINS): range clustering optimizes selective SCANS; pick per table
+    by its dominant access pattern. ``tests/test_storage.py`` asserts
+    the non-overlap property from the written files' actual row-group
+    statistics.
+    """
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -56,3 +56,51 @@ def test_bucketed_groupby_avoids_shuffle(spark, bucketed):
     # Aggregation on the bucket key reuses the bucketing: no Exchange.
     agg = read_table(spark, "b_lineitem").groupBy("l_orderkey").count()
     assert plan_report(agg).exchanges == 0
+
+
+def test_range_clustered_write_has_disjoint_rowgroup_stats(spark, tmp_path):
+    """Range clustering must yield (near-)disjoint per-file key ranges —
+    the property parquet row-group pruning exploits — while a plain
+    write of shuffled data yields heavily overlapping ranges."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from automated_data_pipeline_python_spark.storage import write_range_clustered
+    from automated_data_pipeline_python_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    orders = load(spark, SF_SMOKE, "orders")
+
+    def key_ranges(path):
+        ranges = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+                "o_orderkey"
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                ranges.append((st.min, st.max))
+        return sorted(ranges)
+
+    def overlaps(ranges):
+        return sum(
+            1
+            for (a, b) in zip(ranges, ranges[1:])
+            if b[0] <= a[1]  # next range starts inside the previous one
+        )
+
+    clustered = tmp_path / "clustered"
+    write_range_clustered(orders, str(clustered), "o_orderkey", num_files=8)
+    plain = tmp_path / "plain"
+    # Round-robin shuffle first => every file spans ~the whole key space.
+    orders.repartition(8).write.mode("overwrite").parquet(str(plain))
+
+    c_ranges, p_ranges = key_ranges(str(clustered)), key_ranges(str(plain))
+    assert len(c_ranges) >= 2 and len(p_ranges) >= 2
+    assert overlaps(c_ranges) == 0, f"clustered ranges overlap: {c_ranges}"
+    assert overlaps(p_ranges) >= len(p_ranges) - 1  # plain: all overlap
+
+    # Round-trips completely.
+    assert spark.read.parquet(str(clustered)).count() == orders.count()
