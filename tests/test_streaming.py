@@ -365,3 +365,25 @@ def test_read_events_kafka_requires_connector(spark):
         assert "event_id" in df.columns
     except Exception as exc:  # connector jar absent in this container
         assert "kafka" in str(exc).lower()
+
+
+def test_rocksdb_state_store_parity(spark, events_dir, tmp_path):
+    """The production state backend at scale: HDFS-backed state keeps
+    every key in executor heap (OOM at 100 TB state); RocksDB spills to
+    local disk. Same results either way — parity pinned here."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir)
+        got = run_to_memory(tumbling_counts(stream), "t_rocksdb")
+        want = tumbling_counts(load(spark, SF_DIR, "events"))
+        cols = ["win_start", "event_type", "cnt"]
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
