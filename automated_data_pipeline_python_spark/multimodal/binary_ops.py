@@ -205,3 +205,57 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("data"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def fake_image_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: SHA-keyed bytes of the target
+    size's magnitude (real codec: Pillow ``Image.resize`` re-encode)."""
+    h = hashlib.sha256(data + f"{width}x{height}".encode()).digest()
+    return (h * ((width * height) // len(h) + 1))[: max(width * height // 64, 16)]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+) -> DataFrame:
+    """Resize pass → new binary column + target dims (batch- and
+    stream-compatible; the standard thumbnail/normalize stage before
+    feature extraction).
+
+    Scale: pure map over Arrow batches — no shuffle; the output binary
+    is typically much smaller than the input, so this stage SHRINKS the
+    bytes the rest of the pipeline moves. Swap ``resizer`` for a
+    Pillow-backed callable in deployment.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if resizer is None:
+            raise NotImplementedError(
+                "no image codec in this environment: pass resizer= "
+                "(e.g. a Pillow-backed callable) to resize_images()"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "data": [resizer(b, width, height) for b in pdf[binary_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(compute, schema=RESIZE_SCHEMA)

@@ -78,3 +78,30 @@ def test_frame_sampling_fanout(spark, media):
     assert [r.frame_index for r in one] == [0, 1, 2, 3]
     assert one[0].offset_bytes == 0
     assert all(b.offset_bytes >= a.offset_bytes for a, b in zip(one, one[1:]))
+
+
+def test_resize_images_plumbing(spark):
+    """Resize stage: schema, determinism, and the no-codec error path."""
+    import pytest
+
+    from automated_data_pipeline_python_spark.multimodal.binary_ops import (
+        documents_as_media,
+        fake_image_resize,
+        resize_images,
+    )
+    from automated_data_pipeline_python_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    media = documents_as_media(load(spark, SF_SMOKE, "documents")).limit(20)
+    out = resize_images(media, 64, 32, resizer=fake_image_resize)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 64 and r.height == 32 for r in rows)
+    assert all(isinstance(r.data, (bytes, bytearray)) and len(r.data) > 0 for r in rows)
+    # Deterministic: same input -> same bytes.
+    again = {r.media_id: bytes(r.data) for r in resize_images(
+        media, 64, 32, resizer=fake_image_resize).collect()}
+    assert {r.media_id: bytes(r.data) for r in rows} == again
+
+    with pytest.raises(Exception, match="no image codec"):
+        resize_images(media, 64, 32).collect()
