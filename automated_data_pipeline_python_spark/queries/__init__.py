@@ -105,6 +105,7 @@ _PRIORITY = [
     "ann_pq_adc_topk",
     "variant_props_stats",
     "dedup_lsh_recall_eval",
+    "text_hash_embedding",
     # (d) sentinels: queries REWRITTEN this round (gapfill agg-then-join,
     # minhash array_intersect verify, tfidf materialization) plus three
     # stable family greens to catch broad regressions
@@ -114,7 +115,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "dq_star_schema_report",
     "contamination_ngram_overlap",
-    "chunk_documents_overlap",
 ]
 
 
