@@ -1,0 +1,42 @@
+"""Broadcast-independence: results must not depend on join strategy.
+
+At 100 TB, joins that broadcast at test scale (dimensions, dedup
+bucket tables) can exceed autoBroadcastJoinThreshold and silently fall
+back to shuffle joins. These tests disable broadcasting entirely and
+assert bit-identical results for the join-heaviest headline queries —
+proving the plans are strategy-agnostic, not accidentally dependent on
+build-side semantics (e.g. a hint that changes null behavior).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_data_pipeline_python_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+JOIN_HEAVY = [
+    "q5_region_revenue",
+    "q8_market_share",
+    "q21_sole_late_shipper",
+    "dedup_minhash_lsh",
+    "contamination_ngram_overlap",
+    "join_asof_purchase_click",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in row) for row in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize("name", JOIN_HEAVY)
+def test_result_identical_without_broadcasts(spark, name):
+    default = _canon(QUERIES[name].fn(spark, SF_SMOKE))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_bcast = _canon(QUERIES[name].fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert no_bcast == default, f"{name}: result depends on join strategy"
