@@ -40,3 +40,27 @@ def test_result_identical_without_broadcasts(spark, name):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert no_bcast == default, f"{name}: result depends on join strategy"
+
+
+TIME_SENSITIVE = [
+    "events_tumbling_10min",
+    "events_sessionization",
+    "events_interval_join",
+    "join_asof_purchase_click",
+    "gapfill_monthly_orders",
+]
+
+
+@pytest.mark.parametrize("name", TIME_SENSITIVE)
+def test_result_identical_across_session_timezones(spark, name):
+    """The driver runs a VANILLA session (machine timezone, not our UTC
+    factory conf). Timestamps are NTZ end-to-end, so results must be
+    identical under any session timezone — pinned against a shifted one."""
+    default = _canon(QUERIES[name].fn(spark, SF_SMOKE))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")  # UTC+14
+    try:
+        shifted = _canon(QUERIES[name].fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert shifted == default, f"{name}: result depends on session timezone"
