@@ -54,3 +54,27 @@ def test_window_is_oracle_dense():
     oracles = oracle_sql()
     missing = [n for n in _PRIORITY if n not in oracles]
     assert set(missing) <= {"sketch_user_reach_rollup", "ann_ivf_cell_assignment"}
+
+
+def test_deferred_collect_is_isolated_from_later_registrations(spark):
+    """Queries register shared temp-view names (documents, mh_sh, ...).
+    A driver may build many DataFrames before collecting any; plans must
+    bind at build time, so later view re-registration cannot change an
+    earlier query's result."""
+    from tests.conftest import SF_SMOKE
+
+    names = [
+        "dedup_minhash_lsh",        # registers documents + mh_sh
+        "text_tfidf_top_terms",     # re-registers documents + tfidf_tok
+        "contamination_ngram_overlap",  # re-registers documents + ct_sh
+        "semdedup_cluster_prune",   # registers embeddings + sd_asn
+    ]
+    built = {n: QUERIES[n].fn(spark, SF_SMOKE) for n in names}  # build all first
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+    deferred = {n: canon(df) for n, df in built.items()}        # collect after
+    fresh = {n: canon(QUERIES[n].fn(spark, SF_SMOKE)) for n in names}
+    assert deferred == fresh
