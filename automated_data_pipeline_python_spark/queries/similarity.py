@@ -638,3 +638,92 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     _materialize_view(spark.sql(_PQ_SUB_SPARK), "pq_sub")
     return spark.sql(_PQ_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# PQ quality evaluation: ADC recall vs exact L2 truth
+# ---------------------------------------------------------------------------
+# PQ approximates L2 distance (ADC), so its truth set is the exact L2
+# top-k — not the cosine truth ann_recall_at_k uses for LSH/IVF. This
+# eval reports recall@k of the ADC ranking per query: the number one
+# tunes M (subspaces) and codebook size against.
+
+_PQ_EXACT_L2_TMPL = """
+exact_scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           floor(({d2}) * 1e6 + 0.5) / 1e6 AS dist
+    FROM {base} a JOIN {base} b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {queries}
+),
+exact_rank AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, neighbor_id) AS rnk
+    FROM exact_scored
+),
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM exact_rank WHERE rnk <= {k}
+)
+"""
+
+
+def _pq_l2_spark(a: str, b: str) -> str:
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        f"{dot.format(x=a + '.v', y=a + '.v')} - 2 * {dot.format(x=a + '.v', y=b + '.v')}"
+        f" + {dot.format(x=b + '.v', y=b + '.v')}"
+    )
+
+
+_PQ_RECALL_TAIL = """
+SELECT e.query_id,
+       CAST({k} AS INT) AS k,
+       CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+       floor((CAST(count(p.neighbor_id) AS DOUBLE) / {k}) * 1e6 + 0.5) / 1e6
+           AS recall
+FROM exact_topk e
+LEFT JOIN pq_topk p
+  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+_PQ_RECALL_DUCK_SQL = (
+    "WITH pq_topk AS (" + _PQ_DUCK_SQL + "),\n"
+    "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    + _PQ_EXACT_L2_TMPL.format(
+        d2="list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, b.v)"
+           " + list_dot_product(b.v, b.v)",
+        base="base",
+        queries=_N_QUERIES,
+        k=_PQ_TOP_K,
+    ).lstrip()
+    + _PQ_RECALL_TAIL.format(k=_PQ_TOP_K)
+)
+
+
+@register("ann_pq_recall_eval", oracle=_PQ_RECALL_DUCK_SQL)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ-ADC ranking vs exact L2 top-5 per query.
+
+    Scale: the exact side is evaluation-only (queries × corpus, run on
+    a sample in production); the PQ side is the index pipeline
+    unchanged. Both read the materialized subvector relation.
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    _materialize_view(spark.sql(_PQ_SUB_SPARK), "pq_sub")
+    spark.sql(_PQ_TAIL_SPARK).createOrReplaceTempView("pq_topk")
+    sql = (
+        "WITH base AS (SELECT vec_id,"
+        " transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+        + _PQ_EXACT_L2_TMPL.format(
+            d2=_pq_l2_spark("a", "b"),
+            base="base",
+            queries=_N_QUERIES,
+            k=_PQ_TOP_K,
+        ).lstrip()
+        + _PQ_RECALL_TAIL.format(k=_PQ_TOP_K)
+    )
+    return spark.sql(sql)
