@@ -106,6 +106,7 @@ _PRIORITY = [
     "variant_props_stats",
     "dedup_lsh_recall_eval",
     "text_hash_embedding",
+    "ann_pq_recall_eval",
     # (d) sentinels: queries REWRITTEN this round (gapfill agg-then-join,
     # minhash array_intersect verify, tfidf materialization) plus three
     # stable family greens to catch broad regressions
@@ -114,7 +115,6 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "q1_pricing_summary",
     "dq_star_schema_report",
-    "contamination_ngram_overlap",
 ]
 
 
