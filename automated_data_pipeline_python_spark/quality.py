@@ -93,12 +93,13 @@ def referential_report(
     oracle in queries/dq.py, which never counts NULL keys) — a bare
     left-anti join would count them.
 
-    Scale: broadcast anti join when the parent is a dimension; for
-    fact-to-fact references the anti join shuffles on the key like any
-    equi-join.
+    Scale: no broadcast hint — callers pass facts as parents too
+    (lineitem→orders), and a forced broadcast of a fact OOMs at scale.
+    AQE broadcasts dimension-sized parents on its own; fact-to-fact
+    references shuffle on the key like any equi-join.
     """
     orphans = child.filter(F.col(fk).isNotNull()).join(
-        F.broadcast(parent.select(pk)), child[fk] == parent[pk], "left_anti"
+        parent.select(pk), child[fk] == parent[pk], "left_anti"
     )
     return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
         F.lit(name).alias("check_name"), "violations"

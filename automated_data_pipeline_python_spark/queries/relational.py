@@ -113,10 +113,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join → agg → top-k.
 
-    Scale: customer is the small side → broadcast hash join (no shuffle
-    of the lineitem fact for that join); orders↔lineitem shuffles on the
-    order key. Top-k plans as TakeOrderedAndProject — no global sort.
-    Deterministic: ties broken by l_orderkey.
+    Scale: customer grows with SF, so no forced broadcast hint — at
+    sf0.1 AQE picks the identical broadcast hash join (under the
+    autoBroadcastJoinThreshold); at 100 TB it degrades gracefully to a
+    shuffled hash/sort-merge join instead of OOMing on a multi-GB
+    broadcast. orders↔lineitem shuffles on the order key. Top-k plans
+    as TakeOrderedAndProject — no global sort. Deterministic: ties
+    broken by l_orderkey.
     """
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(
@@ -127,7 +130,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -159,9 +162,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join (5 dims around lineitem) → agg.
 
-    Scale: region/nation/supplier/customer all broadcast (dimension
-    tables); only orders↔lineitem shuffles. The co-located-nation
-    predicate (c_nationkey = s_nationkey) applies post-join as a filter.
+    Scale: region/nation carry explicit broadcast hints (fixed-size 5-
+    and 25-row tables at any SF); customer/supplier are left unhinted so
+    AQE broadcasts them while they fit and falls back to shuffle joins
+    at scale. Only orders↔lineitem always shuffles. The co-located-
+    nation predicate (c_nationkey = s_nationkey) applies post-join.
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -171,9 +176,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -202,7 +207,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
@@ -700,7 +705,7 @@ def join_range_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     return (
         cust.join(
-            F.broadcast(supp),
+            supp,
             (cust.c_nationkey == supp.s_nationkey)
             & (cust.c_acctbal > supp.s_acctbal + 5000),
         )

@@ -66,8 +66,8 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
         .select(
             "p_partkey",
             "p_name",
@@ -117,8 +117,8 @@ def q7_nation_trade_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     year = F.year("o_orderdate")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .filter((F.col("cust_nation") < F.col("supp_nation")) & year.between(1996, 1998))
@@ -186,7 +186,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             stable_round(
                 100.0
@@ -234,7 +234,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -266,7 +266,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    joined = li.join(part, part.p_partkey == li.l_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")

@@ -169,10 +169,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: 8-way star join, nation in two roles, share ratio.
 
-    Scale: all five dimensions (part, customer, supplier, nation ×2,
-    region) broadcast; the only shuffle is lineitem↔orders on the order
-    key, then a tiny per-year aggregate. The conditional numerator and
-    the denominator come out of ONE aggregation pass.
+    Scale: fixed-size dims (nation ×2, region) carry broadcast hints;
+    part/customer/supplier scale with SF so they are unhinted — AQE
+    broadcasts them while small, shuffle-joins at 100 TB. lineitem↔
+    orders shuffles on the order key, then a tiny per-year aggregate.
+    The conditional numerator and the denominator come out of ONE
+    aggregation pass.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
@@ -190,12 +192,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn.n_nationkey"))
         .join(F.broadcast(region), F.col("cn.n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn.n_nationkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             stable_round(
@@ -236,7 +238,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: 5-way join, profit by supplier nation × year.
 
     No partsupp/supplycost in this schema, so profit is the discounted
-    revenue. Scale: part/supplier/nation broadcast; lineitem↔orders is
+    revenue. Scale: nation is hinted broadcast (fixed 25 rows);
+    part/supplier are unhinted (AQE broadcasts while small, shuffles at
+    100 TB); lineitem↔orders is
     the one real shuffle. The LIKE filter halves the fact early because
     the part join is applied before the orders join.
     """
@@ -246,8 +250,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -292,8 +296,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: quarter of returns → customer ranking, top 20.
 
     Scale: returnflag + orderdate filters shrink both fact inputs before
-    the shuffle join; customer/nation broadcast onto the aggregated
-    (per-customer) rows, not onto lineitem. Top-k plans as
+    the shuffle join; customer (AQE-sized) and nation (hinted) join
+    onto the aggregated (per-customer) rows, not onto lineitem. Top-k
+    plans as
     TakeOrderedAndProject; c_custkey tiebreak makes it total.
     """
     cust = load(spark, sf_dir, "customer")
@@ -313,7 +318,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "c_custkey",
@@ -476,7 +481,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_revenue", F.max("total_revenue").over(Window.partitionBy())
     ).filter(F.col("total_revenue") == F.col("max_revenue"))
     return (
-        top.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        top.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -507,9 +512,13 @@ def q16_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: NOT IN (null-aware anti join) + count(DISTINCT).
 
     The part-supplier relation is derived from lineitem (no partsupp
-    table). Scale: the NOT-IN subquery is a tiny broadcast null-aware
-    anti join; count(DISTINCT) expands to a two-level aggregate
-    (distinct on the shuffle key first) — no driver-side distinct.
+    table). Scale: Spark only supports null-aware anti join (NOT IN)
+    as a broadcast — this query deliberately showcases that operator,
+    and the broadcast side is pre-filtered (s_acctbal < 0). If the
+    filtered subquery outgrew broadcast size at 100 TB, the rewrite is
+    NOT EXISTS (s_suppkey is a non-null PK, so semantics coincide),
+    which plans as a shuffleable regular anti join. count(DISTINCT)
+    expands to a two-level aggregate — no driver-side distinct.
     """
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q16")
     load(spark, sf_dir, "part").createOrReplaceTempView("part_q16")
