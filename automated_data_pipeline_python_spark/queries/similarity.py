@@ -286,38 +286,81 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("ann_ivf_cell_assignment", oracle=None)
+def _cell_assign_sql(dot, explode, collect, cast_vec, bigint) -> str:
+    # Same cross-engine float discipline as kmeans_lloyd_refine
+    # (clustering.py): centroid components snap to a 1e-6 grid after the
+    # mean, distances use the precomputed-self-dot form
+    # (nrm2 - 2*dot + cnrm2) snapped to 1e-6, and argmin ties break on
+    # cell id — so differing float summation orders between engines
+    # cannot flip an assignment.
+    d2 = f"floor((b.nrm2 - 2 * {dot('b.v', 'ct.c')} + ct.cnrm2) * 1e6 + 0.5) / 1e6"
+    return f"""
+WITH base AS (
+    SELECT vec_id, label, v, {dot('v', 'v')} AS nrm2
+    FROM (SELECT vec_id, label, {cast_vec} AS v FROM embeddings) b0
+),
+cent_long AS (
+    SELECT label, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+    FROM ({explode('base')}) e
+    GROUP BY label, d
+),
+cent AS (
+    SELECT cell, c, {dot('c', 'c')} AS cnrm2
+    FROM (SELECT label AS cell, {collect} AS c FROM cent_long GROUP BY label) cc
+),
+dist AS (
+    SELECT b.vec_id, ct.cell, {d2} AS dist
+    FROM base b CROSS JOIN cent ct
+)
+SELECT vec_id, cell, dist
+FROM (
+    SELECT vec_id, cell, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+    FROM dist
+) r WHERE rnk = 1
+"""
+
+
+_CELL_ASSIGN_SPARK_SQL = _cell_assign_sql(
+    dot=lambda a, b: (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+    ),
+    explode=lambda m: (
+        f"SELECT label, d, x FROM {m} LATERAL VIEW posexplode({m}.v) t AS d, x"
+    ),
+    collect="transform(array_sort(collect_list(named_struct('d', d, 'c', c))), s -> s.c)",
+    cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
+    bigint=lambda e: e,
+)
+
+_CELL_ASSIGN_DUCK_SQL = _cell_assign_sql(
+    dot=lambda a, b: f"list_dot_product({a}, {b})",
+    explode=lambda m: (
+        f"SELECT label, unnest(generate_series(1, len(v))) AS d, "
+        f"unnest(v) AS x FROM {m}"
+    ),
+    collect="list(c ORDER BY d)",
+    cast_vec="embedding::DOUBLE[]",
+    bigint=lambda e: f"CAST({e} AS BIGINT)",
+)
+
+
+@register("ann_ivf_cell_assignment", oracle=_CELL_ASSIGN_DUCK_SQL)
 def ann_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid.
 
-    Rows-only check (the full pipeline is validated structurally by
-    tests/test_similarity.py: assignment is total, cells are balanced,
-    and IVF top-k achieves high recall vs brute force). Centroids are
-    per-label means — the plan shape (small centroid table broadcast
-    against the corpus, argmin via window) is exactly an IVF index
-    build; swap the centroid source for sampled k-means at scale.
+    Centroids are per-label component means — the plan shape (tiny
+    centroid table cross-joined/broadcast against the corpus, argmin via
+    window) is exactly an IVF index build; swap the centroid source for
+    sampled k-means at scale. Oracle-checked: the kmeans_lloyd_refine
+    float discipline (1e-6 snap on centroid components and distances,
+    cell-id tiebreak) makes the assignment bit-stable across engines.
+    Structure is additionally validated by tests/test_similarity.py
+    (assignment total, cells balanced, IVF top-k recall vs brute force).
     """
-    emb = load_scaled(spark, sf_dir, "embeddings")
-    from pyspark.sql import Window as W
-
-    comps = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("d", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    centroids = comps.groupBy("label", "d").agg(F.avg("x").alias("c"))
-    dist = (
-        comps.alias("v")
-        .join(centroids.alias("ct"), F.col("v.d") == F.col("ct.d"))
-        .groupBy(
-            F.col("v.vec_id").alias("vec_id"), F.col("ct.label").alias("cell")
-        )
-        .agg(F.sum((F.col("v.x") - F.col("ct.c")) ** 2).alias("dist"))
-    )
-    w = W.partitionBy("vec_id").orderBy("dist", "cell")
-    return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("vec_id", "cell")
-    )
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_CELL_ASSIGN_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------
