@@ -74,7 +74,16 @@ class PooledHttpTransport:
             block=False,
             headers=headers or {},
             timeout=urllib3.Timeout(total=timeout_s),
-            retries=False,  # retry policy belongs to RetryingFetcher
+            # Retry policy belongs to RetryingFetcher — but retries=False
+            # would also disable redirect FOLLOWING in urllib3, turning a
+            # permanent 301/302 into an HttpStatusError that the fetcher
+            # retries to exhaustion. Allow redirects only: total must be
+            # None (it takes precedence over every per-category count,
+            # so total=0 would block redirects too — verified against a
+            # live server), with connect/read/status/other retries at 0.
+            retries=urllib3.Retry(
+                total=None, connect=0, read=0, status=0, other=0, redirect=3
+            ),
         )
 
     def fetch_sync(self, url: str) -> dict[str, Any]:

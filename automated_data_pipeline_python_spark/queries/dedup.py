@@ -919,7 +919,13 @@ SELECT a.vec_id, a.cell, b.v,
 FROM asn a JOIN base b ON a.vec_id = b.vec_id
 """
 
-_SD_COS = f"{_sd_dot('aa.v', 'bb.v')} / (aa.nrm * bb.nrm)"
+# The cosine is snapped to the 1e-6 grid BEFORE the threshold compare:
+# Spark's aggregate-fold dot product and DuckDB's list_dot_product can
+# differ by an ulp, and an unsnapped compare would let a pair sitting
+# exactly on the threshold flip kept/dup_of between engines.
+_SD_COS = (
+    f"floor(({_sd_dot('aa.v', 'bb.v')} / (aa.nrm * bb.nrm)) * 1e6 + 0.5) / 1e6"
+)
 
 _SD_TAIL_SPARK = f"""
 WITH j AS (
@@ -958,9 +964,9 @@ asn AS (
 ),
 j AS (
     SELECT bb.vec_id AS vec_id, aa.vec_id AS lower_id,
-           list_dot_product(va.v, vb.v)
+           floor((list_dot_product(va.v, vb.v)
              / (sqrt(list_dot_product(va.v, va.v))
-                * sqrt(list_dot_product(vb.v, vb.v))) AS cs
+                * sqrt(list_dot_product(vb.v, vb.v)))) * 1e6 + 0.5) / 1e6 AS cs
     FROM asn aa
     JOIN asn bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
     JOIN base va ON va.vec_id = aa.vec_id

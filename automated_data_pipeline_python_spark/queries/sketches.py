@@ -76,13 +76,17 @@ def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The streaming/mergeable counterpart of `text_tfidf_top_terms`'s
     exact counting: approx_top_k keeps a bounded sketch per partition
-    and merges — memory is O(k), not O(vocabulary). The sketch is exact
-    whenever distinct items per partition stay within maxItemsTracked
-    (default 10000; this corpus' vocabulary is far below it), which is
-    what lets the DuckDB exact-count oracle hash-match. We over-fetch
-    k=25 from the sketch and re-rank with a (cnt DESC, term) tiebreak so
-    ties at the top-10 boundary resolve identically in both engines
-    (approx_top_k's own tie order is unspecified).
+    and merges — memory is O(maxItemsTracked), not O(vocabulary). The
+    sketch is exact whenever distinct items per partition stay within
+    maxItemsTracked — passed explicitly as 100000 (~20× this corpus'
+    vocabulary; the default 10000 would make a regenerated richer
+    corpus go red for a non-bug reason), which is what lets the DuckDB
+    exact-count oracle hash-match. We over-fetch k=25 from the sketch
+    and re-rank with a (cnt DESC, term) tiebreak so ties at the top-10
+    boundary resolve identically in both engines (approx_top_k's own
+    tie order is unspecified). Bound documented in
+    tests/test_sketches.py: the full count-tie cluster at the rank-10
+    boundary must also fit inside the over-fetched 25.
 
     Scale: the token explode never shuffles raw tokens — each partition
     reduces to one bounded sketch; the merge moves KBs. The re-rank
@@ -94,7 +98,7 @@ def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .filter(F.length("term") > 0)
-        .agg(F.expr("approx_top_k(term, 25)").alias("tk"))
+        .agg(F.expr("approx_top_k(term, 25, 100000)").alias("tk"))
         .select(F.explode("tk").alias("entry"))
         .select(
             F.col("entry.item").alias("term"),

@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TABLE_NAMES = (
     "region",
@@ -39,11 +39,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     across corpus generations: TIMESTAMP(NANOS) (which Spark's parquet
     reader surfaces as LONG under the ``nanosAsLong`` legacy conf) and
     plain ``timestamp[us]`` (read as a timestamp type directly). Branch
-    on the dtype Spark actually reads so either corpus works: LONG →
+    on the dtype Spark actually reads so any corpus works: LONG →
     rebuild TimestampNTZ via NTZ-base timestampadd (timezone-free;
     sub-microsecond parts are zero in the nanos corpus, so the micros
-    truncation is lossless); timestamp → cast to TIMESTAMP_NTZ so the
-    engine sees NTZ everywhere regardless of session timezone.
+    truncation is lossless); TIMESTAMP (LTZ — a future corpus shipping
+    isAdjustedToUTC=true parquet) → rebuild from unix_micros, which is
+    epoch-based and hence session-timezone-independent, yielding the
+    UTC wall clock as NTZ (a plain CAST to TIMESTAMP_NTZ would render
+    in the session timezone and shift per machine under the driver's
+    vanilla session); TIMESTAMP_NTZ (naive parquet timestamps under
+    Spark's default inferTimestampNTZ) → pass through.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -57,6 +62,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.expr(
                     "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        if isinstance(ts_type, TimestampType):
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )

@@ -21,6 +21,7 @@ pass ``--in-process`` to skip HTTP and use the coroutine stand-in.
 from __future__ import annotations
 
 import asyncio
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -37,6 +38,20 @@ from automated_data_pipeline_python_spark.ingest.normalize import (
 )
 from automated_data_pipeline_python_spark.ingest.store import write_tables
 from automated_data_pipeline_python_spark.session import get_spark
+
+
+def make_env_keyed_transport():
+    """Env-keyed client factory (reference api_clients.py:4-17):
+    ``OPENSEA_API_KEY`` — when set — rides every request as the
+    ``X-API-KEY`` header; the metadata/enrichment side needs no key.
+    The reference loads it via dotenv (main.py:16); any env loader
+    works — only ``os.getenv`` is assumed here.
+    """
+    from automated_data_pipeline_python_spark.ingest.transport import make_transport
+
+    api_key = os.getenv("OPENSEA_API_KEY")
+    headers = {"X-API-KEY": api_key} if api_key else {}
+    return make_transport(headers=headers)
 
 
 def demo_transport(n_pages: int = 5, per_page: int = 200):
@@ -161,14 +176,12 @@ if __name__ == "__main__":
     if "--in-process" in sys.argv:
         result = run_pipeline(spark, out)
     else:
-        from automated_data_pipeline_python_spark.ingest.transport import make_transport
-
         base, shutdown = serve_demo_api()
         try:
             result = run_pipeline(
                 spark,
                 out,
-                transport=make_transport(headers={"X-Api-Key": "demo"}),
+                transport=make_env_keyed_transport(),
                 first_url=f"{base}/collection/page/0",
             )
         finally:

@@ -67,3 +67,30 @@ def test_heavy_hitters_agree_with_exact_counts(spark):
     assert len(got) == 10
     for term, cnt in got.items():
         assert term in exact and abs(cnt - exact[term]) <= 0.02 * exact[term]
+
+
+def test_heavy_hitters_oracle_bounds_hold(spark):
+    """The exact-count oracle hash-match relies on two corpus bounds;
+    assert them so a future red driver row is diagnosable as a corpus
+    change, not an engine bug:
+    1. distinct terms stay within the explicit maxItemsTracked (100000)
+       — the sketch is exact only within that budget;
+    2. the count-tie cluster spanning the rank-10 boundary fits inside
+       the over-fetched k=25 — otherwise the (cnt DESC, term) re-rank
+       can pick different tie members than the oracle."""
+    docs = load(spark, SF_DIR, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter("length(t) > 0")
+        .groupBy("t")
+        .count()
+    )
+    assert counts.count() < 100000, "vocabulary outgrew maxItemsTracked"
+    top = counts.orderBy(F.desc("count"), "t").limit(25).collect()
+    boundary_cnt = top[9]["count"]
+    tie_cluster = counts.filter(F.col("count") == boundary_cnt).count()
+    above = sum(1 for r in top[:10] if r["count"] > boundary_cnt)
+    assert above + tie_cluster <= 25, (
+        f"rank-10 tie cluster ({tie_cluster} terms at cnt={boundary_cnt}) "
+        "no longer fits in the k=25 over-fetch"
+    )

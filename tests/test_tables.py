@@ -68,6 +68,36 @@ def test_load_events_any_parquet_timestamp_unit(spark, tmp_path, ts_unit):
     assert got == _TS_ROWS
 
 
+def test_load_events_utc_adjusted_parquet_is_timezone_independent(spark, tmp_path):
+    """A corpus shipping isAdjustedToUTC=true parquet timestamps reads
+    as TIMESTAMP (LTZ) in Spark. The loader must convert via an
+    explicit epoch-based convention (UTC wall clock), NOT a bare cast —
+    a cast renders in the session timezone, so the driver's vanilla
+    session would yield different values per machine."""
+    sf_dir = tmp_path / "corpus_utc"
+    sf_dir.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(_TS_ROWS, pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(sf_dir / "events.parquet"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")  # UTC+14
+    try:
+        df = tables.load(spark, str(sf_dir), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+        got = sorted(r.ts for r in df.select("ts").collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == _TS_ROWS  # UTC wall clock, not shifted by +14h
+
+
 def test_load_scaled_widens_single_split_scan(spark):
     """A one-split corpus fans out to the session parallelism; tables
     already scanning at/above parallelism pass through un-shuffled."""

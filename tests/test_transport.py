@@ -56,6 +56,11 @@ class _ApiHandler(BaseHTTPRequestHandler):
         elif self.path.startswith("/meta/"):
             k = int(self.path.rsplit("/", 1)[1])
             self._json(200, {"rarity": k % 3, "family": f"fam{k}"})
+        elif self.path == "/moved":
+            self.send_response(301)
+            self.send_header("Location", "/meta/3")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         elif self.path == "/flaky":
             hits = self.flaky_hits.setdefault("flaky", 0)
             self.flaky_hits["flaky"] = hits + 1
@@ -129,6 +134,18 @@ def test_retry_on_503_then_success(api_base):
         result = asyncio.run(fetcher.get(f"{api_base}/flaky"))
     assert result["ok"] is True
     assert fetcher.stats.retries == 2  # two 503s before the 200
+
+
+def test_redirect_followed_not_retried(api_base):
+    """A permanent 301 must be FOLLOWED by the pool, not surfaced as an
+    HttpStatusError that RetryingFetcher retries to exhaustion (urllib3's
+    retries=False disables redirect following along with retries; the
+    pool uses a Retry that allows redirects only)."""
+    with PooledHttpTransport() as transport:
+        fetcher = RetryingFetcher(transport, max_attempts=2, wait_initial=0.01)
+        result = asyncio.run(fetcher.get(f"{api_base}/moved"))
+    assert result == {"rarity": 0, "family": "fam3"}
+    assert fetcher.stats.retries == 0
 
 
 def test_non_2xx_raises_with_status(api_base):
