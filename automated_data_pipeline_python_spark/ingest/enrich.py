@@ -7,8 +7,10 @@ absorb duplicate URLs. Relationally that is a LEFT JOIN against a
 
 1. ``distinct()`` the URL column (deduplicates fetches *by
    construction*, subsuming the response cache within a run),
-2. fetch each distinct URL (driver-side below; swap in ``mapInPandas``
-   over URL partitions for large fan-out),
+2. fetch each distinct URL — driver-side (:func:`fetch_distinct_urls`)
+   for dimension-sized URL sets, or executor-side
+   (:func:`fetch_distinct_urls_distributed`, ``mapInPandas`` over URL
+   partitions) for large fan-out with zero driver-side collect,
 3. broadcast/left-join the fetched table back.
 """
 
@@ -71,3 +73,80 @@ def fetch_distinct_urls(
         ]
     )
     return df.sparkSession.createDataFrame(rows, schema=schema)
+
+
+def fetch_distinct_urls_distributed(
+    df: DataFrame,
+    transport_factory: Callable[[], Callable[[str], Awaitable[dict]]],
+    url_col: str = "metadata_url",
+    payload_field: str = "attributes",
+    max_concurrency: int = 15,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side variant: ``mapInPandas`` over distinct-URL partitions.
+
+    The scale path: no driver-side collect anywhere. A global
+    ``distinct()`` on the URL column (one hash shuffle) preserves the
+    duplicate-URL-fetched-once property of the reference's response
+    cache (``pipeline/utils/api.py:174-221``) by construction; each URL
+    partition then fetches through its OWN :class:`RetryingFetcher` with
+    the same bounded concurrency / retry / error-isolation semantics as
+    the driver-side path. Total in-flight requests =
+    ``partitions × max_concurrency`` — size accordingly.
+
+    ``transport_factory`` builds the transport ON the executor (a
+    connection pool cannot be pickled); pass e.g.
+    ``lambda: PooledHttpTransport(headers=...)``. Arrow moves only
+    (url, traits) rows — batch-columnar, never per-row Python in the
+    surrounding plan.
+    """
+    from automated_data_pipeline_python_spark.schemas import TRAIT_TYPE
+
+    urls = df.select(url_col).where(
+        F.col(url_col).isNotNull() & (F.col(url_col) != "")
+    ).distinct()
+    if partitions is not None:
+        urls = urls.repartition(partitions)
+    schema = T.StructType(
+        [
+            T.StructField(url_col, T.StringType()),
+            T.StructField("traits", T.ArrayType(TRAIT_TYPE)),
+        ]
+    )
+
+    def fetch_partition(batches):
+        import pandas as pd
+
+        from automated_data_pipeline_python_spark.ingest.fetcher import (
+            RetryingFetcher,
+        )
+
+        transport = transport_factory()
+        fetcher = RetryingFetcher(transport, max_concurrency=max_concurrency)
+
+        async def fetch_all(urls_batch: list[str]) -> list[tuple]:
+            async def one(u: str) -> tuple:
+                try:
+                    payload = await fetcher.get(u)
+                    return (u, payload.get(payload_field))
+                except Exception:
+                    fetcher.stats.errors += 1
+                    return (u, None)
+
+            return list(await asyncio.gather(*(one(u) for u in urls_batch)))
+
+        try:
+            for pdf in batches:
+                rows = asyncio.run(fetch_all(pdf[url_col].tolist()))
+                yield pd.DataFrame(
+                    {
+                        url_col: [r[0] for r in rows],
+                        "traits": [r[1] for r in rows],
+                    }
+                )
+        finally:
+            close = getattr(transport, "close", None)
+            if callable(close):
+                close()
+
+    return urls.mapInPandas(fetch_partition, schema=schema)

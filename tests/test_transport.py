@@ -15,6 +15,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
+from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.ingest.fetcher import (
     RetryingFetcher,
@@ -35,6 +36,7 @@ class _ApiHandler(BaseHTTPRequestHandler):
     """Cursor-paginated listing + per-item enrichment + failure routes."""
 
     flaky_hits: dict[str, int] = {}
+    meta_hits: dict[str, int] = {}
 
     def _json(self, status: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
@@ -55,7 +57,20 @@ class _ApiHandler(BaseHTTPRequestHandler):
             self._json(200, {"items": items, "next": nxt})
         elif self.path.startswith("/meta/"):
             k = int(self.path.rsplit("/", 1)[1])
+            self.meta_hits[self.path] = self.meta_hits.get(self.path, 0) + 1
             self._json(200, {"rarity": k % 3, "family": f"fam{k}"})
+        elif self.path.startswith("/traits/"):
+            k = int(self.path.rsplit("/", 1)[1])
+            self.meta_hits[self.path] = self.meta_hits.get(self.path, 0) + 1
+            self._json(
+                200,
+                {
+                    "attributes": [
+                        {"trait_type": "color", "value": ["red", "green", "blue"][k % 3]},
+                        {"trait_type": "tier", "value": str(k % 4)},
+                    ]
+                },
+            )
         elif self.path == "/moved":
             self.send_response(301)
             self.send_header("Location", "/meta/3")
@@ -154,3 +169,46 @@ def test_non_2xx_raises_with_status(api_base):
         with pytest.raises(HttpStatusError) as exc:
             asyncio.run(fetcher.get(f"{api_base}/nope"))
     assert exc.value.status == 404
+
+
+def test_distributed_enrichment_zero_driver_collect(spark, api_base):
+    """The scale path: mapInPandas over distinct-URL partitions against
+    the LIVE server. The executor-side transport is built per partition;
+    the global distinct preserves duplicate-URL-fetched-once (the
+    reference's response-cache property) — asserted via server-side hit
+    counters, which executors (separate worker processes) cannot touch
+    except through real HTTP."""
+    from automated_data_pipeline_python_spark.ingest.enrich import (
+        enrichment_join,
+        fetch_distinct_urls_distributed,
+    )
+
+    _ApiHandler.meta_hits.clear()
+    n_urls = 10
+    rows = [
+        (str(i), f"{api_base}/traits/{i % n_urls}") for i in range(40)
+    ] + [("x", None), ("y", "")]
+    nfts = spark.createDataFrame(rows, ["identifier", "metadata_url"])
+
+    meta = fetch_distinct_urls_distributed(
+        nfts,
+        transport_factory=PooledHttpTransport,
+        max_concurrency=4,
+        partitions=3,
+    )
+    got = {r.metadata_url: r.traits for r in meta.collect()}
+    assert len(got) == n_urls
+    for url, traits in got.items():
+        k = int(url.rsplit("/", 1)[1])
+        assert [t.asDict() for t in traits] == [
+            {"trait_type": "color", "value": ["red", "green", "blue"][k % 3]},
+            {"trait_type": "tier", "value": str(k % 4)},
+        ]
+    # duplicate-URL-fetched-once: every traits URL hit exactly once
+    trait_hits = {p: n for p, n in _ApiHandler.meta_hits.items() if p.startswith("/traits/")}
+    assert len(trait_hits) == n_urls
+    assert all(n == 1 for n in trait_hits.values()), trait_hits
+
+    joined = enrichment_join(nfts, meta)
+    with_traits = joined.where(F.col("traits").isNotNull()).count()
+    assert with_traits == 40  # every URL-bearing row enriched
