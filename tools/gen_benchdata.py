@@ -6,11 +6,18 @@ sublinearly; fixed dims preserve join shapes while facts scale).
 Output is for BENCHMARKING ONLY — correctness always runs against the
 driver's own /root/testdata corpora.
 
-Note the derived corpus is a *harder* dedup workload than a real scale-
-up: every document gains N-1 exact replicas, so LSH buckets and pair
-counts are maximally dense. Caps that hold here hold on real data.
+Note the default derived corpus is a *harder* dedup workload than a
+real scale-up: every document gains N-1 exact replicas, so LSH buckets
+and pair counts are maximally dense. Caps that hold here hold on real
+data. Pass ``--fresh-docs`` for the density-honest variant: every
+replica generation rewrites each document token with a generation
+suffix, so replicas share NO shingles with their source — cross-
+generation similarity drops to zero while the WITHIN-generation dup
+structure (what sf0.1 actually measures) is preserved exactly. That
+corpus demonstrates the claimed O(docs × shingles) minhash scaling
+without the replica-density inflation.
 
-Usage: python tools/gen_benchdata.py [factor] [src_dir] [dst_dir]
+Usage: python tools/gen_benchdata.py [factor] [src_dir] [dst_dir] [--fresh-docs]
        (default: 10 /root/testdata/sf0.1 <repo>/.benchdata/sf1)
 """
 
@@ -35,9 +42,11 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, ".benchdata", "sf1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fresh_docs = "--fresh-docs" in sys.argv
+    factor = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    dst = args[2] if len(args) > 2 else os.path.join(REPO, ".benchdata", "sf1")
     os.makedirs(dst, exist_ok=True)
     t0 = time.time()
     con = duckdb.connect()
@@ -48,6 +57,15 @@ def main() -> None:
             f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.execute(f"CREATE VIEW g AS SELECT * FROM range({factor}) t(gen)")
+    # One shared span per KEY DOMAIN: orders and lineitem both key on
+    # orderkey, so both must shift by the same span (orders' max). With
+    # per-table spans they only stay FK-aligned because TPC-H happens to
+    # give every tail order a lineitem; a corpus where the max orderkey
+    # had no lineitems would silently change replicated join
+    # cardinalities.
+    orderkey_span = con.execute(
+        f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'"
+    ).fetchone()[0]
     for table, key in FACT_KEYS.items():
         cols = [
             d[0]
@@ -55,17 +73,35 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'"
             ).fetchall()
         ]
-        span = con.execute(
-            f"SELECT max({key})+1 FROM '{src}/{table}.parquet'"
-        ).fetchone()[0]
-        sel = ", ".join(
-            f"{c} + gen*{span} AS {c}" if c == key else c for c in cols
-        )
+        if table in ("orders", "lineitem"):
+            span = orderkey_span
+        else:
+            span = con.execute(
+                f"SELECT max({key})+1 FROM '{src}/{table}.parquet'"
+            ).fetchone()[0]
+
+        def col_sel(c: str) -> str:
+            if c == key:
+                return f"{c} + gen*{span} AS {c}"
+            if fresh_docs and table == "documents" and c == "text":
+                # gen 0 = the source corpus verbatim; gen > 0 rewrites
+                # every token with a generation suffix → zero shared
+                # shingles across generations, identical dup structure
+                # within each generation.
+                return (
+                    "CASE WHEN gen = 0 THEN text ELSE "
+                    "regexp_replace(text, '(\\S+)', "
+                    "'\\1g' || CAST(gen AS VARCHAR), 'g') END AS text"
+                )
+            return c
+
+        sel = ", ".join(col_sel(c) for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM '{src}/{table}.parquet', g)"
             f" TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
         )
-    print(f"wrote {dst} ({factor}x {src}) in {time.time() - t0:.1f}s")
+    mode = " fresh-docs" if fresh_docs else ""
+    print(f"wrote {dst} ({factor}x{mode} {src}) in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":
