@@ -770,3 +770,127 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _PQ_RECALL_TAIL.format(k=_PQ_TOP_K)
     )
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# PQ tuning sweep: the M / codebook-size lever, measured
+# ---------------------------------------------------------------------------
+# The recall eval above reports the configured index's quality; this
+# query measures the TUNING LEVER — recall@5 across (M, codes)
+# configurations on the same fixture and truth set. More subspaces and
+# more codewords monotonically refine the ADC distance (finer
+# quantization cells), roughly doubling recall from the baseline
+# (M=4, codes=8) to (M=16, codes=32) on this corpus. Memory per vector
+# is M code ids — the sweep IS the memory/recall trade a deployment
+# reads off before fixing the index layout.
+
+_PQ_SWEEP_CONFIGS = [(4, 8), (8, 8), (4, 16), (16, 16), (16, 32)]
+
+
+def _pq_sweep_sql(d2, cast_vec, subspaces) -> str:
+    """One statement: shared exact-L2 truth, one PQ chain per config,
+    hits counted per config. ``subspaces(m, subdim)`` renders the
+    (vec_id, m, sv) subvector relation; ``d2`` the snapped distance."""
+    chains = []
+    selects = []
+    for m, codes in _PQ_SWEEP_CONFIGS:
+        subdim = _DIMS // m
+        tag = f"m{m}c{codes}"
+        chains.append(f"""
+sub_{tag} AS ({subspaces(m, subdim)}),
+cb_{tag} AS (
+    SELECT vec_id AS code, m, sv AS cw FROM sub_{tag} WHERE vec_id < {codes}
+),
+enc_{tag} AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d2('s.sv', 'cb.cw')}, cb.code) AS rn
+        FROM sub_{tag} s JOIN cb_{tag} cb ON s.m = cb.m
+    ) r WHERE rn = 1
+),
+qd_{tag} AS (
+    SELECT q.vec_id AS query_id, cb.m, cb.code, {d2('q.sv', 'cb.cw')} AS pd
+    FROM sub_{tag} q JOIN cb_{tag} cb ON q.m = cb.m
+    WHERE q.vec_id < {_N_QUERIES}
+),
+topk_{tag} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT qd.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qd.query_id
+                                  ORDER BY sum(qd.pd), e.vec_id) AS rnk
+        FROM enc_{tag} e
+        JOIN qd_{tag} qd ON qd.m = e.m AND qd.code = e.code
+        WHERE e.vec_id != qd.query_id
+        GROUP BY qd.query_id, e.vec_id
+    ) rr WHERE rnk <= {_PQ_TOP_K}
+)""")
+        selects.append(
+            f"SELECT '{tag}' AS config, {m} AS m, {codes} AS codes,"
+            f" count(p.neighbor_id) AS n_hit\n"
+            f"FROM exact_topk e LEFT JOIN topk_{tag} p\n"
+            f"  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id"
+        )
+    exact = f"""
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {d2('a.v', 'b.v')}, b.vec_id) AS rnk
+        FROM base a JOIN base b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ) er WHERE rnk <= {_PQ_TOP_K}
+)"""
+    union = "\nUNION ALL\n".join(selects)
+    total = _N_QUERIES * _PQ_TOP_K
+    # hits is an integer → the recall division is bit-identical across
+    # engines; the 1e-6 snap guards only the decimal rendering.
+    return f"""
+WITH base AS (SELECT vec_id, {cast_vec} AS v FROM embeddings),
+{exact},{','.join(chains)},
+per_config AS ({union})
+SELECT config, CAST(m AS INT) AS m, CAST(codes AS INT) AS codes,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       floor((CAST(n_hit AS DOUBLE) / {total}) * 1e6 + 0.5) / 1e6 AS recall
+FROM per_config
+ORDER BY m, codes
+"""
+
+
+_PQ_SWEEP_SPARK_SQL = _pq_sweep_sql(
+    d2=_pq_d2_spark,
+    cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
+    subspaces=lambda m, subdim: (
+        f"SELECT vec_id, m, slice(v, m * {subdim} + 1, {subdim}) AS sv\n"
+        f"    FROM base LATERAL VIEW explode(sequence(0, {m - 1})) t AS m"
+    ),
+)
+
+_PQ_SWEEP_DUCK_SQL = _pq_sweep_sql(
+    d2=_pq_d2_duck,
+    cast_vec="embedding::DOUBLE[]",
+    subspaces=lambda m, subdim: (
+        f"SELECT vec_id, m,\n"
+        f"           list_slice(v, m * {subdim} + 1, m * {subdim} + {subdim}) AS sv\n"
+        f"    FROM base, generate_series(0, {m - 1}) AS g(m)"
+    ),
+)
+
+
+@register("ann_pq_tuning_sweep", oracle=_PQ_SWEEP_DUCK_SQL)
+def ann_pq_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 across PQ (M, codes) configurations vs shared L2 truth.
+
+    Shows the tuning lever moves: on this fixture recall roughly
+    doubles from the (4, 8) baseline to (16, 32). n_hit is an integer
+    and the truth set is shared, so the whole sweep hash-matches the
+    DuckDB oracle exactly.
+
+    Scale: evaluation-only (run on a query sample in production — the
+    exact-truth side is queries × corpus). Each config's chain is small
+    at eval scale, so CTE inlining is acceptable here; the production
+    index build materializes its subvector relation (see
+    ann_pq_adc_topk).
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_PQ_SWEEP_SPARK_SQL)
