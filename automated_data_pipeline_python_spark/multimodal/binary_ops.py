@@ -110,6 +110,36 @@ def fake_image_decode(data: bytes) -> tuple[int, int, str]:
     return 16 + h[0] % 1024, 16 + h[1] % 1024, ("RGB", "RGBA", "L")[h[2] % 3]
 
 
+def pil_image_decode(data: bytes) -> tuple[int, int, str]:
+    """Pillow-backed codec for :func:`decode_images` (deployment
+    binding; import-gated — Pillow is absent in this container, so this
+    raises ImportError there and tests/test_multimodal_pil.py skips)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return im.width, im.height, im.mode
+
+
+def pil_image_resize(data: bytes, width: int, height: int) -> bytes:
+    """Pillow-backed resizer for :func:`resize_images` (import-gated;
+    re-encodes in the source format, falling back to PNG for formats
+    Pillow can read but not write)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        fmt = im.format or "PNG"
+        out = io.BytesIO()
+        try:
+            im.resize((width, height)).save(out, format=fmt)
+        except (KeyError, OSError):
+            im.resize((width, height)).convert("RGB").save(out, format="PNG")
+        return out.getvalue()
+
+
 def decode_images(
     df: DataFrame,
     decode: Callable[[bytes], tuple[int, int, str]] | None = None,
