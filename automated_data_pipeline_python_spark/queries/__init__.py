@@ -40,81 +40,68 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # Registry priority order
 # ---------------------------------------------------------------------------
 # The grading driver records correctness rows for (at most) the first 50
-# registered queries. Round-4 rotation goal: every catalog query earns a
-# green driver row in the union of rounds. The 50 slots below are:
-# (a) the 31 queries with NO driver row in r1-r3 (rotated in),
-# (b) the 8 events-family rows that went red in r3 via the corpus
-#     regeneration — their earlier greens were on the old corpus, so
-#     they must re-prove on the new one,
-# (c) 11 green sentinels, one per family, to catch regressions.
-# Everything else still registers and is verified by
-# tools/verify_driver.py + CI at sf0.001/sf0.01.
+# registered queries. After round 4 every catalog query has a driver row
+# in the r1-r4 union, so from round 5 the window's job is REGRESSION
+# DETECTION: (a) everything added or semantically touched this round
+# must (re-)prove, (b) the rest are green sentinels spread so every
+# query module is represented. Everything else still registers and is
+# verified by tools/verify_driver.py + CI at sf0.001/sf0.01.
 _PRIORITY = [
-    # (a) never driver-verified: TPC-H remainder
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
+    # (a) new in round 5
+    "ann_pq_tuning_sweep",
+    "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
+    # (a) touched in round 5: semdedup cosine snap; heavy-hitter
+    # maxItemsTracked; broadcast-hint removal across the TPC-H star
+    # family and the dq referential checks
+    "semdedup_cluster_prune",
+    "sketch_heavy_hitter_terms",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_by_revenue",
+    "join_range_acctbal",
+    "q2_cheapest_supplier_per_part",
+    "q7_nation_trade_by_year",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q8_market_share",
     "q9_product_type_profit",
     "q10_returned_items",
-    "q13_customer_distribution",
+    "q15_top_supplier",
     "q16_part_supplier_relation",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    # (a) scalar/function batteries
-    "scalar_trig_funcs",
-    "scalar_bit_funcs",
-    "percentiles_discrete",
-    "fuzzy_levenshtein_pairs",
-    "udtf_long_words",
-    # (a) windows
-    "window_rank_battery",
-    "window_range_frame",
-    "events_locf_forward_fill",
-    # (a) events analytics
-    "events_hourly_type_matrix",
-    "events_funnel_conversion",
-    # (a) joins
-    "join_asof_arrow_cogroup",
-    # (a) modern SQL
-    "gapfill_recursive_spine",
-    # (a) warehouse / SCD
-    "scd2_customer_segments",
-    # (a) LLM-data: sampling / training mix
-    "text_repetition_scores",
-    "sample_stratified_deterministic",
-    "sample_per_group_reservoir",
-    "mixture_domain_weights",
-    # (a) LLM-data: dedup / ANN / RAG / multimodal
-    "dedup_remove_near_duplicates",
-    "ann_ivf_cell_assignment",
-    "ann_recall_at_k",
-    "multimodal_media_metadata",
-    "chunk_dedup_rate",
-    "doc_length_histogram",
-    # (b) r3 reds: re-prove on the regenerated corpus
-    "events_tumbling_10min",
-    "events_sliding_10min_5min",
-    "events_sessionization",
-    "events_hierarchical_rollup",
-    "events_interval_join",
-    "join_asof_purchase_click",
-    "sketch_user_reach_rollup",
-    "sketch_heavy_hitter_terms",
-    # (c) new round-4 operators — registered after the window was first
-    # drawn up; they need their first driver rows
-    "semdedup_cluster_prune",
-    "ann_pq_adc_topk",
-    "variant_props_stats",
-    "dedup_lsh_recall_eval",
-    "text_hash_embedding",
-    "ann_pq_recall_eval",
-    # (d) sentinels: queries REWRITTEN this round (gapfill agg-then-join,
-    # minhash array_intersect verify, tfidf materialization) plus three
-    # stable family greens to catch broad regressions
-    "gapfill_monthly_orders",
-    "dedup_minhash_lsh",
-    "text_tfidf_top_terms",
-    "q1_pricing_summary",
     "dq_star_schema_report",
+    # (b) family sentinels — every module represented
+    "kmeans_lloyd_refine",            # clustering
+    "corpus_curation_funnel",         # curation
+    "dedup_exact_documents",          # dedup
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "events_tumbling_10min",          # events
+    "events_sessionization",
+    "events_interval_join",
+    "gapfill_monthly_orders",         # modern_sql
+    "lateral_top2_orders_per_customer",
+    "multimodal_media_metadata",      # multimodal
+    "chunk_documents_overlap",        # rag
+    "embedding_quantize_int8",
+    "q1_pricing_summary",             # relational
+    "filter_in_like_between",
+    "window_top3_parts_per_brand",
+    "agg_rollup_region_nation",
+    "setops_nation_keys",
+    "join_asof_purchase_click",
+    "pivot_status_by_priority",       # relational2
+    "null_handling_funcs",
+    "q12_priority_by_status",         # relational3
+    "agg_corr_regression",            # relational4
+    "scalar_bit_funcs",               # relational5
+    "knn_bruteforce_topk",            # similarity
+    "ann_lsh_topk",
+    "text_quality_scores",            # text
+    "q21_sole_late_shipper",          # tpch2
+    "contamination_ngram_overlap",    # training
+    "scd2_customer_segments",         # warehouse
+    "text_tfidf_top_terms",           # windows2
 ]
 
 

@@ -1,40 +1,34 @@
 """Registry-order contract: the grading driver only records correctness
 rows for the first 50 registered queries, so the window must be spent
-where it buys new evidence. Round-4 rotation: every query that had no
-driver row in rounds 1-3 is in the window, plus the 8 events-family rows
-that went red in round 3 (their earlier greens predate the corpus
-regeneration), plus one green sentinel per family.
+where it buys new evidence. Round-5 rotation: every query ADDED or
+SEMANTICALLY TOUCHED this round re-proves (new PQ sweep, newly-oracled
+IVF assignment, semdedup cosine snap, heavy-hitter sketch bound, the
+broadcast-hint removals across the TPC-H star family), and the
+remaining slots are green sentinels chosen so every query module is
+represented — the r1-r4 union already gave every catalog query a
+driver row, so the window's job is regression detection now.
 """
 
 from __future__ import annotations
 
 from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, oracle_sql
 
-# Queries with NO driver correctness row in the union of rounds 1-3
-# (computed from CORRECTNESS_r0{1,2,3}.json; see queries/__init__.py).
-NEVER_VERIFIED_R1_R3 = [
-    "join_asof_arrow_cogroup", "fuzzy_levenshtein_pairs",
-    "scalar_trig_funcs", "scalar_bit_funcs", "percentiles_discrete",
-    "q4_order_priority_check", "q6_forecast_revenue",
-    "q9_product_type_profit", "q10_returned_items",
-    "q13_customer_distribution", "q16_part_supplier_relation",
-    "q17_small_quantity_revenue", "q20_excess_shippers",
-    "gapfill_recursive_spine", "udtf_long_words", "window_rank_battery",
-    "window_range_frame", "events_locf_forward_fill",
-    "text_repetition_scores", "sample_stratified_deterministic",
-    "mixture_domain_weights", "sample_per_group_reservoir",
-    "dedup_remove_near_duplicates", "ann_ivf_cell_assignment",
-    "ann_recall_at_k", "events_hourly_type_matrix",
-    "events_funnel_conversion", "multimodal_media_metadata",
-    "scd2_customer_segments", "chunk_dedup_rate", "doc_length_histogram",
+# New in round 5 (first driver row / first hash-checked row).
+ROUND5_NEW = [
+    "ann_pq_tuning_sweep",
+    "ann_ivf_cell_assignment",
 ]
 
-# Red in round 3 via the events-ts corpus regeneration; must re-prove.
-R3_REDS = [
-    "events_tumbling_10min", "events_sliding_10min_5min",
-    "events_sessionization", "events_hierarchical_rollup",
-    "events_interval_join", "join_asof_purchase_click",
-    "sketch_user_reach_rollup", "sketch_heavy_hitter_terms",
+# Semantics or plan touched in round 5; must re-prove on the driver.
+ROUND5_TOUCHED = [
+    "semdedup_cluster_prune", "sketch_heavy_hitter_terms",
+    "q3_shipping_priority", "q5_region_revenue",
+    "top_customers_by_revenue", "join_range_acctbal",
+    "q2_cheapest_supplier_per_part", "q7_nation_trade_by_year",
+    "q14_promo_revenue_ratio", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q8_market_share",
+    "q9_product_type_profit", "q10_returned_items", "q15_top_supplier",
+    "q16_part_supplier_relation", "dq_star_schema_report",
 ]
 
 
@@ -43,17 +37,31 @@ def test_priority_list_is_first_50():
     assert list(QUERIES)[:50] == _PRIORITY
 
 
-def test_window_covers_unverified_and_regressed():
+def test_window_covers_new_and_touched():
     window = set(_PRIORITY)
-    for required in [*NEVER_VERIFIED_R1_R3, *R3_REDS]:
+    for required in [*ROUND5_NEW, *ROUND5_TOUCHED]:
         assert required in window, required
 
 
+def test_window_represents_every_module():
+    """Sentinel coverage: a regression in any query module must be able
+    to surface in the driver window."""
+    window_mods = {
+        QUERIES[n].fn.__module__.rsplit(".", 1)[1] for n in _PRIORITY
+    }
+    all_mods = {
+        q.fn.__module__.rsplit(".", 1)[1] for q in QUERIES.values()
+    }
+    assert window_mods == all_mods
+
+
 def test_window_is_oracle_dense():
-    """Only the by-design rows-only sketch entries may lack oracles."""
+    """Every window slot hash-checks (ann_ivf_cell_assignment gained an
+    oracle in round 5; the by-design rows-only queries are out of the
+    window now that their rows exist in the r1-r4 union)."""
     oracles = oracle_sql()
     missing = [n for n in _PRIORITY if n not in oracles]
-    assert set(missing) <= {"sketch_user_reach_rollup", "ann_ivf_cell_assignment"}
+    assert missing == []
 
 
 def test_deferred_collect_is_isolated_from_later_registrations(spark):
@@ -68,6 +76,7 @@ def test_deferred_collect_is_isolated_from_later_registrations(spark):
         "text_tfidf_top_terms",     # re-registers documents + tfidf_tok
         "contamination_ngram_overlap",  # re-registers documents + ct_sh
         "semdedup_cluster_prune",   # registers embeddings + sd_asn
+        "ann_pq_adc_topk",          # re-registers embeddings + pq_sub
     ]
     built = {n: QUERIES[n].fn(spark, SF_SMOKE) for n in names}  # build all first
 
