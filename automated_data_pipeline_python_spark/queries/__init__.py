@@ -22,6 +22,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     tpch2,
     modern_sql,
     curation,
+    curation2,
     clustering,
     dq,
     sketches,
@@ -49,6 +50,8 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 _PRIORITY = [
     # (a) new in round 5
     "ann_pq_tuning_sweep",
+    "quality_logistic_filter",
+    "doc_unigram_surprisal",
     "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
@@ -75,7 +78,6 @@ _PRIORITY = [
     "corpus_curation_funnel",         # curation
     "dedup_exact_documents",          # dedup
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "events_tumbling_10min",          # events
     "events_sessionization",
     "events_interval_join",
@@ -88,7 +90,6 @@ _PRIORITY = [
     "filter_in_like_between",
     "window_top3_parts_per_brand",
     "agg_rollup_region_nation",
-    "setops_nation_keys",
     "join_asof_purchase_click",
     "pivot_status_by_priority",       # relational2
     "null_handling_funcs",

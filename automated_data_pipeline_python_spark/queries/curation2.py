@@ -1,0 +1,169 @@
+"""Model-scored curation operators (SURVEY §2.8 quality-pipeline adds).
+
+Two filters every large-scale training-data pipeline runs between
+heuristic cleaning and dedup, both expressed fully JVM-side:
+
+- ``quality_logistic_filter``: a fixed-weight logistic regression over
+  per-document features (token count, type/token ratio, stopword
+  ratio, mean word length) — the execution shape of model-scored
+  filtering (fastText/classifier gates): featurize in one map pass,
+  score with a dot product, threshold. Swap the literal weights for a
+  trained model's; the plan does not change.
+- ``doc_unigram_surprisal``: CCNet-style language-model filtering with
+  a unigram proxy — per-token surprisal -ln p(token) under the corpus
+  unigram distribution, averaged per document, quartile-bucketed. The
+  real pipeline scores with a KenLM/transformer; the unigram form keeps
+  the identical two-aggregation + broadcast-vocab-join plan
+  oracle-checkable.
+
+Cross-engine float discipline: feature ratios are single divisions of
+identical integers (bit-identical across engines); z accumulates
+left-to-right in the same expression shape on both sides; only
+exp/ln can differ by an ulp, so scores snap to the 1e-6 grid BEFORE
+any threshold compare or ranking (the semdedup/kmeans discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.text import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load_scaled
+
+_S_TOK = SPARK_TOKENS.format(col="text")
+_D_TOK = DUCK_TOKENS.format(col="text")
+
+# Fixed "model" weights: intercept, type/token ratio, stopword ratio,
+# (mean word length - 4), token count. A trained classifier drops in
+# here without changing the plan.
+_Z = (
+    "-1.5 + 2.5 * uniq_ratio - 4.0 * stop_ratio"
+    " + 0.5 * (mean_len - 4.0) - 0.005 * n_tok"
+)
+
+_QUALITY_TAIL = f"""
+scored AS (
+    SELECT doc_id, n_tok, uniq_ratio, stop_ratio, mean_len,
+           floor((1.0 / (1.0 + exp(-({_Z})))) * 1e6 + 0.5) / 1e6 AS score
+    FROM ratios
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tok,
+       floor((uniq_ratio) * 1e6 + 0.5) / 1e6 AS uniq_ratio,
+       floor((stop_ratio) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+       floor((mean_len) * 1e6 + 0.5) / 1e6 AS mean_len,
+       score,
+       (score >= 0.5) AS kept
+FROM scored
+"""
+
+_QUALITY_SPARK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           size(toks) AS n_tok,
+           size(array_distinct(toks)) AS n_uniq,
+           size(filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+           aggregate(transform(toks, x -> length(x)), 0,
+                     (acc, v) -> acc + v) AS sum_len
+    FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
+),
+ratios AS (
+    SELECT doc_id, n_tok,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+{_QUALITY_TAIL}
+"""
+
+_QUALITY_DUCK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len
+    FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
+),
+ratios AS (
+    SELECT doc_id, n_tok,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+{_QUALITY_TAIL}
+"""
+
+
+@register("quality_logistic_filter", oracle=_QUALITY_DUCK_SQL)
+def quality_logistic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality gate over per-doc text features.
+
+    Scale: one map-only pass — featurize with array lambdas (no
+    explode, no shuffle), score, threshold. At 100 TB this is the
+    cheapest possible shape: a projection the parquet scan streams
+    through; the expensive dedup/ANN stages downstream see only the
+    kept fraction.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_QUALITY_SPARK_SQL)
+
+
+_SURPRISAL_TAIL = """
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS n FROM tok),
+per_doc AS (
+    SELECT tok.doc_id, count(*) AS n_tok,
+           sum(ln(CAST(t.n AS DOUBLE) / cnt)) AS sum_s
+    FROM tok JOIN vocab ON tok.token = vocab.token CROSS JOIN tot t
+    GROUP BY tok.doc_id
+),
+snapped AS (
+    SELECT doc_id, n_tok,
+           floor((sum_s / n_tok) * 1e6 + 0.5) / 1e6 AS mean_surprisal
+    FROM per_doc
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, mean_surprisal,
+       CAST(ntile(4) OVER (ORDER BY mean_surprisal, doc_id) AS INT)
+           AS ppl_bucket
+FROM snapped
+"""
+
+_SURPRISAL_DUCK_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, token
+    FROM (SELECT doc_id, {_D_TOK} AS w FROM documents), UNNEST(w) AS t(token)
+),
+{_SURPRISAL_TAIL}
+"""
+
+
+@register("doc_unigram_surprisal", oracle=_SURPRISAL_DUCK_SQL)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document, quartile-bucketed (CCNet
+    shape: LM-score the corpus, keep/mix by perplexity bucket).
+
+    Scale: the token relation is materialized once (vocab aggregation
+    and the scoring join both read it — Spark would inline the
+    tokenize+explode twice); the vocab table is Zipf-bounded →
+    broadcast-sized, joined back onto the token stream in one pass.
+    The quartile window sorts doc-level rows only (corpus/1000s), not
+    tokens. mean_surprisal sums ~100 ln() terms — accumulated
+    cross-engine ulp error is ~1e-13, far inside the 1e-6 snap.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        f"""
+        SELECT doc_id, token
+        FROM (SELECT doc_id, {_S_TOK} AS w FROM documents)
+        LATERAL VIEW explode(w) t AS token
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("ug_tok")
+    return spark.sql(f"WITH tok AS (SELECT * FROM ug_tok),\n{_SURPRISAL_TAIL}")

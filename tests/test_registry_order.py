@@ -16,6 +16,8 @@ from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, ora
 # New in round 5 (first driver row / first hash-checked row).
 ROUND5_NEW = [
     "ann_pq_tuning_sweep",
+    "quality_logistic_filter",
+    "doc_unigram_surprisal",
     "ann_ivf_cell_assignment",
 ]
 
