@@ -104,6 +104,23 @@ def test_training_ops_plan_shapes(spark):
     assert repeat.python_free
 
 
+def test_curation_gate_plan_shapes(spark):
+    """queries/curation2.py scale claims, pinned: the logistic gate is
+    a single-scan projection (its one exchange is load_scaled's
+    documented small-corpus fan-out, not a computation shuffle); the
+    surprisal scorer joins the broadcast-sized vocab — no sort-merge
+    join of the token stream; both stay JVM-side."""
+    gate = plan_report(QUERIES["quality_logistic_filter"].fn(spark, SF))
+    assert gate.scans == 1
+    assert gate.exchanges <= 1
+    assert gate.python_free
+
+    surp = plan_report(QUERIES["doc_unigram_surprisal"].fn(spark, SF))
+    assert surp.sort_merge_joins == 0
+    assert surp.broadcast_joins >= 1
+    assert surp.python_free
+
+
 def test_capped_dedup_stays_broadcast_and_python_free(spark):
     """The hot-list anti-join must not reshuffle the shingle relation
     into a sort-merge join, and no Python appears anywhere."""
