@@ -27,9 +27,13 @@ from pyspark.sql import types as T
 def enrichment_join(nfts: DataFrame, metadata: DataFrame, url_col: str = "metadata_url") -> DataFrame:
     """``nfts LEFT JOIN metadata ON metadata_url`` (SURVEY §2.3 J1).
 
-    Broadcast the fetched side: it is bounded by distinct-URL count.
+    No broadcast hint: the fetched side is bounded by distinct-URL
+    count, which GROWS with the corpus (the distributed fetch path
+    exists precisely because it can be large). AQE broadcasts it while
+    it fits and shuffle-joins beyond — the same policy as the
+    scale-growing dimension tables (tests/test_no_scaling_broadcast_hints.py).
     """
-    return nfts.join(F.broadcast(metadata), on=url_col, how="left")
+    return nfts.join(metadata, on=url_col, how="left")
 
 
 def fetch_distinct_urls(

@@ -220,8 +220,11 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate driving a semi-style join.
 
-    The aggregate output (big orders) is small → broadcast back against
-    orders, so the fact table never shuffles for the join.
+    The big-orders aggregate is ~20% of all orders on this corpus — it
+    GROWS with scale factor, so no forced broadcast (a hinted broadcast
+    of it is the same 100 TB OOM pattern as hinting customer/supplier).
+    AQE broadcasts it while it fits; at scale both sides already hash
+    by orderkey, so the fallback is a co-partitioned shuffle join.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -233,7 +236,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
