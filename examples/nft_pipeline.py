@@ -134,19 +134,32 @@ def run_pipeline(spark, output_dir: str, transport=None, first_url=None) -> dict
     list_fetcher = RetryingFetcher(transport, max_concurrency=2)  # reference api_clients.py:10
     enrich_fetcher = RetryingFetcher(transport, max_concurrency=15)  # :17
 
-    # COLLECT (reference main.py:38-49)
-    records = asyncio.run(
-        collect_with_enrichment(
-            list_fetcher,
-            enrich_fetcher,
-            first_url,
-            next_url=lambda page, _u: page.get("next"),
-            enrich_url=lambda item: item.get("metadata_url"),
-            apply_enrichment=lambda item, extra: {**item, "traits": extra["attributes"]},
-            queue_size=500,  # reference nft.py:63
-            workers=15,  # reference nft.py:83
+    # COLLECT (reference main.py:38-49), with the live status line the
+    # reference runs at 1 Hz (api.py:80-108)
+    from dataclasses import asdict
+
+    from automated_data_pipeline_python_spark.utils.status import ConsoleStatus
+
+    def counters():
+        merged = {
+            k: asdict(list_fetcher.stats)[k] + asdict(enrich_fetcher.stats)[k]
+            for k in ("pages", "items", "enriched", "errors", "retries")
+        }
+        return merged
+
+    with ConsoleStatus(counters):
+        records = asyncio.run(
+            collect_with_enrichment(
+                list_fetcher,
+                enrich_fetcher,
+                first_url,
+                next_url=lambda page, _u: page.get("next"),
+                enrich_url=lambda item: item.get("metadata_url"),
+                apply_enrichment=lambda item, extra: {**item, "traits": extra["attributes"]},
+                queue_size=500,  # reference nft.py:63
+                workers=15,  # reference nft.py:83
+            )
         )
-    )
 
     # TRANSFORM (reference main.py:51-67)
     tables = normalize_nfts(from_records(spark, records))
