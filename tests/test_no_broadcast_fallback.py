@@ -18,10 +18,12 @@ from tests.conftest import SF_SMOKE
 JOIN_HEAVY = [
     "q5_region_revenue",
     "q8_market_share",
+    "q18_large_volume_customers",   # big-orders hint dropped in round 5
     "q21_sole_late_shipper",
     "dedup_minhash_lsh",
     "contamination_ngram_overlap",
     "join_asof_purchase_click",
+    "doc_unigram_surprisal",        # vocab join must be strategy-agnostic
 ]
 
 
