@@ -40,10 +40,7 @@ def _sql(dot, explode, collect, cast_vec, bigint) -> str:
         return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
 
     return f"""
-WITH base AS (
-    SELECT vec_id, v, {dot('v', 'v')} AS nrm2
-    FROM (SELECT vec_id, {cast_vec} AS v FROM embeddings) b0
-),
+WITH base AS ({{base_src}}),
 c0 AS (
     SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
 ),
@@ -100,6 +97,23 @@ ORDER BY c2.cell
 """
 
 
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+)
+
+# The base relation (vec_id, doubled vector, self-dot) feeds four
+# consumers (c0 seed slice, both assignment cross joins, both member
+# explode joins). Spark inlines CTEs, so the inline form scans and
+# re-derives it 4x — the Spark side materializes it once instead
+# (km_base view below) and the template just reads it.
+_SPARK_BASE_DERIVE = (
+    "SELECT vec_id, v, "
+    + _SPARK_DOT.format(a="v", b="v")
+    + " AS nrm2 FROM (SELECT vec_id,"
+    " transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) b0"
+)
+
 _SPARK_SQL = _sql(
     dot=lambda a, b: (
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
@@ -113,7 +127,7 @@ _SPARK_SQL = _sql(
     collect="transform(array_sort(collect_list(named_struct('d', d, 'c', c))), s -> s.c)",
     cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
     bigint=lambda e: e,
-)
+).format(base_src="SELECT * FROM km_base")
 
 _DUCK_SQL = _sql(
     dot=lambda a, b: f"list_dot_product({a}, {b})",
@@ -125,6 +139,11 @@ _DUCK_SQL = _sql(
     collect="list(c ORDER BY d)",
     cast_vec="embedding::DOUBLE[]",
     bigint=lambda e: f"CAST({e} AS BIGINT)",
+).format(
+    base_src=(
+        "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+    )
 )
 
 
@@ -134,6 +153,14 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns per-cell membership, centroid norm, and inter-iteration
     drift (the convergence signal a driver loop would test against).
+
+    The doubled-vector + self-dot base relation is materialized once
+    (km_base): four consumers read it (seed slice, two assignment cross
+    joins, two member explodes) and Spark would otherwise inline the
+    scan+cast+fold subtree into each — 4 corpus passes instead of 1.
     """
     load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
+        "km_base"
+    )
     return spark.sql(_SPARK_SQL)
