@@ -22,7 +22,14 @@ import pytest
 from automated_data_pipeline_python_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
-SCALING_TABLES = ("customer.parquet", "supplier.parquet", "part.parquet")
+SCALING_TABLES = (
+    "customer.parquet",
+    "supplier.parquet",
+    "part.parquet",
+    "orders.parquet",
+    "lineitem.parquet",
+    "events.parquet",
+)
 
 # The relational/TPC-H families are where the star joins live; their
 # query builders are plan-pure (no localCheckpoint / execution at build
