@@ -45,41 +45,76 @@ _Z = (
     " + 0.5 * (mean_len - 4.0) - 0.005 * n_tok"
 )
 
+# Stage expressions shared by the catalog SQL and the batch/stream-
+# agnostic DataFrame form (quality_gate) — one source of truth, so the
+# streaming twin is arithmetically identical to the oracle-checked
+# query.
+_S_FEAT_EXPRS = [
+    "size(toks) AS n_tok",
+    "size(array_distinct(toks)) AS n_uniq",
+    "size(filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop",
+    "aggregate(transform(toks, x -> length(x)), 0,"
+    " (acc, v) -> acc + v) AS sum_len",
+]
+_RATIO_EXPRS = [
+    "CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio",
+    "CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio",
+    "CAST(sum_len AS DOUBLE) / n_tok AS mean_len",
+]
+_SCORE_EXPR = f"floor((1.0 / (1.0 + exp(-({_Z})))) * 1e6 + 0.5) / 1e6 AS score"
+_OUT_EXPRS = [
+    "doc_id",
+    "CAST(n_tok AS INT) AS n_tok",
+    "floor((uniq_ratio) * 1e6 + 0.5) / 1e6 AS uniq_ratio",
+    "floor((stop_ratio) * 1e6 + 0.5) / 1e6 AS stop_ratio",
+    "floor((mean_len) * 1e6 + 0.5) / 1e6 AS mean_len",
+    "score",
+    "(score >= 0.5) AS kept",
+]
+
 _QUALITY_TAIL = f"""
 scored AS (
     SELECT doc_id, n_tok, uniq_ratio, stop_ratio, mean_len,
-           floor((1.0 / (1.0 + exp(-({_Z})))) * 1e6 + 0.5) / 1e6 AS score
+           {_SCORE_EXPR}
     FROM ratios
 )
-SELECT doc_id,
-       CAST(n_tok AS INT) AS n_tok,
-       floor((uniq_ratio) * 1e6 + 0.5) / 1e6 AS uniq_ratio,
-       floor((stop_ratio) * 1e6 + 0.5) / 1e6 AS stop_ratio,
-       floor((mean_len) * 1e6 + 0.5) / 1e6 AS mean_len,
-       score,
-       (score >= 0.5) AS kept
+SELECT {', '.join(_OUT_EXPRS)}
 FROM scored
 """
 
 _QUALITY_SPARK_SQL = f"""
 WITH feats AS (
-    SELECT doc_id,
-           size(toks) AS n_tok,
-           size(array_distinct(toks)) AS n_uniq,
-           size(filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
-           aggregate(transform(toks, x -> length(x)), 0,
-                     (acc, v) -> acc + v) AS sum_len
+    SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
     FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
 ),
 ratios AS (
-    SELECT doc_id, n_tok,
-           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
-           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
-           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    SELECT doc_id, n_tok, {', '.join(_RATIO_EXPRS)}
     FROM feats
 ),
 {_QUALITY_TAIL}
 """
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """The logistic gate as a DataFrame transformation over any
+    relation with (doc_id, text) — batch OR streaming.
+
+    Built from the same stage expressions as the oracle-checked catalog
+    query, so results are arithmetically identical. Map-only (no
+    aggregation, no state), which is what makes it legal in a streaming
+    append-mode pipeline with no watermark: curation-on-ingest gates
+    documents before they ever land in the bronze layer.
+    """
+    return (
+        docs.selectExpr("doc_id", f"{_S_TOK} AS toks")
+        .selectExpr("doc_id", *_S_FEAT_EXPRS)
+        .selectExpr("doc_id", "n_tok", *_RATIO_EXPRS)
+        .selectExpr(
+            "doc_id", "n_tok", "uniq_ratio", "stop_ratio", "mean_len",
+            _SCORE_EXPR,
+        )
+        .selectExpr(*_OUT_EXPRS)
+    )
 
 _QUALITY_DUCK_SQL = f"""
 WITH feats AS (
