@@ -45,6 +45,41 @@ def test_load_every_table_from_shipped_corpus(spark):
         assert df.count() > 0, name
 
 
+# The columns the catalog queries depend on. A corpus regeneration that
+# drops or renames one should fail HERE with a named diff — one
+# diagnosable assertion instead of dozens of red driver rows (the
+# events-ts lesson, generalized from dtypes to the full schema).
+EXPECTED_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def test_corpus_schema_contract(spark):
+    for name, expected in EXPECTED_COLUMNS.items():
+        got = tables.load(spark, SF_SMOKE, name).columns
+        missing = [c for c in expected if c not in got]
+        assert not missing, (
+            f"{name}: corpus regeneration dropped columns {missing} "
+            f"(shipped: {got}) — audit every catalog query reading them"
+        )
+
+
 def test_shipped_events_ts_is_timestamp_ntz(spark):
     df = tables.load(spark, SF_SMOKE, "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
