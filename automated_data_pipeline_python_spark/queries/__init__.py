@@ -52,6 +52,8 @@ _PRIORITY = [
     "ann_pq_tuning_sweep",
     "quality_logistic_filter",
     "doc_unigram_surprisal",
+    "corpus_shuffle_shards",
+    "sample_token_budget",
     "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
@@ -79,7 +81,6 @@ _PRIORITY = [
     "dedup_exact_documents",          # dedup
     "dedup_minhash_lsh",
     "events_tumbling_10min",          # events
-    "events_sessionization",
     "events_interval_join",
     "gapfill_monthly_orders",         # modern_sql
     "lateral_top2_orders_per_customer",
@@ -97,7 +98,6 @@ _PRIORITY = [
     "agg_corr_regression",            # relational4
     "scalar_bit_funcs",               # relational5
     "knn_bruteforce_topk",            # similarity
-    "ann_lsh_topk",
     "text_quality_scores",            # text
     "q21_sole_late_shipper",          # tpch2
     "contamination_ngram_overlap",    # training

@@ -22,8 +22,10 @@ from automated_data_pipeline_python_spark.functions.text import (
     DUCK_TOKENS,
     SPARK_TOKENS,
     duck_hash28,
+    duck_hash60,
     duck_word_shingles,
     spark_hash28,
+    spark_hash60,
     spark_word_shingles,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
@@ -469,3 +471,105 @@ FROM r WHERE rn <= {_GROUP_K}
 def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-stratum sample (hash-ranked reservoir)."""
     return _docs_sql(spark, sf_dir, _GROUP_SAMPLE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle → training shards
+# ---------------------------------------------------------------------------
+# The last step before export: training wants the corpus in a
+# reproducible pseudo-random order, split into shards (one per output
+# file / data-loader worker). The portable-hash key gives the same
+# order on any engine and any run; shard assignment is map-only and the
+# within-shard position is a per-shard sort — exactly
+# repartitionByRange + sortWithinPartitions before the write, NEVER a
+# global sort. Shard count = output file count at 100 TB; skew is
+# impossible because the key is a cryptographic hash of the doc id.
+
+_N_SHARDS = 8
+
+
+def _shuffle_sql(hash60, str_t: str) -> str:
+    key = hash60(f"concat('shuffle:', CAST(doc_id AS {str_t}))")
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars, {key} AS key
+    FROM documents
+),
+sharded AS (
+    SELECT doc_id, n_chars, key, key % {_N_SHARDS} AS shard
+    FROM keyed
+)
+SELECT doc_id,
+       CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS INT) AS pos
+FROM sharded
+"""
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=_shuffle_sql(duck_hash60, "VARCHAR"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle into training shards.
+
+    Scale: hashing and shard assignment are map-only; ordering is
+    within-shard only (per-partition sort at write time) — no global
+    sort, no skew (hash keys are uniform). Deterministic across
+    engines/runs via the portable SHA-derived key.
+    """
+    return _docs_sql(spark, sf_dir, _shuffle_sql(spark_hash60, "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling per source (data mixing under a budget)
+# ---------------------------------------------------------------------------
+# Mixture weights say WHAT fraction each domain contributes; this
+# operator enforces it: walk each source's documents in deterministic
+# hash order, accumulate token counts, keep documents until the
+# source's token budget is spent. The kept set is stable across runs
+# and engines — the property a reproducible training mix needs.
+
+_TOKEN_BUDGET = 2000  # per-source token budget on this corpus
+
+
+def _budget_sql(hash60, tok, str_t: str) -> str:
+    key = hash60(f"concat('budget:', CAST(doc_id AS {str_t}))")
+    return f"""
+WITH counted AS (
+    SELECT doc_id, source, {key} AS key,
+           CAST(len_w AS BIGINT) AS tok_cnt
+    FROM (SELECT doc_id, source, {tok} AS len_w FROM documents) c0
+),
+walked AS (
+    SELECT doc_id, source, tok_cnt,
+           CAST(sum(tok_cnt) OVER (PARTITION BY source ORDER BY key, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM counted
+)
+SELECT doc_id, source, CAST(tok_cnt AS BIGINT) AS tok_cnt, cum_tokens
+FROM walked
+WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+_BUDGET_SPARK_TOK = f"size({_S_TOK})"
+_BUDGET_DUCK_TOK = f"len({_D_TOK})"
+
+
+@register(
+    "sample_token_budget",
+    oracle=_budget_sql(duck_hash60, _BUDGET_DUCK_TOK, "VARCHAR"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents per source until a token budget is spent.
+
+    Scale: one shuffle on source (the same partitioning every per-source
+    op uses), one running-sum window inside each source partition, and
+    integer arithmetic end-to-end (token counts and cumulative sums are
+    exact) — no float discipline needed. The deterministic hash walk
+    order makes the kept set reproducible across engines and runs.
+    """
+    return _docs_sql(spark, sf_dir, _budget_sql(spark_hash60, _BUDGET_SPARK_TOK, "STRING"))

@@ -18,6 +18,8 @@ ROUND5_NEW = [
     "ann_pq_tuning_sweep",
     "quality_logistic_filter",
     "doc_unigram_surprisal",
+    "corpus_shuffle_shards",
+    "sample_token_budget",
     "ann_ivf_cell_assignment",
 ]
 
