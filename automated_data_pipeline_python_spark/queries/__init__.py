@@ -54,6 +54,7 @@ _PRIORITY = [
     "doc_unigram_surprisal",
     "corpus_shuffle_shards",
     "sample_token_budget",
+    "cdc_snapshot_diff",
     "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
@@ -83,7 +84,6 @@ _PRIORITY = [
     "events_tumbling_10min",          # events
     "events_interval_join",
     "gapfill_monthly_orders",         # modern_sql
-    "lateral_top2_orders_per_customer",
     "multimodal_media_metadata",      # multimodal
     "chunk_documents_overlap",        # rag
     "embedding_quantize_int8",

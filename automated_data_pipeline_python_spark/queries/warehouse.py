@@ -70,3 +70,57 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         current, snapshot, key="cust_key", tracked=["segment"], batch_ts=_BATCH
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: insert/update/delete between two table versions
+# ---------------------------------------------------------------------------
+# The change-data-capture primitive under incremental pipelines and
+# lakehouse MERGE: given yesterday's and today's snapshot of a table,
+# emit each key's operation. Both snapshots are deterministic slices of
+# the orders table so the whole diff is oracle-checkable:
+#   old = orders except keys ≡ 3 (mod 10)      (those become inserts)
+#   new = orders except keys ≡ 7 (mod 10)      (those become deletes)
+#   new prices for keys ≡ 0 (mod 7) are uplifted 10%   (updates)
+# Price arithmetic stays on the cent grid (floor(x*110+0.5)/100), so
+# equality compares are exact on both engines.
+#
+# Scale: ONE full-outer join on the key — with both snapshots bucketed
+# or partitioned by key (how snapshots are laid out in practice) this
+# is co-located and shuffle-free; unchanged rows are filtered before
+# any downstream work, so output is change-sized, not table-sized.
+
+_CDC_SQL = """
+WITH old_snap AS (
+    SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 10 != 3
+),
+new_snap AS (
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN floor(o_totalprice * 110 + 0.5) / 100
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 10 != 7
+),
+diff AS (
+    SELECT
+        coalesce(o.key, n.key) AS key,
+        CASE WHEN o.key IS NULL THEN 'insert'
+             WHEN n.key IS NULL THEN 'delete'
+             WHEN o.price != n.price OR o.status != n.status THEN 'update'
+             ELSE 'unchanged' END AS op,
+        o.price AS old_price,
+        n.price AS new_price
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.key = n.key
+)
+SELECT key, op, old_price, new_price
+FROM diff WHERE op != 'unchanged'
+"""
+
+
+@register("cdc_snapshot_diff", oracle=_CDC_SQL)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert/update/delete diff between two deterministic snapshots."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CDC_SQL)

@@ -20,6 +20,7 @@ ROUND5_NEW = [
     "doc_unigram_surprisal",
     "corpus_shuffle_shards",
     "sample_token_budget",
+    "cdc_snapshot_diff",
     "ann_ivf_cell_assignment",
 ]
 
