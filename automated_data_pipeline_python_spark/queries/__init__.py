@@ -55,6 +55,7 @@ _PRIORITY = [
     "corpus_shuffle_shards",
     "sample_token_budget",
     "cdc_snapshot_diff",
+    "profile_orders_columns",
     "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
@@ -86,7 +87,6 @@ _PRIORITY = [
     "gapfill_monthly_orders",         # modern_sql
     "multimodal_media_metadata",      # multimodal
     "chunk_documents_overlap",        # rag
-    "embedding_quantize_int8",
     "q1_pricing_summary",             # relational
     "filter_in_like_between",
     "window_top3_parts_per_brand",

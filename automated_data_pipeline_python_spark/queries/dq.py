@@ -86,3 +86,90 @@ def dq_star_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders_report.unionByName(li_report).unionByName(refs).orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: the dbt-docs / Deequ table profile in ONE scan
+# ---------------------------------------------------------------------------
+# Per column: non-null count, exact distinct count, numeric min/max.
+# Everything is computed in a single aggregation pass over orders and
+# then unpivoted to long form — the profile a catalog UI renders and a
+# constraint-suggestion pass consumes. All metrics are integers or
+# exact doubles (no arithmetic beyond min/max), so the profile
+# hash-matches DuckDB without float discipline.
+#
+# Scale: one scan, one aggregate (count-distincts expand to per-column
+# partial aggregates under the hood — still one pass over the data);
+# output is columns-count rows.
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_sql(bigint) -> str:
+    aggs = []
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(f"{bigint(f'count({c})')} AS nn_{c}")
+        aggs.append(f"{bigint(f'count(DISTINCT {c})')} AS nd_{c}")
+        if numeric:
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS mx_{c}")
+    rows = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"mn_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS col, nn_{c} AS n_nonnull, nd_{c} AS n_distinct,"
+            f" {mn} AS min_d, {mx} AS max_d FROM wide"
+        )
+    return (
+        "WITH wide AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+def _profile_wide_sql(bigint) -> str:
+    aggs = []
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(f"{bigint(f'count({c})')} AS nn_{c}")
+        aggs.append(f"{bigint(f'count(DISTINCT {c})')} AS nd_{c}")
+        if numeric:
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS mx_{c}")
+    return "SELECT " + ", ".join(aggs) + " FROM orders"
+
+
+def _profile_unpivot_sql() -> str:
+    rows = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"mn_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS col, nn_{c} AS n_nonnull, nd_{c} AS n_distinct,"
+            f" {mn} AS min_d, {mx} AS max_d FROM profile_wide"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "profile_orders_columns",
+    oracle=_profile_sql(lambda e: f"CAST({e} AS BIGINT)"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of the orders table (long form).
+
+    The one-row wide aggregate is materialized before the unpivot —
+    Spark inlines CTEs, so the 5 UNION ALL branches would otherwise
+    each re-run the whole aggregation scan (5 corpus passes for a
+    5-column profile).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(_profile_wide_sql(lambda e: e)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("profile_wide")
+    return spark.sql(_profile_unpivot_sql())

@@ -21,6 +21,7 @@ ROUND5_NEW = [
     "corpus_shuffle_shards",
     "sample_token_budget",
     "cdc_snapshot_diff",
+    "profile_orders_columns",
     "ann_ivf_cell_assignment",
 ]
 
