@@ -56,6 +56,7 @@ _PRIORITY = [
     "sample_token_budget",
     "cdc_snapshot_diff",
     "profile_orders_columns",
+    "events_zscore_bands",
     "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
@@ -83,7 +84,6 @@ _PRIORITY = [
     "dedup_exact_documents",          # dedup
     "dedup_minhash_lsh",
     "events_tumbling_10min",          # events
-    "events_interval_join",
     "gapfill_monthly_orders",         # modern_sql
     "multimodal_media_metadata",      # multimodal
     "chunk_documents_overlap",        # rag

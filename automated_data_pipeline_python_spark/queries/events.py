@@ -334,3 +334,59 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_FUNNEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-type z-score anomaly histogram (two-pass outlier detection)
+# ---------------------------------------------------------------------------
+# The monitoring shape: per-group mean/std in one aggregation pass, a
+# second pass scoring each event against its group's stats, histogram
+# of |z| bands. Cross-engine determinism is engineered by doing ALL
+# accumulation in integer cents (value is 2dp): sum(c) and sum(c*c)
+# are exact BIGINTs, so mean/variance/z come out bit-identical on both
+# engines from identical integer inputs — no float-summation-order
+# exposure anywhere; the 1e-6 snap on z guards only the sqrt ulp.
+# The SAME SQL string runs on Spark and DuckDB.
+#
+# Scale: two scans (stats, score), stats table is group-count-sized →
+# broadcast onto the scoring pass; output is groups × 4 bands.
+
+_ZSCORE_SQL = """
+WITH c AS (
+    SELECT event_type, CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS c
+    FROM events
+),
+st AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS s1,
+           CAST(sum(c * c) AS BIGINT) AS s2
+    FROM c GROUP BY event_type
+),
+z AS (
+    SELECT c.event_type,
+           floor(((c.c - CAST(s1 AS DOUBLE) / n)
+                  / sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                                  - (CAST(s1 AS DOUBLE) / n)
+                                    * (CAST(s1 AS DOUBLE) / n), 1e-12)))
+                 * 1e6 + 0.5) / 1e6 AS z
+    FROM c JOIN st ON c.event_type = st.event_type
+)
+SELECT event_type,
+       CASE WHEN abs(z) < 1 THEN '0-1'
+            WHEN abs(z) < 2 THEN '1-2'
+            WHEN abs(z) < 3 THEN '2-3'
+            ELSE '3+' END AS z_band,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(min(z) * 1e6 + 0.5) / 1e6 AS min_z,
+       floor(max(z) * 1e6 + 0.5) / 1e6 AS max_z
+FROM z
+GROUP BY event_type, 2
+"""
+
+
+@register("events_zscore_bands", oracle=_ZSCORE_SQL)
+def events_zscore_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-type z-score bands (anomaly monitoring shape)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ZSCORE_SQL)

@@ -22,6 +22,7 @@ ROUND5_NEW = [
     "sample_token_budget",
     "cdc_snapshot_diff",
     "profile_orders_columns",
+    "events_zscore_bands",
     "ann_ivf_cell_assignment",
 ]
 
