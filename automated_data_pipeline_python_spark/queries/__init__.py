@@ -57,6 +57,7 @@ _PRIORITY = [
     "cdc_snapshot_diff",
     "profile_orders_columns",
     "events_zscore_bands",
+    "dedup_incremental_minhash",
     "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
@@ -100,7 +101,6 @@ _PRIORITY = [
     "knn_bruteforce_topk",            # similarity
     "text_quality_scores",            # text
     "q21_sole_late_shipper",          # tpch2
-    "contamination_ngram_overlap",    # training
     "scd2_customer_segments",         # warehouse
     "text_tfidf_top_terms",           # windows2
 ]

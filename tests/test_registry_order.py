@@ -23,6 +23,7 @@ ROUND5_NEW = [
     "cdc_snapshot_diff",
     "profile_orders_columns",
     "events_zscore_bands",
+    "dedup_incremental_minhash",
     "ann_ivf_cell_assignment",
 ]
 
