@@ -24,6 +24,8 @@ JOIN_HEAVY = [
     "contamination_ngram_overlap",
     "join_asof_purchase_click",
     "doc_unigram_surprisal",        # vocab join must be strategy-agnostic
+    "cdc_snapshot_diff",            # full-outer diff join
+    "dedup_incremental_minhash",    # band-index probe join
 ]
 
 
