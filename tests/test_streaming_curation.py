@@ -39,6 +39,23 @@ def test_streamed_gate_equals_batch_catalog_query(spark, docs_dir):
     assert _canon(got) == _canon(batch)
 
 
+def test_gate_parity_across_micro_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over a two-file input forces two
+    micro-batches; a map-only gate must be batch-boundary-invariant."""
+    d = tmp_path / "docs_stream_2"
+    d.mkdir()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    half = docs.count() // 2
+    docs.where(f"doc_id < {half}").coalesce(1).write.parquet(str(d / "f0"))
+    docs.where(f"doc_id >= {half}").coalesce(1).write.parquet(str(d / "f1"))
+    stream = quality_gated_stream(
+        read_documents_stream(spark, f"{d}/*/", max_files_per_trigger=1)
+    )
+    got = run_to_memory(stream, "gate_stream_mb", output_mode="append")
+    batch = QUERIES["quality_logistic_filter"].fn(spark, SF_SMOKE)
+    assert _canon(got) == _canon(batch)
+
+
 def test_kept_only_stream_drops_rejects(spark, docs_dir):
     stream = quality_gated_stream(
         read_documents_stream(spark, docs_dir), keep_only=True
