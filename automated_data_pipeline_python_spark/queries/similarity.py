@@ -845,8 +845,12 @@ exact_topk AS (
     total = _N_QUERIES * _PQ_TOP_K
     # hits is an integer → the recall division is bit-identical across
     # engines; the 1e-6 snap guards only the decimal rendering.
+    # {{base_src}} is filled per engine: DuckDB derives inline (it
+    # materializes multiply-referenced CTEs itself); Spark reads a
+    # localCheckpoint'ed view — every config chain plus the exact truth
+    # reference base, so inline it would be re-derived ~11x.
     return f"""
-WITH base AS (SELECT vec_id, {cast_vec} AS v FROM embeddings),
+WITH base AS ({{base_src}}),
 {exact},{','.join(chains)},
 per_config AS ({union})
 SELECT config, CAST(m AS INT) AS m, CAST(codes AS INT) AS codes,
@@ -864,7 +868,7 @@ _PQ_SWEEP_SPARK_SQL = _pq_sweep_sql(
         f"SELECT vec_id, m, slice(v, m * {subdim} + 1, {subdim}) AS sv\n"
         f"    FROM base LATERAL VIEW explode(sequence(0, {m - 1})) t AS m"
     ),
-)
+).format(base_src="SELECT * FROM pq_sweep_base")
 
 _PQ_SWEEP_DUCK_SQL = _pq_sweep_sql(
     d2=_pq_d2_duck,
@@ -874,6 +878,8 @@ _PQ_SWEEP_DUCK_SQL = _pq_sweep_sql(
         f"           list_slice(v, m * {subdim} + 1, m * {subdim} + {subdim}) AS sv\n"
         f"    FROM base, generate_series(0, {m - 1}) AS g(m)"
     ),
+).format(
+    base_src="SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
 )
 
 
@@ -887,10 +893,14 @@ def ann_pq_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle exactly.
 
     Scale: evaluation-only (run on a query sample in production — the
-    exact-truth side is queries × corpus). Each config's chain is small
-    at eval scale, so CTE inlining is acceptable here; the production
-    index build materializes its subvector relation (see
-    ann_pq_adc_topk).
+    exact-truth side is queries × corpus). The doubled-vector base
+    relation is materialized once (pq_sweep_base): every config chain
+    plus the shared exact truth reads it, and Spark would otherwise
+    re-derive the cast+scan ~11x across the five chains.
     """
     load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("pq_sweep_base")
     return spark.sql(_PQ_SWEEP_SPARK_SQL)
