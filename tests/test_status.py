@@ -66,3 +66,24 @@ def test_final_state_always_emitted():
 def test_format_status_shape():
     line = format_status({"api_requests": 7, "cache_hits": 3}, elapsed_s=90)
     assert line == "Api Requests: 7 | Cache Hits: 3 | Elapsed: 1.50 minutes"
+
+
+def test_observe_metrics_feed_the_status_line(spark):
+    """df.observe counters plug into the same reporter the fetcher
+    stats use — the engine-side twin of the reference's API counters."""
+    from automated_data_pipeline_python_spark.observability import observe_counters
+    from pyspark.sql import functions as F
+
+    df, obs = observe_counters(
+        spark.range(1000).withColumn("v", F.col("id") % 7),
+        "status_obs",
+        rows=F.count(F.lit(1)),
+        sum_v=F.sum("v"),
+    )
+    df.write.format("noop").mode("overwrite").save()  # action populates obs
+    out = io.StringIO()
+    reporter = ConsoleStatus(lambda: obs.get, interval=60, out=out, interactive=False)
+    reporter.start()
+    reporter.stop()  # final emit reads the observation
+    assert "Rows: 1000" in out.getvalue()
+    assert "Sum V:" in out.getvalue()
