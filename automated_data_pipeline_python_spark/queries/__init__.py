@@ -30,6 +30,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     text,
     training,
     dedup,
+    lm,
     similarity,
     events,
     multimodal,
@@ -59,6 +60,11 @@ _PRIORITY = [
     "events_zscore_bands",
     "dedup_incremental_minhash",
     "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
+    "dedup_substring_windows",   # lm.py (new module, round 5)
+    "lm_bigram_entropy",
+    "bpe_pair_merge_counts",
+    "text_zipf_slope",
+    "pipe_syntax_nation_value",  # Spark 4 |> surface (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -82,19 +88,14 @@ _PRIORITY = [
     # (b) family sentinels — every module represented
     "kmeans_lloyd_refine",            # clustering
     "corpus_curation_funnel",         # curation
-    "dedup_exact_documents",          # dedup
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh",              # dedup
     "events_tumbling_10min",          # events
     "gapfill_monthly_orders",         # modern_sql
     "multimodal_media_metadata",      # multimodal
     "chunk_documents_overlap",        # rag
     "q1_pricing_summary",             # relational
-    "filter_in_like_between",
-    "window_top3_parts_per_brand",
-    "agg_rollup_region_nation",
-    "join_asof_purchase_click",
+    "join_asof_purchase_click",       # the one Python-boundary headline
     "pivot_status_by_priority",       # relational2
-    "null_handling_funcs",
     "q12_priority_by_status",         # relational3
     "agg_corr_regression",            # relational4
     "scalar_bit_funcs",               # relational5

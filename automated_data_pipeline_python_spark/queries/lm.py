@@ -1,0 +1,323 @@
+"""Language-model-construction operators over ``documents``.
+
+The corpus statistics a tokenizer/LM training pipeline computes before
+any neural step: exact-substring duplication (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better" — the
+suffix-array substring dedup, approximated here with fixed-length
+rolling token windows), bigram conditional-entropy tables (the n-gram
+LM kernel), BPE merge-candidate pair counts (the counting kernel of
+tokenizer training), and a Zipf power-law fit (corpus health
+diagnostic).
+
+All four are declarative Spark SQL (zero Python, whole-stage codegen)
+with value-identical DuckDB oracles. Float discipline follows the repo
+invariants: every engine-computed double that feeds a comparison or an
+output column is snapped to a decimal grid (``sql_stable_round``), and
+cross-row float sums go through ``sql_exact_sum`` so accumulation order
+cannot flip a digit between engines.
+
+Scale notes are per-query; the common shape is tokenize (map-only) →
+explode (map-only) → one or two hash aggregations — no joins against
+anything that grows faster than the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_sum,
+    sql_stable_round,
+)
+from automated_data_pipeline_python_spark.functions.text import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_hash60,
+    duck_word_shingles,
+    spark_hash60,
+    spark_word_shingles,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load_scaled
+
+_S_TOK = SPARK_TOKENS.format(col="text")
+_D_TOK = DUCK_TOKENS.format(col="text")
+
+
+def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication via rolling token windows
+# ---------------------------------------------------------------------------
+# Lee et al. 2022 find duplicated ≥50-token spans with a suffix array —
+# a data structure with no distributed analogue. The scalable
+# approximation: hash every W-token window (stride 1) and mark windows
+# whose hash occurs in >1 distinct document. A duplicated span of
+# length L ≥ W covers L−W+1 windows, so span duplication lower-bounds
+# window duplication; W trades recall (long W misses spans < W) against
+# precision (short W flags boilerplate). W=8 suits these ~100-token
+# synthetic docs.
+#
+# Scale: windows explode map-side (≤ n_tokens rows per doc); the
+# per-window doc count is ONE hash aggregation keyed by the 60-bit
+# window hash; the join back to windows is hash-partitioned on the same
+# key (no row ever meets more than its own window's count); the per-doc
+# rollup is a second hash aggregation. Nothing is quadratic in corpus
+# size and no driver state exists — the suffix array's O(corpus log
+# corpus) single-machine sort is replaced by two shuffles.
+
+_WIN = 8
+
+
+def _substring_sql(shingles: str, hash60, unnest_tpl: str) -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, {hash60("s")} AS whash
+    FROM (SELECT doc_id, {shingles} AS sh FROM documents){unnest_tpl}
+),
+hot AS (
+    SELECT whash, count(DISTINCT doc_id) AS ndocs
+    FROM w GROUP BY whash
+)
+SELECT
+    w.doc_id,
+    CAST(count(*) AS BIGINT)                                   AS n_windows,
+    CAST(sum(CASE WHEN hot.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS dup_windows,
+    {sql_stable_round(
+        "CAST(sum(CASE WHEN hot.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / count(*)", 6)}                                     AS dup_fraction
+FROM w JOIN hot USING (whash)
+GROUP BY w.doc_id
+"""
+
+
+_SUBSTRING_SPARK_SQL = _substring_sql(
+    spark_word_shingles(SPARK_TOKENS.format(col="text"), _WIN),
+    spark_hash60,
+    " LATERAL VIEW explode(sh) t AS s",
+)
+
+_SUBSTRING_DUCK_SQL = _substring_sql(
+    duck_word_shingles(DUCK_TOKENS.format(col="text"), _WIN),
+    duck_hash60,
+    ", UNNEST(sh) AS t(s)",
+)
+
+
+@register("dedup_substring_windows", oracle=_SUBSTRING_DUCK_SQL)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction via rolling W-token windows.
+
+    The distributed approximation of exact-substring (suffix-array)
+    dedup: a window hash shared across documents marks a verbatim
+    W-token overlap. Documents shorter than W tokens emit no windows
+    and drop out on both engines identically.
+    """
+    return _docs_sql(spark, sf_dir, _SUBSTRING_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM: per-prefix conditional entropy
+# ---------------------------------------------------------------------------
+# The n-gram LM kernel: P(w2 | w1) = c(w1 w2) / c(w1 ·), summarized per
+# prefix as the conditional entropy H(·|w1) = ln c − Σ c_i ln c_i / c.
+# High-frequency low-entropy prefixes are boilerplate signatures; the
+# table itself is the backbone of KN/Katz smoothing.
+#
+# Float discipline: c and c_i are exact integers, so ln() is a
+# deterministic function of exact inputs — but Σ c_i·ln(c_i) is a
+# cross-row float sum, which sql_exact_sum makes order-independent
+# (each term snapped to a 1e-6 grid, summed as DECIMAL).
+#
+# Scale: bigram counting is one hash aggregation over the exploded
+# token stream (map-side partials collapse repeats before the
+# shuffle); the per-prefix rollup re-shuffles only the bigram VOCAB
+# (corpus-sublinear); top-k is TakeOrderedAndProject, never a global
+# sort.
+
+_TOP_PREFIXES = 50
+
+
+def _bigram_sql(shingles2: str, unnest_tpl: str, split1: str) -> str:
+    wsum = sql_exact_sum("CAST(cnt AS DOUBLE) * ln(cnt)", 6)
+    return f"""
+WITH big AS (
+    SELECT s AS bigram, count(*) AS cnt
+    FROM (SELECT {shingles2} AS sh FROM documents){unnest_tpl}
+    GROUP BY s
+),
+pre AS (
+    SELECT {split1} AS w1,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_continuations,
+           {wsum} AS wlogsum
+    FROM big
+    GROUP BY {split1}
+)
+SELECT w1, total, n_continuations,
+       {sql_stable_round("ln(total) - wlogsum / total", 6)} AS cond_entropy
+FROM pre
+ORDER BY total DESC, w1
+LIMIT {_TOP_PREFIXES}
+"""
+
+
+_BIGRAM_SPARK_SQL = _bigram_sql(
+    spark_word_shingles(SPARK_TOKENS.format(col="text"), 2),
+    " LATERAL VIEW explode(sh) t AS s",
+    "split_part(bigram, ' ', 1)",
+)
+
+_BIGRAM_DUCK_SQL = _bigram_sql(
+    duck_word_shingles(DUCK_TOKENS.format(col="text"), 2),
+    ", UNNEST(sh) AS t(s)",
+    "split_part(bigram, ' ', 1)",
+)
+
+
+@register("lm_bigram_entropy", oracle=_BIGRAM_DUCK_SQL)
+def lm_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram prefixes by frequency with conditional entropy."""
+    return _docs_sql(spark, sf_dir, _BIGRAM_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: merge-candidate pair counts
+# ---------------------------------------------------------------------------
+# One BPE training iteration = count adjacent symbol pairs weighted by
+# word frequency, merge the argmax. This query is that counting kernel
+# on the initial (single-character) symbol table: word types are
+# counted once (one hash agg over the token stream), then each type
+# explodes into its len−1 adjacent char pairs and the pair counts
+# weight by type frequency. All-integer arithmetic → exact parity.
+#
+# Scale: the expensive agg (word-type counting) touches the corpus
+# once; the pair explosion runs over the VOCABULARY (sublinear in
+# corpus), mirroring how production BPE trainers operate on the word-
+# frequency table, not the raw stream. Iterating (apply merge,
+# recount) repeats the vocab-sized second stage only — the driver-side
+# loop shape proven by ``kmeans_lloyd_refine``.
+
+_TOP_PAIRS = 20
+
+
+def _bpe_sql(word_extract: str, unnest_words: str, unnest_pairs: str,
+             gen_series: str) -> str:
+    return f"""
+WITH words AS (
+    SELECT w AS word, count(*) AS wcnt
+    FROM (SELECT {word_extract} AS ws FROM documents){unnest_words}
+    GROUP BY w
+),
+pairs AS (
+    SELECT substr(word, i, 2) AS pair, wcnt
+    FROM (SELECT word, wcnt, {gen_series} AS idx
+          FROM words WHERE length(word) >= 2){unnest_pairs}
+)
+SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {_TOP_PAIRS}
+"""
+
+
+_BPE_SPARK_SQL = _bpe_sql(
+    "regexp_extract_all(text, '[a-z]+', 0)",
+    " LATERAL VIEW explode(ws) t AS w",
+    " LATERAL VIEW explode(idx) t AS i",
+    "sequence(1, length(word) - 1)",
+)
+
+_BPE_DUCK_SQL = _bpe_sql(
+    "regexp_extract_all(text, '[a-z]+')",
+    ", UNNEST(ws) AS t(w)",
+    ", UNNEST(idx) AS t(i)",
+    "generate_series(1, length(word) - 1)",
+)
+
+
+@register("bpe_pair_merge_counts", oracle=_BPE_DUCK_SQL)
+def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: char-pair counts weighted by word freq."""
+    return _docs_sql(spark, sf_dir, _BPE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit over the term-frequency distribution
+# ---------------------------------------------------------------------------
+# A healthy natural-language corpus has a near −1 log-log slope of
+# frequency vs rank; machine-generated or template-heavy corpora bend
+# it. Fit by least squares over the top-200 ranks, from order-
+# independent moment sums of 1e-6-snapped (ln rank, ln count) — the
+# agg_corr_regression discipline (builtin regr_* accumulate doubles in
+# partition order and are not reproducible cross-engine).
+#
+# Scale: term counting is the one corpus-sized agg; ranking the top
+# 200 is TakeOrderedAndProject (no global sort); the fit itself runs
+# over 200 rows.
+
+_ZIPF_RANKS = 200
+
+
+def _zipf_sql(word_extract: str, unnest_words: str) -> str:
+    lx = f"{sql_stable_round('ln(rnk)', 6)}"
+    ly = f"{sql_stable_round('ln(cnt)', 6)}"
+    sx = sql_exact_sum("lx", 6)
+    sy = sql_exact_sum("ly", 6)
+    sxx = sql_exact_sum("lx * lx", 6)
+    sxy = sql_exact_sum("lx * ly", 6)
+    return f"""
+WITH terms AS (
+    SELECT w AS term, count(*) AS cnt
+    FROM (SELECT {word_extract} AS ws FROM documents){unnest_words}
+    GROUP BY w
+),
+topk AS (
+    SELECT term, cnt FROM terms
+    ORDER BY cnt DESC, term
+    LIMIT {_ZIPF_RANKS}
+),
+ranked AS (
+    -- rank AFTER the top-k: the limit is TakeOrderedAndProject over the
+    -- vocab; the window only ever sorts {_ZIPF_RANKS} rows.
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE) AS rnk,
+           CAST(cnt AS DOUBLE) AS cnt
+    FROM topk
+),
+pts AS (SELECT {lx} AS lx, {ly} AS ly FROM ranked),
+m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {sxy} AS sxy
+    FROM pts
+)
+SELECT
+    CAST(n AS BIGINT) AS n_ranks,
+    {sql_stable_round("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)}
+        AS zipf_slope,
+    {sql_stable_round(
+        "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6)}
+        AS zipf_intercept
+FROM m
+"""
+
+
+_ZIPF_SPARK_SQL = _zipf_sql(
+    "regexp_extract_all(text, '[a-z]+', 0)",
+    " LATERAL VIEW explode(ws) t AS w",
+)
+
+_ZIPF_DUCK_SQL = _zipf_sql(
+    "regexp_extract_all(text, '[a-z]+')",
+    ", UNNEST(ws) AS t(w)",
+)
+
+
+@register("text_zipf_slope", oracle=_ZIPF_DUCK_SQL)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares log-log slope of the top-200 term-frequency ranks."""
+    return _docs_sql(spark, sf_dir, _ZIPF_SPARK_SQL)

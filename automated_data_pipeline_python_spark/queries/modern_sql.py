@@ -270,3 +270,54 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (SPARK-49555, Spark 4.0)
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = f"""
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_exact_sum("o_totalprice", 2)} AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    HAVING count(*) > 10
+    ORDER BY total_value DESC, nation
+    LIMIT 10
+    """
+
+
+@register("pipe_syntax_nation_value", oracle=_PIPE_ORACLE)
+def pipe_syntax_nation_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finished-order value by nation, written in SQL pipe syntax.
+
+    Spark 4's ``|>`` operators express the logical pipeline in
+    execution order (scan -> filter -> join -> aggregate -> having ->
+    top-k); Catalyst compiles it to the IDENTICAL plan as the ANSI
+    form, so the DuckDB oracle is the classic GROUP BY/HAVING query.
+    The post-AGGREGATE ``|> WHERE`` is pipe-syntax HAVING; the LIMIT is
+    totally ordered (value, nation tiebreak).
+
+    Scale: no join hints — customer grows with the corpus, so AQE
+    picks broadcast at small SF and shuffle join at 100 TB (repo
+    broadcast-hint invariant). Money sum via the exact-sum decimal
+    grid, order-independent across partitions.
+    """
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(f"""
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> JOIN nation   ON c_nationkey = n_nationkey
+        |> AGGREGATE count(*) AS n_orders,
+                     {sql_exact_sum("o_totalprice", 2)} AS total_value
+           GROUP BY n_name AS nation
+        |> WHERE n_orders > 10
+        |> ORDER BY total_value DESC, nation
+        |> LIMIT 10
+        """)

@@ -25,6 +25,11 @@ ROUND5_NEW = [
     "events_zscore_bands",
     "dedup_incremental_minhash",
     "ann_ivf_cell_assignment",
+    "dedup_substring_windows",
+    "lm_bigram_entropy",
+    "bpe_pair_merge_counts",
+    "text_zipf_slope",
+    "pipe_syntax_nation_value",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
