@@ -1,5 +1,6 @@
 """File sources/sinks (SURVEY §2.1 S4/S6): parquet, ORC, CSV, JSON/JSONL,
-line text, and whole-file binary (multimodal ingest edge)."""
+XML (Spark 4 built-in), line text, and whole-file binary (multimodal
+ingest edge)."""
 
 from automated_data_pipeline_python_spark.sources.files import (  # noqa: F401
     read_binary_files,
@@ -10,9 +11,11 @@ from automated_data_pipeline_python_spark.sources.files import (  # noqa: F401
     read_orc,
     read_parquet,
     read_text,
+    read_xml,
     write_csv,
     write_json,
     write_orc,
     write_parquet,
     write_text,
+    write_xml,
 )

@@ -83,6 +83,45 @@ def write_orc(
     w.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML reader (built into Spark 4 — SPARK-44265, no external jar).
+
+    ``rowTag`` selects the repeating element that becomes one row;
+    attributes surface as ``_attr`` columns. XML files are NOT
+    splittable at the row level (the parser must see matching tags), so
+    at 100 TB the parallel unit is the FILE — many medium files beat
+    one giant document. Schema inference scans the data; pass an
+    explicit schema in production to avoid the extra pass.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """Write rows as XML elements (interop/export surface, not a
+    performance format — no pushdown, no column pruning on re-read)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Line-oriented text reader: one `value` string row per line.
 

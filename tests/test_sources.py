@@ -211,3 +211,20 @@ def test_binary_files_reader(spark, tmp_path):
     assert set(rows) == {"a.bin", "b.bin"}
     assert bytes(rows["a.bin"].content) == b"\x89PNG-fake-a"
     assert rows["b.bin"].length == 12
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 ships the XML connector in-box (SPARK-44265): rowTag
+    selects the repeating element, one element = one row. Interop
+    surface — values and nulls must survive the trip."""
+    from automated_data_pipeline_python_spark.sources import read_xml, write_xml
+
+    src = load(spark, SF, "nation").selectExpr(
+        "n_nationkey",
+        "n_name",
+        "CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey END AS maybe_region",
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(src, path, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, path, row_tag="nation", schema=src.schema)
+    assert _sorted(back.select(*src.columns)) == _sorted(src)

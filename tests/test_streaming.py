@@ -439,3 +439,51 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # no loss, no duplication
     assert got.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+
+
+def test_transform_with_state_running_totals(spark, events_dir):
+    """transformWithState (arbitrary-state v2) computes the same final
+    per-user totals as the batch aggregate — and therefore the same as
+    the applyInPandasWithState v1 operator pinned above. Needs the
+    RocksDB provider (the only backend implementing the v2 state
+    layout) AND protobuf (the v2 state-server wire protocol) — gated
+    like the Kafka-jar and PIL tests, runs wherever protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+    from automated_data_pipeline_python_spark.streaming.events import (
+        running_user_totals_tws,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir)
+        got = run_to_memory(
+            running_user_totals_tws(stream), "t_tws", output_mode="update"
+        )
+        final = (
+            got.groupBy("user_id")
+            .agg(F.max("n_events").alias("n"), F.max("total_value").alias("v"))
+            .collect()
+        )
+        ev = load(spark, SF_DIR, "events")
+        want = {
+            r.user_id: (r.n, r.v)
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect()
+        }
+        assert {r.user_id: (r.n, round(r.v, 6)) for r in final} == {
+            k: (n, round(v, 6)) for k, (n, v) in want.items()
+        }
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
