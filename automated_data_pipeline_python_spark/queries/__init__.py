@@ -65,6 +65,8 @@ _PRIORITY = [
     "bpe_pair_merge_counts",
     "text_zipf_slope",
     "pipe_syntax_nation_value",  # Spark 4 |> surface (new, round 5)
+    "events_path_patterns",      # sequence analytics (new, round 5)
+    "events_ohlc_hourly",
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -89,14 +91,12 @@ _PRIORITY = [
     "kmeans_lloyd_refine",            # clustering
     "corpus_curation_funnel",         # curation
     "dedup_minhash_lsh",              # dedup
-    "events_tumbling_10min",          # events
     "gapfill_monthly_orders",         # modern_sql
     "multimodal_media_metadata",      # multimodal
     "chunk_documents_overlap",        # rag
     "q1_pricing_summary",             # relational
     "join_asof_purchase_click",       # the one Python-boundary headline
     "pivot_status_by_priority",       # relational2
-    "q12_priority_by_status",         # relational3
     "agg_corr_regression",            # relational4
     "scalar_bit_funcs",               # relational5
     "knn_bruteforce_topk",            # similarity

@@ -390,3 +390,138 @@ def events_zscore_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram of per-type z-score bands (anomaly monitoring shape)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ZSCORE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Path-sequence analytics (clickstream "top paths")
+# ---------------------------------------------------------------------------
+# The MATCH_RECOGNIZE-shaped question every product-analytics engine
+# answers: what do the first N steps of a session look like, and which
+# openings are most common? Sessionize by 30-minute inactivity gap
+# (gaps-and-islands — the same spine as the sessionization oracle),
+# keep each session's first 3 events in (ts, event_id) order, render
+# the path as a string, count sessions per path.
+#
+# One template, two dialect knobs: the timestamp expression (Spark
+# reads ts as TIMESTAMP_NTZ via tables.load; DuckDB casts the raw
+# parquet value) and the ordered string aggregate (Spark 4 listagg
+# WITHIN GROUP vs DuckDB string_agg ORDER BY).
+#
+# Scale: one shuffle on user_id serves the lag, the session id and the
+# per-session rank (same partition spec); the per-path count shuffles
+# only distinct paths (bounded by |event_type|^3). Nothing is
+# corpus-quadratic; state per user is one row of look-back.
+
+
+def _paths_sql(ts: str, path_agg: str) -> str:
+    w = "PARTITION BY user_id ORDER BY {t}, event_id".format(t=ts)
+    return f"""
+WITH ordered AS (
+    SELECT user_id, {ts} AS t, event_id, event_type,
+           CASE WHEN lag({ts}) OVER ({w}) IS NULL
+                  OR {ts} > lag({ts}) OVER ({w}) + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+sess AS (
+    SELECT user_id, t, event_id, event_type,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+    FROM ordered
+),
+ranked AS (
+    SELECT user_id, sess_id, event_type, t, event_id,
+           row_number() OVER (PARTITION BY user_id, sess_id
+                              ORDER BY t, event_id) AS rn
+    FROM sess
+),
+paths AS (
+    SELECT user_id, sess_id, {path_agg} AS path
+    FROM ranked
+    WHERE rn <= 3
+    GROUP BY user_id, sess_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+_PATHS_DUCK_SQL = _paths_sql(
+    "CAST(ts AS TIMESTAMP)",
+    "string_agg(event_type, '>' ORDER BY t, event_id)",
+)
+
+
+@register("events_path_patterns", oracle=_PATHS_DUCK_SQL)
+def events_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths (first 3 events per 30-min session)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _paths_sql(
+            "ts",
+            "listagg(event_type, '>') WITHIN GROUP (ORDER BY t, event_id)",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling (time-series bar aggregation)
+# ---------------------------------------------------------------------------
+# The financial/metrics rollup: per (event_type, hour) the opening
+# value (earliest row), high, low, and closing value (latest row).
+# first/last need a total order — (ts, event_id) breaks timestamp
+# ties identically on both engines; row_number is the portable
+# arg_min/arg_max (DuckDB's arg_min takes one ordering key; Spark's
+# min_by has no tiebreak — both would be nondeterministic on tied ts).
+#
+# Scale: both window ranks share one (event_type, hour) partition spec
+# — one shuffle, one sort each direction — and the final agg reuses
+# the same keys (no second exchange under AQE). value doubles pass
+# through untouched (data, not arithmetic), so parity is exact.
+
+
+def _ohlc_sql(ts: str, fmt_hr: str) -> str:
+    # hr is computed ONCE in `base` so the window partition spec and the
+    # final GROUP BY reference the same attribute — Catalyst then reuses
+    # the window exchange for the aggregation (1 shuffle total; with the
+    # expression inlined twice the agg re-shuffles on a fresh attribute).
+    return f"""
+WITH base AS (
+    SELECT event_type, date_trunc('hour', {ts}) AS hr,
+           value, {ts} AS t, event_id
+    FROM events
+),
+ranked AS (
+    SELECT event_type, hr, value,
+           row_number() OVER (PARTITION BY event_type, hr
+                              ORDER BY t, event_id)            AS rn_a,
+           row_number() OVER (PARTITION BY event_type, hr
+                              ORDER BY t DESC, event_id DESC)  AS rn_d
+    FROM base
+)
+SELECT event_type,
+       {fmt_hr}                                   AS hour,
+       max(CASE WHEN rn_a = 1 THEN value END)     AS open,
+       max(value)                                 AS high,
+       min(value)                                 AS low,
+       max(CASE WHEN rn_d = 1 THEN value END)     AS close,
+       CAST(count(*) AS BIGINT)                   AS n
+FROM ranked
+GROUP BY event_type, hr
+"""
+
+
+_OHLC_DUCK_SQL = _ohlc_sql(
+    "CAST(ts AS TIMESTAMP)", "strftime(hr, '%Y-%m-%d %H:%M:%S')"
+)
+
+
+@register("events_ohlc_hourly", oracle=_OHLC_DUCK_SQL)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (open/high/low/close/count)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ohlc_sql("ts", "date_format(hr, 'yyyy-MM-dd HH:mm:ss')"))

@@ -52,6 +52,8 @@ TIME_SENSITIVE = [
     "events_interval_join",
     "join_asof_purchase_click",
     "gapfill_monthly_orders",
+    "events_path_patterns",
+    "events_ohlc_hourly",
 ]
 
 

@@ -136,3 +136,26 @@ def test_whole_stage_codegen_active(spark):
         df = QUERIES[name].fn(spark, SF)
         df.collect()
         assert plan_report(df).codegen_spans >= 1, name
+
+
+def test_round5_additions_python_free(spark):
+    """The LM-construction, pipe-syntax and sequence-analytics queries
+    are pure Catalyst plans — no Python boundary anywhere."""
+    for name in (
+        "dedup_substring_windows",
+        "lm_bigram_entropy",
+        "bpe_pair_merge_counts",
+        "text_zipf_slope",
+        "pipe_syntax_nation_value",
+        "events_path_patterns",
+        "events_ohlc_hourly",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_ohlc_single_exchange_for_both_ranks(spark):
+    """Both row_number directions and the final agg share the
+    (event_type, hour) partitioning — one shuffle total."""
+    r = plan_report(QUERIES["events_ohlc_hourly"].fn(spark, SF))
+    assert r.exchanges <= 1, r.text

@@ -30,6 +30,8 @@ ROUND5_NEW = [
     "bpe_pair_merge_counts",
     "text_zipf_slope",
     "pipe_syntax_nation_value",
+    "events_path_patterns",
+    "events_ohlc_hourly",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
