@@ -67,6 +67,8 @@ _PRIORITY = [
     "pipe_syntax_nation_value",  # Spark 4 |> surface (new, round 5)
     "events_path_patterns",      # sequence analytics (new, round 5)
     "events_ohlc_hourly",
+    "ann_ndcg_eval",             # rank-aware ANN eval (new, round 5)
+    "text_token_pmi",            # collocation mining (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -90,7 +92,6 @@ _PRIORITY = [
     # (b) family sentinels — every module represented
     "kmeans_lloyd_refine",            # clustering
     "corpus_curation_funnel",         # curation
-    "dedup_minhash_lsh",              # dedup
     "gapfill_monthly_orders",         # modern_sql
     "multimodal_media_metadata",      # multimodal
     "chunk_documents_overlap",        # rag
@@ -99,7 +100,6 @@ _PRIORITY = [
     "pivot_status_by_priority",       # relational2
     "agg_corr_regression",            # relational4
     "scalar_bit_funcs",               # relational5
-    "knn_bruteforce_topk",            # similarity
     "text_quality_scores",            # text
     "q21_sole_late_shipper",          # tpch2
     "scd2_customer_segments",         # warehouse

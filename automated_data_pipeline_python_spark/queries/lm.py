@@ -321,3 +321,84 @@ _ZIPF_DUCK_SQL = _zipf_sql(
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares log-log slope of the top-200 term-frequency ranks."""
     return _docs_sql(spark, sf_dir, _ZIPF_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI (collocation mining)
+# ---------------------------------------------------------------------------
+# PMI(t1,t2) = ln( N · df(t1,t2) / (df(t1) · df(t2)) ) over document-
+# level co-occurrence — the classic collocation/phrase-mining statistic
+# (and the shape of feature-association mining generally). An
+# unconstrained pair join is O(tokens-per-doc²) per document; the scale
+# control is the repo's frequency-capped hot-list pattern: only the
+# top-H tokens by document frequency enter the pair join, so per-doc
+# work is ≤ H²/2 regardless of corpus size, and the hot list itself is
+# a fixed-size broadcast (the invariant-sanctioned broadcast class —
+# it does NOT grow with the corpus).
+#
+# Spark side: the doc-token distinct relation is materialized
+# (localCheckpoint) because the pair join references it twice and
+# Spark inlines CTEs; DuckDB materializes shared CTEs on its own.
+# All counts are integers; the single ln() is a deterministic function
+# of exact inputs, snapped to the 1e-6 grid before the ORDER BY.
+
+_PMI_HOT = 50
+_PMI_MIN_CODOCS = 5
+
+
+def _pmi_tail_sql(dt: str) -> str:
+    return f"""
+WITH df AS (
+    SELECT token, count(*) AS dfreq FROM {dt} GROUP BY token
+),
+hot AS (
+    SELECT token, dfreq FROM df
+    ORDER BY dfreq DESC, token
+    LIMIT {_PMI_HOT}
+),
+hd AS (
+    SELECT d.doc_id, d.token, h.dfreq
+    FROM {dt} d JOIN hot h ON d.token = h.token
+),
+n AS (SELECT count(DISTINCT doc_id) AS ndocs FROM {dt}),
+pairs AS (
+    SELECT a.token AS t1, b.token AS t2,
+           a.dfreq AS df1, b.dfreq AS df2,
+           count(*) AS c12
+    FROM hd a JOIN hd b
+      ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY a.token, b.token, a.dfreq, b.dfreq
+)
+SELECT t1, t2,
+       CAST(c12 AS BIGINT) AS co_docs,
+       {sql_stable_round(
+           "ln(CAST(c12 AS DOUBLE) * ndocs / (CAST(df1 AS DOUBLE) * df2))", 6)}
+           AS pmi
+FROM pairs, n
+WHERE c12 >= {_PMI_MIN_CODOCS}
+ORDER BY pmi DESC, t1, t2
+LIMIT 50
+"""
+
+
+_PMI_DUCK_SQL = f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, w AS token
+    FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws
+          FROM documents), UNNEST(ws) AS t(w)
+),
+{_pmi_tail_sql("dt").split("WITH ", 1)[1]}
+"""
+
+
+@register("text_token_pmi", oracle=_PMI_DUCK_SQL)
+def text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations among the 50 highest-df tokens."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    dt = spark.sql(
+        "SELECT DISTINCT doc_id, w AS token"
+        " FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+', 0) AS ws"
+        "       FROM documents) LATERAL VIEW explode(ws) t AS w"
+    )
+    dt.localCheckpoint(eager=True).createOrReplaceTempView("pmi_dt")
+    return spark.sql(_pmi_tail_sql("pmi_dt"))

@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_data_pipeline_python_spark.functions.numeric import sql_exact_avg
+import math
+
+from automated_data_pipeline_python_spark.functions.numeric import (
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+    stable_round,
+)
 from automated_data_pipeline_python_spark.functions.text import (
     duck_hash60,
     spark_hash60,
@@ -904,3 +911,69 @@ def ann_pq_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM embeddings"
     ).localCheckpoint(eager=True).createOrReplaceTempView("pq_sweep_base")
     return spark.sql(_PQ_SWEEP_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation #2: NDCG@k (rank-aware, not just set overlap)
+# ---------------------------------------------------------------------------
+# recall@k treats the approximate top-k as a SET; NDCG@k also scores
+# the ORDER — a method that finds all true neighbors but ranks them
+# backwards loses credit. Binary relevance (membership in the exact
+# cosine top-k), standard log2 position discount:
+#     DCG@k  = Σ_i rel_i / log2(i + 1)      (i = approx rank)
+#     NDCG@k = DCG@k / IDCG@k               (ideal: all k relevant)
+# IDCG is a constant for binary relevance at fixed k — computed once
+# in Python and inlined as the SAME double literal in both dialects.
+#
+# Float discipline: each discount term snaps to the 1e-6 grid and sums
+# via the exact-sum decimal path (order-independent), so the per-query
+# DCG is a deterministic function of the (integer) hit/rank pairs.
+#
+# Scale: cost is the two composed pipelines; the scoring join is
+# queries × k rows.
+
+_IDCG_AT_K = sum(1.0 / math.log2(i + 1) for i in range(1, _TOP_K + 1))
+
+_NDCG_DUCK_SQL = f"""
+WITH exact AS ({_KNN_DUCK_SQL}),
+lsh AS ({_LSH_DUCK_FULL}),
+j AS (
+    SELECT l.query_id, l.rnk,
+           CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM lsh l LEFT JOIN exact e
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+)
+SELECT 'lsh' AS method, query_id,
+       CAST(sum(hit) AS BIGINT) AS hits,
+       {sql_exact_sum("CAST(hit AS DOUBLE) / log2(rnk + 1)", 6)} AS dcg,
+       floor((({sql_exact_sum("CAST(hit AS DOUBLE) / log2(rnk + 1)", 6)})
+              / {_IDCG_AT_K!r}) * 1e6 + 0.5) / 1e6 AS ndcg
+FROM j
+GROUP BY query_id
+"""
+
+
+@register("ann_ndcg_eval", oracle=_NDCG_DUCK_SQL)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the LSH ranking vs exact cosine truth (rank-aware)."""
+    exact = knn_bruteforce_topk(spark, sf_dir)
+    lsh = ann_lsh_topk(spark, sf_dir)
+    j = lsh.select("query_id", "neighbor_id", "rnk").join(
+        exact.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    term = F.coalesce(F.col("hit"), F.lit(0)).cast("double") / F.log2(
+        F.col("rnk") + F.lit(1)
+    )
+    agg = j.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("hits"),
+        exact_sum(term, 6).alias("dcg"),
+    )
+    return agg.select(
+        F.lit("lsh").alias("method"),
+        "query_id",
+        "hits",
+        "dcg",
+        stable_round(F.col("dcg") / F.lit(_IDCG_AT_K), 6).alias("ndcg"),
+    )

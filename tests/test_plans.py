@@ -149,6 +149,8 @@ def test_round5_additions_python_free(spark):
         "pipe_syntax_nation_value",
         "events_path_patterns",
         "events_ohlc_hourly",
+        "text_token_pmi",
+        "ann_ndcg_eval",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

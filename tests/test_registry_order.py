@@ -32,6 +32,8 @@ ROUND5_NEW = [
     "pipe_syntax_nation_value",
     "events_path_patterns",
     "events_ohlc_hourly",
+    "ann_ndcg_eval",
+    "text_token_pmi",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
