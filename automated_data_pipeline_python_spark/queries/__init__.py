@@ -69,6 +69,9 @@ _PRIORITY = [
     "events_ohlc_hourly",
     "ann_ndcg_eval",             # rank-aware ANN eval (new, round 5)
     "text_token_pmi",            # collocation mining (new, round 5)
+    "events_retention_cohorts",  # product analytics (new, round 5)
+    "events_twap_hourly",
+    "sample_weighted_reservoir", # A-ES weighted sampling (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -92,7 +95,6 @@ _PRIORITY = [
     # (b) family sentinels — every module represented
     "kmeans_lloyd_refine",            # clustering
     "corpus_curation_funnel",         # curation
-    "gapfill_monthly_orders",         # modern_sql
     "multimodal_media_metadata",      # multimodal
     "chunk_documents_overlap",        # rag
     "q1_pricing_summary",             # relational
@@ -101,8 +103,6 @@ _PRIORITY = [
     "agg_corr_regression",            # relational4
     "scalar_bit_funcs",               # relational5
     "text_quality_scores",            # text
-    "q21_sole_late_shipper",          # tpch2
-    "scd2_customer_segments",         # warehouse
     "text_tfidf_top_terms",           # windows2
 ]
 

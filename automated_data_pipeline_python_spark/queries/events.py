@@ -525,3 +525,106 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type (open/high/low/close/count)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ohlc_sql("ts", "date_format(hr, 'yyyy-MM-dd HH:mm:ss')"))
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix
+# ---------------------------------------------------------------------------
+# The product-analytics staple: cohort users by first-seen day, then
+# count distinct users active at each day offset. Two hash
+# aggregations (per-user first day; per (cohort, offset) distinct
+# users) — both shuffle user-id-sized relations, never raw events,
+# which is the shape that survives a 100 TB event log.
+
+
+def _retention_sql(ts: str, datediff: str) -> str:
+    return f"""
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST({ts} AS DATE) AS day FROM events
+),
+cohorts AS (
+    SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT CAST(c.cohort_day AS STRING)      AS cohort_day,
+       CAST({datediff} AS INT)           AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY c.cohort_day, {datediff}
+"""
+
+
+_RETENTION_DUCK_SQL = _retention_sql(
+    "CAST(ts AS TIMESTAMP)", "date_diff('day', c.cohort_day, a.day)"
+).replace("CAST(c.cohort_day AS STRING)", "CAST(c.cohort_day AS VARCHAR)")
+
+
+@register("events_retention_cohorts", oracle=_RETENTION_DUCK_SQL)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention matrix: first-seen cohort × day offset × users."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_retention_sql("ts", "datediff(a.day, c.cohort_day)"))
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# ---------------------------------------------------------------------------
+# The irregular-sampling average: each observation holds until the
+# next one (step interpolation), the last one until the hour closes —
+# so a value that persisted 50 minutes outweighs a flurry of 1-second
+# ticks, which a plain avg() gets wrong. dt is computed in exact
+# integer microseconds; value·dt stays on the 2-decimal grid, so both
+# weighted sums go through the order-independent exact-sum path.
+#
+# Scale: one shuffle on (event_type, hour) serves the lead() and the
+# aggregation (same partition keys).
+
+
+def _twap_sql(ts: str, usec_diff: str, fmt_hr: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT event_type, date_trunc('hour', {ts}) AS hr, {ts} AS t,
+           event_id, value
+    FROM events
+),
+stepped AS (
+    SELECT event_type, hr, value,
+           coalesce(
+               lead(t) OVER (PARTITION BY event_type, hr
+                             ORDER BY t, event_id),
+               hr + INTERVAL 1 HOUR) AS next_t,
+           t
+    FROM base
+),
+dts AS (
+    SELECT event_type, hr, value, {usec_diff} AS dt_us FROM stepped
+)
+SELECT event_type,
+       {fmt_hr} AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       floor((({sql_exact_sum("value * dt_us", 2)})
+              / ({sql_exact_sum("CAST(dt_us AS DOUBLE)", 0)})) * 1e6 + 0.5) / 1e6
+           AS twap,
+       floor(({sql_exact_avg("value", 2)}) * 1e6 + 0.5) / 1e6 AS plain_avg
+FROM dts
+GROUP BY event_type, hr
+"""
+
+
+_TWAP_DUCK_SQL = _twap_sql(
+    "CAST(ts AS TIMESTAMP)",
+    "date_diff('microsecond', t, next_t)",
+    "strftime(hr, '%Y-%m-%d %H:%M:%S')",
+)
+
+
+@register("events_twap_hourly", oracle=_TWAP_DUCK_SQL)
+def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average value per event type (vs plain avg)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _twap_sql(
+            "ts",
+            "timestampdiff(MICROSECOND, t, next_t)",
+            "date_format(hr, 'yyyy-MM-dd HH:mm:ss')",
+        )
+    )

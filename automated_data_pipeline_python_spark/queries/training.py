@@ -573,3 +573,55 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     order makes the kept set reproducible across engines and runs.
     """
     return _docs_sql(spark, sf_dir, _budget_sql(spark_hash60, _BUDGET_SPARK_TOK, "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+# Quality-weighted corpus selection: pick k docs per language where a
+# doc's inclusion probability is proportional to its weight (here
+# n_chars — substitute any quality score). A-ES makes that a rank
+# problem: key = ln(u) / w with u uniform in (0,1]; the top-k keys per
+# stratum ARE a weighted sample without replacement. u derives from the
+# portable SHA hash of the doc id, so the "randomness" is reproducible
+# on any engine and any run — the same trick as the unweighted
+# reservoir above, with the weight exponent added.
+#
+# Float discipline: u is an exact dyadic rational (28-bit integer /
+# 2^28); ln(u)/w is one deterministic double op per row, snapped to
+# the 1e-9 grid BEFORE ranking so an ulp at a rank boundary cannot
+# reorder engines (doc_id breaks exact ties).
+#
+# Scale: map-only keying + one k-per-stratum rank — identical shape to
+# the unweighted reservoir (no global sort; per-stratum top-k).
+
+_WEIGHTED_K = 40
+
+
+def _weighted_sample_sql(hash28, str_t: str) -> str:
+    u = f"(CAST({hash28(f'''concat('wsample:', CAST(doc_id AS {str_t}))''')} AS DOUBLE) + 1) / 268435456.0"
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           floor((ln({u}) / n_chars) * 1e9 + 0.5) / 1e9 AS skey
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, n_chars, skey,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY skey DESC, doc_id) AS rn
+    FROM keyed
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, skey
+FROM ranked
+WHERE rn <= {_WEIGHTED_K}
+"""
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=_weighted_sample_sql(duck_hash28, "VARCHAR"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional k-per-language sample (A-ES)."""
+    return _docs_sql(spark, sf_dir, _weighted_sample_sql(spark_hash28, "STRING"))

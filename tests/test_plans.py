@@ -151,6 +151,9 @@ def test_round5_additions_python_free(spark):
         "events_ohlc_hourly",
         "text_token_pmi",
         "ann_ndcg_eval",
+        "events_retention_cohorts",
+        "events_twap_hourly",
+        "sample_weighted_reservoir",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -34,6 +34,9 @@ ROUND5_NEW = [
     "events_ohlc_hourly",
     "ann_ndcg_eval",
     "text_token_pmi",
+    "events_retention_cohorts",
+    "events_twap_hourly",
+    "sample_weighted_reservoir",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
