@@ -72,6 +72,7 @@ _PRIORITY = [
     "events_retention_cohorts",  # product analytics (new, round 5)
     "events_twap_hourly",
     "sample_weighted_reservoir", # A-ES weighted sampling (new, round 5)
+    "events_rolling_wau",        # rolling distinct users (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -87,7 +88,6 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q8_market_share",
-    "q9_product_type_profit",
     "q10_returned_items",
     "q15_top_supplier",
     "q16_part_supplier_relation",

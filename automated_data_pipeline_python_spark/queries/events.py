@@ -628,3 +628,47 @@ def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date_format(hr, 'yyyy-MM-dd HH:mm:ss')",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (rolling WAU)
+# ---------------------------------------------------------------------------
+# Sliding-window COUNT DISTINCT cannot use a window frame (distinct is
+# not frame-decomposable); the scalable form is a bounded range join:
+# the DAY SPINE (one row per calendar day — grows with time, not with
+# corpus) joins activity at ≤ 7 spine rows per activity row, then one
+# distinct-count per day. The spine stays broadcast-sized at any data
+# scale (a decade is ~3.7k rows), so the "window" never shuffles raw
+# events — only the (user, day) distinct relation.
+
+
+def _wau_sql(ts: str, day_lo: str, day_str: str) -> str:
+    return f"""
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST({ts} AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM activity),
+win AS (
+    SELECT d.day AS spine_day, a.user_id
+    FROM days d JOIN activity a
+      ON a.day >= {day_lo} AND a.day <= d.day
+)
+SELECT {day_str} AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_7d_users
+FROM win
+GROUP BY spine_day
+"""
+
+
+_WAU_DUCK_SQL = _wau_sql(
+    "CAST(ts AS TIMESTAMP)", "d.day - 6", "CAST(spine_day AS VARCHAR)"
+)
+
+
+@register("events_rolling_wau", oracle=_WAU_DUCK_SQL)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day rolling 7-day distinct active users (day-spine range join)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _wau_sql("ts", "date_sub(d.day, 6)", "CAST(spine_day AS STRING)")
+    )

@@ -366,3 +366,37 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Hourly OHLC bars — works identically in batch and streaming.
+
+    The batch catalog twin (``queries/events.py events_ohlc_hourly``)
+    picks open/close with tiebroken row_number ranks; streaming cannot
+    run rank windows, so this formulation uses lexicographic struct
+    min/max over (ts, event_id, value) — the earliest/latest row's
+    value with the SAME (ts, event_id) tiebreak, expressible as a plain
+    windowed aggregation that Structured Streaming accepts (parity
+    between the two formulations is pinned in tests). State per
+    (type, hour) key is two structs + three scalars — bounded; add a
+    watermark upstream to evict closed hours in production.
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "n",
+        )
+    )

@@ -154,6 +154,7 @@ def test_round5_additions_python_free(spark):
         "events_retention_cohorts",
         "events_twap_hourly",
         "sample_weighted_reservoir",
+        "events_rolling_wau",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

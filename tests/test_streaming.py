@@ -487,3 +487,22 @@ def test_transform_with_state_running_totals(spark, events_dir):
         }
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_ohlc_stream_equals_batch_and_catalog_twin(spark, events_dir):
+    """The struct-min/max OHLC formulation streams; it must match both
+    its own batch run and the rank-based catalog query row-for-row."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.events import ohlc_bars
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(ohlc_bars(stream), "t_ohlc")
+    want = ohlc_bars(load(spark, SF_DIR, "events"))
+    cols = ["hour", "event_type", "open", "high", "low", "close", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    catalog = QUERIES["events_ohlc_hourly"].fn(spark, SF_DIR)
+    assert _sorted_rows(got, cols) == _sorted_rows(
+        catalog.select("hour", "event_type", "open", "high", "low", "close", "n"),
+        cols,
+    )
