@@ -26,6 +26,11 @@ JOIN_HEAVY = [
     "doc_unigram_surprisal",        # vocab join must be strategy-agnostic
     "cdc_snapshot_diff",            # full-outer diff join
     "dedup_incremental_minhash",    # band-index probe join
+    "text_token_pmi",               # hot-list join + doc-level pair join
+    "pipe_syntax_nation_value",     # unhinted pipe-syntax star join
+    "events_rolling_wau",           # day-spine range join
+    "ann_ndcg_eval",                # exact/approx scoring join
+    "dedup_substring_windows",      # window-hash count join-back
 ]
 
 
