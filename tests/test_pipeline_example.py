@@ -20,3 +20,16 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert sum(colors.values()) <= 150 and len(colors) >= 2
     # silver tables landed
     assert spark.read.parquet(str(tmp_path / "demo_nfts")).count() == 150
+
+
+def test_tokenizer_report_sections(spark):
+    from examples.tokenizer_report import run_report
+
+    report = run_report(spark, "/root/testdata/sf0.001")
+    assert set(report) == {
+        "zipf_fit", "bigram_entropy", "bpe_merge_candidates",
+        "substring_duplication", "pmi_collocations",
+    }
+    slope = report["zipf_fit"].collect()[0]
+    assert slope.n_ranks > 0 and slope.zipf_slope < 0
+    assert report["bpe_merge_candidates"].count() == 20

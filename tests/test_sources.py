@@ -228,3 +228,27 @@ def test_xml_roundtrip(spark, tmp_path):
     write_xml(src, path, row_tag="nation", root_tag="nations")
     back = read_xml(spark, path, row_tag="nation", schema=src.schema)
     assert _sorted(back.select(*src.columns)) == _sorted(src)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across file generations — the 100 TB reality:
+    later partitions gain columns. mergeSchema unions the footers;
+    old files surface the new column as null (no rewrite)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(base + "/gen=1")
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "gen"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+    # unionByName is the frame-level twin for mixed-schema frames
+    a = spark.createDataFrame([(1, "a")], "id long, name string")
+    b = spark.createDataFrame([(2, "b", 1.0)], "id long, name string, score double")
+    u = a.unionByName(b, allowMissingColumns=True)
+    assert {r.id: r.score for r in u.collect()} == {1: None, 2: 1.0}
