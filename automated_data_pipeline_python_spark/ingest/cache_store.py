@@ -110,13 +110,29 @@ class RedisCacheStore(MutableMapping):
         if not self._r.delete(self._key(url)):
             raise KeyError(url)
 
+    def __contains__(self, url: object) -> bool:
+        # EXISTS avoids fetching + JSON-decoding the whole body just to
+        # answer membership (falls back to GET for minimal clients).
+        if hasattr(self._r, "exists"):
+            return bool(self._r.exists(self._key(str(url))))
+        return self._r.get(self._key(str(url))) is not None
+
+    def _scan_keys(self) -> Iterator[str]:
+        # SCAN, never KEYS: KEYS blocks the Redis event loop for a full
+        # keyspace sweep on a production instance. keys() remains the
+        # fallback for minimal injected clients (tests).
+        if hasattr(self._r, "scan_iter"):
+            yield from self._r.scan_iter(match=f"{self._prefix}*")
+        else:
+            yield from self._r.keys(f"{self._prefix}*")
+
     def __iter__(self) -> Iterator[str]:
         plen = len(self._prefix)
-        for k in self._r.keys(f"{self._prefix}*"):
+        for k in self._scan_keys():
             yield k[plen:]
 
     def __len__(self) -> int:
-        return len(self._r.keys(f"{self._prefix}*"))
+        return sum(1 for _ in self._scan_keys())
 
 
 def connect_redis(url: str | None = None) -> Any:

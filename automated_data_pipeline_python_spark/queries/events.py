@@ -634,41 +634,51 @@ def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rolling 7-day active users (rolling WAU)
 # ---------------------------------------------------------------------------
 # Sliding-window COUNT DISTINCT cannot use a window frame (distinct is
-# not frame-decomposable); the scalable form is a bounded range join:
-# the DAY SPINE (one row per calendar day — grows with time, not with
-# corpus) joins activity at ≤ 7 spine rows per activity row, then one
-# distinct-count per day. The spine stays broadcast-sized at any data
-# scale (a decade is ~3.7k rows), so the "window" never shuffles raw
-# events — only the (user, day) distinct relation.
+# not frame-decomposable). A day-spine RANGE join would compile to a
+# nested-loop over |activity| × |days| predicate evaluations; the
+# scalable form is an EXPLODE: each (user, day) activity row emits the
+# 7 spine days it contributes to (a fixed 7× map-side fan-out of the
+# user-day relation — never of raw events), a semi-join keeps only
+# observed days (spine = days present in activity), and one hash
+# aggregation counts distinct users per spine day. No nested loop
+# anywhere; every join is an equi-join on day.
 
 
-def _wau_sql(ts: str, day_lo: str, day_str: str) -> str:
+def _wau_sql(ts: str, day_add: str, unnest7: str, day_str: str) -> str:
     return f"""
 WITH activity AS (
     SELECT DISTINCT user_id, CAST({ts} AS DATE) AS day FROM events
 ),
 days AS (SELECT DISTINCT day FROM activity),
-win AS (
-    SELECT d.day AS spine_day, a.user_id
-    FROM days d JOIN activity a
-      ON a.day >= {day_lo} AND a.day <= d.day
+expanded AS (
+    SELECT a.user_id, {day_add} AS spine_day
+    FROM activity a{unnest7}
 )
 SELECT {day_str} AS day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_7d_users
-FROM win
+FROM expanded
+WHERE spine_day IN (SELECT day FROM days)
 GROUP BY spine_day
 """
 
 
 _WAU_DUCK_SQL = _wau_sql(
-    "CAST(ts AS TIMESTAMP)", "d.day - 6", "CAST(spine_day AS VARCHAR)"
+    "CAST(ts AS TIMESTAMP)",
+    "a.day + CAST(off AS INT)",
+    ", UNNEST(generate_series(0, 6)) AS t(off)",
+    "CAST(spine_day AS VARCHAR)",
 )
 
 
 @register("events_rolling_wau", oracle=_WAU_DUCK_SQL)
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day rolling 7-day distinct active users (day-spine range join)."""
+    """Per-day rolling 7-day distinct active users (explode + equi-join)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
-        _wau_sql("ts", "date_sub(d.day, 6)", "CAST(spine_day AS STRING)")
+        _wau_sql(
+            "ts",
+            "date_add(a.day, off)",
+            " LATERAL VIEW explode(sequence(0, 6)) t AS off",
+            "CAST(spine_day AS STRING)",
+        )
     )

@@ -40,10 +40,6 @@ from automated_data_pipeline_python_spark.functions.text import (
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load_scaled
 
-_S_TOK = SPARK_TOKENS.format(col="text")
-_D_TOK = DUCK_TOKENS.format(col="text")
-
-
 def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(sql)
@@ -72,15 +68,19 @@ def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 _WIN = 8
 
 
-def _substring_sql(shingles: str, hash60, unnest_tpl: str) -> str:
+def _substring_windows_sql(shingles: str, hash60, unnest_tpl: str) -> str:
+    """The tokenize→shingle→hash relation — the expensive stage."""
     return f"""
-WITH w AS (
-    SELECT doc_id, {hash60("s")} AS whash
-    FROM (SELECT doc_id, {shingles} AS sh FROM documents){unnest_tpl}
-),
-hot AS (
+SELECT doc_id, {hash60("s")} AS whash
+FROM (SELECT doc_id, {shingles} AS sh FROM documents){unnest_tpl}
+"""
+
+
+def _substring_tail_sql(w: str) -> str:
+    return f"""
+WITH hot AS (
     SELECT whash, count(DISTINCT doc_id) AS ndocs
-    FROM w GROUP BY whash
+    FROM {w} GROUP BY whash
 )
 SELECT
     w.doc_id,
@@ -90,21 +90,20 @@ SELECT
     {sql_stable_round(
         "CAST(sum(CASE WHEN hot.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
         " / count(*)", 6)}                                     AS dup_fraction
-FROM w JOIN hot USING (whash)
+FROM {w} w JOIN hot ON w.whash = hot.whash
 GROUP BY w.doc_id
 """
 
 
-_SUBSTRING_SPARK_SQL = _substring_sql(
-    spark_word_shingles(SPARK_TOKENS.format(col="text"), _WIN),
-    spark_hash60,
-    " LATERAL VIEW explode(sh) t AS s",
-)
-
-_SUBSTRING_DUCK_SQL = _substring_sql(
-    duck_word_shingles(DUCK_TOKENS.format(col="text"), _WIN),
-    duck_hash60,
-    ", UNNEST(sh) AS t(s)",
+_SUBSTRING_DUCK_SQL = (
+    "WITH w AS ("
+    + _substring_windows_sql(
+        duck_word_shingles(DUCK_TOKENS.format(col="text"), _WIN),
+        duck_hash60,
+        ", UNNEST(sh) AS t(s)",
+    )
+    + ")\n"
+    + _substring_tail_sql("w").replace("WITH hot", ", hot", 1)
 )
 
 
@@ -116,8 +115,23 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup: a window hash shared across documents marks a verbatim
     W-token overlap. Documents shorter than W tokens emit no windows
     and drop out on both engines identically.
+
+    The window relation is referenced twice (per-hash doc counts, then
+    the per-doc rollup); Spark inlines CTEs, so it is materialized via
+    localCheckpoint — otherwise the dominant shingle+SHA stage runs
+    twice (DuckDB materializes shared CTEs on its own; the oracle keeps
+    the single-statement form).
     """
-    return _docs_sql(spark, sf_dir, _SUBSTRING_SPARK_SQL)
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    w = spark.sql(
+        _substring_windows_sql(
+            spark_word_shingles(SPARK_TOKENS.format(col="text"), _WIN),
+            spark_hash60,
+            " LATERAL VIEW explode(sh) t AS s",
+        )
+    )
+    w.localCheckpoint(eager=True).createOrReplaceTempView("ssw_w")
+    return spark.sql(_substring_tail_sql("ssw_w"))
 
 
 # ---------------------------------------------------------------------------

@@ -947,7 +947,7 @@ SELECT 'lsh' AS method, query_id,
        CAST(sum(hit) AS BIGINT) AS hits,
        {sql_exact_sum("CAST(hit AS DOUBLE) / log2(rnk + 1)", 6)} AS dcg,
        floor((({sql_exact_sum("CAST(hit AS DOUBLE) / log2(rnk + 1)", 6)})
-              / {_IDCG_AT_K!r}) * 1e6 + 0.5) / 1e6 AS ndcg
+              / CAST({_IDCG_AT_K!r} AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ndcg
 FROM j
 GROUP BY query_id
 """

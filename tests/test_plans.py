@@ -165,3 +165,21 @@ def test_ohlc_single_exchange_for_both_ranks(spark):
     (event_type, hour) partitioning — one shuffle total."""
     r = plan_report(QUERIES["events_ohlc_hourly"].fn(spark, SF))
     assert r.exchanges <= 1, r.text
+
+
+def test_substring_windows_materializes_the_hash_stage(spark):
+    """The shingle+SHA relation is referenced twice; it must come from
+    the materialized checkpoint (0 file scans in the tail plan), not
+    re-execute per reference."""
+    r = plan_report(QUERIES["dedup_substring_windows"].fn(spark, SF))
+    assert r.scans == 0, "tail should read the checkpointed RDD"
+    assert "sha2" not in r.text, "hash stage must not re-execute in the tail"
+
+
+def test_rolling_wau_has_no_nested_loop_join(spark):
+    """The 7-day window is an explode + equi-join — a range-join
+    formulation would compile to BroadcastNestedLoopJoin and evaluate
+    |activity| x |days| predicate pairs."""
+    r = plan_report(QUERIES["events_rolling_wau"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in r.text
+    assert "CartesianProduct" not in r.text

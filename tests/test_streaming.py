@@ -244,9 +244,14 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
         .collect()
     }
-    assert {r.user_id: (r.n, round(r.v, 6)) for r in final} == {
-        k: (n, round(v, 6)) for k, (n, v) in want.items()
-    }
+    got_map = {r.user_id: (r.n, r.v) for r in final}
+    assert set(got_map) == set(want)
+    for k, (n, v) in want.items():
+        # exact count; value within float-accumulation-order tolerance
+        # (round() at a .5 boundary could split the two sides — the
+        # repo's stable-rounding concern applied to test asserts)
+        assert got_map[k][0] == n, k
+        assert abs(got_map[k][1] - v) < 1e-6, k
 
 
 def test_stream_stream_interval_join_equals_batch(spark, events_dir):
@@ -482,9 +487,11 @@ def test_transform_with_state_running_totals(spark, events_dir):
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
             .collect()
         }
-        assert {r.user_id: (r.n, round(r.v, 6)) for r in final} == {
-            k: (n, round(v, 6)) for k, (n, v) in want.items()
-        }
+        got_map = {r.user_id: (r.n, r.v) for r in final}
+        assert set(got_map) == set(want)
+        for k, (n, v) in want.items():
+            assert got_map[k][0] == n, k
+            assert abs(got_map[k][1] - v) < 1e-6, k
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
