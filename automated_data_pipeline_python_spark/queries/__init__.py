@@ -73,6 +73,8 @@ _PRIORITY = [
     "events_twap_hourly",
     "sample_weighted_reservoir", # A-ES weighted sampling (new, round 5)
     "events_rolling_wau",        # rolling distinct users (new, round 5)
+    "embedding_power_iteration", # PCA power-iteration kernel (new, round 5)
+    "events_markov_transitions", # behavioral transition matrix (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -88,8 +90,6 @@ _PRIORITY = [
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q8_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
     "q16_part_supplier_relation",
     "dq_star_schema_report",
     # (b) family sentinels — every module represented

@@ -164,3 +164,99 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "km_base"
     )
     return spark.sql(_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: dominant eigenvector of the embedding second-moment
+# matrix (the PCA/whitening kernel)
+# ---------------------------------------------------------------------------
+# Two unrolled iterations of v <- normalize(A v) with A = Σ x xᵀ —
+# the same unrolled-iteration discipline that made kmeans_lloyd_refine
+# oracle-checkable. A is never materialized (d² would be fine at d=64,
+# but the point is the scalable form): each iteration is
+#   s(x) = x·v      one broadcast join of the d-row vector + hash agg
+#   w_d  = Σ s(x)·x_d   one hash agg over the exploded corpus
+# so cost is O(corpus · d) per iteration regardless of d². Used for
+# PCA projection, embedding whitening, and spectral initialization.
+#
+# Float discipline: every cross-row sum is exact (1e-9-grid snapped
+# products, DECIMAL accumulation); every derived vector snaps before
+# it feeds the next stage, so both engines iterate on identical
+# numbers. Start vector v0 = e_1 (deterministic; any vector not
+# orthogonal to the dominant eigenvector converges).
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_exact_sum,
+    sql_stable_round,
+)
+
+_PI_X_SPARK = """
+SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS val
+FROM embeddings LATERAL VIEW posexplode(embedding) e AS pos, x
+"""
+
+_PI_X_DUCK = """
+SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+       CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings
+"""
+
+
+def _power_iter_tail(x: str) -> str:
+    es = sql_exact_sum
+    r = sql_stable_round
+    return f"""
+WITH s0 AS (
+    SELECT vec_id, val AS s FROM {x} WHERE dim = 1
+),
+w1 AS (
+    SELECT x.dim, {es("s0.s * x.val", 9)} AS w
+    FROM {x} x JOIN s0 ON x.vec_id = s0.vec_id
+    GROUP BY x.dim
+),
+w1s AS (SELECT dim, {r("w", 6)} AS w FROM w1),
+n1 AS (SELECT sqrt({es("w * w", 9)}) AS nrm FROM w1s),
+v1 AS (SELECT dim, {r("w / nrm", 9)} AS v FROM w1s, n1),
+s1 AS (
+    SELECT x.vec_id, {es("x.val * v1.v", 9)} AS s
+    FROM {x} x JOIN v1 ON x.dim = v1.dim
+    GROUP BY x.vec_id
+),
+s1s AS (SELECT vec_id, {r("s", 6)} AS s FROM s1),
+w2 AS (
+    SELECT x.dim, {es("s1s.s * x.val", 9)} AS w
+    FROM {x} x JOIN s1s ON x.vec_id = s1s.vec_id
+    GROUP BY x.dim
+),
+w2s AS (SELECT dim, {r("w", 6)} AS w FROM w2),
+lam AS (
+    SELECT {es("w2s.w * v1.v", 9)} AS eigval
+    FROM w2s JOIN v1 ON w2s.dim = v1.dim
+),
+n2 AS (SELECT sqrt({es("w * w", 9)}) AS nrm FROM w2s)
+SELECT CAST(w2s.dim AS INT) AS dim,
+       {r("w2s.w / n2.nrm", 6)} AS v2,
+       {r("lam.eigval", 4)} AS rayleigh
+FROM w2s, n2, lam
+"""
+
+
+_PI_DUCK_SQL = (
+    "WITH x AS (" + _PI_X_DUCK + ")\n"
+    + _power_iter_tail("x").replace("WITH s0", ", s0", 1)
+)
+
+
+@register("embedding_power_iteration", oracle=_PI_DUCK_SQL)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector (2 power iterations) + Rayleigh quotient.
+
+    The exploded (vec, dim, val) relation feeds three pipeline stages;
+    Spark inlines CTEs, so it is materialized once via localCheckpoint
+    (DuckDB materializes shared CTEs itself — single-statement oracle).
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(_PI_X_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "pi_x"
+    )
+    return spark.sql(_power_iter_tail("pi_x"))

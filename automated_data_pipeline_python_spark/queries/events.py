@@ -682,3 +682,50 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(spine_day AS STRING)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+# P(next event type | current type), estimated from every adjacent
+# pair in each user's time-ordered stream — the first-order behavioral
+# model behind next-action prediction and anomaly scoring (an observed
+# transition with near-zero probability is the anomaly). Complements
+# events_path_patterns: that one mines the most common session
+# openings; this one is the full conditional distribution.
+#
+# Scale: one shuffle on user_id for the lead(); pair counting then
+# aggregates a |types|² relation (trivial). Probabilities divide two
+# exact integers — snap only at output.
+
+
+def _markov_sql(ts: str) -> str:
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY {ts}, event_id) AS next_type
+    FROM events
+),
+counts AS (
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+totals AS (
+    SELECT from_type, sum(n) AS tot FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type,
+       CAST(c.n AS BIGINT) AS n,
+       floor((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS p
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""
+
+
+@register("events_markov_transitions", oracle=_markov_sql("CAST(ts AS TIMESTAMP)"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (counts + probabilities)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_markov_sql("ts"))

@@ -155,6 +155,8 @@ def test_round5_additions_python_free(spark):
         "events_twap_hourly",
         "sample_weighted_reservoir",
         "events_rolling_wau",
+        "embedding_power_iteration",
+        "events_markov_transitions",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -38,6 +38,8 @@ ROUND5_NEW = [
     "events_twap_hourly",
     "sample_weighted_reservoir",
     "events_rolling_wau",
+    "embedding_power_iteration",
+    "events_markov_transitions",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
@@ -48,9 +50,9 @@ ROUND5_TOUCHED = [
     "q2_cheapest_supplier_per_part", "q7_nation_trade_by_year",
     "q14_promo_revenue_ratio", "q18_large_volume_customers",
     "q19_disjunctive_predicates", "q8_market_share",
-    # q9 dropped from the window for space: its change class (hint
-    # removal) re-proves via the four remaining tpch2 star queries.
-    "q10_returned_items", "q15_top_supplier",
+    # q9/q10/q15 dropped from the window for space: their change class
+    # (hint removal) re-proves via q8/q16 plus the relational/relational3
+    # star families.
     "q16_part_supplier_relation", "dq_star_schema_report",
 ]
 
