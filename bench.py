@@ -101,6 +101,15 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Temp views registered by a query keep their plans — and any
+        # localCheckpoint blocks inside them — reachable for the rest
+        # of the run; heap pressure then inflates LATER queries'
+        # numbers (measured: multi-second swings on the dedup family).
+        # Drop them between queries (outside the timed region) so each
+        # measurement starts from a clean executor heap.
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
 
     total = round(sum(timings.values()), 3)
     print(
