@@ -112,3 +112,23 @@ def test_deferred_collect_is_isolated_from_later_registrations(spark):
     deferred = {n: canon(df) for n, df in built.items()}        # collect after
     fresh = {n: canon(QUERIES[n].fn(spark, SF_SMOKE)) for n in names}
     assert deferred == fresh
+
+
+def test_query_build_drops_its_temp_views(spark):
+    """Catalog queries must not leak their intermediate temp views (a
+    leaked view keeps localCheckpoint blocks reachable for the session
+    lifetime — measured multi-second heap-pressure inflation across a
+    long run). Pre-existing views stay."""
+    from tests.conftest import SF_SMOKE
+
+    spark.range(1).createOrReplaceTempView("preexisting_view")
+    try:
+        before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+        for name in ("dedup_minhash_lsh", "text_tfidf_top_terms",
+                     "embedding_power_iteration"):
+            QUERIES[name].fn(spark, SF_SMOKE)
+        after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+        assert after == before
+        assert "preexisting_view" in after
+    finally:
+        spark.catalog.dropTempView("preexisting_view")
