@@ -289,3 +289,124 @@ def resize_images(
             )
 
     return df.select(id_col, binary_col).mapInPandas(compute, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (average-hash) image near-duplicate detection
+# ---------------------------------------------------------------------------
+# The image analogue of SimHash text dedup: a 64-bit signature whose
+# hamming distance tracks visual similarity (re-encodes, minor crops,
+# brightness shifts), so near-identical images dedup WITHOUT pairwise
+# pixel comparison. Only the bytes→pixels step needs a codec (injected,
+# like every decode here); the hash math is pure numpy inside the same
+# Arrow batch, and pair-finding is entirely JVM-side.
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def fake_image_pixels(data: bytes) -> "object":
+    """Deterministic grayscale array (16x16) from bytes — codec stand-in.
+
+    Byte-level perturbations produce small pixel deltas, so tests can
+    construct controlled near-duplicates.
+    """
+    import numpy as np
+
+    h = hashlib.sha256(data[: max(1, len(data) // 2)]).digest()
+    base = np.frombuffer((h * 8)[:256], dtype=np.uint8).astype(np.float64)
+    # low-frequency structure + byte-sum brightness jitter
+    jitter = (sum(data) % 7) * 0.5
+    return (base.reshape(16, 16) / 4.0) + jitter
+
+
+def average_hash(
+    df: DataFrame,
+    pixels: Callable[[bytes], "object"] | None = None,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+) -> DataFrame:
+    """64-bit average hash per image: block-mean the (injected) pixel
+    array to 8x8, bit i = cell_i > global mean. Arrow-batched; one
+    map-only pass."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if pixels is None:
+            raise NotImplementedError(
+                "no image codec in this environment: pass pixels= "
+                "(e.g. a Pillow-backed grayscale loader) to average_hash()"
+            )
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                a = np.asarray(pixels(bytes(b)), dtype=np.float64)
+                h, w = a.shape
+                a = a[: h - h % 8, : w - w % 8]
+                cells = a.reshape(8, a.shape[0] // 8, 8, a.shape[1] // 8).mean(
+                    axis=(1, 3)
+                )
+                bits = (cells > cells.mean()).flatten()
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                if v >= 1 << 63:  # two's-complement into LongType
+                    v -= 1 << 64
+                out.append(v)
+            yield pd.DataFrame({"media_id": pdf[id_col], "ahash": out})
+
+    return df.select(id_col, binary_col).mapInPandas(compute, schema=AHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs among 64-bit perceptual hashes — JVM-side.
+
+    Chunk-blocked hamming (the SimHash discipline, queries/dedup.py):
+    split each hash into 4 sixteen-bit chunks; by pigeonhole, any pair
+    within hamming distance ≤ 3 shares at least one identical chunk, so
+    candidate generation is an equi-join on (chunk_idx, chunk_value) —
+    never an all-pairs product — and ``bit_count(xor)`` verifies
+    exactly. Scale: bucket sizes are bounded by near-duplicate cluster
+    sizes, the same skew profile the text SimHash path carries.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4x16-bit blocking guarantees recall only for d <= 3")
+    chunks = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"),
+                        F.expr(f"(ahash >> {i * 16}) & 65535").alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_id", "ahash", "c.idx", "c.val")
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            on=[
+                F.col("a.idx") == F.col("b.idx"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.expr("bit_count(a.ahash ^ b.ahash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -105,3 +105,68 @@ def test_resize_images_plumbing(spark):
 
     with pytest.raises(Exception, match="no image codec"):
         resize_images(media, 64, 32).collect()
+
+
+class TestPerceptualHashDedup:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(rows, "media_id long, data binary")
+
+    def test_average_hash_deterministic_and_long_typed(self, spark):
+        from automated_data_pipeline_python_spark.multimodal.binary_ops import (
+            average_hash,
+            fake_image_pixels,
+        )
+
+        # distinct PREFIXES: the fake codec derives structure from the
+        # first half of the bytes (and average-hash is deliberately
+        # invariant to the brightness jitter the tail contributes)
+        df = self._media(spark, [(1, b"one-image-payload"), (2, b"two-image-payload")])
+        a = {r.media_id: r.ahash for r in
+             average_hash(df, pixels=fake_image_pixels).collect()}
+        b = {r.media_id: r.ahash for r in
+             average_hash(df, pixels=fake_image_pixels).collect()}
+        assert a == b                      # deterministic
+        assert all(isinstance(v, int) for v in a.values())
+        assert a[1] != a[2]                # distinct content -> distinct hash
+
+    def test_near_duplicates_found_distinct_images_not(self, spark):
+        from automated_data_pipeline_python_spark.multimodal.binary_ops import (
+            average_hash,
+            fake_image_pixels,
+            phash_near_dup_pairs,
+        )
+
+        # fake_image_pixels hashes the FIRST HALF of the bytes for
+        # structure: same prefix + different tail = same structure with
+        # brightness jitter -> near-identical pixels (a re-encode).
+        base = b"photo-AAAA-" * 8
+        near = base[:-1] + b"x"
+        other = b"completely-different-photo" * 4
+        df = self._media(spark, [(1, bytes(base)), (2, bytes(near)),
+                                 (3, bytes(other))])
+        hashes = average_hash(df, pixels=fake_image_pixels)
+        pairs = phash_near_dup_pairs(hashes, max_hamming=3).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in found
+        assert all(p == (1, 2) for p in found), found
+
+    def test_no_codec_raises_at_execution(self, spark):
+        from automated_data_pipeline_python_spark.multimodal.binary_ops import (
+            average_hash,
+        )
+
+        df = self._media(spark, [(1, b"x")])
+        plan = average_hash(df)  # builds fine (plumbing planable)
+        with pytest.raises(Exception, match="codec"):
+            plan.collect()
+
+    def test_blocking_threshold_guard(self, spark):
+        from automated_data_pipeline_python_spark.multimodal.binary_ops import (
+            average_hash,
+            fake_image_pixels,
+            phash_near_dup_pairs,
+        )
+
+        h = average_hash(self._media(spark, [(1, b"a")]), pixels=fake_image_pixels)
+        with pytest.raises(ValueError, match="d <= 3"):
+            phash_near_dup_pairs(h, max_hamming=8)
