@@ -75,6 +75,8 @@ _PRIORITY = [
     "events_rolling_wau",        # rolling distinct users (new, round 5)
     "embedding_power_iteration", # PCA power-iteration kernel (new, round 5)
     "events_markov_transitions", # behavioral transition matrix (new, round 5)
+    "rfm_customer_segments",     # quantile-cutoff RFM (new, round 5)
+    "sample_train_val_test",     # deterministic holdout split (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -86,8 +88,6 @@ _PRIORITY = [
     "join_range_acctbal",
     "q2_cheapest_supplier_per_part",
     "q7_nation_trade_by_year",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q8_market_share",
     "q16_part_supplier_relation",

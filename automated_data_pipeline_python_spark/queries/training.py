@@ -625,3 +625,58 @@ WHERE rn <= {_WEIGHTED_K}
 def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-proportional k-per-language sample (A-ES)."""
     return _docs_sql(spark, sf_dir, _weighted_sample_sql(spark_hash28, "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+# Document-level holdout before any training run: the split must be
+# (a) deterministic across engines, runs, and reshuffles — a doc NEVER
+# migrates between splits when the corpus grows, or val contaminates
+# train; (b) assigned by content-independent hash, so no correlation
+# with quality/length/source. The portable SHA bucket gives both: each
+# doc_id maps to a stable bucket in [0,100); 80/10/10 by range. The
+# report aggregates per (split, lang) doc and token counts — the sanity
+# table checked before every run. Map-only + one small agg.
+
+_SPLIT_ARMS = "WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test'"
+
+
+def _split_sql(hash28, str_t: str, tok_len: str, modfn: str = "pmod") -> str:
+    # hash28 is nonnegative, so DuckDB's mod == Spark's pmod here
+    bucket = f"{modfn}({hash28(f'''concat('split:', CAST(doc_id AS {str_t}))''')}, 100)"
+    return f"""
+WITH assigned AS (
+    SELECT doc_id, lang,
+           {tok_len} AS n_tokens,
+           CASE {_SPLIT_ARMS} END AS split
+    FROM (SELECT doc_id, lang, text, {bucket} AS bucket FROM documents)
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@register(
+    "sample_train_val_test",
+    oracle=_split_sql(
+        duck_hash28,
+        "VARCHAR",
+        f"len({DUCK_TOKENS.format(col='text')})",
+        modfn="mod",
+    ),
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic doc-level split report (per split × lang)."""
+    return _docs_sql(
+        spark,
+        sf_dir,
+        _split_sql(
+            spark_hash28,
+            "STRING",
+            f"size({SPARK_TOKENS.format(col='text')})",
+        ),
+    )

@@ -124,3 +124,85 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert/update/delete diff between two deterministic snapshots."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CDC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+# Recency/Frequency/Monetary quintile scoring — the classic warehouse
+# segmentation. Deliberately NOT ntile(): a global ntile is a
+# single-partition sort of every customer. Instead the four quintile
+# cutoffs per dimension are computed in ONE aggregation (12 scalars),
+# broadcast, and each customer scores by comparison — map-only after
+# the per-customer rollup, which is the shape that survives 1e9
+# customers. Cutoffs snap to the 1e-6 grid before comparison (the
+# float-threshold invariant); frequency/monetary are exact integers /
+# exact-summed 2dp, so scores are deterministic cross-engine.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_exact_sum,
+    sql_stable_round,
+)
+
+
+def _rfm_sql(q: str, days: str) -> str:
+    def cuts(col: str, pre: str) -> str:
+        return ",\n        ".join(
+            f"{sql_stable_round(f'{q}({col}, {p})', 6)} AS {pre}{i + 1}"
+            for i, p in enumerate(("0.2", "0.4", "0.6", "0.8"))
+        )
+
+    def score(col: str, pre: str, best_low: bool) -> str:
+        vals = [5, 4, 3, 2] if best_low else [1, 2, 3, 4]
+        last = 1 if best_low else 5
+        arms = " ".join(
+            f"WHEN {col} <= {pre}{i + 1} THEN {vals[i]}" for i in range(4)
+        )
+        return f"CASE {arms} ELSE {last} END"
+
+    return f"""
+WITH bounds AS (
+    SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders
+),
+per_cust AS (
+    SELECT o_custkey,
+           {days} AS r_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           {sql_exact_sum("o_totalprice", 2)} AS monetary
+    FROM orders, bounds
+    GROUP BY o_custkey, maxd
+),
+cuts AS (
+    SELECT
+        {cuts("r_days", "r")},
+        {cuts("frequency", "f")},
+        {cuts("monetary", "m")}
+    FROM per_cust
+)
+SELECT
+    {score("p.r_days", "r", True)}  AS r_score,
+    {score("p.frequency", "f", False)} AS f_score,
+    {score("p.monetary", "m", False)}  AS m_score,
+    CAST(count(*) AS BIGINT) AS n_customers,
+    {sql_stable_round(sql_exact_sum("p.monetary", 2), 2)} AS segment_value
+FROM per_cust p CROSS JOIN cuts
+GROUP BY 1, 2, 3
+"""
+
+
+_RFM_DUCK_SQL = _rfm_sql(
+    "quantile_cont",
+    "date_diff('day', CAST(max(o_orderdate) AS DATE), maxd)",
+)
+
+
+@register("rfm_customer_segments", oracle=_RFM_DUCK_SQL)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation via broadcast quantile cutoffs."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _rfm_sql(
+            "percentile",
+            "datediff(maxd, CAST(max(o_orderdate) AS DATE))",
+        )
+    )

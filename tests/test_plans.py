@@ -157,6 +157,8 @@ def test_round5_additions_python_free(spark):
         "events_rolling_wau",
         "embedding_power_iteration",
         "events_markov_transitions",
+        "rfm_customer_segments",
+        "sample_train_val_test",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

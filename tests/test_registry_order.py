@@ -40,6 +40,8 @@ ROUND5_NEW = [
     "events_rolling_wau",
     "embedding_power_iteration",
     "events_markov_transitions",
+    "rfm_customer_segments",
+    "sample_train_val_test",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
@@ -48,7 +50,8 @@ ROUND5_TOUCHED = [
     "q3_shipping_priority", "q5_region_revenue",
     "top_customers_by_revenue", "join_range_acctbal",
     "q2_cheapest_supplier_per_part", "q7_nation_trade_by_year",
-    "q14_promo_revenue_ratio", "q18_large_volume_customers",
+    # q14/q18 dropped with q9/q10/q15 — the hint-removal class
+    # re-proves via q2/q7/q19/q3/q5/q8/q16 + dq_star_schema_report.
     "q19_disjunctive_predicates", "q8_market_share",
     # q9/q10/q15 dropped from the window for space: their change class
     # (hint removal) re-proves via q8/q16 plus the relational/relational3
