@@ -65,3 +65,43 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows_per_file: int = 1_000_000,
+    preserve_order_by: str | list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a small-file parquet directory into right-sized files.
+
+    The small-files problem is the quiet killer of streaming/incremental
+    sinks at scale: every micro-batch and every late-arriving partition
+    appends tiny files, and a 100 TB table of 100 KB files spends more
+    time opening footers than reading data (driver-side listing +
+    per-file scheduling dominates). Compaction = read → coalesce to
+    ceil(rows / target) files → atomic-ish rewrite to a new directory
+    (object-store rename of a directory is not atomic; production
+    swaps the table pointer). Returns (files_before, files_after).
+
+    ``preserve_order_by`` re-clusters while compacting (repartitionByRange
+    + sortWithinPartitions) so the rewrite ALSO restores tight row-group
+    statistics — compaction and re-clustering share the same pass.
+    """
+    df = spark.read.parquet(src)
+    files_before = df.inputFiles()
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if preserve_order_by is not None:
+        cols = (
+            [preserve_order_by]
+            if isinstance(preserve_order_by, str)
+            else list(preserve_order_by)
+        )
+        out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    files_after = spark.read.parquet(dst).inputFiles()
+    return len(files_before), len(files_after)

@@ -104,3 +104,47 @@ def test_range_clustered_write_has_disjoint_rowgroup_stats(spark, tmp_path):
 
     # Round-trips completely.
     assert spark.read.parquet(str(clustered)).count() == orders.count()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from automated_data_pipeline_python_spark.storage import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    # simulate a streaming sink: 20 tiny appends
+    for i in range(20):
+        spark.range(i * 50, (i + 1) * 50).selectExpr(
+            "id", "id % 7 AS k"
+        ).coalesce(1).write.mode("append").parquet(src)
+    dst = str(tmp_path / "compacted")
+    before, after = compact_parquet(spark, src, dst, target_rows_per_file=500)
+    assert before == 20
+    assert after == 2  # 1000 rows / 500 per file
+    a = sorted(r.id for r in spark.read.parquet(src).collect())
+    b = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert a == b  # lossless
+
+
+def test_compact_parquet_preserving_cluster_order(spark, tmp_path):
+    from automated_data_pipeline_python_spark.storage import compact_parquet
+
+    src = str(tmp_path / "small_files2")
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    dst = str(tmp_path / "compacted2")
+    _, after = compact_parquet(
+        spark, src, dst, target_rows_per_file=500, preserve_order_by="id"
+    )
+    assert after == 2
+    # re-clustered: a selective scan prunes to one file's row groups
+    import pyarrow.parquet as pq
+    import glob
+    ranges = []
+    for f in glob.glob(dst + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = [md.row_group(i).column(0) for i in range(md.num_row_groups)]
+        ranges.append((min(c.statistics.min for c in col),
+                       max(c.statistics.max for c in col)))
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
