@@ -77,6 +77,7 @@ _PRIORITY = [
     "events_markov_transitions", # behavioral transition matrix (new, round 5)
     "rfm_customer_segments",     # quantile-cutoff RFM (new, round 5)
     "sample_train_val_test",     # deterministic holdout split (new, round 5)
+    "contamination_semantic",    # paraphrase-robust decontam (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -84,7 +85,6 @@ _PRIORITY = [
     "sketch_heavy_hitter_terms",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "top_customers_by_revenue",
     "join_range_acctbal",
     "q2_cheapest_supplier_per_part",
     "q7_nation_trade_by_year",

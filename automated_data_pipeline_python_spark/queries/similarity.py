@@ -977,3 +977,56 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dcg",
         stable_round(F.col("dcg") / F.lit(_IDCG_AT_K), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic eval-set decontamination
+# ---------------------------------------------------------------------------
+# The n-gram decontamination pass (queries/training.py) catches verbatim
+# and near-verbatim leakage; PARAPHRASED eval items slip through it.
+# The semantic pass: max cosine of each corpus vector against the eval
+# set — above threshold ⇒ semantically contaminated. Same blocking
+# economics as contamination_ngram_overlap: the EVAL SET is the
+# broadcast side (eval suites are thousands of items at any corpus
+# size), the corpus streams through exactly once, and the per-row work
+# is |eval|·d dot products. Threshold compares snap to the 1e-6 grid
+# first (the float-threshold invariant).
+
+_CONTAM_EVAL_N = 8       # eval set: vec_id < 8 (stands in for a benchmark)
+_CONTAM_COS_MIN = 0.4    # flag threshold (tuned per embedding model)
+
+
+def _semantic_contam_tail(cos: str) -> str:
+    snapped = f"floor(({cos}) * 1e6 + 0.5) / 1e6"
+    return f"""
+scored AS (
+    SELECT a.vec_id, a.label, max({snapped}) AS max_eval_cos
+    FROM emb_n a JOIN emb_n b ON b.vec_id < {_CONTAM_EVAL_N}
+    WHERE a.vec_id >= {_CONTAM_EVAL_N}
+    GROUP BY a.vec_id, a.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN max_eval_cos >= {_CONTAM_COS_MIN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       floor((max(max_eval_cos)) * 1e6 + 0.5) / 1e6 AS worst_cos
+FROM scored
+GROUP BY label
+"""
+
+
+_SEM_CONTAM_DUCK_SQL = (
+    f"WITH {_DUCK_EMB_N_CTE.replace('vec_id, embedding,', 'vec_id, label, embedding,')},\n"
+    + _semantic_contam_tail(_DUCK_COS)
+)
+
+
+@register("contamination_semantic", oracle=_SEM_CONTAM_DUCK_SQL)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label semantic-contamination report vs a broadcast eval set."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    sql = (
+        f"WITH {_SPARK_EMB_N_CTE.replace('vec_id, embedding,', 'vec_id, label, embedding,')},\n"
+        + _semantic_contam_tail(_SPARK_COS)
+    )
+    return spark.sql(sql)

@@ -159,6 +159,7 @@ def test_round5_additions_python_free(spark):
         "events_markov_transitions",
         "rfm_customer_segments",
         "sample_train_val_test",
+        "contamination_semantic",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
