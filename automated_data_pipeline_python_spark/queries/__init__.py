@@ -78,6 +78,8 @@ _PRIORITY = [
     "rfm_customer_segments",     # quantile-cutoff RFM (new, round 5)
     "sample_train_val_test",     # deterministic holdout split (new, round 5)
     "contamination_semantic",    # paraphrase-robust decontam (new, round 5)
+    "basket_brand_lift",         # market-basket affinity (new, round 5)
+    "events_funnel_timing",      # conversion-latency percentiles (new, round 5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks
@@ -85,8 +87,6 @@ _PRIORITY = [
     "sketch_heavy_hitter_terms",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "join_range_acctbal",
-    "q2_cheapest_supplier_per_part",
     "q7_nation_trade_by_year",
     "q19_disjunctive_predicates",
     "q8_market_share",

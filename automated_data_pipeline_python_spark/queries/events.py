@@ -729,3 +729,67 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (counts + probabilities)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_markov_sql("ts"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion-timing percentiles
+# ---------------------------------------------------------------------------
+# events_funnel_conversion counts WHO converts; this measures HOW FAST:
+# per converting user, seconds from first view to first purchase (after
+# the view), summarized as interpolated percentiles. Time deltas are
+# exact integer seconds; the percentile interpolation is the proven
+# Spark percentile ≡ DuckDB quantile_cont pairing, snapped at output.
+# Scale: one user_id aggregation (chained conditional mins — no joins),
+# then a single small summary row.
+
+
+def _funnel_timing_sql(ts: str, sec_diff: str, q: str) -> str:
+    def pc(p: str, alias: str) -> str:
+        return (
+            f"floor(({q}(secs, {p})) * 1e4 + 0.5) / 1e4 AS {alias}"
+        )
+
+    return f"""
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN {ts} END) AS t_view,
+           min(CASE WHEN event_type = 'purchase' THEN {ts} END) AS t_buy
+    FROM events
+    GROUP BY user_id
+),
+conv AS (
+    SELECT {sec_diff} AS secs
+    FROM firsts
+    WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       {pc("0.50", "p50_secs")},
+       {pc("0.90", "p90_secs")},
+       {pc("0.99", "p99_secs")},
+       CAST(max(secs) AS BIGINT) AS max_secs
+FROM conv
+"""
+
+
+# NOTE seconds derive from the exact microsecond delta floored on BOTH
+# engines: Spark's timestampdiff(SECOND) floors the true delta while
+# DuckDB's date_diff('second') counts boundary CROSSINGS — one second
+# apart whenever the endpoints' sub-second parts straddle a boundary.
+_FUNNEL_TIMING_DUCK = _funnel_timing_sql(
+    "CAST(ts AS TIMESTAMP)",
+    "date_diff('microsecond', t_view, t_buy) // 1000000",
+    "quantile_cont",
+)
+
+
+@register("events_funnel_timing", oracle=_FUNNEL_TIMING_DUCK)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase latency percentiles for converters."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _funnel_timing_sql(
+            "ts",
+            "timestampdiff(MICROSECOND, t_view, t_buy) div 1000000",
+            "percentile",
+        )
+    )

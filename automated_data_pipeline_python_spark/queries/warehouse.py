@@ -206,3 +206,54 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "datediff(maxd, CAST(max(o_orderdate) AS DATE))",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (lift)
+# ---------------------------------------------------------------------------
+# Which part brands sell together? lift(a,b) = P(a,b) / (P(a)·P(b))
+# over order baskets — the retail twin of the text PMI operator (PMI is
+# its log). Scale control is structural, not a hot-list: the pair join
+# is per-ORDER, and baskets are small (TPC-H ≤ 7 lineitems), so pairs
+# per order ≤ |basket|²/2 regardless of corpus size. The part join is
+# unhinted (scale-growing side — AQE chooses); counts are exact
+# integers, the one division snaps at output.
+
+
+def _basket_sql() -> str:
+    return """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+brand_counts AS (
+    SELECT p_brand, count(*) AS n_orders FROM items GROUP BY p_brand
+),
+total AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS co_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+)
+SELECT p.brand_a, p.brand_b,
+       CAST(p.co_orders AS BIGINT) AS co_orders,
+       floor((CAST(p.co_orders AS DOUBLE) * t.n
+              / (CAST(ca.n_orders AS DOUBLE) * cb.n_orders)) * 1e6 + 0.5) / 1e6
+           AS lift
+FROM pairs p
+JOIN brand_counts ca ON p.brand_a = ca.p_brand
+JOIN brand_counts cb ON p.brand_b = cb.p_brand
+CROSS JOIN total t
+WHERE p.co_orders >= 5
+ORDER BY lift DESC, p.brand_a, p.brand_b
+LIMIT 25
+"""
+
+
+@register("basket_brand_lift", oracle=_basket_sql())
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 brand pairs by basket lift (co-occurrence vs independence)."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_basket_sql())

@@ -160,6 +160,8 @@ def test_round5_additions_python_free(spark):
         "rfm_customer_segments",
         "sample_train_val_test",
         "contamination_semantic",
+        "basket_brand_lift",
+        "events_funnel_timing",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -43,15 +43,17 @@ ROUND5_NEW = [
     "rfm_customer_segments",
     "sample_train_val_test",
     "contamination_semantic",
+    "basket_brand_lift",
+    "events_funnel_timing",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
 ROUND5_TOUCHED = [
     "semdedup_cluster_prune", "sketch_heavy_hitter_terms",
     "q3_shipping_priority", "q5_region_revenue",
-    # top_customers dropped with the other hint-class re-proofs.
-    "join_range_acctbal",
-    "q2_cheapest_supplier_per_part", "q7_nation_trade_by_year",
+    # top_customers/join_range/q2 dropped with the other hint-class
+    # re-proofs (q7/q19/q3/q5/q8/q16 + dq remain for that change).
+    "q7_nation_trade_by_year",
     # q14/q18 dropped with q9/q10/q15 — the hint-removal class
     # re-proves via q2/q7/q19/q3/q5/q8/q16 + dq_star_schema_report.
     "q19_disjunctive_predicates", "q8_market_share",
