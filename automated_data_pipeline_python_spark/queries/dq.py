@@ -173,3 +173,87 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView("profile_wide")
     return spark.sql(_profile_unpivot_sql())
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics
+# ---------------------------------------------------------------------------
+# The report you run BEFORE a big join: per candidate key, row/key
+# cardinalities, the hottest key's share, and the max/avg skew ratio —
+# the inputs to the salt-or-not decision (operators/skew.py). One
+# grouped count per key column (a single map-side-combined shuffle over
+# the fact table); the moment stats and the top-10 rollup then read the
+# key-cardinality-sized count relation. The top-10 share deliberately
+# uses ORDER BY .. LIMIT 10 (TakeOrderedAndProject — distributed
+# per-partition top-k + merge), NOT a global row_number window, which
+# would move the entire 10^9-key count relation to one partition at
+# scale. Counts are exact integers; the two ratios are the only floats,
+# snapped to the 1e-6 grid.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_stable_round as _r,
+)
+
+_SKEW_COLS = [
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def _skew_counts_sql(table: str, col: str) -> str:
+    return f"SELECT {col} AS k, count(*) AS n FROM {table} GROUP BY {col}"
+
+
+def _skew_branch_sql(table: str, col: str, counts: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS key_col,
+       CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(s.n_keys AS BIGINT) AS n_keys,
+       CAST(s.max_n AS BIGINT) AS max_rows_per_key,
+       {_r("CAST(s.max_n AS DOUBLE)"
+           " / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE))", 6)}
+           AS skew_ratio,
+       {_r("CAST(t.top10 AS DOUBLE) / CAST(s.n_rows AS DOUBLE)", 6)}
+           AS top10_share
+FROM (
+    SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS max_n
+    FROM {counts}
+) s
+CROSS JOIN (
+    SELECT sum(n) AS top10
+    FROM (SELECT n FROM {counts} ORDER BY n DESC, k LIMIT 10) top
+) t
+"""
+
+
+def _skew_oracle() -> str:
+    # DuckDB materializes multi-referenced CTEs itself, so the oracle is
+    # one statement with a counts CTE per key column.
+    ctes = []
+    branches = []
+    for i, (table, col) in enumerate(_SKEW_COLS):
+        ctes.append(f"c{i} AS ({_skew_counts_sql(table, col)})")
+        branches.append(_skew_branch_sql(table, col, f"c{i}"))
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
+
+
+@register("dq_key_skew_report", oracle=_skew_oracle())
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-join-key skew diagnostics (cardinality, hottest-key share,
+    max/avg ratio) for the fact-table keys.
+
+    Each key column's count relation feeds both the moment stats and
+    the top-10 rollup; Spark inlines CTEs, so each is materialized once
+    via localCheckpoint (one fact-table scan per key column, not two).
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    branches = []
+    for i, (table, col) in enumerate(_SKEW_COLS):
+        view = f"skew_counts_{i}"
+        spark.sql(_skew_counts_sql(table, col)).localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView(view)
+        branches.append(_skew_branch_sql(table, col, view))
+    return spark.sql("\nUNION ALL\n".join(branches))

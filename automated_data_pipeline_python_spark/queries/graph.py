@@ -1,0 +1,178 @@
+"""Graph analytics over the brand co-purchase graph.
+
+Nodes are part brands; an edge (a, b) with weight w means brands a and b
+appeared together in w distinct orders. The corpus-sized work is ONE
+pass building that edge list (lineitem joined to part, distinct
+order-brand pairs, a basket-bounded self-join); everything downstream —
+PageRank iterations, triangle counting — runs on the vocabulary-sized
+graph relation. This is the standard distributed-graph shape: edges are
+the big relation you shuffle by src/dst; vertex state stays tiny.
+
+Float discipline (PageRank): per-edge contributions snap to the 1e-9
+grid before the order-independent exact sum; ranks snap between
+iterations so both engines iterate on identical doubles (the
+embedding_power_iteration discipline). Triangle counts are pure
+integers until the final clustering-coefficient ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_sum,
+    sql_stable_round,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+# Distinct (order, brand) pairs → symmetric weighted edge list. The
+# self-join is bounded by basket size (brands per order), never by
+# corpus size: per-order work is |basket|², and baskets are small by
+# construction in any order/part schema. part joins UNHINTED — it grows
+# with scale factor, so AQE broadcasts while small and shuffle-joins at
+# 100 TB (the repo-wide broadcast policy).
+_EDGES_SQL = """
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.brand AS src, b.brand AS dst, CAST(count(*) AS BIGINT) AS w
+FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+GROUP BY a.brand, b.brand
+"""
+
+
+def _pagerank_tail(edges: str) -> str:
+    es = sql_exact_sum
+    r = sql_stable_round
+    # One damping iteration: r_next(dst) = 0.15/N + 0.85 * sum_src
+    # r(src) * w/out_w(src). Edges are symmetric, so dst set == src set
+    # == nodes and there are no dangling nodes to redistribute.
+    return f"""
+WITH nodes AS (SELECT DISTINCT src AS brand FROM {edges}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS (
+    SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM {edges} GROUP BY src
+),
+r0 AS (SELECT brand, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+c1 AS (
+    SELECT e.dst AS brand,
+           {es("r0.r * (CAST(e.w AS DOUBLE) / CAST(ow.out_w AS DOUBLE))", 9)}
+               AS s
+    FROM {edges} e
+    JOIN r0 ON e.src = r0.brand
+    JOIN outw ow ON e.src = ow.src
+    GROUP BY e.dst
+),
+r1 AS (SELECT c1.brand, {r("15e-2 / nn.n + 85e-2 * c1.s", 9)} AS r
+       FROM c1, nn),
+c2 AS (
+    SELECT e.dst AS brand,
+           {es("r1.r * (CAST(e.w AS DOUBLE) / CAST(ow.out_w AS DOUBLE))", 9)}
+               AS s
+    FROM {edges} e
+    JOIN r1 ON e.src = r1.brand
+    JOIN outw ow ON e.src = ow.src
+    GROUP BY e.dst
+),
+r2 AS (SELECT c2.brand, {r("15e-2 / nn.n + 85e-2 * c2.s", 9)} AS r
+       FROM c2, nn)
+SELECT r2.brand,
+       {r("r2.r", 6)} AS pagerank,
+       CAST(deg.n_neighbors AS BIGINT) AS n_neighbors,
+       CAST(deg.w_total AS BIGINT) AS w_total
+FROM r2
+JOIN (
+    SELECT src AS brand, count(*) AS n_neighbors, sum(w) AS w_total
+    FROM {edges} GROUP BY src
+) deg ON r2.brand = deg.brand
+"""
+
+
+_PAGERANK_DUCK = (
+    "WITH edges AS (" + _EDGES_SQL + ")\n"
+    + _pagerank_tail("edges").replace("WITH nodes", ", nodes", 1)
+)
+
+
+@register("graph_brand_pagerank", oracle=_PAGERANK_DUCK)
+def graph_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 damped iterations) over the brand co-purchase graph.
+
+    The edge list feeds four pipeline stages (out-weights, two
+    contribution rounds, degrees); Spark inlines CTEs, so it is
+    materialized once via localCheckpoint (DuckDB materializes shared
+    CTEs itself — single-statement oracle).
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "pr_edges"
+    )
+    return spark.sql(_pagerank_tail("pr_edges"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient
+# ---------------------------------------------------------------------------
+# Classic 3-clique enumeration on the canonical (src < dst) edge
+# orientation: each triangle a<b<c is found exactly once by joining
+# e(a,b) ⋈ e(b,c) ⋈ e(a,c). On the brand graph the join is
+# vocabulary-sized; on a general graph this is the standard two-shuffle
+# triangle count (wedge build + closing-edge check) whose cost is
+# bounded by Σ deg², not corpus size. All counts are integers; the
+# clustering coefficient 2·tri/(deg·(deg−1)) is the single float, snapped.
+
+
+def _triangles_tail(edges: str) -> str:
+    r = sql_stable_round
+    return f"""
+WITH und AS (
+    SELECT src, dst FROM {edges} WHERE src < dst
+),
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM und e1
+    JOIN und e2 ON e2.src = e1.dst
+    JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+per_node AS (
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a AS brand FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) t
+    GROUP BY brand
+),
+deg AS (
+    SELECT src AS brand, CAST(count(*) AS BIGINT) AS degree
+    FROM {edges} GROUP BY src
+)
+SELECT d.brand, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       {r("CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)"
+          " / CAST(d.degree * (d.degree - 1) AS DOUBLE)", 6)}
+           AS clustering_coeff
+FROM deg d
+LEFT JOIN per_node p ON d.brand = p.brand
+WHERE d.degree > 1
+"""
+
+
+_TRIANGLES_DUCK = (
+    "WITH edges AS (" + _EDGES_SQL + ")\n"
+    + _triangles_tail("edges").replace("WITH und", ", und", 1)
+)
+
+
+@register("graph_brand_triangles", oracle=_TRIANGLES_DUCK)
+def graph_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle count and local clustering coefficient."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "tri_edges"
+    )
+    return spark.sql(_triangles_tail("tri_edges"))

@@ -1,0 +1,299 @@
+"""Time-series analytics over the events stream.
+
+Four staples a metrics/feature pipeline computes from an event log —
+exponential smoothing, activity streaks, inter-arrival latency, and
+autocorrelation — plus last-touch revenue attribution. All are
+DataFrame/SQL-only (no Python stages); per-row work happens before the
+first shuffle and every cross-row float aggregation follows the repo's
+exact-sum/snap discipline so the DuckDB oracles hash-match.
+
+Scale notes per query are inline; the common shape is: reduce the raw
+event log to a per-key relation (daily series, user-day set, per-user
+lag pairs) in ONE scan, then run the actual analytic on the reduced
+relation, which is orders of magnitude smaller than the log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from automated_data_pipeline_python_spark.functions.numeric import (
+    exact_sum,
+    sql_exact_sum,
+    sql_stable_round,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# EWMA of the daily event-count series (recursive CTE)
+# ---------------------------------------------------------------------------
+# y_1 = x_1; y_t = a*x_t + (1-a)*y_{t-1} with a = 0.2, per event type.
+# EWMA is inherently sequential, but the SERIES is tiny after the first
+# aggregation (days x types — ~150 rows here, a few thousand at any
+# horizon), so the recursion runs on a reduced relation while the one
+# corpus-sized pass is a plain count aggregation. WITH RECURSIVE is the
+# Spark-4 surface (SPARK-24497); DuckDB runs the IDENTICAL statement.
+# Inputs to the recursion are exact integers and both engines evaluate
+# the same scalar expression chain in the same order, so the doubles
+# agree bit-for-bit; output snaps to the 1e-6 grid regardless.
+# NOTE 2e-1/8e-1 literals: DuckDB parses 0.2 as DECIMAL (decimal
+# arithmetic would diverge from Spark's doubles); e-notation pins DOUBLE.
+
+
+def _ewma_sql(fmt_day: str) -> str:
+    return _EWMA_BODY.replace("{fmt_day}", fmt_day)
+
+
+_EWMA_BODY = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, d, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i
+    FROM daily
+),
+ewma(event_type, i, d, n, y) AS (
+    SELECT event_type, i, d, n, CAST(n AS DOUBLE)
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT idx.event_type, idx.i, idx.d, idx.n,
+           2e-1 * idx.n + 8e-1 * e.y
+    FROM ewma e
+    JOIN idx ON idx.event_type = e.event_type AND idx.i = e.i + 1
+)
+SELECT event_type, {fmt_day} AS day, CAST(n AS BIGINT) AS n_events,
+       floor(y * 1e6 + 0.5) / 1e6 AS ewma_events
+FROM ewma
+"""
+
+
+@register(
+    "events_ewma_daily",
+    oracle=_ewma_sql("strftime(d, '%Y-%m-%d')"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily event counts with an EWMA(0.2) smoothing column."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ewma_sql("date_format(d, 'yyyy-MM-dd')"))
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user (gaps and islands)
+# ---------------------------------------------------------------------------
+# Raw events reduce to the DISTINCT (user, day) set in one scan; the
+# island trick (day_number - row_number is constant within a run) turns
+# streak detection into a plain grouped count. Everything after the
+# first aggregation shuffles user-day / user-sized relations; all
+# arithmetic is integer-exact. Output: streak-length histogram.
+
+
+def _streaks_sql(daynum: str) -> str:
+    return f"""
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+    SELECT user_id, d,
+           {daynum}
+           - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS BIGINT) AS grp
+    FROM user_days
+),
+streaks AS (
+    SELECT user_id, grp, count(*) AS len
+    FROM islands GROUP BY user_id, grp
+),
+maxes AS (
+    SELECT user_id, max(len) AS max_streak FROM streaks GROUP BY user_id
+)
+SELECT CAST(max_streak AS BIGINT) AS streak_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM maxes
+GROUP BY max_streak
+"""
+
+
+_STREAKS_DUCK = _streaks_sql("CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)")
+
+
+@register("events_activity_streaks", oracle=_STREAKS_DUCK)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of each user's longest consecutive-active-day streak."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_streaks_sql("CAST(datediff(d, DATE '1970-01-01') AS BIGINT)"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival latency distribution per event type
+# ---------------------------------------------------------------------------
+# Per user+type, the gap to the previous same-type event; summarized as
+# interpolated percentiles per type. Gap seconds derive from the exact
+# integer microsecond delta (both engines floor identically; the
+# boundary-crossing date_diff('second') pitfall documented at
+# events_funnel_timing is avoided the same way). One user_id-keyed
+# shuffle for the lag, one tiny per-type summary. The percentile
+# interpolation is the proven Spark percentile == DuckDB quantile_cont
+# pairing, snapped at output.
+
+
+def _interarrival_sql(micros_diff: str, q: str) -> str:
+    def pc(p: str, alias: str) -> str:
+        return f"floor(({q}(gap_secs, {p})) * 1e4 + 0.5) / 1e4 AS {alias}"
+
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+gaps AS (
+    SELECT event_type,
+           CAST(({micros_diff}) AS DOUBLE) / 1e6 AS gap_secs
+    FROM ordered
+    WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       {pc("0.50", "p50_secs")},
+       {pc("0.90", "p90_secs")},
+       {pc("0.99", "p99_secs")}
+FROM gaps
+GROUP BY event_type
+"""
+
+
+_INTERARRIVAL_DUCK = _interarrival_sql(
+    "date_diff('microsecond', CAST(prev_ts AS TIMESTAMP), CAST(ts AS TIMESTAMP))",
+    "quantile_cont",
+)
+
+
+@register("events_interarrival_stats", oracle=_INTERARRIVAL_DUCK)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-time percentiles (same-user consecutive
+    events)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _interarrival_sql("timestampdiff(MICROSECOND, prev_ts, ts)", "percentile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily count series (lags 1..7)
+# ---------------------------------------------------------------------------
+# ACF at lag k as the Pearson correlation of (x_t, x_{t+k}) pairs,
+# computed from INTEGER moment sums (counts are exact; sums of
+# count-products are exact BIGINTs on any accumulation order), so the
+# only float math is one final expression — identical on both engines,
+# snapped to 1e-6. The corpus-sized pass is the daily count aggregation;
+# the lag self-join runs on the tiny (types x days) relation.
+
+
+def _acf_sql(lag_rel: str) -> str:
+    r = sql_stable_round
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i,
+           n
+    FROM daily
+),
+lags AS ({lag_rel}),
+pairs AS (
+    SELECT a.event_type, lg.lag, a.n AS x, b.n AS y
+    FROM idx a
+    JOIN lags lg ON true
+    JOIN idx b ON b.event_type = a.event_type AND b.i = a.i + lg.lag
+),
+stats AS (
+    SELECT event_type, lag,
+           CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs
+    GROUP BY event_type, lag
+)
+SELECT event_type, lag, np AS n_pairs,
+       {r("CAST(np * sxy - sx * sy AS DOUBLE)"
+          " / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))"
+          "    * sqrt(CAST(np * syy - sy * sy AS DOUBLE)))", 6)} AS acf
+FROM stats
+"""
+
+
+_ACF_DUCK = _acf_sql("SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)")
+
+
+@register("events_daily_acf", oracle=_ACF_DUCK)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-7) of each type's daily count series."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_acf_sql("SELECT CAST(id AS BIGINT) AS lag FROM range(1, 8)"))
+
+
+# ---------------------------------------------------------------------------
+# Last-touch revenue attribution
+# ---------------------------------------------------------------------------
+# Each purchase's value is attributed to the nearest PRECEDING
+# non-purchase event of the same user (the classic last-touch model).
+# One user_id shuffle serves the running last-non-purchase window; the
+# grouped rollup sums purchase values exact-snapped on the 1e-6 grid
+# (both engines snap each row identically before the order-independent
+# integer sum). Purchases with no prior touch land in '(none)'.
+
+_ATTR_DUCK_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+    FROM events
+)
+SELECT coalesce(channel, '(none)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       {sql_exact_sum("value", 6)} AS attributed_value
+FROM ordered
+WHERE event_type = 'purchase'
+GROUP BY coalesce(channel, '(none)')
+"""
+
+
+@register("events_last_touch_attribution", oracle=_ATTR_DUCK_SQL)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase value attributed to the last preceding non-purchase
+    touch per user."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = ev.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+    return (
+        attributed.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            exact_sum("value", 6).alias("attributed_value"),
+        )
+    )

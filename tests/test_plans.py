@@ -190,3 +190,37 @@ def test_rolling_wau_has_no_nested_loop_join(spark):
     r = plan_report(QUERIES["events_rolling_wau"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in r.text
     assert "CartesianProduct" not in r.text
+
+
+def test_timeseries_and_graph_additions_python_free(spark):
+    """The time-series, graph, and skew-diagnostic queries are pure
+    Catalyst plans — no Python boundary anywhere."""
+    for name in (
+        "events_ewma_daily",
+        "events_activity_streaks",
+        "events_interarrival_stats",
+        "events_daily_acf",
+        "events_last_touch_attribution",
+        "graph_brand_pagerank",
+        "graph_brand_triangles",
+        "dq_key_skew_report",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_skew_report_topk_is_distributed(spark):
+    """The top-10 share must compile to TakeOrderedAndProject
+    (per-partition top-k + merge), never a global-ORDER window that
+    would move the whole 10^9-key count relation to one partition."""
+    r = plan_report(QUERIES["dq_key_skew_report"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in r.text
+    assert "Window" not in r.text
+
+
+def test_pagerank_tail_reads_checkpointed_edges(spark):
+    """The edge list feeds four stages; it must come from the one
+    materialized checkpoint, not re-run the lineitem-part join per
+    reference (Spark inlines CTEs)."""
+    r = plan_report(QUERIES["graph_brand_pagerank"].fn(spark, SF))
+    assert r.scans == 0, "tail should read the checkpointed edge RDD"
