@@ -35,6 +35,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     events,
     timeseries,
     graph,
+    experiments,
     multimodal,
     warehouse,
     rag,
@@ -90,6 +91,10 @@ _PRIORITY = [
     "graph_brand_pagerank",      # distributed PageRank (new, round 5)
     "graph_brand_triangles",     # triangle count / clustering (new, round 5)
     "dq_key_skew_report",        # join-key skew diagnostics (new, round 5)
+    "events_cusum_changepoints", # CUSUM level-shift monitoring (new, r5)
+    "events_ab_test_lift",       # hash-split A/B z-test (new, round 5)
+    "orders_cohort_ltv",         # cohort LTV curves (new, round 5)
+    "warehouse_incremental_agg", # incremental MV maintenance (new, r5)
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
     # family and the dq referential checks (q7/q19 dropped — same
@@ -101,16 +106,12 @@ _PRIORITY = [
     "q8_market_share",
     "q16_part_supplier_relation",
     "dq_star_schema_report",
-    # (b) family sentinels in the remaining slots. Modules NOT in this
-    # round's window (relational3/relational4/relational5/windows2 and
-    # the clustering/relational singles beyond q3/q5/power-iteration)
-    # are r1-r4 hash-green and replayed by tools/verify_driver.py; the
-    # window spends its slots where they buy NEW driver evidence.
-    "corpus_curation_funnel",         # curation
+    # (b) one family sentinel in the last slot. Modules NOT in this
+    # round's window (relational2/relational3/relational4/relational5/
+    # windows2/curation/rag/text) are r1-r4 hash-green, unchanged this
+    # round, and replayed by tools/verify_driver.py; the window spends
+    # its slots where they buy NEW driver evidence.
     "multimodal_media_metadata",      # multimodal
-    "chunk_documents_overlap",        # rag
-    "text_quality_scores",            # text
-    "pivot_status_by_priority",       # relational2
 ]
 
 

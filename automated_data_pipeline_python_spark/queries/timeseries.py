@@ -74,12 +74,22 @@ FROM ewma
 """
 
 
+def _raise_recursion_limits(spark: SparkSession) -> None:
+    """Recursion depth == days in the series; Spark's default level
+    limit (100) would reject a ~4-month corpus. The operator owns this
+    runtime conf (set at build, read at execution) — it must not rely
+    on the session being pre-configured (vanilla driver session)."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+
+
 @register(
     "events_ewma_daily",
     oracle=_ewma_sql("strftime(d, '%Y-%m-%d')"),
 )
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily event counts with an EWMA(0.2) smoothing column."""
+    _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ewma_sql("date_format(d, 'yyyy-MM-dd')"))
 
@@ -296,4 +306,78 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").cast("bigint").alias("n_purchases"),
             exact_sum("value", 6).alias("attributed_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily count series
+# ---------------------------------------------------------------------------
+# Two-sided tabular CUSUM (Page 1954): s+_t = max(0, s+_{t-1} + (x_t -
+# mu - k)), s-_t = max(0, s-_{t-1} + (mu - x_t - k)) with slack k =
+# sigma/2 and alarm threshold h = 4*sigma — the standard monitoring
+# recipe for "did the level of this metric shift?". Like the EWMA, the
+# recursion runs on the tiny (types x days) relation; mu/sigma derive
+# from INTEGER moment sums (identical doubles on both engines), the
+# per-day deviations are precomputed before the recursion, and the
+# state snaps to the 1e-6 grid every step so both engines iterate on
+# identical numbers.
+
+_CUSUM_BODY = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+moments AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(n) AS BIGINT) AS sx,
+           CAST(sum(n * n) AS BIGINT) AS sxx
+    FROM daily GROUP BY event_type
+),
+params AS (
+    SELECT event_type,
+           CAST(sx AS DOUBLE) / cnt AS mu,
+           sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)) / cnt AS sigma
+    FROM moments
+),
+idx AS (
+    SELECT d.event_type, d.d, d.n,
+           CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.d)
+                AS BIGINT) AS i,
+           floor((d.n - p.mu - 5e-1 * p.sigma) * 1e6 + 0.5) / 1e6
+               AS dev_pos,
+           floor((p.mu - d.n - 5e-1 * p.sigma) * 1e6 + 0.5) / 1e6
+               AS dev_neg,
+           floor((4e0 * p.sigma) * 1e6 + 0.5) / 1e6 AS h
+    FROM daily d JOIN params p ON d.event_type = p.event_type
+),
+cusum(event_type, i, d, n, h, s_pos, s_neg) AS (
+    SELECT event_type, i, d, n, h,
+           greatest(0e0, dev_pos), greatest(0e0, dev_neg)
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT idx.event_type, idx.i, idx.d, idx.n, idx.h,
+           floor(greatest(0e0, c.s_pos + idx.dev_pos) * 1e6 + 0.5) / 1e6,
+           floor(greatest(0e0, c.s_neg + idx.dev_neg) * 1e6 + 0.5) / 1e6
+    FROM cusum c
+    JOIN idx ON idx.event_type = c.event_type AND idx.i = c.i + 1
+)
+SELECT event_type, {fmt_day} AS day, n AS n_events, s_pos, s_neg,
+       CAST(CASE WHEN s_pos > h OR s_neg > h THEN 1 ELSE 0 END AS INT)
+           AS alarm
+FROM cusum
+"""
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle=_CUSUM_BODY.replace("{fmt_day}", "strftime(d, '%Y-%m-%d')"),
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detection on per-type daily counts."""
+    _raise_recursion_limits(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _CUSUM_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
     )

@@ -257,3 +257,124 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_basket_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value (LTV) curves
+# ---------------------------------------------------------------------------
+# Customers cohort by the month of their FIRST order; revenue then
+# accumulates per cohort across month offsets — the classic LTV matrix
+# (a revenue-weighted sibling of events_retention_cohorts). Shuffle
+# profile: one customer-keyed min-aggregation, one (cohort x offset)
+# rollup, and a cumulative window whose partitions are cohort-sized
+# (never global). Month arithmetic is portable integer year*12+month;
+# money sums snap to the cent grid before the order-independent exact
+# sum, and the cumulative sum accumulates those exact cents.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_stable_round as _r2,
+)
+
+_LTV_SQL = f"""
+WITH firsts AS (
+    SELECT o_custkey AS cust,
+           min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+    FROM orders
+    GROUP BY o_custkey
+),
+cohort_sizes AS (
+    SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM firsts GROUP BY cohort_m
+),
+rev AS (
+    SELECT f.cohort_m,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+               AS offset_m,
+           CAST(sum(CAST(floor(o.o_totalprice * 1e2 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN firsts f ON o.o_custkey = f.cust
+    GROUP BY f.cohort_m,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+),
+cum AS (
+    SELECT cohort_m, offset_m, n_orders, rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY offset_m
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+               AS cum_cents
+    FROM rev
+)
+-- floor-then-cast: CAST(double AS BIGINT) truncates in Spark but
+-- ROUNDS in DuckDB; floor() is identical in both.
+SELECT CAST(floor(CAST(c.cohort_m AS DOUBLE) / 12e0) AS BIGINT)
+           AS cohort_year,
+       CAST(c.cohort_m % 12 AS BIGINT) AS cohort_month0,
+       CAST(c.offset_m AS BIGINT) AS offset_months,
+       c.n_orders,
+       CAST(c.rev_cents AS DOUBLE) / 1e2 AS revenue,
+       {_r2("(CAST(c.cum_cents AS DOUBLE) / 1e2) / s.cohort_users", 4)}
+           AS cum_ltv_per_user
+FROM cum c JOIN cohort_sizes s ON c.cohort_m = s.cohort_m
+"""
+
+
+@register("orders_cohort_ltv", oracle=_LTV_SQL)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per first-order cohort across month offsets."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LTV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view refresh)
+# ---------------------------------------------------------------------------
+# The warehouse-maintenance op behind every continuously-refreshed
+# rollup: a stored aggregate over history is MERGED with an aggregate
+# over only the new batch — count and snapped-cent partial sums are
+# associative integers, so merge = integer add, and the derived
+# avg recomputes from the merged partials (never averaged averages).
+# At 100 TB the payoff is that refresh cost scales with the DELTA (the
+# date filter prunes history partitions at the scan), while the ORACLE
+# is the full single-pass recompute — the hash match IS the proof that
+# incremental maintenance equals recomputation.
+
+_INC_CUTOFF = "1999-01-01 00:00:00"
+
+
+def _inc_partial_sql(pred: str) -> str:
+    return f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       count(*) AS n,
+       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS cents
+FROM orders
+WHERE {pred}
+GROUP BY year(o_orderdate), o_orderstatus
+"""
+
+
+def _inc_merge_sql(parts: str) -> str:
+    return f"""
+SELECT order_year, o_orderstatus,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS DOUBLE) / 1e2 AS revenue,
+       {_r2("(CAST(sum(cents) AS DOUBLE) / 1e2) / sum(n)", 4)} AS avg_price
+FROM {parts}
+GROUP BY order_year, o_orderstatus
+"""
+
+
+# Oracle: one full-history pass — what the incremental merge must equal.
+_INC_ORACLE = _inc_merge_sql("(" + _inc_partial_sql("true") + ") p")
+
+
+@register("warehouse_incremental_agg", oracle=_INC_ORACLE)
+def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a stored historical aggregate with a delta-batch aggregate;
+    must equal the full recompute (the oracle)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    old = _inc_partial_sql(f"o_orderdate < TIMESTAMP '{_INC_CUTOFF}'")
+    delta = _inc_partial_sql(f"o_orderdate >= TIMESTAMP '{_INC_CUTOFF}'")
+    return spark.sql(
+        _inc_merge_sql(f"(({old}) UNION ALL ({delta})) p")
+    )

@@ -224,3 +224,59 @@ def test_pagerank_tail_reads_checkpointed_edges(spark):
     reference (Spark inlines CTEs)."""
     r = plan_report(QUERIES["graph_brand_pagerank"].fn(spark, SF))
     assert r.scans == 0, "tail should read the checkpointed edge RDD"
+
+
+def test_experiment_and_warehouse_additions_python_free(spark):
+    for name in (
+        "events_cusum_changepoints",
+        "events_ab_test_lift",
+        "orders_cohort_ltv",
+        "warehouse_incremental_agg",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_incremental_agg_prunes_history_at_the_scan(spark):
+    """The delta branch's date filter must reach the parquet reader —
+    that pushdown is the entire point of incremental maintenance (the
+    refresh reads the delta partitions, not 100 TB of history)."""
+    r = plan_report(QUERIES["warehouse_incremental_agg"].fn(spark, SF))
+    assert r.scans == 2
+    assert r.scans_with_pushed_filters == 2
+
+
+def test_runtime_bloom_filter_join_pruning_available(spark):
+    """At 100 TB the fact-side scan of a selective join should be
+    pre-filtered by a runtime bloom filter built from the dimension
+    side (Spark's runtime row-level filtering) rather than shuffling
+    every row to the join. The feature only fires above size
+    thresholds, so at sf0.01 we lower them to prove the engine's plans
+    are ELIGIBLE — no hand-built bloom operator needed (the SQL-callable
+    bloom_filter_agg is not in the public function registry)."""
+    tune = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tune}
+    try:
+        for k, v in tune.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, "bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

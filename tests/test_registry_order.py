@@ -53,6 +53,10 @@ ROUND5_NEW = [
     "graph_brand_pagerank",
     "graph_brand_triangles",
     "dq_key_skew_report",
+    "events_cusum_changepoints",
+    "events_ab_test_lift",
+    "orders_cohort_ltv",
+    "warehouse_incremental_agg",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
@@ -73,7 +77,8 @@ ROUND5_TOUCHED = [
 # a module silently losing BOTH its window slot and its green history
 # fails the coverage test below.
 OUT_OF_WINDOW_MODULES = {
-    "relational3", "relational4", "relational5", "windows2",
+    "relational2", "relational3", "relational4", "relational5",
+    "windows2", "curation", "rag", "text",
 }
 
 
