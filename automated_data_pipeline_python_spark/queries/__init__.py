@@ -36,6 +36,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     timeseries,
     graph,
     experiments,
+    retrieval,
     multimodal,
     warehouse,
     rag,

@@ -1,0 +1,286 @@
+"""Sparse + dense retrieval operators (SURVEY §2.8 LLM-data ops).
+
+The reference pipeline stores documents it fetched; a training-data
+engine also needs to *retrieve* from them. Three operators:
+
+- ``text_bm25_ranking``: Okapi BM25 scoring of a fixed query-term set
+  over the ``documents`` corpus — the standard sparse-retrieval baseline
+  (and the negative-sampling scorer for contrastive training data).
+- ``text_inverted_postings``: the inverted-index build behind it — per
+  term document frequency, collection frequency, and a bounded posting
+  sample.
+- ``embedding_hard_negatives``: dense hard-negative mining — for each
+  query vector, the nearest *different-label* neighbors plus the margin
+  to the best same-label positive (the pairs a contrastive trainer
+  actually wants).
+
+All JVM-side SQL (explode → hash-agg → window); DuckDB oracles mirror
+every expression. Floats snap to the 1e-6 grid before any compare or
+ordering, per the repo's cross-engine discipline.
+
+Scale notes per query in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.text import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load_scaled
+
+_S_TOK = SPARK_TOKENS.format(col="text")
+_D_TOK = DUCK_TOKENS.format(col="text")
+
+# Fixed query-term set (deterministic; a production run would broadcast
+# a query table instead — the plan shape is identical).
+_QUERY_TERMS = ("hash", "join", "vector")
+_TERMS_IN = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+_K1 = 1.2
+_B = 0.75
+_BM25_TOP = 20
+
+
+def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+def _emb_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking
+# ---------------------------------------------------------------------------
+# tf only for the query terms (filter BEFORE the explode aggregation —
+# the scan's predicate can't prune tokens, but the per-token filter runs
+# map-side so the shuffle carries |query_terms| × docs rows at most).
+# Corpus stats (N, avgdl) are a 1-row aggregate broadcast into the
+# scorer; df per term is |query_terms| rows. Nothing here grows faster
+# than the corpus itself — the 100 TB shape.
+
+_BM25_BODY = """
+WITH doclen AS (
+    SELECT doc_id, {size_toks} AS dl FROM documents
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST({sum_dl} AS DOUBLE) / count(*) AS avgdl
+    FROM doclen
+),
+tf AS (
+    SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+    FROM ({explode_toks})
+    WHERE tok IN ({terms_in})
+    GROUP BY doc_id, tok
+),
+df AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+             ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({k1} + 1.0))
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl))
+           ) AS score,
+           count(*) AS n_terms_hit
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN doclen d ON tf.doc_id = d.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+),
+snapped AS (
+    SELECT doc_id, floor((score) * 1e6 + 0.5) / 1e6 AS bm25,
+           CAST(n_terms_hit AS INT) AS n_terms_hit
+    FROM scored
+),
+picked AS (
+    SELECT doc_id, bm25, n_terms_hit
+    FROM snapped ORDER BY bm25 DESC, doc_id LIMIT {top}
+)
+SELECT doc_id, bm25, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+FROM picked
+ORDER BY rnk
+"""
+
+_BM25_SPARK_SQL = _BM25_BODY.format(
+    size_toks=f"size({_S_TOK})",
+    sum_dl="sum(dl)",
+    explode_toks=f"SELECT doc_id, explode({_S_TOK}) AS tok FROM documents",
+    terms_in=_TERMS_IN,
+    k1=_K1,
+    b=_B,
+    top=_BM25_TOP,
+)
+
+_BM25_DUCK_SQL = _BM25_BODY.format(
+    size_toks=f"CAST(len({_D_TOK}) AS INT)",
+    sum_dl="CAST(sum(dl) AS DOUBLE)",  # sum(BIGINT) -> HUGEINT in DuckDB
+    explode_toks=(
+        f"SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents"
+    ),
+    terms_in=_TERMS_IN,
+    k1=_K1,
+    b=_B,
+    top=_BM25_TOP,
+)
+
+
+@register("text_bm25_ranking", oracle=_BM25_DUCK_SQL)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed query-term set (k1=1.2, b=0.75).
+
+    Scale: map-side term filter → one hash-agg on (doc, term) → join
+    against two broadcast-sized stats relations (df: |terms| rows;
+    stats: 1 row) → global top-k (TakeOrderedAndProject). Total order
+    via (snapped score DESC, doc_id).
+    """
+    return _docs_sql(spark, sf_dir, _BM25_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings
+# ---------------------------------------------------------------------------
+# df/cf aggregate over the full posting relation; the posting *sample*
+# is rank-capped per term BEFORE the list is materialized, so no
+# executor ever holds a hot term's full posting list (the naive
+# collect_list-then-slice would OOM on a stopword at 100 TB).
+
+_POSTINGS_BODY = """
+WITH tf AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM ({explode_toks})
+    GROUP BY doc_id, tok
+),
+stats AS (
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST({sum_tf} AS BIGINT) AS cf
+    FROM tf GROUP BY term
+),
+ranked AS (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tf
+),
+sample AS (
+    SELECT term, {postings} AS postings_head
+    FROM ranked WHERE rn <= 8 GROUP BY term
+)
+SELECT s.term, s.df, s.cf, p.postings_head
+FROM stats s JOIN sample p ON s.term = p.term
+WHERE s.df >= 10
+ORDER BY s.term
+"""
+
+_POSTINGS_SPARK_SQL = _POSTINGS_BODY.format(
+    explode_toks=f"SELECT doc_id, explode({_S_TOK}) AS tok FROM documents",
+    sum_tf="sum(tf)",
+    postings="concat_ws(',', sort_array(collect_list(CAST(doc_id AS STRING))))",
+)
+
+# DuckDB renders the same head-8 posting sample; list_sort on the string
+# form keeps the lexicographic order identical to Spark's sort_array.
+_POSTINGS_DUCK_SQL = _POSTINGS_BODY.format(
+    explode_toks=f"SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents",
+    sum_tf="CAST(sum(tf) AS BIGINT)",
+    postings=(
+        "list_aggregate(list_sort(list(CAST(doc_id AS VARCHAR))), 'string_agg', ',')"
+    ),
+)
+
+
+@register("text_inverted_postings", oracle=_POSTINGS_DUCK_SQL)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-term df, cf, and a head-8 posting sample.
+
+    Scale: one explode → (doc, term) hash-agg (map-side partials), one
+    window partitioned by term with an rn<=8 cut before any list is
+    built. A 100 TB hot term costs a rank-scan, never a giant array.
+    """
+    return _docs_sql(spark, sf_dir, _POSTINGS_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Dense hard-negative mining
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 5
+_NEG_K = 5
+
+_SPARK_DOT = (
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DUCK_DOT = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+_SPARK_EMB_N_CTE = (
+    "emb_n AS (SELECT vec_id, label, embedding,"
+    " sqrt(aggregate(transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm FROM embeddings)"
+)
+_DUCK_EMB_N_CTE = (
+    "emb_n AS (SELECT vec_id, label, embedding,"
+    " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm"
+    " FROM embeddings)"
+)
+
+_HARDNEG_TAIL = f"""
+scored AS (
+    SELECT a.vec_id AS query_id, a.label AS query_label,
+           b.vec_id AS cand_id, b.label AS cand_label,
+           floor(({{cos}}) * 1e6 + 0.5) / 1e6 AS cos
+    FROM emb_n a JOIN emb_n b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_N_QUERIES}
+),
+best_pos AS (
+    SELECT query_id, max(cos) AS best_pos_cos
+    FROM scored WHERE cand_label = query_label
+    GROUP BY query_id
+),
+negs AS (
+    SELECT query_id, cand_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cand_id) AS rnk
+    FROM scored WHERE cand_label != query_label
+)
+SELECT n.query_id, n.cand_id AS negative_id,
+       n.cos AS neg_cos, p.best_pos_cos,
+       floor((p.best_pos_cos - n.cos) * 1e6 + 0.5) / 1e6 AS margin,
+       CAST(n.rnk AS INT) AS rnk
+FROM negs n JOIN best_pos p ON n.query_id = p.query_id
+WHERE n.rnk <= {_NEG_K}
+ORDER BY n.query_id, n.rnk
+"""
+
+_HARDNEG_SPARK_SQL = (
+    f"WITH {_SPARK_EMB_N_CTE},\n{_HARDNEG_TAIL.format(cos=f'{_SPARK_DOT} / (a.nrm * b.nrm)')}"
+)
+_HARDNEG_DUCK_SQL = (
+    f"WITH {_DUCK_EMB_N_CTE},\n{_HARDNEG_TAIL.format(cos=f'{_DUCK_DOT} / (a.nrm * b.nrm)')}"
+)
+
+
+@register("embedding_hard_negatives", oracle=_HARDNEG_DUCK_SQL)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector (vec_id < 5),
+    the top-5 *different-label* cosine neighbors plus the margin to the
+    best same-label positive.
+
+    Scale: the query set is a broadcast side against the corpus (one
+    pass, pre-normed per row); per-partition top-k before the tiny
+    final window. Cosines snap to the 1e-6 grid BEFORE ranking and the
+    margin subtraction so both engines rank identical values.
+    """
+    return _emb_sql(spark, sf_dir, _HARDNEG_SPARK_SQL)
