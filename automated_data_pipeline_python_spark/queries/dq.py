@@ -257,3 +257,51 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).createOrReplaceTempView(view)
         branches.append(_skew_branch_sql(table, col, view))
     return spark.sql("\nUNION ALL\n".join(branches))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud / generation-artifact screen)
+# ---------------------------------------------------------------------------
+# Naturally-occurring multi-magnitude amounts follow Benford's law
+# (P(d) = log10(1 + 1/d)); synthetic or tampered columns don't. The
+# check is one map-side digit extraction + a 9-group aggregate — scan
+# shaped, holds at any corpus size. First digit derives arithmetically
+# (floor(x / 10^floor(log10 x))) — never from the string rendering,
+# which differs between engines. The expected-share log10 runs on the
+# same 9 rationals in both engines; shares and the chi-square
+# contribution snap to the 1e-6 grid. TPC-H-ish totalprice spans ~3
+# decades, so it only loosely conforms — the report's deviation columns
+# ARE the signal, not an assertion.
+
+_BENFORD_BODY = """
+WITH digits AS (
+    SELECT CAST(floor(o_totalprice
+                / power(10e0, floor(log10(o_totalprice)))) AS INT) AS digit
+    FROM orders
+    WHERE o_totalprice > 0e0
+),
+counts AS (
+    SELECT digit, count(*) AS n FROM digits GROUP BY digit
+),
+tot AS (
+    SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts
+)
+SELECT c.digit,
+       CAST(c.n AS BIGINT) AS n,
+       floor((c.n / t.total) * 1e6 + 0.5) / 1e6 AS obs_share,
+       floor((log10(1e0 + 1e0 / c.digit)) * 1e6 + 0.5) / 1e6 AS benford_share,
+       floor((abs(c.n / t.total - log10(1e0 + 1e0 / c.digit)))
+             * 1e6 + 0.5) / 1e6 AS abs_dev,
+       floor((power(c.n - t.total * log10(1e0 + 1e0 / c.digit), 2e0)
+              / (t.total * log10(1e0 + 1e0 / c.digit)))
+             * 1e6 + 0.5) / 1e6 AS chi2_term
+FROM counts c CROSS JOIN tot t
+ORDER BY c.digit
+"""
+
+
+@register("dq_benford_first_digit", oracle=_BENFORD_BODY)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice vs Benford expectation."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BENFORD_BODY)

@@ -381,3 +381,66 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _CUSUM_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD z-scores on the daily series
+# ---------------------------------------------------------------------------
+# The stddev z-score (events_zscore_bands) is itself dragged by the
+# outliers it hunts; the robust variant scores against median and MAD
+# (z = 0.6745*(x - med)/MAD), the estimator monitoring pipelines
+# actually deploy. Shape: ONE corpus scan reduces to the daily series
+# (days × types rows), then two tiny per-type percentile aggregations —
+# the same reduced-relation pattern as the rest of this module, so the
+# expensive pass is a plain count aggregation at any scale.
+# percentile()/quantile_cont() is the proven cross-engine interpolation
+# pairing; 6745e-4 pins DOUBLE in DuckDB (a 0.6745 literal would be
+# DECIMAL and diverge from Spark's double arithmetic). z snaps to the
+# 1e-6 grid BEFORE the |z| > 3 flag compare so an ulp at the boundary
+# cannot flip a row cross-engine.
+
+
+def _mad_sql(fmt_day: str, q: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+med AS (
+    SELECT event_type, {q}(n, 5e-1) AS med
+    FROM daily GROUP BY event_type
+),
+mad AS (
+    SELECT daily.event_type, {q}(abs(daily.n - med.med), 5e-1) AS mad
+    FROM daily JOIN med ON daily.event_type = med.event_type
+    GROUP BY daily.event_type
+),
+scored AS (
+    SELECT daily.event_type, daily.d, daily.n, med.med, mad.mad,
+           CASE WHEN mad.mad = 0e0 THEN NULL
+                ELSE floor((6745e-4 * (daily.n - med.med) / mad.mad)
+                           * 1e6 + 0.5) / 1e6 END AS robust_z
+    FROM daily
+    JOIN med ON daily.event_type = med.event_type
+    JOIN mad ON daily.event_type = mad.event_type
+)
+SELECT event_type, {fmt_day} AS day, CAST(n AS BIGINT) AS n_events,
+       floor((med) * 1e6 + 0.5) / 1e6 AS med,
+       floor((mad) * 1e6 + 0.5) / 1e6 AS mad,
+       robust_z,
+       CAST(CASE WHEN abs(robust_z) > 3e0 THEN 1 ELSE 0 END AS INT)
+           AS is_outlier
+FROM scored
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "events_mad_outliers",
+    oracle=_mad_sql("strftime(d, '%Y-%m-%d')", "quantile_cont"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores per (event_type, day) with |z|>3 flags."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mad_sql("date_format(d, 'yyyy-MM-dd')", "percentile"))
