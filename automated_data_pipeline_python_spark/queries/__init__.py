@@ -35,6 +35,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     events,
     timeseries,
     graph,
+    drift,
     experiments,
     retrieval,
     multimodal,

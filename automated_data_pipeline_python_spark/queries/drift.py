@@ -1,0 +1,289 @@
+"""Distribution-drift and dependency-discovery operators.
+
+A pipeline that feeds model training has to notice when its inputs
+move: a source whose vocabulary diverges from the corpus, a metric
+whose distribution shifts week-over-week, a pair of columns whose
+dependency silently changes. Three oracle-checked monitors:
+
+- ``corpus_source_kl_divergence``: per-source KL(P_source || P_corpus)
+  over token distributions — the vocabulary-drift screen for mixture
+  construction.
+- ``dq_mutual_information``: mutual information, entropies, and
+  normalized MI for categorical column pairs — functional-dependency
+  discovery.
+- ``events_psi_value_drift``: population stability index of the
+  events.value distribution, early vs late half, over full-period
+  decile buckets — the standard production drift alarm.
+
+Shape discipline: every multiply-referenced reduced relation (token
+marginals, joint counts, decile cutpoints) is materialized ONCE via
+``localCheckpoint`` + temp view on the Spark side — Spark inlines
+CTEs, so the WITH form would re-run the corpus scan per reference.
+The DuckDB oracles keep the plain WITH form (same values; oracle cost
+is irrelevant). ln() runs on identical rationals in both engines and
+every derived double snaps to the 1e-6 grid before any compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.text import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load, load_scaled
+
+_S_TOK = SPARK_TOKENS.format(col="text")
+_D_TOK = DUCK_TOKENS.format(col="text")
+
+
+def _materialize_view(df: DataFrame, name: str) -> None:
+    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence of token distributions
+# ---------------------------------------------------------------------------
+# The only corpus-sized pass is one explode → (source, term) hash-agg;
+# that relation (sources × vocab — vocabularies grow sublinearly) is
+# materialized and everything downstream runs on it. Terms absent from
+# a source contribute 0 to the sum (P=0 ⇒ 0·ln 0 := 0), so the inner
+# join IS the correct support.
+
+_KL_TAIL = """
+SELECT kl.source,
+       CAST(st.n AS BIGINT) AS n_tokens,
+       CAST(kl.vocab AS BIGINT) AS vocab,
+       floor((kl.kl_nats) * 1e6 + 0.5) / 1e6 AS kl_nats
+FROM (
+    SELECT p.source,
+           count(*) AS vocab,
+           sum((p.c / st.n) * ln((p.c / st.n) / (g.gc / gt.gn))) AS kl_nats
+    FROM {rel} p
+    JOIN (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+          FROM {rel} GROUP BY source) st ON p.source = st.source
+    JOIN (SELECT term, CAST(sum(c) AS DOUBLE) AS gc
+          FROM {rel} GROUP BY term) g ON p.term = g.term
+    CROSS JOIN (SELECT CAST(sum(c) AS DOUBLE) AS gn FROM {rel}) gt
+    GROUP BY p.source
+) kl
+JOIN (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+      FROM {rel} GROUP BY source) st ON kl.source = st.source
+ORDER BY kl.source
+"""
+
+_KL_DUCK_SQL = (
+    "WITH per_source AS ("
+    f"SELECT source, tok AS term, count(*) AS c FROM "
+    f"(SELECT source, unnest({_D_TOK}) AS tok FROM documents) "
+    "GROUP BY source, tok)\n" + _KL_TAIL.format(rel="per_source")
+)
+
+
+@register("corpus_source_kl_divergence", oracle=_KL_DUCK_SQL)
+def corpus_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || P_corpus) over token distributions, per source."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(
+        spark.sql(
+            "SELECT source, tok AS term, count(*) AS c FROM "
+            f"(SELECT source, explode({_S_TOK}) AS tok FROM documents) "
+            "GROUP BY source, tok"
+        ),
+        "kl_per_source",
+    )
+    return spark.sql(_KL_TAIL.format(rel="kl_per_source"))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical column pairs
+# ---------------------------------------------------------------------------
+# MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), H = -Σ p·ln p, and the
+# MI/min(H) normalization that makes pairs comparable. Per pair the
+# corpus-sized work is ONE scan → joint-count hash-agg (|X|·|Y| cells);
+# marginals and entropies derive from the materialized joint. The
+# snapped entropies feed the NMI ratio, so both engines divide
+# identical grid values.
+
+_MI_PAIRS = [
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    # month × priority is the near-independent contrast pair (MI ≈ 0)
+    ("orders", "month(o_orderdate)", "o_orderpriority"),
+]
+
+_MI_BRANCH = """
+SELECT '{label}' AS pair,
+       cx.card_x, cy.card_y,
+       floor((mi.mi) * 1e6 + 0.5) / 1e6 AS mi_nats,
+       floor((hx.h) * 1e6 + 0.5) / 1e6 AS h_x,
+       floor((hy.h) * 1e6 + 0.5) / 1e6 AS h_y,
+       floor(((floor((mi.mi) * 1e6 + 0.5) / 1e6)
+              / least(floor((hx.h) * 1e6 + 0.5) / 1e6,
+                      floor((hy.h) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6
+           AS nmi
+FROM (
+    SELECT sum((j.c / n.n) * ln((j.c / n.n) / ((mx.cx / n.n) * (my.cy / n.n))))
+        AS mi
+    FROM {rel} j
+    JOIN (SELECT jx, sum(c) AS cx FROM {rel} GROUP BY jx) mx ON j.jx = mx.jx
+    JOIN (SELECT jy, sum(c) AS cy FROM {rel} GROUP BY jy) my ON j.jy = my.jy
+    CROSS JOIN (SELECT sum(c) AS n FROM {rel}) n
+) mi
+CROSS JOIN (
+    SELECT -sum((m.cx / n.n) * ln(m.cx / n.n)) AS h
+    FROM (SELECT jx, sum(c) AS cx FROM {rel} GROUP BY jx) m
+    CROSS JOIN (SELECT sum(c) AS n FROM {rel}) n
+) hx
+CROSS JOIN (
+    SELECT -sum((m.cy / n.n) * ln(m.cy / n.n)) AS h
+    FROM (SELECT jy, sum(c) AS cy FROM {rel} GROUP BY jy) m
+    CROSS JOIN (SELECT sum(c) AS n FROM {rel}) n
+) hy
+CROSS JOIN (SELECT CAST(count(DISTINCT jx) AS INT) AS card_x FROM {rel}) cx
+CROSS JOIN (SELECT CAST(count(DISTINCT jy) AS INT) AS card_y FROM {rel}) cy
+"""
+
+
+def _mi_joint_sql(table: str, x: str, y: str) -> str:
+    return (
+        f"SELECT {x} AS jx, {y} AS jy, CAST(count(*) AS DOUBLE) AS c"
+        f" FROM {table} GROUP BY {x}, {y}"
+    )
+
+
+def _mi_sql(rels: list[str]) -> str:
+    branches = [
+        _MI_BRANCH.format(label=f"{t}.{x}|{t}.{y}", rel=rel)
+        for (t, x, y), rel in zip(_MI_PAIRS, rels)
+    ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM ({b})" for b in branches)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY pair"
+
+
+_MI_DUCK_SQL = (
+    "WITH "
+    + ", ".join(
+        f"joint_{i} AS ({_mi_joint_sql(t, x, y)})"
+        for i, (t, x, y) in enumerate(_MI_PAIRS)
+    )
+    + "\n"
+    + _mi_sql([f"joint_{i}" for i in range(len(_MI_PAIRS))])
+)
+
+
+@register("dq_mutual_information", oracle=_MI_DUCK_SQL)
+def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI, entropies, and normalized MI for categorical column pairs."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    rels = []
+    for i, (t, x, y) in enumerate(_MI_PAIRS):
+        view = f"mi_joint_{i}"
+        _materialize_view(spark.sql(_mi_joint_sql(t, x, y)), view)
+        rels.append(view)
+    return spark.sql(_mi_sql(rels))
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (early vs late value distribution)
+# ---------------------------------------------------------------------------
+# Decile cutpoints come from the FULL period (percentile ==
+# quantile_cont, the proven cross-engine interpolation pairing),
+# snapped to the 1e-6 grid before any compare; each half's rows land
+# in a bucket by counting cutpoints below the snapped value via a
+# 9-row broadcast join — no global sort, no ntile. PSI = Σ (p−q)·
+# ln(p/q) with +0.5 Laplace smoothing so an empty bucket can't
+# produce ln(0). Corpus-sized work: two scans (cutpoint aggregate,
+# bucket assignment) and one 20-cell aggregate.
+
+_PSI_VALUED = """
+SELECT floor((value) * 1e6 + 0.5) / 1e6 AS v,
+       CASE WHEN 2 * ({us_since_t0}) < ({us_span})
+            THEN 'early' ELSE 'late' END AS half
+FROM events
+CROSS JOIN (SELECT min(ts) AS t0, max(ts) AS t1 FROM events) b
+WHERE value IS NOT NULL
+"""
+
+# One-row cutoff relation (the RFM pattern): 9 decile scalars in a
+# single aggregation, broadcast via CROSS JOIN; bucket = how many
+# cutoffs the (snapped) value exceeds — an indicator sum, map-only.
+_PSI_CUT_COLS = ",\n       ".join(
+    f"floor(({{q}}(v, {i} / 10e0)) * 1e6 + 0.5) / 1e6 AS c{i}"
+    for i in range(1, 10)
+)
+_PSI_BUCKET = " + ".join(
+    f"(CASE WHEN valued.v > cuts.c{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+)
+
+_PSI_CELLS = f"""
+SELECT half, CAST({_PSI_BUCKET} AS INT) AS bucket, count(*) AS n
+FROM ({{valued}}) valued
+CROSS JOIN (SELECT {_PSI_CUT_COLS} FROM ({{valued}}) valued) cuts
+GROUP BY 1, 2
+"""
+
+_PSI_TAIL = """
+SELECT s.bucket,
+       floor(((coalesce(e.n, 0) + 5e-1) / (te.tot + 5e0)) * 1e6 + 0.5) / 1e6
+           AS p_early,
+       floor(((coalesce(l.n, 0) + 5e-1) / (tl.tot + 5e0)) * 1e6 + 0.5) / 1e6
+           AS p_late,
+       floor(((
+           (coalesce(l.n, 0) + 5e-1) / (tl.tot + 5e0)
+           - (coalesce(e.n, 0) + 5e-1) / (te.tot + 5e0)
+         ) * ln(((coalesce(l.n, 0) + 5e-1) / (tl.tot + 5e0))
+                / ((coalesce(e.n, 0) + 5e-1) / (te.tot + 5e0)))
+         ) * 1e6 + 0.5) / 1e6 AS psi_term
+FROM ({spine}) s
+LEFT JOIN {cells} e ON e.bucket = s.bucket AND e.half = 'early'
+LEFT JOIN {cells} l ON l.bucket = s.bucket AND l.half = 'late'
+CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM {cells}
+            WHERE half = 'early') te
+CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM {cells}
+            WHERE half = 'late') tl
+ORDER BY s.bucket
+"""
+
+
+def _psi_duck_sql() -> str:
+    valued = (
+        _PSI_VALUED
+        .replace("{us_since_t0}", "date_diff('microsecond', b.t0, ts)")
+        .replace("{us_span}", "date_diff('microsecond', b.t0, b.t1)")
+    )
+    cells = _PSI_CELLS.replace("{valued}", valued).replace("{q}", "quantile_cont")
+    spine = "SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bucket"
+    return f"WITH psi_cells AS ({cells})\n" + _PSI_TAIL.format(
+        spine=spine, cells="psi_cells"
+    )
+
+
+@register("events_psi_value_drift", oracle=_psi_duck_sql())
+def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of events.value, early vs late half, full-period deciles.
+
+    The 20-cell (half × bucket) relation is materialized once on the
+    Spark side — the tail references it four times and Spark's CTE
+    inlining would otherwise re-run both corpus scans per reference.
+    Bucket assignment compares grid-snapped values against grid-
+    snapped cutoffs, so a value equal to a cutoff lands identically
+    on both engines.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    valued = (
+        _PSI_VALUED
+        .replace("{us_since_t0}", "timestampdiff(MICROSECOND, b.t0, ts)")
+        .replace("{us_span}", "timestampdiff(MICROSECOND, b.t0, b.t1)")
+    )
+    _materialize_view(
+        spark.sql(
+            _PSI_CELLS.replace("{valued}", valued).replace("{q}", "percentile")
+        ),
+        "psi_cells",
+    )
+    spine = "SELECT explode(sequence(0, 9)) AS bucket"
+    return spark.sql(_PSI_TAIL.format(spine=spine, cells="psi_cells"))
