@@ -97,23 +97,27 @@ _PRIORITY = [
     "events_ab_test_lift",       # hash-split A/B z-test (new, round 5)
     "orders_cohort_ltv",         # cohort LTV curves (new, round 5)
     "warehouse_incremental_agg", # incremental MV maintenance (new, r5)
+    # (a) new in round 5, session 3 (retrieval + drift families' first
+    # driver evidence; their siblings — inverted postings, hard
+    # negatives, Benford, MAD outliers, source-KL — are verified by
+    # tools/verify_driver.py this round and rotate into the r6 window)
+    "text_bm25_ranking",
+    "events_psi_value_drift",
+    "dq_mutual_information",
     # (a) touched in round 5: semdedup cosine snap; heavy-hitter
     # maxItemsTracked; broadcast-hint removal across the TPC-H star
-    # family and the dq referential checks (q7/q19 dropped — same
-    # change class re-proves via q3/q5/q8/q16 + dq_star_schema_report)
+    # family (q7/q19/q8/dq_star dropped — same change class re-proves
+    # via q3/q5/q16, the named suspects + the planner-forced exemption)
     "semdedup_cluster_prune",
     "sketch_heavy_hitter_terms",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q8_market_share",
     "q16_part_supplier_relation",
-    "dq_star_schema_report",
-    # (b) one family sentinel in the last slot. Modules NOT in this
-    # round's window (relational2/relational3/relational4/relational5/
-    # windows2/curation/rag/text) are r1-r4 hash-green, unchanged this
-    # round, and replayed by tools/verify_driver.py; the window spends
-    # its slots where they buy NEW driver evidence.
-    "multimodal_media_metadata",      # multimodal
+    # Modules NOT in this round's window (relational2/relational3/
+    # relational4/relational5/windows2/curation/rag/text/multimodal)
+    # are r1-r4 hash-green, unchanged this round, and replayed by
+    # tools/verify_driver.py; the window spends its slots where they
+    # buy NEW driver evidence.
 ]
 
 

@@ -57,6 +57,14 @@ ROUND5_NEW = [
     "events_ab_test_lift",
     "orders_cohort_ltv",
     "warehouse_incremental_agg",
+    # session 3: retrieval + drift families' first driver evidence.
+    # Their siblings (text_inverted_postings, embedding_hard_negatives,
+    # dq_benford_first_digit, events_mad_outliers,
+    # corpus_source_kl_divergence) are full-catalog-replayed this round
+    # and rotate into the r6 window.
+    "text_bm25_ranking",
+    "events_psi_value_drift",
+    "dq_mutual_information",
 ]
 
 # Semantics or plan touched in round 5; must re-prove on the driver.
@@ -67,8 +75,7 @@ ROUND5_NEW = [
 ROUND5_TOUCHED = [
     "semdedup_cluster_prune", "sketch_heavy_hitter_terms",
     "q3_shipping_priority", "q5_region_revenue",
-    "q8_market_share",
-    "q16_part_supplier_relation", "dq_star_schema_report",
+    "q16_part_supplier_relation",
 ]
 
 # Modules with no window slot this round: every query in them is
@@ -78,7 +85,7 @@ ROUND5_TOUCHED = [
 # fails the coverage test below.
 OUT_OF_WINDOW_MODULES = {
     "relational2", "relational3", "relational4", "relational5",
-    "windows2", "curation", "rag", "text",
+    "windows2", "curation", "rag", "text", "multimodal",
 }
 
 
