@@ -202,3 +202,177 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).localCheckpoint(eager=True).createOrReplaceTempView("ug_tok")
     return spark.sql(f"WITH tok AS (SELECT * FROM ug_tok),\n{_SURPRISAL_TAIL}")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., 2023): score
+# each candidate document by its unigram log-likelihood ratio under a
+# target distribution vs the corpus distribution, then keep the top
+# scorers. Target here = the 'src0' slice (stands in for the curated
+# seed set); candidates = everything else. Add-1 smoothing over the
+# shared vocabulary keeps unseen-in-target tokens finite. The token
+# relation is materialized once (vocab counts and the scoring join
+# both read it); vocab is Zipf-bounded → broadcast-sized. Weights
+# snap to the 1e-6 grid BEFORE the top-k ordering (doc_id tiebreak),
+# so both engines rank identical values.
+
+_DSIR_TAIL = """
+vocab AS (
+    SELECT token,
+           count(*) AS c,
+           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+    FROM tok GROUP BY token
+),
+tots AS (
+    SELECT CAST(sum(c) AS DOUBLE) AS n,
+           CAST(sum(tc) AS DOUBLE) AS tn,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM vocab
+),
+scored AS (
+    SELECT tok.doc_id, tok.source,
+           count(*) AS n_tok,
+           sum(ln(((vocab.tc + 1) / (t.tn + t.v))
+                  / ((vocab.c + 1) / (t.n + t.v)))) AS sum_llr
+    FROM tok JOIN vocab ON tok.token = vocab.token CROSS JOIN tots t
+    WHERE tok.source != 'src0'
+    GROUP BY tok.doc_id, tok.source
+),
+snapped AS (
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           floor((sum_llr / n_tok) * 1e6 + 0.5) / 1e6 AS mean_llr
+    FROM scored
+),
+picked AS (
+    SELECT * FROM snapped ORDER BY mean_llr DESC, doc_id LIMIT 50
+)
+SELECT doc_id, source, n_tok, mean_llr,
+       CAST(row_number() OVER (ORDER BY mean_llr DESC, doc_id) AS INT) AS rnk
+FROM picked
+"""
+
+_DSIR_DUCK_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source, token
+    FROM (SELECT doc_id, source, {_D_TOK} AS w FROM documents),
+         UNNEST(w) AS t(token)
+),
+{_DSIR_TAIL}
+"""
+
+
+@register("sample_importance_dsir", oracle=_DSIR_DUCK_SQL)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: top-50 candidates by unigram
+    log-likelihood ratio toward the 'src0' target distribution."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        f"""
+        SELECT doc_id, source, token
+        FROM (SELECT doc_id, source, {_S_TOK} AS w FROM documents)
+        LATERAL VIEW explode(w) t AS token
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("dsir_tok")
+    return spark.sql(f"WITH tok AS (SELECT * FROM dsir_tok),\n{_DSIR_TAIL}")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery (per-rule pass/fail census)
+# ---------------------------------------------------------------------------
+# The Rae et al. (2021) filter suite reports, per rule, how much of
+# the corpus it would drop — the report you read BEFORE enabling a
+# gate. One corpus scan reduces to a single row of conditional
+# counts; the per-rule unpivot runs on that one materialized row
+# (Spark would otherwise re-run the scan per UNION branch). Every
+# threshold compares a 1e-6-snapped double.
+
+_GOPHER_FEATS = """
+SELECT
+    sum(CASE WHEN n_tok >= 20 AND n_tok <= 100000 THEN 1 ELSE 0 END)
+        AS pass_len,
+    sum(CASE WHEN mwl >= 3e0 AND mwl <= 10e0 THEN 1 ELSE 0 END)
+        AS pass_mwl,
+    sum(CASE WHEN stop_r >= 5e-2 THEN 1 ELSE 0 END) AS pass_stop,
+    sum(CASE WHEN dist_r > 2e-1 THEN 1 ELSE 0 END) AS pass_rep,
+    count(*) AS n_docs
+FROM (
+    SELECT
+        {n_tok} AS n_tok,
+        floor(({sum_len} / CAST({n_tok} AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mwl,
+        floor(({stop_hits} / CAST({n_tok} AS DOUBLE)) * 1e6 + 0.5) / 1e6
+            AS stop_r,
+        floor(({n_distinct} / CAST({n_tok} AS DOUBLE)) * 1e6 + 0.5) / 1e6
+            AS dist_r
+    FROM documents
+)
+"""
+
+_GOPHER_TAIL = """
+SELECT rule, n_pass, n_docs - n_pass AS n_fail,
+       floor((CAST(n_pass AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6
+           AS pass_rate
+FROM (
+    SELECT 'token_count_20_100k' AS rule, CAST(pass_len AS BIGINT) AS n_pass,
+           CAST(n_docs AS BIGINT) AS n_docs FROM {rel}
+    UNION ALL
+    SELECT 'mean_word_len_3_10', CAST(pass_mwl AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM {rel}
+    UNION ALL
+    SELECT 'stopword_ratio_ge_5pct', CAST(pass_stop AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM {rel}
+    UNION ALL
+    SELECT 'distinct_ratio_gt_20pct', CAST(pass_rep AS BIGINT),
+           CAST(n_docs AS BIGINT) FROM {rel}
+)
+ORDER BY rule
+"""
+
+
+def _gopher_feats_sql(spark_side: bool) -> str:
+    tok = _S_TOK if spark_side else _D_TOK
+    if spark_side:
+        n_tok = f"size({tok})"
+        sum_len = (
+            f"CAST(aggregate(transform({tok}, x -> length(x)), 0,"
+            f" (acc, v) -> acc + v) AS DOUBLE)"
+        )
+        stop_hits = (
+            "CAST(aggregate(transform(" + tok + ", t -> CASE WHEN t IN "
+            "('the', 'a', 'of', 'and', 'to', 'in', 'is') THEN 1 ELSE 0 END), "
+            "0, (acc, v) -> acc + v) AS DOUBLE)"
+        )
+        n_distinct = f"CAST(size(array_distinct({tok})) AS DOUBLE)"
+    else:
+        n_tok = f"CAST(len({tok}) AS INT)"
+        sum_len = f"CAST(list_sum(list_transform({tok}, x -> length(x))) AS DOUBLE)"
+        stop_hits = (
+            "CAST(list_sum(list_transform(" + tok + ", t -> CASE WHEN t IN "
+            "('the', 'a', 'of', 'and', 'to', 'in', 'is') THEN 1 ELSE 0 END)) "
+            "AS DOUBLE)"
+        )
+        n_distinct = f"CAST(len(list_distinct({tok})) AS DOUBLE)"
+    return (
+        _GOPHER_FEATS
+        .replace("{n_tok}", n_tok)
+        .replace("{sum_len}", sum_len)
+        .replace("{stop_hits}", stop_hits)
+        .replace("{n_distinct}", n_distinct)
+    )
+
+
+_GOPHER_DUCK_SQL = (
+    f"WITH census AS ({_gopher_feats_sql(False)})\n"
+    + _GOPHER_TAIL.replace("{rel}", "census")
+)
+
+
+@register("quality_gopher_rules", oracle=_GOPHER_DUCK_SQL)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule pass/fail census for a Gopher-style filter suite."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_gopher_feats_sql(True)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("gopher_census")
+    return spark.sql(_GOPHER_TAIL.replace("{rel}", "gopher_census"))

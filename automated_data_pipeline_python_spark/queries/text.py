@@ -332,3 +332,36 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             _S_TOK, " LATERAL VIEW explode(w) t AS token", spark_hash60
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-language recall
+# ---------------------------------------------------------------------------
+# The eval that tells you whether the classifier above is safe to gate
+# on: label × prediction cell counts plus per-actual-language recall.
+# Wraps the language-ID relation (same single corpus scan — the
+# per-doc battery collapses to |langs|² cells map-side before the tiny
+# final aggregation).
+
+
+def _lang_confusion_sql(tok: str, hits_fn) -> str:
+    return f"""
+WITH preds AS ({_langid_sql(tok, hits_fn)})
+SELECT actual_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       floor((CAST(count(*) AS DOUBLE)
+              / sum(count(*)) OVER (PARTITION BY actual_lang))
+             * 1e6 + 0.5) / 1e6 AS recall_share
+FROM preds
+GROUP BY actual_lang, predicted_lang
+ORDER BY actual_lang, predicted_lang
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=_lang_confusion_sql(_D_TOK, duck_stopword_hits),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix with per-actual-language recall."""
+    return _docs_sql(spark, sf_dir, _lang_confusion_sql(_S_TOK, spark_stopword_hits))
