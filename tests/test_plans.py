@@ -280,3 +280,32 @@ def test_runtime_bloom_filter_join_pruning_available(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_retrieval_and_drift_additions_python_free(spark):
+    """The session-3 retrieval/drift/curation-eval queries are pure
+    Catalyst plans — no Python boundary anywhere."""
+    for name in (
+        "text_bm25_ranking",
+        "text_inverted_postings",
+        "embedding_hard_negatives",
+        "dq_benford_first_digit",
+        "events_mad_outliers",
+        "corpus_source_kl_divergence",
+        "dq_mutual_information",
+        "events_psi_value_drift",
+        "lang_id_confusion",
+        "sample_importance_dsir",
+        "quality_gopher_rules",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_bm25_and_dsir_topk_are_distributed(spark):
+    """Both top-k selections must compile to TakeOrderedAndProject
+    (per-partition top-k + merge); the rank window is allowed only
+    AFTER the LIMIT, where it orders k rows, never the scored corpus."""
+    for name in ("text_bm25_ranking", "sample_importance_dsir"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in r.text, name
