@@ -1030,3 +1030,94 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _semantic_contam_tail(_SPARK_COS)
     )
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation recall
+# ---------------------------------------------------------------------------
+# The modern embedding-serving question: how much recall does keeping
+# only the first d dimensions lose? (MRL-trained models pack the
+# signal front-first; serving at d=16 quarters memory and bandwidth.)
+# Per truncation d ∈ {16, 32}: exact top-10 by truncated cosine vs
+# the full-dimension top-10 truth, per-query overlap. Same broadcast-
+# query-set × corpus shape as the other evals — the truncated scorer
+# reads the SAME scan (slice() is a map-side projection), so the eval
+# costs two extra candidate rankings, never extra corpus passes.
+
+_TRUNC_DIMS = (16, 32)
+
+_TRUNC_TAIL = """
+t{d} AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           floor((({dot}) / (a.nrm{d} * b.nrm{d})) * 1e6 + 0.5) / 1e6 AS cos
+    FROM emb_t a JOIN emb_t b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {nq}
+),
+r{d} AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM t{d}
+),
+rec{d} AS (
+    SELECT 'dim{d}' AS method, e.query_id, CAST({k} AS INT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           floor((count(a.neighbor_id) / CAST({k} AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS recall
+    FROM exact e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM r{d} WHERE rnk <= {k}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+"""
+
+
+def _trunc_sql(spark_side: bool) -> str:
+    if spark_side:
+        emb_t_cols = ", ".join(
+            f"slice(embedding, 1, {d}) AS e{d}, "
+            f"sqrt(aggregate(transform(slice(embedding, 1, {d}),"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm{d}"
+            for d in _TRUNC_DIMS
+        )
+        dots = {
+            d: (
+                f"aggregate(zip_with(a.e{d}, b.e{d},"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            for d in _TRUNC_DIMS
+        }
+        knn = _KNN_SPARK_SQL
+    else:
+        emb_t_cols = ", ".join(
+            f"embedding[1:{d}] AS e{d}, "
+            f"sqrt(list_dot_product(embedding[1:{d}]::DOUBLE[],"
+            f" embedding[1:{d}]::DOUBLE[])) AS nrm{d}"
+            for d in _TRUNC_DIMS
+        )
+        dots = {
+            d: f"list_dot_product(a.e{d}::DOUBLE[], b.e{d}::DOUBLE[])"
+            for d in _TRUNC_DIMS
+        }
+        knn = _KNN_DUCK_SQL
+    parts = [
+        f"WITH exact AS ({knn}),",
+        f"emb_t AS (SELECT vec_id, {emb_t_cols} FROM embeddings),",
+        ",\n".join(
+            _TRUNC_TAIL.format(d=d, dot=dots[d], nq=_N_QUERIES, k=_TOP_K)
+            for d in _TRUNC_DIMS
+        ),
+        "SELECT * FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM rec{d}" for d in _TRUNC_DIMS)
+        + ") ORDER BY method, query_id",
+    ]
+    return "\n".join(parts)
+
+
+@register("ann_dim_truncation_recall", oracle=_trunc_sql(False))
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of dimension-truncated cosine (d=16, 32) vs full-dim
+    truth — the Matryoshka serving trade-off, measured."""
+    return _emb_sql(spark, sf_dir, _trunc_sql(True))
