@@ -444,3 +444,104 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust z-scores per (event_type, day) with |z|>3 flags."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_mad_sql("date_format(d, 'yyyy-MM-dd')", "percentile"))
+
+
+# ---------------------------------------------------------------------------
+# Bitmap retention (week-mask bit_or — the no-self-join retention)
+# ---------------------------------------------------------------------------
+# events_retention_cohorts builds the cohort × offset matrix with a
+# join; this is the operator you run when users number 10^9: each
+# user's activity compresses to ONE bigint week-bitmask in a single
+# bit_or aggregation (map-side partials — no shuffle of raw events),
+# and every week-over-week retention cell is popcount arithmetic on
+# that mask. No self-join, no cohort join; the per-user relation is
+# the only shuffle.
+
+
+def _bitmap_retention_sql(week_idx: str) -> str:
+    return f"""
+WITH marks AS (
+    SELECT user_id, bit_or(CAST(1 AS BIGINT) << wk) AS mask
+    FROM (
+        SELECT e.user_id,
+               CAST({week_idx} AS INT) AS wk
+        FROM events e
+        CROSS JOIN (SELECT min(CAST(ts AS DATE)) AS d0 FROM events) b
+    )
+    GROUP BY user_id
+),
+weeks AS (
+    SELECT wk FROM (
+        SELECT DISTINCT CAST({week_idx} AS INT) AS wk
+        FROM events e
+        CROSS JOIN (SELECT min(CAST(ts AS DATE)) AS d0 FROM events) b
+    )
+)
+SELECT w.wk AS week,
+       CAST(sum(CASE WHEN (mask >> w.wk) & 1 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN (mask >> w.wk) & 1 = 1
+                      AND (mask >> (w.wk + 1)) & 1 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS retained_next,
+       floor((CAST(sum(CASE WHEN (mask >> w.wk) & 1 = 1
+                             AND (mask >> (w.wk + 1)) & 1 = 1
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN (mask >> w.wk) & 1 = 1 THEN 1 ELSE 0 END))
+             * 1e6 + 0.5) / 1e6 AS retention_rate
+FROM marks CROSS JOIN weeks w
+GROUP BY w.wk
+ORDER BY w.wk
+"""
+
+
+@register(
+    "events_bitmap_retention",
+    oracle=_bitmap_retention_sql(
+        "date_diff('day', b.d0, CAST(e.ts AS DATE)) // 7"
+    ),
+)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention from per-user week bitmasks (bit_or)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _bitmap_retention_sql(
+            "CAST(floor(datediff(CAST(e.ts AS DATE), b.d0) / 7) AS INT)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (day-of-week × hour-of-day seasonal indices)
+# ---------------------------------------------------------------------------
+# The weekly-rhythm fingerprint: share of activity per (dow, hour)
+# cell and its index against the uniform 1/168 expectation. One scan
+# → 168-cell aggregate; engines disagree on dayofweek numbering
+# (Spark Sunday=1, DuckDB Sunday=0 — the documented divergence), so
+# each side remaps to Monday=0 explicitly.
+
+
+def _seasonality_sql(dow0: str, hr: str) -> str:
+    return f"""
+WITH cells AS (
+    SELECT CAST({dow0} AS INT) AS dow, CAST({hr} AS INT) AS hour,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cells)
+SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
+       floor((n / t.t) * 1e6 + 0.5) / 1e6 AS share,
+       floor(((n / t.t) * 168e0) * 1e6 + 0.5) / 1e6 AS seasonal_index
+FROM cells CROSS JOIN tot t
+ORDER BY dow, hour
+"""
+
+
+@register(
+    "events_seasonality_profile",
+    oracle=_seasonality_sql("(dayofweek(ts) + 6) % 7", "hour(ts)"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day-of-week × hour) activity shares and seasonal indices."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_seasonality_sql("(dayofweek(ts) + 5) % 7", "hour(ts)"))

@@ -378,3 +378,102 @@ def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _inc_merge_sql(f"(({old}) UNION ALL ({delta})) p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: bucketed Lorenz curve + Gini
+# ---------------------------------------------------------------------------
+# "What share of revenue do the top 5% of customers carry?" answered
+# WITHOUT a global per-customer rank (a 10^9-row single-partition sort
+# at scale). The RFM/PSI cutoff pattern instead: 19 ventile cutoffs of
+# per-customer revenue in one aggregation (a one-row broadcast), each
+# customer lands in a bucket by indicator-sum comparison (map-only),
+# and the Lorenz curve + trapezoid Gini run on the 20-row bucket
+# relation. Within-bucket uniformity makes the Gini bucketed (documented,
+# deterministic) — the concentration signal at 5% resolution, at any
+# customer count. Revenue stays on the exact-sum 2dp grid end-to-end;
+# shares snap to 1e-6.
+
+_PARETO_CUT_COLS = ",\n        ".join(
+    "floor(({q}(revenue, " + f"{i} / 20e0)) * 1e6 + 0.5) / 1e6 AS c{i}"
+    for i in range(1, 20)
+)
+_PARETO_BUCKET = " + ".join(
+    f"(CASE WHEN p.revenue > cuts.c{i} THEN 1 ELSE 0 END)" for i in range(1, 20)
+)
+
+_PARETO_BODY = f"""
+WITH per_cust AS (
+    SELECT o_custkey, {{rev}} AS revenue
+    FROM orders GROUP BY o_custkey
+),
+cuts AS (
+    SELECT {_PARETO_CUT_COLS}
+    FROM per_cust
+),
+buckets AS (
+    SELECT CAST({_PARETO_BUCKET} AS INT) AS bucket,
+           count(*) AS n_cust,
+           {{rev_sum}} AS rev
+    FROM per_cust p CROSS JOIN cuts
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_cust) AS DOUBLE) AS nc, CAST(sum(rev) AS DOUBLE) AS r
+    FROM buckets
+),
+lorenz AS (
+    SELECT b.bucket, b.n_cust, b.rev,
+           CAST(sum(b.n_cust) OVER w AS DOUBLE) / t.nc AS cum_pop,
+           CAST(sum(b.rev) OVER w AS DOUBLE) / t.r AS cum_rev,
+           CAST(b.n_cust AS DOUBLE) / t.nc AS width
+    FROM buckets b CROSS JOIN tot t
+    WINDOW w AS (ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+),
+gini AS (
+    SELECT floor((1e0 - sum(seg)) * 1e6 + 0.5) / 1e6 AS g
+    FROM (
+        SELECT width * (cum_rev
+               + coalesce(lag(cum_rev) OVER (ORDER BY bucket), 0e0)) AS seg
+        FROM lorenz
+    )
+)
+SELECT l.bucket,
+       CAST(l.n_cust AS BIGINT) AS n_customers,
+       l.rev AS bucket_revenue,
+       floor((l.cum_pop) * 1e6 + 0.5) / 1e6 AS cum_pop_share,
+       floor((l.cum_rev) * 1e6 + 0.5) / 1e6 AS cum_rev_share,
+       g.g AS gini
+FROM lorenz l CROSS JOIN gini g
+ORDER BY l.bucket
+"""
+
+
+def _pareto_sql(q: str, rev: str, rev_sum: str) -> str:
+    return (
+        _PARETO_BODY
+        .replace("{q}", q)
+        .replace("{rev}", rev)
+        .replace("{rev_sum}", rev_sum)
+    )
+
+
+@register(
+    "orders_pareto_concentration",
+    oracle=_pareto_sql(
+        "quantile_cont",
+        sql_exact_sum("o_totalprice", 2),
+        sql_exact_sum("p.revenue", 2),
+    ),
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed Lorenz curve of customer revenue + trapezoid Gini."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _pareto_sql(
+            "percentile",
+            sql_exact_sum("o_totalprice", 2),
+            sql_exact_sum("p.revenue", 2),
+        )
+    )
