@@ -400,3 +400,49 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
             "n",
         )
     )
+
+
+def mad_baselines(events: DataFrame) -> DataFrame:
+    """Frozen per-type median/MAD baselines for robust stream scoring.
+
+    Computed batch-side over a reference window (exact interpolated
+    percentiles — tiny result: one row per event type). Production
+    refreshes these on a schedule; the stream scores against the
+    FROZEN values, which is what keeps the streaming side stateless.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 5e-1)").alias("med")
+    )
+    return (
+        events.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 5e-1)").alias("mad"),
+        )
+    )
+
+
+def mad_alarm(events: DataFrame, baselines: DataFrame) -> DataFrame:
+    """Robust z-score alarm: score each event against frozen baselines.
+
+    Map-only on the stream — a broadcast join against the per-type
+    baseline row (event-type cardinality is fixed-small at every
+    scale, so the hint is safe) and per-row arithmetic; no state, no
+    shuffle, works identically in batch and streaming. z snaps to the
+    1e-6 grid before the |z| > 3.5 flag, matching the batch
+    events_mad_outliers discipline.
+    """
+    z = F.expr("floor((6745e-4 * (value - med) / mad) * 1e6 + 0.5) / 1e6")
+    return (
+        events.join(F.broadcast(baselines), "event_type")
+        .where(F.col("mad") != 0)
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            z.alias("robust_z"),
+            (F.abs(z) > F.lit(3.5)).cast("int").alias("alarm"),
+        )
+    )

@@ -513,3 +513,27 @@ def test_ohlc_stream_equals_batch_and_catalog_twin(spark, events_dir):
         catalog.select("hour", "event_type", "open", "high", "low", "close", "n"),
         cols,
     )
+
+
+def test_mad_alarm_stream_equals_batch(spark, events_dir):
+    """The frozen-baseline robust-z scorer is stateless map-only logic;
+    the stream run must match the batch run row-for-row, and flagged
+    rows must be exactly the |z| > 3.5 set."""
+    from automated_data_pipeline_python_spark.streaming.events import (
+        mad_alarm,
+        mad_baselines,
+    )
+
+    batch_events = load(spark, SF_DIR, "events")
+    base = mad_baselines(batch_events)
+    base.localCheckpoint(eager=True)  # freeze before both runs
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(mad_alarm(stream, base), "t_mad", output_mode="append")
+    want = mad_alarm(batch_events, base)
+    cols = ["event_id", "event_type", "value", "robust_z", "alarm"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    flagged = want.where("alarm = 1").count()
+    by_pred = want.where("abs(robust_z) > 3.5").count()
+    assert flagged == by_pred
