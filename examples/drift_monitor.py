@@ -1,0 +1,66 @@
+"""Production drift/quality monitoring: the engine's monitors composed.
+
+The nightly report a 100 TB ingestion pipeline runs before promoting a
+new batch, at test scale:
+
+1. VOCAB DRIFT   per-source KL divergence vs the corpus distribution
+2. VALUE DRIFT   PSI of the metric distribution, early vs late window
+3. OUTLIERS      median/MAD robust z-scores on the daily event series
+4. INTEGRITY     Benford first-digit conformance of order amounts
+5. DEPENDENCY    categorical mutual-information matrix
+6. FILTER HEALTH Gopher-rule pass/fail census on the document corpus
+
+Every section is a catalog operator with a DuckDB oracle; this script
+chains them over the same testdata tables and prints a one-line alarm
+summary per section plus the rows that trip thresholds.
+Run: ``python examples/drift_monitor.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from automated_data_pipeline_python_spark.queries import QUERIES
+from automated_data_pipeline_python_spark.session import get_spark
+
+# (section, catalog query, alarm predicate over the result DataFrame)
+SECTIONS = [
+    ("vocab_drift", "corpus_source_kl_divergence", "kl_nats > 0.05"),
+    ("value_drift", "events_psi_value_drift", "psi_term > 0.02"),
+    ("outliers", "events_mad_outliers", "is_outlier = 1"),
+    ("integrity", "dq_benford_first_digit", "abs_dev > 0.05"),
+    ("dependency", "dq_mutual_information", "nmi > 0.5"),
+    ("filter_health", "quality_gopher_rules", "pass_rate < 0.5"),
+]
+
+
+def run(spark, sf_dir: str) -> dict:
+    report: dict[str, dict] = {}
+    for section, query, alarm_pred in SECTIONS:
+        df = QUERIES[query].fn(spark, sf_dir)
+        flagged = df.filter(alarm_pred)
+        n_flagged = flagged.count()
+        report[section] = {
+            "query": query,
+            "rows": df.count(),
+            "alarms": n_flagged,
+        }
+        status = "ALARM" if n_flagged else "ok"
+        print(f"[{status:5s}] {section:14s} {query}: "
+              f"{n_flagged} row(s) past threshold")
+        if n_flagged:
+            flagged.show(5, truncate=False)
+    return report
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    session = get_spark(app_name="drift-monitor")
+    try:
+        out = run(session, sf)
+        total = sum(s["alarms"] for s in out.values())
+        print(f"sections={len(out)} total_alarms={total}")
+    finally:
+        session.stop()

@@ -33,3 +33,16 @@ def test_tokenizer_report_sections(spark):
     slope = report["zipf_fit"].collect()[0]
     assert slope.n_ranks > 0 and slope.zipf_slope < 0
     assert report["bpe_merge_candidates"].count() == 20
+
+
+def test_drift_monitor_sections(spark):
+    """Every monitoring section runs, reports row counts, and applies
+    its alarm predicate without error."""
+    from examples.drift_monitor import SECTIONS, run
+    from tests.conftest import SF_SMOKE
+
+    report = run(spark, SF_SMOKE)
+    assert set(report) == {s for s, _, _ in SECTIONS}
+    for section, body in report.items():
+        assert body["rows"] > 0, section
+        assert body["alarms"] >= 0, section
