@@ -111,3 +111,101 @@ def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("rnk", "term", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch in pure SQL (deterministic, hence oracle-checkable)
+# ---------------------------------------------------------------------------
+# The frequency companion to HLL: a d×w counter grid where each term
+# increments one bucket per hash row and its estimate is the MIN over
+# rows — memory is d·w counters per partition regardless of vocabulary,
+# grids merge by cell-wise addition (union == sum), and estimates only
+# ever OVER-count (collision bias), never under. Because the bucket
+# hashes derive from the portable sha-based hash, the whole pipeline is
+# deterministic and the DuckDB oracle checks it end-to-end — unlike the
+# engine-internal HLL registers above. The report: exact count vs CM
+# estimate for the exact top-10 terms, with the collision overestimate
+# shown honestly (the d/w tuning signal).
+
+from automated_data_pipeline_python_spark.functions.text import (  # noqa: E402
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_hash60,
+    spark_hash60,
+)
+
+_CM_D = 4     # hash rows
+_CM_W = 256   # buckets per row
+
+_S_TOKENS = SPARK_TOKENS.format(col="text")
+_D_TOKENS = DUCK_TOKENS.format(col="text")
+
+
+def _cm_tail(hash60, concat_key: str) -> str:
+    # bucket(r, term): portable hash of ('cm', r, term) mod w.
+    bucket = f"{hash60(concat_key)} % {_CM_W}"
+    return f"""
+rows_ AS ({{series}}),
+cells AS (
+    SELECT t.r, {bucket} AS bucket, count(*) AS c
+    FROM tok
+    CROSS JOIN rows_ t
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT term, count(*) AS n FROM tok GROUP BY term
+),
+top AS (
+    SELECT term, n FROM exact ORDER BY n DESC, term LIMIT 10
+),
+est AS (
+    SELECT top.term, top.n,
+           min(cells.c) AS cm_estimate
+    FROM top
+    CROSS JOIN rows_ t
+    JOIN cells ON cells.r = t.r
+              AND cells.bucket = ({{bucket_top}})
+    GROUP BY top.term, top.n
+)
+SELECT term,
+       CAST(n AS BIGINT) AS exact_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - n AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_count DESC, term
+"""
+
+
+def _cm_sql(spark_side: bool) -> str:
+    if spark_side:
+        tok = f"SELECT tok AS term FROM (SELECT explode({_S_TOKENS}) AS tok FROM documents)"
+        series = "SELECT explode(sequence(0, {d})) AS r".format(d=_CM_D - 1)
+        h = spark_hash60
+        key = "concat('cm', CAST(t.r AS STRING), ':', term)"
+        key_top = "concat('cm', CAST(t.r AS STRING), ':', top.term)"
+    else:
+        tok = f"SELECT tok AS term FROM (SELECT unnest({_D_TOKENS}) AS tok FROM documents)"
+        series = (
+            "SELECT CAST(unnest(generate_series(0, {d})) AS BIGINT) AS r"
+        ).format(d=_CM_D - 1)
+        h = duck_hash60
+        key = "concat('cm', CAST(t.r AS VARCHAR), ':', term)"
+        key_top = "concat('cm', CAST(t.r AS VARCHAR), ':', top.term)"
+    tail = _cm_tail(h, key).replace(
+        "{bucket_top}", f"{h(key_top)} % {_CM_W}"
+    ).replace("{series}", series)
+    return f"WITH tok AS ({tok}),\n{tail}"
+
+
+@register("sketch_count_min_terms", oracle=_cm_sql(False))
+def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the top-10 terms.
+
+    Scale: the grid build is one hash-agg over (r, bucket) — d·w cells
+    per partition, merged additively by the shuffle (map-side combine
+    IS the sketch merge). The token stream is scanned once for the
+    grid and once for the exact truth this eval needs; a production
+    run keeps only the first pass.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_cm_sql(True))

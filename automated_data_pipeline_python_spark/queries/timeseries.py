@@ -545,3 +545,56 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day-of-week × hour) activity shares and seasonal indices."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_seasonality_sql("(dayofweek(ts) + 5) % 7", "hour(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing + forecast (recursive CTE)
+# ---------------------------------------------------------------------------
+# Double exponential smoothing: level l_t = α·x_t + (1−α)(l_{t−1} +
+# b_{t−1}), trend b_t = γ(l_t − l_{t−1}) + (1−γ)b_{t−1}; the h-step
+# forecast is l + h·b. Same reduced-relation recursion as the EWMA/
+# CUSUM family (the corpus-sized pass is the daily count aggregation;
+# the recursion walks days × types). Each step's level/trend snap to
+# the 1e-6 grid (the CUSUM discipline) so state cannot accumulate a
+# cross-engine ulp drift; α=0.3, γ=0.1 as e-notation DOUBLE literals.
+
+_HOLT_BODY = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, d, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i
+    FROM daily
+),
+holt(event_type, i, d, n, l, b) AS (
+    SELECT event_type, i, d, n, CAST(n AS DOUBLE), 0e0
+    FROM idx WHERE i = 1
+    UNION ALL
+    SELECT idx.event_type, idx.i, idx.d, idx.n,
+           floor((3e-1 * idx.n + 7e-1 * (h.l + h.b)) * 1e6 + 0.5) / 1e6,
+           floor((1e-1 * ((3e-1 * idx.n + 7e-1 * (h.l + h.b)) - h.l)
+                  + 9e-1 * h.b) * 1e6 + 0.5) / 1e6
+    FROM holt h
+    JOIN idx ON idx.event_type = h.event_type AND idx.i = h.i + 1
+)
+SELECT event_type, {fmt_day} AS day, CAST(n AS BIGINT) AS n_events,
+       l AS level, b AS trend,
+       floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast_next,
+       floor((l + 7e0 * b) * 1e6 + 0.5) / 1e6 AS forecast_7d
+FROM holt
+"""
+
+
+@register(
+    "events_holt_forecast",
+    oracle=_HOLT_BODY.replace("{fmt_day}", "strftime(d, '%Y-%m-%d')"),
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of daily counts with 1/7-day forecasts."""
+    _raise_recursion_limits(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HOLT_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')"))
