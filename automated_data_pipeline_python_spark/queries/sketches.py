@@ -209,3 +209,123 @@ def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_cm_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter in pure SQL (cross-corpus membership at scale)
+# ---------------------------------------------------------------------------
+# "Which of today's keys did history already see?" without shuffling
+# history against the batch: history's keys compress to a 504-bit Bloom
+# bitmask (8 bigint words x 63 usable bits, k=3 portable hashes), built in ONE grouped
+# bit_or aggregation and broadcast to the batch side, where membership
+# is a bit test. Bloom positives (and only those) would then pay the
+# exact verification join; the report quantifies exactly that saving —
+# batch size, bloom positives, true members, and the false-positive
+# count the k/m tuning controls. Deterministic hashes ⇒ the DuckDB
+# oracle checks the sketch end-to-end, like the Count-Min above.
+# Here "history" = the early-half users of the event log, "batch" =
+# the late half.
+
+_BLOOM_K = 3     # hash rows
+_BLOOM_BITS = 504      # 8 words x 63 usable bits
+_BLOOM_WORD_BITS = 63  # 63, not 64: 1<<63 overflows DuckDB's signed
+                       # BIGINT (and wraps negative in Java) - the top
+                       # bit of every word stays unused by design
+
+
+def _bloom_sql(spark_side: bool) -> str:
+    if spark_side:
+        h = spark_hash60
+        key = "concat('bl', CAST(j.j AS STRING), ':', CAST(user_id AS STRING))"
+        series = f"SELECT explode(sequence(0, {_BLOOM_K - 1})) AS j"
+        half = "2 * ({us0}) < ({span})".format(
+            us0="timestampdiff(MICROSECOND, b.t0, ts)",
+            span="timestampdiff(MICROSECOND, b.t0, b.t1)",
+        )
+        shift = "shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 63 AS INT))"
+    else:
+        h = duck_hash60
+        key = "concat('bl', CAST(j.j AS VARCHAR), ':', CAST(user_id AS VARCHAR))"
+        series = (
+            f"SELECT CAST(unnest(generate_series(0, {_BLOOM_K - 1})) AS BIGINT) AS j"
+        )
+        half = "2 * ({us0}) < ({span})".format(
+            us0="date_diff('microsecond', b.t0, ts)",
+            span="date_diff('microsecond', b.t0, b.t1)",
+        )
+        shift = "(CAST(1 AS BIGINT) << CAST(bitpos % 63 AS INT))"
+    return f"""
+WITH bounds AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+hist_keys AS (
+    SELECT DISTINCT user_id FROM events CROSS JOIN bounds b WHERE {half}
+),
+batch_keys AS (
+    -- late-half users plus a shifted synthetic cohort guaranteed
+    -- unseen by history: the fixture's users are all active in both
+    -- halves, so without it every row would be a true member and the
+    -- false-positive column could never exercise the k/m trade-off.
+    SELECT DISTINCT user_id FROM events CROSS JOIN bounds b WHERE NOT ({half})
+    UNION
+    SELECT DISTINCT user_id + 1000000 AS user_id
+    FROM events CROSS JOIN bounds b WHERE NOT ({half})
+),
+hist_bits AS (
+    SELECT DISTINCT ({h(key)}) % {_BLOOM_BITS} AS bitpos
+    FROM hist_keys CROSS JOIN ({series}) j
+),
+bloom AS (
+    SELECT CAST(bitpos / 63 AS INT) AS word,
+           CAST({{bor}} AS BIGINT) AS bits
+    FROM hist_bits
+    GROUP BY 1
+),
+batch_bits AS (
+    SELECT user_id, ({h(key)}) % {_BLOOM_BITS} AS bitpos
+    FROM batch_keys CROSS JOIN ({series}) j
+),
+tested AS (
+    SELECT bb.user_id,
+           CAST(sum(CASE WHEN (bl.bits & {shift.replace('bitpos', 'bb.bitpos')}) != 0
+                    THEN 1 ELSE 0 END) AS INT) AS hits
+    FROM batch_bits bb
+    JOIN bloom bl ON bl.word = CAST(bb.bitpos / 63 AS INT)
+    GROUP BY bb.user_id
+),
+verdicts AS (
+    SELECT t.user_id,
+           CASE WHEN t.hits = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_positive,
+           CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END AS truly_seen
+    FROM tested t LEFT JOIN hist_keys h ON t.user_id = h.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_batch_keys,
+       CAST(sum(bloom_positive) AS BIGINT) AS bloom_positives,
+       CAST(sum(truly_seen) AS BIGINT) AS true_members,
+       CAST(sum(CASE WHEN bloom_positive = 1 AND truly_seen = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+       CAST(sum(CASE WHEN bloom_positive = 0 AND truly_seen = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+FROM verdicts
+"""
+
+
+_BLOOM_SPARK_SQL = _bloom_sql(True).replace(
+    "{bor}", "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 63 AS INT)))"
+)
+_BLOOM_DUCK_SQL = _bloom_sql(False).replace(
+    "{bor}", "bit_or(CAST(1 AS BIGINT) << CAST(bitpos % 63 AS INT))"
+)
+
+
+@register("sketch_bloom_prefilter", oracle=_BLOOM_DUCK_SQL)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership prefilter report: late-half user keys tested
+    against a 512-bit, k=3 Bloom mask of the early half.
+
+    Scale: the Bloom table is 8 rows regardless of history size (one
+    grouped bit_or — map-side partials merge masks by OR); the batch
+    side never joins history directly, only the broadcast mask. The
+    false_negatives column MUST be 0 (Bloom's contract); positives
+    quantify what the exact verification join would still pay.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BLOOM_SPARK_SQL)
