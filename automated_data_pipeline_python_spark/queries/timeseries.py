@@ -455,7 +455,9 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit_or aggregation (map-side partials — no shuffle of raw events),
 # and every week-over-week retention cell is popcount arithmetic on
 # that mask. No self-join, no cohort join; the per-user relation is
-# the only shuffle.
+# the only shuffle. Documented bound: one BIGINT mask covers 63 weeks
+# (~14 months) — longer horizons split into word arrays exactly like
+# sketch_bloom_prefilter's 8×63-bit grid.
 
 
 def _bitmap_retention_sql(week_idx: str) -> str:
@@ -558,7 +560,7 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 1e-6 grid (the CUSUM discipline) so state cannot accumulate a
 # cross-engine ulp drift; α=0.3, γ=0.1 as e-notation DOUBLE literals.
 
-_HOLT_BODY = """
+_HOLT_CTES = """
 WITH RECURSIVE daily AS (
     SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
     FROM events
@@ -581,6 +583,9 @@ holt(event_type, i, d, n, l, b) AS (
     FROM holt h
     JOIN idx ON idx.event_type = h.event_type AND idx.i = h.i + 1
 )
+"""
+
+_HOLT_BODY = _HOLT_CTES + """
 SELECT event_type, {fmt_day} AS day, CAST(n AS BIGINT) AS n_events,
        l AS level, b AS trend,
        floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast_next,
@@ -598,3 +603,132 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_HOLT_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')"))
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward forecast backtest (one-step MAE / MAPE per type)
+# ---------------------------------------------------------------------------
+# The evaluation that decides whether the smoother above is deployable:
+# each day's forecast_next meets the NEXT day's actual (lead over the
+# same recursion output — no second pass over the facts), summarized as
+# per-type MAE and MAPE. Errors land on the 1e-6 grid row-wise (the
+# forecasts already do), so the order-independent exact-sum path keeps
+# the averages hash-stable.
+
+_BACKTEST_TAIL = """,
+forecasts AS (
+    SELECT event_type, i,
+           floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast_next
+    FROM holt
+),
+met AS (
+    SELECT f.event_type,
+           floor(abs(f.forecast_next - idx.n) * 1e6 + 0.5) / 1e6 AS abs_err,
+           floor((abs(f.forecast_next - idx.n) / idx.n) * 1e6 + 0.5) / 1e6
+               AS ape
+    FROM forecasts f
+    JOIN idx ON idx.event_type = f.event_type AND idx.i = f.i + 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_forecasts,
+       floor(({sum_abs} / count(*)) * 1e6 + 0.5) / 1e6 AS mae,
+       floor(({sum_ape} / count(*)) * 1e6 + 0.5) / 1e6 AS mape
+FROM met
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _backtest_sql(sum_abs: str, sum_ape: str) -> str:
+    return _HOLT_CTES.rstrip() + (
+        _BACKTEST_TAIL
+        .replace("{sum_abs}", sum_abs)
+        .replace("{sum_ape}", sum_ape)
+    )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=_backtest_sql(
+        sql_exact_sum("abs_err", 6), sql_exact_sum("ape", 6)
+    ),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step walk-forward MAE/MAPE of the Holt forecaster, per type."""
+    _raise_recursion_limits(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _backtest_sql(sql_exact_sum("abs_err", 6), sql_exact_sum("ape", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (linear + time-decay, journey-segmented)
+# ---------------------------------------------------------------------------
+# The last-touch model above gives the whole conversion to one touch;
+# multi-touch splits it across EVERY touch in the journey — the
+# touches since the user's previous purchase. Journey segmentation is
+# a running purchase-count window (one user_id shuffle); the
+# (purchase × its journey's touches) pairs join on (user, journey), so
+# pair fan-out is bounded by journey length, never a user's whole
+# history. Two weightings per pair: linear 1/n and half-life decay
+# 2^(-age_days/7) normalized per purchase. Per-pair contributions
+# snap to the 1e-6 grid, then the order-independent exact sums roll
+# up per channel.
+
+
+def _mta_sql(age_days: str) -> str:
+    return f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS j
+    FROM events
+),
+purchases AS (
+    SELECT user_id, coalesce(j, 0) AS j, ts AS p_ts, event_id AS p_id, value
+    FROM seq WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id, coalesce(j, 0) AS j, ts AS t_ts, event_type AS channel
+    FROM seq WHERE event_type != 'purchase'
+),
+pairs AS (
+    SELECT p.p_id, p.value, t.channel,
+           pow(5e-1, ({age_days}) / 7e0) AS decay
+    FROM purchases p
+    JOIN touches t ON t.user_id = p.user_id AND t.j = p.j
+    WHERE t.t_ts <= p.p_ts
+),
+weighted AS (
+    SELECT channel,
+           floor((value / count(*) OVER (PARTITION BY p_id))
+                 * 1e6 + 0.5) / 1e6 AS linear_contrib,
+           floor((value * decay / sum(decay) OVER (PARTITION BY p_id))
+                 * 1e6 + 0.5) / 1e6 AS decay_contrib
+    FROM pairs
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       {sql_exact_sum("linear_contrib", 6)} AS linear_value,
+       {sql_exact_sum("decay_contrib", 6)} AS decay_value
+FROM weighted
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register(
+    "events_multi_touch_attribution",
+    oracle=_mta_sql(
+        "CAST(date_diff('microsecond', t_ts, p_ts) AS DOUBLE) / 864e8"
+    ),
+)
+def events_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear and time-decay multi-touch revenue attribution per channel."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _mta_sql("CAST(timestampdiff(MICROSECOND, t_ts, p_ts) AS DOUBLE) / 864e8")
+    )
