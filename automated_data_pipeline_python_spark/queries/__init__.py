@@ -98,9 +98,18 @@ _PRIORITY = [
     "orders_cohort_ltv",         # cohort LTV curves (new, round 5)
     "warehouse_incremental_agg", # incremental MV maintenance (new, r5)
     # (a) new in round 5, session 3 (retrieval + drift families' first
-    # driver evidence; their siblings — inverted postings, hard
-    # negatives, Benford, MAD outliers, source-KL — are verified by
-    # tools/verify_driver.py this round and rotate into the r6 window)
+    # driver evidence). The session's other additions have no slot
+    # left and are verified by tools/verify_driver.py this round
+    # (VERIFY_FULL_r05 artifact) pending r6 window rotation:
+    # text_inverted_postings, embedding_hard_negatives,
+    # dq_benford_first_digit, events_mad_outliers,
+    # corpus_source_kl_divergence, lang_id_confusion,
+    # sample_importance_dsir, quality_gopher_rules,
+    # ann_dim_truncation_recall, events_bitmap_retention,
+    # events_seasonality_profile, orders_pareto_concentration,
+    # sketch_count_min_terms, sketch_bloom_prefilter,
+    # events_holt_forecast, events_forecast_backtest,
+    # events_multi_touch_attribution.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from automated_data_pipeline_python_spark.functions.text import (
     DUCK_TOKENS,
     SPARK_TOKENS,
+    duck_stopword_hits,
+    spark_stopword_hits,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load_scaled
@@ -338,20 +340,15 @@ def _gopher_feats_sql(spark_side: bool) -> str:
             f"CAST(aggregate(transform({tok}, x -> length(x)), 0,"
             f" (acc, v) -> acc + v) AS DOUBLE)"
         )
-        stop_hits = (
-            "CAST(aggregate(transform(" + tok + ", t -> CASE WHEN t IN "
-            "('the', 'a', 'of', 'and', 'to', 'in', 'is') THEN 1 ELSE 0 END), "
-            "0, (acc, v) -> acc + v) AS DOUBLE)"
-        )
+        # derive from the canonical LANG_STOPWORDS profile — a re-typed
+        # literal list would silently diverge from the langid operators
+        # if the profile is ever tuned
+        stop_hits = f"CAST({spark_stopword_hits(tok, 'en')} AS DOUBLE)"
         n_distinct = f"CAST(size(array_distinct({tok})) AS DOUBLE)"
     else:
         n_tok = f"CAST(len({tok}) AS INT)"
         sum_len = f"CAST(list_sum(list_transform({tok}, x -> length(x))) AS DOUBLE)"
-        stop_hits = (
-            "CAST(list_sum(list_transform(" + tok + ", t -> CASE WHEN t IN "
-            "('the', 'a', 'of', 'and', 'to', 'in', 'is') THEN 1 ELSE 0 END)) "
-            "AS DOUBLE)"
-        )
+        stop_hits = f"CAST({duck_stopword_hits(tok, 'en')} AS DOUBLE)"
         n_distinct = f"CAST(len(list_distinct({tok})) AS DOUBLE)"
     return (
         _GOPHER_FEATS

@@ -284,11 +284,16 @@ batch_bits AS (
     FROM batch_keys CROSS JOIN ({series}) j
 ),
 tested AS (
+    -- LEFT join: a bit position landing in a word history never set
+    -- has NO bloom row; it must count as a miss, not vanish from the
+    -- report (an inner join would silently drop keys whose positions
+    -- all fall in bloom-empty words on a sparse history).
     SELECT bb.user_id,
-           CAST(sum(CASE WHEN (bl.bits & {shift.replace('bitpos', 'bb.bitpos')}) != 0
+           CAST(sum(CASE WHEN (coalesce(bl.bits, 0)
+                               & {shift.replace('bitpos', 'bb.bitpos')}) != 0
                     THEN 1 ELSE 0 END) AS INT) AS hits
     FROM batch_bits bb
-    JOIN bloom bl ON bl.word = CAST(bb.bitpos / 63 AS INT)
+    LEFT JOIN bloom bl ON bl.word = CAST(bb.bitpos / 63 AS INT)
     GROUP BY bb.user_id
 ),
 verdicts AS (
@@ -319,7 +324,8 @@ _BLOOM_DUCK_SQL = _bloom_sql(False).replace(
 @register("sketch_bloom_prefilter", oracle=_BLOOM_DUCK_SQL)
 def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership prefilter report: late-half user keys tested
-    against a 512-bit, k=3 Bloom mask of the early half.
+    against a 504-bit (8 words x 63 usable bits), k=3 Bloom mask
+    of the early half.
 
     Scale: the Bloom table is 8 rows regardless of history size (one
     grouped bit_or — map-side partials merge masks by OR); the batch

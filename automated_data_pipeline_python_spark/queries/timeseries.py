@@ -455,9 +455,12 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit_or aggregation (map-side partials — no shuffle of raw events),
 # and every week-over-week retention cell is popcount arithmetic on
 # that mask. No self-join, no cohort join; the per-user relation is
-# the only shuffle. Documented bound: one BIGINT mask covers 63 weeks
-# (~14 months) — longer horizons split into word arrays exactly like
-# sketch_bloom_prefilter's 8×63-bit grid.
+# the only shuffle. Bound: one BIGINT mask covers weeks 0–62 (~14
+# months) and the wk <= 62 guard ENFORCES it — beyond 62 Spark's shift
+# would wrap mod 64 (silent aliasing) while DuckDB's << 63 errors, so
+# an unguarded long corpus would diverge, not just degrade. Longer
+# horizons split into word arrays exactly like sketch_bloom_prefilter's
+# 8×63-bit grid.
 
 
 def _bitmap_retention_sql(week_idx: str) -> str:
@@ -470,6 +473,7 @@ WITH marks AS (
         FROM events e
         CROSS JOIN (SELECT min(CAST(ts AS DATE)) AS d0 FROM events) b
     )
+    WHERE wk <= 62
     GROUP BY user_id
 ),
 weeks AS (
@@ -478,6 +482,7 @@ weeks AS (
         FROM events e
         CROSS JOIN (SELECT min(CAST(ts AS DATE)) AS d0 FROM events) b
     )
+    WHERE wk <= 62
 )
 SELECT w.wk AS week,
        CAST(sum(CASE WHEN (mask >> w.wk) & 1 = 1 THEN 1 ELSE 0 END)

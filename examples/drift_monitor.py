@@ -40,18 +40,23 @@ def run(spark, sf_dir: str) -> dict:
     report: dict[str, dict] = {}
     for section, query, alarm_pred in SECTIONS:
         df = QUERIES[query].fn(spark, sf_dir)
-        flagged = df.filter(alarm_pred)
-        n_flagged = flagged.count()
+        # Every monitor reduces to a small report relation, so execute
+        # ONCE and apply the alarm predicate driver-side — count()/
+        # filter().count()/show() would re-trigger the corpus job per
+        # call.
+        rows = df.collect()
+        flagged = [r for r in df.sparkSession.createDataFrame(
+            rows, df.schema).filter(alarm_pred).collect()]
         report[section] = {
             "query": query,
-            "rows": df.count(),
-            "alarms": n_flagged,
+            "rows": len(rows),
+            "alarms": len(flagged),
         }
-        status = "ALARM" if n_flagged else "ok"
+        status = "ALARM" if flagged else "ok"
         print(f"[{status:5s}] {section:14s} {query}: "
-              f"{n_flagged} row(s) past threshold")
-        if n_flagged:
-            flagged.show(5, truncate=False)
+              f"{len(flagged)} row(s) past threshold")
+        for r in flagged[:5]:
+            print("        ", r.asDict())
     return report
 
 

@@ -58,10 +58,9 @@ ROUND5_NEW = [
     "orders_cohort_ltv",
     "warehouse_incremental_agg",
     # session 3: retrieval + drift families' first driver evidence.
-    # Their siblings (text_inverted_postings, embedding_hard_negatives,
-    # dq_benford_first_digit, events_mad_outliers,
-    # corpus_source_kl_divergence) are full-catalog-replayed this round
-    # and rotate into the r6 window.
+    # The session's 17 other additions (see the deferred list in
+    # queries/__init__.py) are full-catalog-replayed this round
+    # (VERIFY_FULL_r05 artifact) and rotate into the r6 window.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",
@@ -78,11 +77,12 @@ ROUND5_TOUCHED = [
     "q16_part_supplier_relation",
 ]
 
-# Modules with no window slot this round: every query in them is
-# r1-r4 hash-green and unchanged in round 5; tools/verify_driver.py
-# replays the full catalog so a regression still surfaces. Pinned so
-# a module silently losing BOTH its window slot and its green history
-# fails the coverage test below.
+# Modules with no window slot this round: their pre-round-5 queries
+# are r1-r4 hash-green and unchanged; session-3 additions landing in
+# them (e.g. text.lang_id_confusion) are in the deferred r6-rotation
+# list and covered by the full-catalog replay artifact this round.
+# Pinned so a module silently losing BOTH its window slot and its
+# green history fails the coverage test below.
 OUT_OF_WINDOW_MODULES = {
     "relational2", "relational3", "relational4", "relational5",
     "windows2", "curation", "rag", "text", "multimodal",

@@ -525,8 +525,9 @@ def test_mad_alarm_stream_equals_batch(spark, events_dir):
     )
 
     batch_events = load(spark, SF_DIR, "events")
-    base = mad_baselines(batch_events)
-    base.localCheckpoint(eager=True)  # freeze before both runs
+    # localCheckpoint RETURNS the frozen frame — reassign, or both runs
+    # would recompute the lazy plan independently
+    base = mad_baselines(batch_events).localCheckpoint(eager=True)
 
     stream = read_events_stream(spark, events_dir)
     got = run_to_memory(mad_alarm(stream, base), "t_mad", output_mode="append")
