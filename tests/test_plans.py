@@ -309,3 +309,21 @@ def test_bm25_and_dsir_topk_are_distributed(spark):
     for name in ("text_bm25_ranking", "sample_importance_dsir"):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert "TakeOrderedAndProject" in r.text, name
+
+
+def test_sketch_forecast_attribution_additions_python_free(spark):
+    """The session-3 sketch/forecast/attribution batch stays pure
+    Catalyst — recursion, bit arithmetic, and window weighting all
+    compile to JVM plans."""
+    for name in (
+        "events_bitmap_retention",
+        "events_seasonality_profile",
+        "orders_pareto_concentration",
+        "sketch_count_min_terms",
+        "sketch_bloom_prefilter",
+        "events_holt_forecast",
+        "events_forecast_backtest",
+        "events_multi_touch_attribution",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
