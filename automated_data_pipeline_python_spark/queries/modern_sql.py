@@ -21,7 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from automated_data_pipeline_python_spark.functions.numeric import sql_exact_sum
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_avg,
+    sql_exact_sum,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load, load_scaled
 
@@ -321,3 +324,55 @@ def pipe_syntax_nation_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY total_value DESC, nation
         |> LIMIT 10
         """)
+
+
+# ---------------------------------------------------------------------------
+# Named parameter markers (Spark 4 parameterized SQL)
+# ---------------------------------------------------------------------------
+# The injection-safe templating surface: the statement carries :named
+# markers and values bind at spark.sql(...) call time — no string
+# interpolation of user input, and the SAME statement text is reusable
+# across bindings (plan cache friendly). DuckDB's oracle runs the
+# identical logic with the bindings folded in as literals (the driver
+# can only run a plain SQL string).
+
+_PARAM_STATUS = "F"
+_PARAM_MIN_PRICE = 150000.0
+_PARAM_TOP = 15
+
+_PARAM_MARKER_SQL = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor(({sql_exact_avg('o_totalprice', 2)}) * 1e2 + 0.5) / 1e2 AS avg_price
+FROM orders
+WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+GROUP BY o_orderpriority
+ORDER BY n_orders DESC, o_orderpriority
+LIMIT :top
+"""
+
+_PARAM_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor(({sql_exact_avg('o_totalprice', 2)}) * 1e2 + 0.5) / 1e2 AS avg_price
+FROM orders
+WHERE o_orderstatus = '{_PARAM_STATUS}' AND o_totalprice >= {_PARAM_MIN_PRICE}
+GROUP BY o_orderpriority
+ORDER BY n_orders DESC, o_orderpriority
+LIMIT {_PARAM_TOP}
+"""
+
+
+@register("param_marker_priority_stats", oracle=_PARAM_ORACLE)
+def param_marker_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter-marker query: bindings passed via spark.sql(args=...),
+    never interpolated into the statement text."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _PARAM_MARKER_SQL,
+        args={
+            "status": _PARAM_STATUS,
+            "min_price": _PARAM_MIN_PRICE,
+            "top": _PARAM_TOP,
+        },
+    )
