@@ -737,3 +737,67 @@ def events_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.sql(
         _mta_sql("CAST(timestampdiff(MICROSECOND, t_ts, p_ts) AS DOUBLE) / 864e8")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes) vs OLS
+# ---------------------------------------------------------------------------
+# The outlier-immune answer to "is this metric trending?": the median
+# of all pairwise slopes tolerates up to ~29% corrupted points, where
+# OLS (regr_slope) follows any spike. Pairs form on the REDUCED daily
+# series (days² per type, ~500 pairs here; a year is ~66k — trivial),
+# never on raw events; the one corpus-sized pass is the daily count
+# aggregation. Slopes are exact-integer ratios snapped to the 1e-6
+# grid before the median (percentile == quantile_cont pairing), so
+# both engines interpolate identical values. OLS runs alongside on
+# integer day indices for an apples-to-apples comparison.
+
+
+def _theil_sen_sql(q: str, day_num: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, n, CAST({day_num} AS BIGINT) AS x FROM daily
+),
+pairs AS (
+    SELECT a.event_type,
+           floor((CAST(b.n - a.n AS DOUBLE) / (b.x - a.x)) * 1e6 + 0.5) / 1e6
+               AS slope
+    FROM idx a JOIN idx b
+      ON a.event_type = b.event_type AND b.x > a.x
+),
+ts_est AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(({q}(slope, 5e-1)) * 1e6 + 0.5) / 1e6 AS theil_sen_slope
+    FROM pairs GROUP BY event_type
+),
+ols AS (
+    SELECT event_type,
+           floor((regr_slope(n, x)) * 1e6 + 0.5) / 1e6 AS ols_slope
+    FROM idx GROUP BY event_type
+)
+SELECT t.event_type, t.n_pairs, t.theil_sen_slope, o.ols_slope,
+       floor(abs(t.theil_sen_slope - o.ols_slope) * 1e6 + 0.5) / 1e6
+           AS divergence
+FROM ts_est t JOIN ols o ON t.event_type = o.event_type
+ORDER BY t.event_type
+"""
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle=_theil_sen_sql(
+        "quantile_cont", "date_diff('day', DATE '1970-01-01', d)"
+    ),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen median-of-slopes trend per type, with the OLS contrast."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _theil_sen_sql("percentile", "datediff(d, DATE '1970-01-01')")
+    )

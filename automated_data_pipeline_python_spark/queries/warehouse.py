@@ -477,3 +477,87 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             sql_exact_sum("p.revenue", 2),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier inter-purchase survival
+# ---------------------------------------------------------------------------
+# "How long until a customer orders again?" done right: the gap from a
+# customer's last order to the corpus end is CENSORED (they haven't
+# churned, we just stopped watching), and the naive mean/median of
+# observed gaps is biased low without it. The KM estimator handles it:
+# at each observed gap length t, S(t) *= (1 - d_t / n_t) with n_t the
+# at-risk count (all observations, censored or not, with duration ≥ t).
+# Shape: orders reduce to per-customer consecutive-order gaps + one
+# censored tail row each (two window passes over the per-customer
+# relation); everything after runs on the duration histogram (distinct
+# gap lengths — hundreds of rows at any scale). The cumulative product
+# is exp(Σ ln(1 − d/n)) via a cumulative window over that histogram;
+# rows after the risk set empties pin survival to exactly 0 instead of
+# feeding ln(0). Output snaps to the 1e-6 grid.
+
+
+def _km_sql(days_diff: str) -> str:
+    return f"""
+WITH per AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+seq AS (
+    SELECT o_custkey, d,
+           lag(d) OVER (PARTITION BY o_custkey ORDER BY d) AS prev_d
+    FROM per
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+obs AS (
+    SELECT CAST({days_diff.format(a="prev_d", b="d")} AS BIGINT) AS dur,
+           1 AS ev
+    FROM seq WHERE prev_d IS NOT NULL
+    UNION ALL
+    SELECT CAST({days_diff.format(a="last_d", b="maxd")} AS BIGINT) AS dur,
+           0 AS ev
+    FROM (SELECT o_custkey, max(d) AS last_d FROM per GROUP BY o_custkey)
+    CROSS JOIN horizon
+),
+hist AS (
+    SELECT dur, sum(ev) AS d_t, count(*) AS c_t FROM obs GROUP BY dur
+),
+tot AS (SELECT sum(c_t) AS n FROM hist),
+at_risk AS (
+    SELECT h.dur, h.d_t,
+           t.n - coalesce(sum(h.c_t) OVER (ORDER BY h.dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+    FROM hist h CROSS JOIN tot t
+),
+km AS (
+    SELECT dur, d_t, n_risk,
+           CASE WHEN max(CASE WHEN d_t >= n_risk THEN 1 ELSE 0 END)
+                     OVER w = 1
+                THEN 0e0
+                ELSE exp(sum(CASE WHEN d_t < n_risk THEN
+                             ln(1e0 - CAST(d_t AS DOUBLE) / n_risk) END)
+                         OVER w)
+           END AS s
+    FROM at_risk
+    WHERE d_t > 0
+    WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT CAST(dur AS BIGINT) AS gap_days,
+       CAST(d_t AS BIGINT) AS n_repurchases,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       floor((s) * 1e6 + 0.5) / 1e6 AS survival
+FROM km
+ORDER BY gap_days
+"""
+
+
+@register(
+    "orders_interpurchase_survival",
+    oracle=_km_sql("date_diff('day', {a}, {b})"),
+)
+def orders_interpurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of customer inter-purchase gaps, with the
+    last-order-to-horizon tail treated as censored."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_km_sql("datediff({b}, {a})"))
