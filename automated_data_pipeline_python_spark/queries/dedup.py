@@ -1214,3 +1214,75 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "inc_sh")
     return spark.sql(_INC_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (the sub/superset catch jaccard misses)
+# ---------------------------------------------------------------------------
+# A 50-shingle doc fully contained in a 500-shingle doc scores jaccard
+# 0.1 — under every dedup threshold — yet is exactly the quote/
+# boilerplate-expansion duplicate a training corpus wants flagged.
+# Containment |A∩B| / min(|A|,|B|) = 1.0 there. Same materialized
+# shingle relation and shingle-equality join as dedup_ngram_jaccard
+# (at 100 TB this is likewise the verification stage behind LSH/capped
+# discovery); the ratio is a pure integer quotient, so both engines
+# compute bit-identical doubles and the threshold compare needs no
+# snap.
+
+_CONTAIN_THRESHOLD = 0.8
+
+_CONTAIN_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM {sh} GROUP BY doc_id),
+inter AS (
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS isect
+    FROM {sh} s1 JOIN {sh} s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(isect AS BIGINT) AS isect,
+       floor((CAST(isect AS DOUBLE) / least(na.n, nb.n)) * 1e6 + 0.5) / 1e6
+           AS containment,
+       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6
+           AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(isect AS DOUBLE) / least(na.n, nb.n) >= {thr}
+"""
+
+_CONTAIN_DUCK_SQL = (
+    f"""WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+ct_sh2 AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+"""
+    + _CONTAIN_TAIL.replace("{sh}", "ct_sh2").replace(
+        "{thr}", str(_CONTAIN_THRESHOLD)
+    )
+)
+
+
+@register("dedup_ngram_containment", oracle=_CONTAIN_DUCK_SQL)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs ≥ 0.8 with the jaccard contrast column."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # shingles only — skip _MINHASH_SH_SPARK's SHA hash column, which
+    # containment never reads
+    _materialize_view(
+        spark.sql(f"""
+            WITH toks AS (SELECT doc_id, {_S_TOK} AS w FROM documents)
+            SELECT DISTINCT doc_id, shingle
+            FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)})
+                 t AS shingle
+        """),
+        "ct_sh2",
+    )
+    return spark.sql(
+        "WITH " + _CONTAIN_TAIL.replace("{sh}", "ct_sh2").replace(
+            "{thr}", str(_CONTAIN_THRESHOLD)
+        )
+    )

@@ -365,3 +365,56 @@ ORDER BY actual_lang, predicted_lang
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix with per-actual-language recall."""
     return _docs_sql(spark, sf_dir, _lang_confusion_sql(_S_TOK, spark_stopword_hits))
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness / dispersion (corpus-linguistics vocabulary profile)
+# ---------------------------------------------------------------------------
+# Two dispersion diagnostics per term: Church burstiness cf/df (mean
+# occurrences in the docs it appears in — content words cluster, 
+# function words don't) and the variance-to-mean ratio over ALL docs
+# including zeros (VMR > 1 = over-dispersed). Everything derives from
+# the (term, doc) count relation in one explode-agg pass plus two
+# scalars; sums are exact integers, the ratios snap at output.
+
+
+def _burst_sql(explode_toks: str) -> str:
+    return f"""
+WITH tf AS (
+    SELECT doc_id, tok AS term, count(*) AS c
+    FROM ({explode_toks})
+    GROUP BY doc_id, tok
+),
+n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+stats AS (
+    SELECT term,
+           count(*) AS df,
+           sum(c) AS cf,
+           sum(c * c) AS sum_sq
+    FROM tf GROUP BY term
+)
+SELECT term,
+       CAST(df AS BIGINT) AS df,
+       CAST(cf AS BIGINT) AS cf,
+       floor((CAST(cf AS DOUBLE) / df) * 1e6 + 0.5) / 1e6 AS burstiness,
+       floor(((sum_sq / d.n - (cf / d.n) * (cf / d.n))
+              / (cf / d.n)) * 1e6 + 0.5) / 1e6 AS vmr
+FROM stats CROSS JOIN n_docs d
+WHERE df >= 20
+ORDER BY term
+"""
+
+
+@register(
+    "text_term_burstiness",
+    oracle=_burst_sql(
+        f"SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents"
+    ),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term Church burstiness (cf/df) and variance-to-mean ratio."""
+    return _docs_sql(
+        spark,
+        sf_dir,
+        _burst_sql(f"SELECT doc_id, explode({_S_TOK}) AS tok FROM documents"),
+    )
