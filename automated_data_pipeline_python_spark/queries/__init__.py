@@ -109,7 +109,9 @@ _PRIORITY = [
     # events_seasonality_profile, orders_pareto_concentration,
     # sketch_count_min_terms, sketch_bloom_prefilter,
     # events_holt_forecast, events_forecast_backtest,
-    # events_multi_touch_attribution, param_marker_priority_stats.
+    # events_multi_touch_attribution, param_marker_priority_stats,
+    # events_theil_sen_trend, orders_interpurchase_survival,
+    # dedup_ngram_containment, text_term_burstiness.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

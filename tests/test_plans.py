@@ -327,3 +327,15 @@ def test_sketch_forecast_attribution_additions_python_free(spark):
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_robust_stats_additions_python_free(spark):
+    for name in (
+        "param_marker_priority_stats",
+        "events_theil_sen_trend",
+        "orders_interpurchase_survival",
+        "dedup_ngram_containment",
+        "text_term_burstiness",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
