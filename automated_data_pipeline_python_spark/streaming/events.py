@@ -446,3 +446,29 @@ def mad_alarm(events: DataFrame, baselines: DataFrame) -> DataFrame:
             (F.abs(z) > F.lit(3.5)).cast("int").alias("alarm"),
         )
     )
+
+
+def count_min_cells(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
+    """Count-Min grid over the user_id stream — batch and streaming.
+
+    The d×w counter grid is a plain grouped count, so Structured
+    Streaming maintains it as windowless aggregation state (bounded:
+    d·w cells, regardless of stream cardinality) and batch computes
+    the identical relation — additive merge IS the shuffle combine in
+    both. The portable SHA-derived bucket hash matches the batch
+    catalog operator (queries/sketches.py sketch_count_min_terms), so
+    a grid built on yesterday's batch and one maintained on today's
+    stream ADD into one sketch.
+    """
+    rows = events.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("r")
+    )
+    keyed = events.crossJoin(F.broadcast(rows)).select(
+        "r",
+        F.expr(
+            "CAST(conv(substr(sha2(concat('cm', CAST(r AS STRING), ':',"
+            " CAST(user_id AS STRING)), 256), 1, 15), 16, 10) AS BIGINT)"
+            f" % {w}"
+        ).alias("bucket"),
+    )
+    return keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))

@@ -538,3 +538,20 @@ def test_mad_alarm_stream_equals_batch(spark, events_dir):
     flagged = want.where("alarm = 1").count()
     by_pred = want.where("abs(robust_z) > 3.5").count()
     assert flagged == by_pred
+
+
+def test_count_min_grid_stream_equals_batch(spark, events_dir):
+    """The CM grid is a windowless grouped count: the stream-maintained
+    grid must equal the batch grid cell-for-cell (bounded state: d x w
+    cells), proving the sketch can be maintained incrementally and
+    merged additively with batch-built grids."""
+    from automated_data_pipeline_python_spark.streaming.events import (
+        count_min_cells,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(count_min_cells(stream), "t_cm")
+    want = count_min_cells(load(spark, SF_DIR, "events"))
+    cols = ["r", "bucket", "c"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() <= 4 * 256
