@@ -801,3 +801,65 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _theil_sen_sql("percentile", "datediff(d, DATE '1970-01-01')")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed value statistics (robust aggregation)
+# ---------------------------------------------------------------------------
+# Completes the robust family (MAD z-scores, Theil–Sen): per event
+# type, the mean after clamping values into [p05, p95] (winsorized)
+# and after dropping them outside it (trimmed), next to the raw mean
+# the outliers drag. The RFM/PSI cutoff pattern again: percentile
+# bounds per type in ONE aggregation, broadcast back, map-only clamp.
+# Values snap to the 1e-6 grid row-wise before the order-independent
+# exact sums, so the means hash cross-engine.
+
+
+def _winsor_sql(q: str, exact_avg) -> str:
+    return f"""
+WITH cuts AS (
+    SELECT event_type,
+           floor(({q}(value, 5e-2)) * 1e6 + 0.5) / 1e6 AS lo,
+           floor(({q}(value, 95e-2)) * 1e6 + 0.5) / 1e6 AS hi
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+),
+clamped AS (
+    SELECT e.event_type,
+           floor((e.value) * 1e6 + 0.5) / 1e6 AS v,
+           c.lo, c.hi
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    WHERE e.value IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(({exact_avg("v")}) * 1e6 + 0.5) / 1e6 AS raw_mean,
+       floor(({exact_avg("least(greatest(v, lo), hi)")}) * 1e6 + 0.5) / 1e6
+           AS winsorized_mean,
+       floor((
+           {exact_avg("CASE WHEN v BETWEEN lo AND hi THEN v END")}
+       ) * 1e6 + 0.5) / 1e6 AS trimmed_mean,
+       CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _winsor_exact_avg(expr: str) -> str:
+    # values sit on the 1e-6 grid: sum exactly at 6dp, divide by the
+    # NON-NULL count of the same expression (trimmed mean's divisor)
+    return (
+        f"{sql_exact_sum(expr, 6)} / count({expr})"
+    )
+
+
+@register(
+    "events_winsorized_stats",
+    oracle=_winsor_sql("quantile_cont", _winsor_exact_avg),
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw vs winsorized vs trimmed mean per type (p05/p95 bounds)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_winsor_sql("percentile", _winsor_exact_avg))

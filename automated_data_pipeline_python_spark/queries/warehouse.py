@@ -561,3 +561,45 @@ def orders_interpurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame
     last-order-to-horizon tail treated as censored."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_km_sql("datediff({b}, {a})"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of snapshot (time travel over the versioned dimension)
+# ---------------------------------------------------------------------------
+# The read side of scd2_customer_segments: reconstruct the dimension
+# EXACTLY as it stood at time T — the version whose validity interval
+# covers T (valid_from <= T < valid_to, open intervals unbounded).
+# Probing after the merge batch shows the post-change state; the
+# segment census per snapshot is the regression-friendly rollup. A
+# bucketed dimension makes this a map-only filter at any scale.
+
+_ASOF_PROBE = "1998-06-01 00:00:00"
+
+_SCD2_ASOF_SQL = f"""
+WITH versions AS ({{scd2}}),
+live AS (
+    SELECT cust_key, segment
+    FROM versions
+    WHERE valid_from <= TIMESTAMP '{_ASOF_PROBE}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_PROBE}')
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM live
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register(
+    "scd2_as_of_snapshot",
+    oracle=_SCD2_ASOF_SQL.format(scd2=_SCD2_DUCK_SQL),
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment census of the customer dimension as of a probe instant
+    AFTER the delinquency batch — time travel over SCD2 versions."""
+    df = scd2_customer_segments(spark, sf_dir)
+    df.createOrReplaceTempView("scd2_versions")
+    return spark.sql(
+        _SCD2_ASOF_SQL.format(scd2="SELECT * FROM scd2_versions")
+    )
