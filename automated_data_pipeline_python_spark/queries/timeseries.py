@@ -863,3 +863,75 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw vs winsorized vs trimmed mean per type (p05/p95 bounds)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_winsor_sql("percentile", _winsor_exact_avg))
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate (entry-page analytics over gap sessions)
+# ---------------------------------------------------------------------------
+# Sessions form with the same 30-minute-gap rule as the sessionization
+# family (a new session starts where the gap from the previous event
+# exceeds it); each session's ENTRY event type claims the session, and
+# a bounce is a single-event session. One user_id window pass builds
+# session ids (cumulative sum of session-start flags), one (user,
+# session) rollup, one per-entry-type census — the raw log shuffles
+# once. Gap tests use exact integer microseconds.
+
+
+def _bounce_sql(us_gap: str) -> str:
+    return f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN prev_ts IS NULL
+                  OR ({us_gap}) > 1800000000 THEN 1 ELSE 0 END AS starts
+    FROM seq
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(starts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, sid,
+           min(ts) AS t0,
+           count(*) AS n_events,
+           max(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rn
+        FROM sessions
+    )
+    GROUP BY user_id, sid
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       floor((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) * 1e6 + 0.5) / 1e6 AS bounce_rate,
+       floor((CAST(sum(n_events) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+           AS avg_session_depth
+FROM per_session
+GROUP BY entry_type
+ORDER BY entry_type
+"""
+
+
+@register(
+    "events_session_bounce_rate",
+    oracle=_bounce_sql(
+        "date_diff('microsecond', CAST(prev_ts AS TIMESTAMP),"
+        " CAST(ts AS TIMESTAMP))"
+    ),
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate and mean depth per session entry type (30-min gaps)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bounce_sql("timestampdiff(MICROSECOND, prev_ts, ts)"))
