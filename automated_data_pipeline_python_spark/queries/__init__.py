@@ -111,7 +111,9 @@ _PRIORITY = [
     # events_holt_forecast, events_forecast_backtest,
     # events_multi_touch_attribution, param_marker_priority_stats,
     # events_theil_sen_trend, orders_interpurchase_survival,
-    # dedup_ngram_containment, text_term_burstiness.
+    # dedup_ngram_containment, text_term_burstiness,
+    # events_cuped_adjustment, events_winsorized_stats,
+    # scd2_as_of_snapshot, events_session_bounce_rate.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -339,3 +339,14 @@ def test_robust_stats_additions_python_free(spark):
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_experiment_session_additions_python_free(spark):
+    for name in (
+        "events_cuped_adjustment",
+        "events_winsorized_stats",
+        "scd2_as_of_snapshot",
+        "events_session_bounce_rate",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
