@@ -1121,3 +1121,78 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of dimension-truncated cosine (d=16, 32) vs full-dim
     truth — the Matryoshka serving trade-off, measured."""
     return _emb_sql(spark, sf_dir, _trunc_sql(True))
+
+
+# ---------------------------------------------------------------------------
+# Class separability (centroid distances vs within-class spread)
+# ---------------------------------------------------------------------------
+# The embedding-quality eval before anyone trains a classifier: per
+# label pair, the centroid distance over the mean within-class spread
+# (a Fisher-style ratio — higher = more separable). One corpus pass
+# builds per-label centroids via posexplode + (label, dim) hash-agg
+# (labels × dims rows, broadcast-sized); the within-class spread is a
+# second pass scoring each vector against ITS OWN broadcast centroid;
+# the pairwise matrix is labels² rows of pure arithmetic. All math on
+# DOUBLE with 1e-6 snaps at output; sums-of-squares accumulate per
+# (label, dim) in deterministic per-dimension aggregations whose
+# addends are identical on both engines, then snap before ratios.
+
+_SEP_BODY = """
+WITH comps AS (
+    SELECT label, pos AS d, CAST(x AS DOUBLE) AS x
+    FROM ({explode_emb})
+),
+centroids AS (
+    SELECT label, d, sum(x) / count(*) AS c
+    FROM comps GROUP BY label, d
+),
+spread AS (
+    SELECT co.label,
+           sqrt(sum((co.x - ce.c) * (co.x - ce.c)) / (count(*) / {dims}))
+               AS rms
+    FROM comps co JOIN centroids ce ON co.label = ce.label AND co.d = ce.d
+    GROUP BY co.label
+),
+cdist AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           sqrt(sum((a.c - b.c) * (a.c - b.c))) AS dist
+    FROM centroids a JOIN centroids b ON a.d = b.d AND a.label < b.label
+    GROUP BY a.label, b.label
+)
+SELECT cd.label_a, cd.label_b,
+       floor((cd.dist) * 1e6 + 0.5) / 1e6 AS centroid_dist,
+       floor(((sa.rms + sb.rms) / 2e0) * 1e6 + 0.5) / 1e6 AS mean_spread,
+       floor((cd.dist / ((sa.rms + sb.rms) / 2e0)) * 1e6 + 0.5) / 1e6
+           AS separability
+FROM cdist cd
+JOIN spread sa ON cd.label_a = sa.label
+JOIN spread sb ON cd.label_b = sb.label
+ORDER BY cd.label_a, cd.label_b
+"""
+
+
+def _sep_sql(spark_side: bool) -> str:
+    if spark_side:
+        explode = (
+            "SELECT label, pos, x FROM embeddings "
+            "LATERAL VIEW posexplode(embedding) t AS pos, x"
+        )
+    else:
+        explode = (
+            f"SELECT label, g.d AS pos, embedding[g.d + 1] AS x "
+            f"FROM embeddings, generate_series(0, {_DIMS - 1}) AS g(d)"
+        )
+    return _SEP_BODY.replace("{explode_emb}", explode).replace(
+        "{dims}", str(_DIMS)
+    )
+
+
+@register("embedding_class_separability", oracle=_sep_sql(False))
+def embedding_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style per-label-pair separability of the embedding space.
+
+    The full labels² matrix is tiny (labels are class ids, bounded);
+    the corpus-sized work is two hash-aggregations over the exploded
+    components.
+    """
+    return _emb_sql(spark, sf_dir, _sep_sql(True))

@@ -418,3 +418,70 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _burst_sql(f"SELECT doc_id, explode({_S_TOK}) AS tok FROM documents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary growth (V ≈ k·Nᵝ)
+# ---------------------------------------------------------------------------
+# How fast does vocabulary grow as the corpus streams in? Each term
+# contributes at its FIRST document (min doc_id — one agg over the
+# token relation); the cumulative distinct-vocabulary curve is then a
+# running sum over the per-doc first-occurrence counts — no running
+# DISTINCT state. The Heaps exponent β comes from regr_slope over
+# (ln N, ln V) on the reduced per-doc relation. Every curve point is
+# integer-exact; only the fitted scalars snap.
+
+
+def _heaps_sql(explode_toks: str) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, tok AS term FROM ({explode_toks})
+),
+doc_tokens AS (
+    SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+),
+first_seen AS (
+    SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term
+),
+new_terms AS (
+    SELECT first_doc AS doc_id, count(*) AS v_new
+    FROM first_seen GROUP BY first_doc
+),
+curve AS (
+    SELECT d.doc_id,
+           sum(d.n_tok) OVER w AS n_cum,
+           sum(coalesce(nt.v_new, 0)) OVER w AS v_cum
+    FROM doc_tokens d
+    LEFT JOIN new_terms nt ON nt.doc_id = d.doc_id
+    WINDOW w AS (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+),
+fit AS (
+    SELECT regr_slope(ln(CAST(v_cum AS DOUBLE)), ln(CAST(n_cum AS DOUBLE)))
+               AS beta,
+           regr_intercept(ln(CAST(v_cum AS DOUBLE)), ln(CAST(n_cum AS DOUBLE)))
+               AS ln_k
+    FROM curve
+)
+SELECT c.doc_id,
+       CAST(c.n_cum AS BIGINT) AS tokens_seen,
+       CAST(c.v_cum AS BIGINT) AS vocab_size,
+       floor((f.beta) * 1e6 + 0.5) / 1e6 AS heaps_beta,
+       floor((exp(f.ln_k)) * 1e6 + 0.5) / 1e6 AS heaps_k
+FROM curve c CROSS JOIN fit f
+WHERE c.doc_id % 50 = 0
+ORDER BY c.doc_id
+"""
+
+
+@register(
+    "text_heaps_vocab_growth",
+    oracle=_heaps_sql(f"SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents"),
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve sample points + fitted Heaps k, β."""
+    return _docs_sql(
+        spark,
+        sf_dir,
+        _heaps_sql(f"SELECT doc_id, explode({_S_TOK}) AS tok FROM documents"),
+    )
