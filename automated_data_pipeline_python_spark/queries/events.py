@@ -793,3 +793,64 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness (the engagement ratio)
+# ---------------------------------------------------------------------------
+# Stickiness = DAU / rolling-28-day MAU per day — "what fraction of
+# the monthly audience shows up today". Same explode-not-range-join
+# shape as events_rolling_wau (28× map-side fan-out of the user-day
+# relation, equi-joins only, two hash aggregations); the ratio divides
+# two exact integers and snaps at output.
+
+
+def _stickiness_sql(ts: str, day_add: str, unnest28: str, day_str: str) -> str:
+    return f"""
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST({ts} AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM activity),
+dau AS (
+    SELECT day, count(DISTINCT user_id) AS dau FROM activity GROUP BY day
+),
+expanded AS (
+    SELECT a.user_id, {day_add} AS spine_day
+    FROM activity a{unnest28}
+),
+mau AS (
+    SELECT spine_day, count(DISTINCT user_id) AS mau
+    FROM expanded
+    WHERE spine_day IN (SELECT day FROM days)
+    GROUP BY spine_day
+)
+SELECT {day_str} AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(m.mau AS BIGINT) AS mau,
+       floor((CAST(d.dau AS DOUBLE) / m.mau) * 1e6 + 0.5) / 1e6
+           AS stickiness
+FROM dau d JOIN mau m ON m.spine_day = d.day
+ORDER BY day
+"""
+
+
+_STICKINESS_DUCK_SQL = _stickiness_sql(
+    "CAST(ts AS TIMESTAMP)",
+    "a.day + CAST(off AS INT)",
+    ", UNNEST(generate_series(0, 27)) AS t(off)",
+    "CAST(d.day AS VARCHAR)",
+)
+
+
+@register("events_dau_mau_stickiness", oracle=_STICKINESS_DUCK_SQL)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, rolling-28-day MAU, and the stickiness ratio."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _stickiness_sql(
+            "ts",
+            "date_add(a.day, off)",
+            " LATERAL VIEW explode(sequence(0, 27)) t AS off",
+            "CAST(d.day AS STRING)",
+        )
+    )
