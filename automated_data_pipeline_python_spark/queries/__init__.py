@@ -113,7 +113,9 @@ _PRIORITY = [
     # events_theil_sen_trend, orders_interpurchase_survival,
     # dedup_ngram_containment, text_term_burstiness,
     # events_cuped_adjustment, events_winsorized_stats,
-    # scd2_as_of_snapshot, events_session_bounce_rate.
+    # scd2_as_of_snapshot, events_session_bounce_rate,
+    # text_heaps_vocab_growth, embedding_class_separability,
+    # events_dau_mau_stickiness.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

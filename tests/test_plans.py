@@ -350,3 +350,20 @@ def test_experiment_session_additions_python_free(spark):
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_corpus_stats_additions_python_free(spark):
+    for name in (
+        "text_heaps_vocab_growth",
+        "embedding_class_separability",
+        "events_dau_mau_stickiness",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_stickiness_has_no_nested_loop_join(spark):
+    """The MAU expansion must stay equi-join (explode + hash join) —
+    a day-spine RANGE join would compile to BroadcastNestedLoopJoin."""
+    r = plan_report(QUERIES["events_dau_mau_stickiness"].fn(spark, SF))
+    assert "NestedLoop" not in r.text
