@@ -1128,36 +1128,58 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The embedding-quality eval before anyone trains a classifier: per
 # label pair, the centroid distance over the mean within-class spread
-# (a Fisher-style ratio — higher = more separable). One corpus pass
-# builds per-label centroids via posexplode + (label, dim) hash-agg
-# (labels × dims rows, broadcast-sized); the within-class spread is a
-# second pass scoring each vector against ITS OWN broadcast centroid;
-# the pairwise matrix is labels² rows of pure arithmetic. All math on
-# DOUBLE with 1e-6 snaps at output; sums-of-squares accumulate per
-# (label, dim) in deterministic per-dimension aggregations whose
-# addends are identical on both engines, then snap before ratios.
+# (a Fisher-style ratio — higher = more separable). ONE corpus pass
+# reduces the exploded components to per-(label, dim) EXACT INTEGER
+# moments (each component snaps to the 1e-6 grid and scales to BIGINT
+# first, so the sums are order-independent — plain double sums here
+# would carry the cross-engine accumulation-order hazard the repo's
+# exact-sum discipline exists for). Scatter and centroid-distance
+# terms are then per-dim deterministic doubles snapped back to
+# integers BEFORE the cross-dim sums, which are exact again. The
+# moment relation (labels × dims rows) is materialized once on the
+# Spark side — it feeds the scatter rollup and both sides of the
+# pairwise join, and CTE inlining would re-run the corpus explode per
+# reference.
 
-_SEP_BODY = """
-WITH comps AS (
-    SELECT label, pos AS d, CAST(x AS DOUBLE) AS x
-    FROM ({explode_emb})
-),
-centroids AS (
-    SELECT label, d, sum(x) / count(*) AS c
-    FROM comps GROUP BY label, d
+_SEP_MOMENTS = """
+SELECT label, {pos} AS d,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(xi) AS BIGINT) AS sx,
+       CAST(sum(xi * xi) AS BIGINT) AS sx2
+FROM (
+    SELECT label, {pos}, CAST(floor(CAST({x} AS DOUBLE) * 1e6 + 0.5)
+                              AS BIGINT) AS xi
+    FROM {src}
+)
+GROUP BY label, {pos}
+"""
+
+_SEP_TAIL = """
+wvar AS (
+    -- within-class scatter per label: Σ_d (Σx² − (Σx)²/n), each dim's
+    -- term snapped to an integer before the exact cross-dim sum
+    SELECT label,
+           sum(sx2 - CAST(floor(CAST(sx AS DOUBLE) * sx / n + 5e-1)
+                          AS BIGINT)) AS w,
+           max(n) AS n_vecs
+    FROM {mom} GROUP BY label
 ),
 spread AS (
-    SELECT co.label,
-           sqrt(sum((co.x - ce.c) * (co.x - ce.c)) / (count(*) / {dims}))
-               AS rms
-    FROM comps co JOIN centroids ce ON co.label = ce.label AND co.d = ce.d
-    GROUP BY co.label
+    SELECT label,
+           sqrt(CAST(w AS DOUBLE) / n_vecs) / 1e6 AS rms
+    FROM wvar
 ),
 cdist AS (
-    SELECT a.label AS label_a, b.label AS label_b,
-           sqrt(sum((a.c - b.c) * (a.c - b.c))) AS dist
-    FROM centroids a JOIN centroids b ON a.d = b.d AND a.label < b.label
-    GROUP BY a.label, b.label
+    SELECT label_a, label_b, sqrt(CAST(sum(t) AS DOUBLE)) / 1e6 AS dist
+    FROM (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(floor(
+                   (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+                 * (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+                 + 5e-1) AS BIGINT) AS t
+        FROM {mom} a JOIN {mom} b ON a.d = b.d AND a.label < b.label
+    )
+    GROUP BY label_a, label_b
 )
 SELECT cd.label_a, cd.label_b,
        floor((cd.dist) * 1e6 + 0.5) / 1e6 AS centroid_dist,
@@ -1170,29 +1192,39 @@ JOIN spread sb ON cd.label_b = sb.label
 ORDER BY cd.label_a, cd.label_b
 """
 
-
-def _sep_sql(spark_side: bool) -> str:
-    if spark_side:
-        explode = (
-            "SELECT label, pos, x FROM embeddings "
-            "LATERAL VIEW posexplode(embedding) t AS pos, x"
-        )
-    else:
-        explode = (
-            f"SELECT label, g.d AS pos, embedding[g.d + 1] AS x "
-            f"FROM embeddings, generate_series(0, {_DIMS - 1}) AS g(d)"
-        )
-    return _SEP_BODY.replace("{explode_emb}", explode).replace(
-        "{dims}", str(_DIMS)
+_SEP_DUCK_SQL = (
+    "WITH sep_mom AS ("
+    + _SEP_MOMENTS.format(
+        pos="d",
+        x="x",
+        src=(
+            f"(SELECT label, g.d AS d, embedding[g.d + 1] AS x "
+            f"FROM embeddings, generate_series(0, {_DIMS - 1}) AS g(d))"
+        ),
     )
+    + "),\n"
+    + _SEP_TAIL.replace("{mom}", "sep_mom").lstrip()
+)
 
 
-@register("embedding_class_separability", oracle=_sep_sql(False))
+@register("embedding_class_separability", oracle=_SEP_DUCK_SQL)
 def embedding_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher-style per-label-pair separability of the embedding space.
 
     The full labels² matrix is tiny (labels are class ids, bounded);
-    the corpus-sized work is two hash-aggregations over the exploded
-    components.
+    the corpus-sized work is the single exploded-moment aggregation,
+    materialized once.
     """
-    return _emb_sql(spark, sf_dir, _sep_sql(True))
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    _materialize_view(
+        spark.sql(
+            _SEP_MOMENTS.format(
+                pos="pos",
+                x="x",
+                src="(SELECT label, pos, x FROM embeddings "
+                    "LATERAL VIEW posexplode(embedding) t AS pos, x)",
+            )
+        ),
+        "sep_mom",
+    )
+    return spark.sql("WITH " + _SEP_TAIL.replace("{mom}", "sep_mom").lstrip())

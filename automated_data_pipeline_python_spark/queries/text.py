@@ -427,61 +427,98 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contributes at its FIRST document (min doc_id — one agg over the
 # token relation); the cumulative distinct-vocabulary curve is then a
 # running sum over the per-doc first-occurrence counts — no running
-# DISTINCT state. The Heaps exponent β comes from regr_slope over
-# (ln N, ln V) on the reduced per-doc relation. Every curve point is
-# integer-exact; only the fitted scalars snap.
+# DISTINCT state. The Heaps exponent β fits log-log least squares
+# FROM EXACT INTEGER MOMENTS: each (ln N, ln V) point — identical
+# doubles on both engines, being ln of exact integers — snaps to the
+# 1e-6 grid and scales to BIGINT, and β/ln k derive from the closed-
+# form slope over those integer sums. Engine-internal regr_slope
+# would accumulate doubles in engine-specific order (the cross-engine
+# hazard the CUPED operator documents); this never sums raw doubles.
+# Spark side: the token relation (corpus-sized, referenced by both
+# doc_tokens and first_seen) and the curve (referenced by fit and the
+# output) are materialized once against CTE inlining.
 
-
-def _heaps_sql(explode_toks: str) -> str:
-    return f"""
-WITH tok AS (
-    SELECT doc_id, tok AS term FROM ({explode_toks})
-),
+_HEAPS_CURVE = """
 doc_tokens AS (
-    SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+    SELECT doc_id, count(*) AS n_tok FROM {tok} GROUP BY doc_id
 ),
 first_seen AS (
-    SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term
+    SELECT term, min(doc_id) AS first_doc FROM {tok} GROUP BY term
 ),
 new_terms AS (
     SELECT first_doc AS doc_id, count(*) AS v_new
     FROM first_seen GROUP BY first_doc
+)
+SELECT d.doc_id,
+       sum(d.n_tok) OVER w AS n_cum,
+       sum(coalesce(nt.v_new, 0)) OVER w AS v_cum
+FROM doc_tokens d
+LEFT JOIN new_terms nt ON nt.doc_id = d.doc_id
+WINDOW w AS (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+_HEAPS_TAIL = """
+logs AS (
+    SELECT doc_id, n_cum, v_cum,
+           CAST(floor(ln(CAST(n_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS u,
+           CAST(floor(ln(CAST(v_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS v
+    FROM {curve}
 ),
-curve AS (
-    SELECT d.doc_id,
-           sum(d.n_tok) OVER w AS n_cum,
-           sum(coalesce(nt.v_new, 0)) OVER w AS v_cum
-    FROM doc_tokens d
-    LEFT JOIN new_terms nt ON nt.doc_id = d.doc_id
-    WINDOW w AS (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                 AND CURRENT ROW)
+mom AS (
+    SELECT CAST(count(*) AS DOUBLE) AS m,
+           CAST(sum(u) AS DOUBLE) AS su, CAST(sum(v) AS DOUBLE) AS sv,
+           CAST(sum(u * v) AS DOUBLE) AS suv,
+           CAST(sum(u * u) AS DOUBLE) AS su2
+    FROM logs
 ),
 fit AS (
-    SELECT regr_slope(ln(CAST(v_cum AS DOUBLE)), ln(CAST(n_cum AS DOUBLE)))
-               AS beta,
-           regr_intercept(ln(CAST(v_cum AS DOUBLE)), ln(CAST(n_cum AS DOUBLE)))
-               AS ln_k
-    FROM curve
+    SELECT (m * suv - su * sv) / (m * su2 - su * su) AS beta,
+           (sv - su * ((m * suv - su * sv) / (m * su2 - su * su)))
+               / m / 1e6 AS ln_k
+    FROM mom
 )
 SELECT c.doc_id,
        CAST(c.n_cum AS BIGINT) AS tokens_seen,
        CAST(c.v_cum AS BIGINT) AS vocab_size,
        floor((f.beta) * 1e6 + 0.5) / 1e6 AS heaps_beta,
        floor((exp(f.ln_k)) * 1e6 + 0.5) / 1e6 AS heaps_k
-FROM curve c CROSS JOIN fit f
+FROM {curve} c CROSS JOIN fit f
 WHERE c.doc_id % 50 = 0
 ORDER BY c.doc_id
 """
 
 
-@register(
-    "text_heaps_vocab_growth",
-    oracle=_heaps_sql(f"SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents"),
+_HEAPS_DUCK_SQL = (
+    "WITH tok AS ("
+    f"SELECT doc_id, tok AS term FROM "
+    f"(SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents)"
+    "),\ncurve AS (WITH "
+    + _HEAPS_CURVE.replace("{tok}", "tok")
+    + "),\n"
+    + _HEAPS_TAIL.replace("{curve}", "curve").lstrip()
 )
+
+
+@register("text_heaps_vocab_growth", oracle=_HEAPS_DUCK_SQL)
 def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth curve sample points + fitted Heaps k, β."""
-    return _docs_sql(
-        spark,
-        sf_dir,
-        _heaps_sql(f"SELECT doc_id, explode({_S_TOK}) AS tok FROM documents"),
+    from automated_data_pipeline_python_spark.queries.dedup import (
+        _materialize_view,
+    )
+
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(
+        spark.sql(
+            f"SELECT doc_id, tok AS term FROM "
+            f"(SELECT doc_id, explode({_S_TOK}) AS tok FROM documents)"
+        ),
+        "heaps_tok",
+    )
+    _materialize_view(
+        spark.sql("WITH " + _HEAPS_CURVE.replace("{tok}", "heaps_tok").lstrip()),
+        "heaps_curve",
+    )
+    return spark.sql(
+        "WITH " + _HEAPS_TAIL.replace("{curve}", "heaps_curve").lstrip()
     )

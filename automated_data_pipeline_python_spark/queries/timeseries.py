@@ -777,9 +777,22 @@ ts_est AS (
     FROM pairs GROUP BY event_type
 ),
 ols AS (
+    -- closed-form least squares from EXACT integer moment sums (n and
+    -- x are integers) — engine-internal regr_slope accumulates doubles
+    -- in engine-specific order, the cross-engine hazard the CUPED
+    -- operator documents
     SELECT event_type,
-           floor((regr_slope(n, x)) * 1e6 + 0.5) / 1e6 AS ols_slope
-    FROM idx GROUP BY event_type
+           floor(((m * sxn - sx * sn) / (m * sx2 - sx * sx))
+                 * 1e6 + 0.5) / 1e6 AS ols_slope
+    FROM (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(n) AS DOUBLE) AS sn,
+               CAST(sum(x * n) AS DOUBLE) AS sxn,
+               CAST(sum(x * x) AS DOUBLE) AS sx2
+        FROM idx GROUP BY event_type
+    )
 )
 SELECT t.event_type, t.n_pairs, t.theil_sen_slope, o.ols_slope,
        floor(abs(t.theil_sen_slope - o.ols_slope) * 1e6 + 0.5) / 1e6

@@ -460,15 +460,17 @@ def count_min_cells(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
     a grid built on yesterday's batch and one maintained on today's
     stream ADD into one sketch.
     """
+    from automated_data_pipeline_python_spark.functions.text import spark_hash60
+
     rows = events.sparkSession.range(d).select(
         F.col("id").cast("int").alias("r")
     )
+    # bucket hash built from the SAME helper and 'cm<r>:<key>' format as
+    # the batch sketch (queries/sketches.py) — additive batch+stream
+    # merging depends on the hash families staying byte-identical
+    key = "concat('cm', CAST(r AS STRING), ':', CAST(user_id AS STRING))"
     keyed = events.crossJoin(F.broadcast(rows)).select(
         "r",
-        F.expr(
-            "CAST(conv(substr(sha2(concat('cm', CAST(r AS STRING), ':',"
-            " CAST(user_id AS STRING)), 256), 1, 15), 16, 10) AS BIGINT)"
-            f" % {w}"
-        ).alias("bucket"),
+        F.expr(f"{spark_hash60(key)} % {w}").alias("bucket"),
     )
     return keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))

@@ -117,11 +117,37 @@ def test_multi_touch_attribution_conserves_value(spark):
     from automated_data_pipeline_python_spark.queries import QUERIES
     from automated_data_pipeline_python_spark.tables import load
     from tests.conftest import SF_SMOKE
-    from pyspark.sql import functions as F
 
     rows = QUERIES["events_multi_touch_attribution"].fn(spark, SF_SMOKE).collect()
     linear_total = sum(r.linear_value for r in rows)
     decay_total = sum(r.decay_value for r in rows)
-    # snapped per-pair contributions: totals agree to snap resolution
-    # times the pair count
-    assert abs(linear_total - decay_total) < 1.0
+    n_pairs = sum(r.n_touches for r in rows)
+
+    # Independent expected total: purchase value of every purchase with
+    # >= 1 prior touch in ITS journey (same gap-free journey rule).
+    load(spark, SF_SMOKE, "events").createOrReplaceTempView("mta_check_events")
+    expected = spark.sql("""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS j
+            FROM mta_check_events
+        )
+        SELECT sum(p.value) AS total
+        FROM (SELECT user_id, coalesce(j, 0) AS j, ts, value
+              FROM seq WHERE event_type = 'purchase') p
+        WHERE EXISTS (
+            SELECT 1 FROM (SELECT user_id, coalesce(j, 0) AS j, ts
+                           FROM seq WHERE event_type != 'purchase') t
+            WHERE t.user_id = p.user_id AND t.j = p.j AND t.ts <= p.ts
+        )
+    """).collect()[0].total
+    spark.catalog.dropTempView("mta_check_events")
+
+    # per-pair contributions snap at 1e-6 → totals match the exact
+    # value to pair-count × snap resolution
+    tol = max(1e-3, n_pairs * 1e-6)
+    assert abs(linear_total - expected) < tol, (linear_total, expected)
+    assert abs(decay_total - expected) < tol, (decay_total, expected)
