@@ -287,3 +287,66 @@ def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine = "SELECT explode(sequence(0, 9)) AS bucket"
     return spark.sql(_PSI_TAIL.format(spine=spine, cells="psi_cells"))
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen–Shannon divergence between source vocabularies
+# ---------------------------------------------------------------------------
+# The KL monitor above scores each source against the corpus; mixture
+# DESIGN needs the full pairwise picture — which sources are
+# near-duplicates of each other and which add diversity. JS (symmetric,
+# bounded by ln 2) decomposes so only the SHARED vocabulary needs the
+# pair join: for terms present in one source only, the JS contribution
+# is exactly p·ln2, so
+#   JS = ½[Σ_common p_a·ln(2p_a/(p_a+p_b)) + p_b·ln(2p_b/(p_a+p_b))
+#          + ln2·(2 − Σ_common p_a − Σ_common p_b)].
+# Per-term contributions snap onto the 1e-9 grid and sum exactly (the
+# order-independent exact-sum path); the one corpus pass is the same
+# materialized per-source count relation the KL monitor uses.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_exact_sum,
+)
+
+_JS_TAIL = f"""
+SELECT a.source AS source_a, b.source AS source_b,
+       floor((5e-1 * (
+           {sql_exact_sum(
+               "(a.c / ta.n) * ln(2e0 * (a.c / ta.n)"
+               " / (a.c / ta.n + b.c / tb.n))"
+               " + (b.c / tb.n) * ln(2e0 * (b.c / tb.n)"
+               " / (a.c / ta.n + b.c / tb.n))", 9)}
+           + ln(2e0) * (2e0 - {sql_exact_sum("a.c / ta.n", 9)}
+                            - {sql_exact_sum("b.c / tb.n", 9)})
+       )) * 1e6 + 0.5) / 1e6 AS js_nats
+FROM {{rel}} a
+JOIN {{rel}} b ON a.term = b.term AND a.source < b.source
+JOIN (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+      FROM {{rel}} GROUP BY source) ta ON a.source = ta.source
+JOIN (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+      FROM {{rel}} GROUP BY source) tb ON b.source = tb.source
+GROUP BY a.source, b.source
+ORDER BY a.source, b.source
+"""
+
+_JS_DUCK_SQL = (
+    "WITH per_source AS ("
+    f"SELECT source, tok AS term, CAST(count(*) AS DOUBLE) AS c FROM "
+    f"(SELECT source, unnest({_D_TOK}) AS tok FROM documents) "
+    "GROUP BY source, tok)\n" + _JS_TAIL.replace("{rel}", "per_source")
+)
+
+
+@register("corpus_source_js_matrix", oracle=_JS_DUCK_SQL)
+def corpus_source_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JS divergence between source token distributions."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(
+        spark.sql(
+            "SELECT source, tok AS term, CAST(count(*) AS DOUBLE) AS c FROM "
+            f"(SELECT source, explode({_S_TOK}) AS tok FROM documents) "
+            "GROUP BY source, tok"
+        ),
+        "js_per_source",
+    )
+    return spark.sql(_JS_TAIL.replace("{rel}", "js_per_source"))

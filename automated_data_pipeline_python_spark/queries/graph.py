@@ -176,3 +176,56 @@ def graph_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tri_edges"
     )
     return spark.sql(_triangles_tail("tri_edges"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth reachability (min-hop BFS from a seed brand)
+# ---------------------------------------------------------------------------
+# "What can I reach in k hops, and how close is it?" — the recursive
+# frontier expands over the materialized vocabulary-sized edge list
+# with depth capped at 3 and min(hops) aggregated at the end (the
+# recursive term cannot self-dedup, so duplicate paths are tolerated
+# and collapsed after; at bounded depth over a degree-bounded graph
+# the path count stays polynomial). The production shape at unbounded
+# depth is the iterative frontier-dedup DataFrame loop the label-
+# propagation operator uses; this is the SQL-surface twin with the
+# same min-hop semantics. Seed = lexicographically-first brand
+# (deterministic at every scale).
+
+_REACH_DEPTH = 3
+
+
+def _reach_tail(edges: str) -> str:
+    """CTE body from `seed` onward — callers prepend WITH RECURSIVE
+    (and, for the oracle, the inline edges CTE)."""
+    return f"""
+seed AS (SELECT min(src) AS brand FROM {edges}),
+walk(brand, hops) AS (
+    SELECT brand, 0 FROM seed
+    UNION ALL
+    SELECT e.dst, w.hops + 1
+    FROM walk w JOIN {edges} e ON e.src = w.brand
+    WHERE w.hops < {_REACH_DEPTH}
+)
+SELECT brand, CAST(min(hops) AS INT) AS hops
+FROM walk
+GROUP BY brand
+ORDER BY hops, brand
+"""
+
+
+@register(
+    "graph_brand_reachability",
+    oracle=f"WITH RECURSIVE edges AS ({_EDGES_SQL}),\n"
+    + _reach_tail("edges").lstrip(),
+)
+def graph_brand_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop reachability from the first brand, depth <= 3."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "reach_edges"
+    )
+    return spark.sql("WITH RECURSIVE " + _reach_tail("reach_edges").lstrip())
