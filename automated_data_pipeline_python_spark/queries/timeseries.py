@@ -948,3 +948,93 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounce rate and mean depth per session entry type (30-min gaps)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_bounce_sql("timestampdiff(MICROSECOND, prev_ts, ts)"))
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions per day (max-overlap sweep)
+# ---------------------------------------------------------------------------
+# Capacity planning's favorite number: the maximum number of sessions
+# open at the same instant, per day. Sessions come from the same
+# 30-minute-gap rule as the bounce-rate operator; each session then
+# EXPLODES to the days it overlaps (sequence(start_day, end_day) — the
+# WAU fan-out pattern, bounded because gap sessions are short) and is
+# clipped to each day's window, so the sweep's running sum PARTITIONS
+# BY DAY with no cross-midnight carry error. The sweep orders by
+# (instant, delta) with -1 before +1, so back-to-back sessions
+# touching at one microsecond don't double-count. All integer
+# arithmetic until the final ratio-free output.
+
+
+def _concurrency_sql(us_gap: str, day_seq: str, day_str: str) -> str:
+    return f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                  OR ({us_gap}) > 1800000000 THEN 1 ELSE 0 END AS starts
+    FROM seq
+),
+numbered AS (
+    SELECT user_id, ts,
+           sum(starts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
+    FROM numbered GROUP BY user_id, sid
+),
+spans AS (
+    SELECT s.user_id, s.sid, d AS day,
+           greatest(s.t0, CAST(d AS TIMESTAMP)) AS c0,
+           least(s.t1, CAST(d AS TIMESTAMP) + INTERVAL 1 DAY
+                       - INTERVAL 1 MICROSECOND) AS c1
+    FROM sessions s {day_seq}
+),
+boundaries AS (
+    SELECT day, c0 AS t, 1 AS delta FROM spans
+    UNION ALL
+    SELECT day, c1 AS t, -1 AS delta FROM spans
+),
+sweep AS (
+    SELECT day,
+           sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS open_now
+    FROM boundaries
+)
+SELECT {day_str} AS day,
+       CAST(max(open_now) AS INT) AS peak_concurrent_sessions
+FROM sweep
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=_concurrency_sql(
+        "date_diff('microsecond', CAST(prev_ts AS TIMESTAMP),"
+        " CAST(ts AS TIMESTAMP))",
+        ", UNNEST(generate_series(CAST(s.t0 AS DATE), CAST(s.t1 AS DATE),"
+        " INTERVAL 1 DAY)) AS g(d)",
+        "strftime(CAST(day AS DATE), '%Y-%m-%d')",
+    ),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions (gap sessions, day-clipped sweep)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _concurrency_sql(
+            "timestampdiff(MICROSECOND, prev_ts, ts)",
+            "LATERAL VIEW explode(sequence(CAST(s.t0 AS DATE),"
+            " CAST(s.t1 AS DATE))) g AS d",
+            "date_format(CAST(day AS DATE), 'yyyy-MM-dd')",
+        )
+    )
