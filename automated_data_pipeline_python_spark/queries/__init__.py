@@ -115,7 +115,8 @@ _PRIORITY = [
     # events_cuped_adjustment, events_winsorized_stats,
     # scd2_as_of_snapshot, events_session_bounce_rate,
     # text_heaps_vocab_growth, embedding_class_separability,
-    # events_dau_mau_stickiness.
+    # events_dau_mau_stickiness, graph_brand_reachability,
+    # corpus_source_js_matrix, events_peak_concurrency.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -367,3 +367,13 @@ def test_stickiness_has_no_nested_loop_join(spark):
     a day-spine RANGE join would compile to BroadcastNestedLoopJoin."""
     r = plan_report(QUERIES["events_dau_mau_stickiness"].fn(spark, SF))
     assert "NestedLoop" not in r.text
+
+
+def test_reachability_js_concurrency_python_free(spark):
+    for name in (
+        "graph_brand_reachability",
+        "corpus_source_js_matrix",
+        "events_peak_concurrency",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
