@@ -1286,3 +1286,98 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "{thr}", str(_CONTAIN_THRESHOLD)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy (signature agreement vs exact jaccard)
+# ---------------------------------------------------------------------------
+# The estimator the LSH pipeline rests on, measured directly: for a
+# deterministic pair sample (doc, doc+1 for doc % 5 = 0), the fraction
+# of agreeing signature slots (matches/16 — an unbiased jaccard
+# estimator) against the exact shingle jaccard, with the absolute
+# error shown. Uses the SAME permutation family and 28-bit hash as
+# the production signatures, in long form (doc, i, m) so one SQL text
+# shape serves both engines. Errors at 16 permutations are large by
+# construction — the n_perm tuning signal, reported honestly.
+
+_MH_EST_TAIL = f"""
+mh AS (
+    SELECT doc_id, i,
+           min(((2 * i + 1) * h + i * {_B_MULT}) % {_PRIME}) AS m
+    FROM {{hashed}} CROSS JOIN ({{perm}}) p
+    GROUP BY doc_id, i
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM (SELECT DISTINCT doc_id FROM {{sh}}) a
+    JOIN (SELECT DISTINCT doc_id FROM {{sh}}) b
+      ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 5 = 0
+),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS INT)
+               AS matches
+    FROM pairs p
+    JOIN mh ma ON ma.doc_id = p.doc_a
+    JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+    GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM {{sh}} GROUP BY doc_id),
+ex AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS isect
+    FROM pairs p
+    JOIN {{sh}} s1 ON s1.doc_id = p.doc_a
+    JOIN {{sh}} s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.matches,
+       floor((CAST(e.matches AS DOUBLE) / {_N_PERM}) * 1e6 + 0.5) / 1e6
+           AS est_jaccard,
+       floor((CAST(coalesce(x.isect, 0) AS DOUBLE)
+              / (na.n + nb.n - coalesce(x.isect, 0))) * 1e6 + 0.5) / 1e6
+           AS exact_jaccard,
+       floor(abs(CAST(e.matches AS DOUBLE) / {_N_PERM}
+                 - CAST(coalesce(x.isect, 0) AS DOUBLE)
+                   / (na.n + nb.n - coalesce(x.isect, 0)))
+             * 1e6 + 0.5) / 1e6 AS abs_err
+FROM est e
+LEFT JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+JOIN sizes na ON e.doc_a = na.doc_id
+JOIN sizes nb ON e.doc_b = nb.doc_id
+ORDER BY e.doc_a
+"""
+
+_MH_EST_DUCK_SQL = (
+    f"""WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+est_sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+est_hashed AS (
+    SELECT doc_id, {duck_hash28('shingle')} AS h FROM est_sh
+),
+"""
+    + _MH_EST_TAIL.format(
+        hashed="est_hashed",
+        sh="est_sh",
+        perm=f"SELECT CAST(unnest(generate_series(0, {_N_PERM - 1})) AS BIGINT) AS i",
+    )
+)
+
+
+@register("dedup_minhash_estimate_accuracy", oracle=_MH_EST_DUCK_SQL)
+def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement jaccard estimates vs exact, per sampled pair."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "est_sh")
+    return spark.sql(
+        "WITH "
+        + _MH_EST_TAIL.format(
+            hashed="(SELECT doc_id, h FROM est_sh)",
+            sh="est_sh",
+            perm=f"SELECT explode(sequence(0, {_N_PERM - 1})) AS i",
+        ).lstrip()
+    )

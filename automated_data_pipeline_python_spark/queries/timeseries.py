@@ -1038,3 +1038,56 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date_format(CAST(day AS DATE), 'yyyy-MM-dd')",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-feature matrix (the feature-engineering staple)
+# ---------------------------------------------------------------------------
+# The table a forecasting model trains on: per (type, day), the count
+# plus lag-1/lag-7 values and a trailing-7-day mean/std. All windows
+# partition by type over the REDUCED daily series; counts are exact
+# integers so the rolling moments derive from integer sums (Σx, Σx²)
+# — no engine-ordered double accumulation — and snap at output.
+
+
+def _lag_features_sql(fmt_day: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+feats AS (
+    SELECT event_type, d, n,
+           lag(n, 1) OVER w AS lag1,
+           lag(n, 7) OVER w AS lag7,
+           sum(n) OVER w7 AS s7,
+           sum(n * n) OVER w7 AS ss7,
+           count(*) OVER w7 AS c7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d),
+           w7 AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, {fmt_day} AS day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(lag1 AS BIGINT) AS lag_1d,
+       CAST(lag7 AS BIGINT) AS lag_7d,
+       floor((CAST(s7 AS DOUBLE) / c7) * 1e6 + 0.5) / 1e6 AS mean_7d,
+       floor(sqrt(greatest(0e0,
+             CAST(ss7 AS DOUBLE) / c7
+             - (CAST(s7 AS DOUBLE) / c7) * (CAST(s7 AS DOUBLE) / c7)))
+             * 1e6 + 0.5) / 1e6 AS std_7d
+FROM feats
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "events_lag_feature_matrix",
+    oracle=_lag_features_sql("strftime(d, '%Y-%m-%d')"),
+)
+def events_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) lag and trailing-window features for forecasting."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_lag_features_sql("date_format(d, 'yyyy-MM-dd')"))

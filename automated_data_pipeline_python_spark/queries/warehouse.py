@@ -603,3 +603,53 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SCD2_ASOF_SQL.format(scd2="SELECT * FROM scd2_versions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration per market segment
+# ---------------------------------------------------------------------------
+# The antitrust-style complement to the Lorenz/Gini report: HHI =
+# Σ share², computed per customer segment over customer revenue
+# shares. Revenue stays on the exact-sum cent grid; each customer's
+# squared share snaps to the 1e-9 grid and the HHI sums exactly, so
+# no engine-ordered double accumulation anywhere. Effective-competitor
+# count 1/HHI comes from the snapped HHI.
+
+_HHI_SQL = f"""
+WITH per_cust AS (
+    SELECT c.c_mktsegment AS segment, o.o_custkey,
+           {{rev}} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_custkey
+),
+seg_tot AS (
+    SELECT segment, {{rev_tot}} AS total FROM per_cust GROUP BY segment
+)
+SELECT p.segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       floor(({{hhi}}) * 1e6 + 0.5) / 1e6 AS hhi,
+       floor((1e0 / ({{hhi}})) * 1e2 + 0.5) / 1e2
+           AS effective_competitors
+FROM per_cust p JOIN seg_tot t ON p.segment = t.segment
+GROUP BY p.segment
+ORDER BY p.segment
+"""
+
+
+def _hhi_sql() -> str:
+    hhi = sql_exact_sum("(p.revenue / t.total) * (p.revenue / t.total)", 9)
+    return (
+        _HHI_SQL
+        .replace("{rev}", sql_exact_sum("o.o_totalprice", 2))
+        .replace("{rev_tot}", sql_exact_sum("revenue", 2))
+        .replace("{hhi}", hhi)
+    )
+
+
+@register("orders_hhi_concentration", oracle=_hhi_sql())
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment HHI of customer revenue shares + effective-competitor
+    count."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_hhi_sql())
