@@ -116,7 +116,9 @@ _PRIORITY = [
     # scd2_as_of_snapshot, events_session_bounce_rate,
     # text_heaps_vocab_growth, embedding_class_separability,
     # events_dau_mau_stickiness, graph_brand_reachability,
-    # corpus_source_js_matrix, events_peak_concurrency.
+    # corpus_source_js_matrix, events_peak_concurrency,
+    # events_lag_feature_matrix, orders_hhi_concentration,
+    # dedup_minhash_estimate_accuracy.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -377,3 +377,13 @@ def test_reachability_js_concurrency_python_free(spark):
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_feature_hhi_estimator_python_free(spark):
+    for name in (
+        "events_lag_feature_matrix",
+        "orders_hhi_concentration",
+        "dedup_minhash_estimate_accuracy",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
