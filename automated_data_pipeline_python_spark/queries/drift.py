@@ -350,3 +350,50 @@ def corpus_source_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "js_per_source",
     )
     return spark.sql(_JS_TAIL.replace("{rel}", "js_per_source"))
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity / effective vocabulary per source
+# ---------------------------------------------------------------------------
+# The concentration view of a vocabulary: Simpson's index Σp² (the
+# chance two random tokens coincide) and its inverse — the "effective
+# vocabulary size" — per source, beside the raw distinct count. All
+# from the SAME materialized per-source count relation as KL/JS; p²
+# terms are exact integer ratios snapped onto the 1e-9 grid and summed
+# exactly, so nothing engine-ordered ever accumulates.
+
+_SIMPSON_TAIL = f"""
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       floor(({sql_exact_sum("(p.c / t.n) * (p.c / t.n)", 9)})
+             * 1e6 + 0.5) / 1e6 AS simpson_index,
+       floor((1e0 / ({sql_exact_sum("(p.c / t.n) * (p.c / t.n)", 9)}))
+             * 1e2 + 0.5) / 1e2 AS effective_vocab
+FROM {{rel}} p
+JOIN (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+      FROM {{rel}} GROUP BY source) t ON p.source = t.source
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+_SIMPSON_DUCK_SQL = (
+    "WITH per_source AS ("
+    f"SELECT source, tok AS term, CAST(count(*) AS DOUBLE) AS c FROM "
+    f"(SELECT source, unnest({_D_TOK}) AS tok FROM documents) "
+    "GROUP BY source, tok)\n" + _SIMPSON_TAIL.replace("{rel}", "per_source")
+)
+
+
+@register("corpus_simpson_diversity", oracle=_SIMPSON_DUCK_SQL)
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson index and effective vocabulary size per source."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(
+        spark.sql(
+            "SELECT source, tok AS term, CAST(count(*) AS DOUBLE) AS c FROM "
+            f"(SELECT source, explode({_S_TOK}) AS tok FROM documents) "
+            "GROUP BY source, tok"
+        ),
+        "simpson_per_source",
+    )
+    return spark.sql(_SIMPSON_TAIL.replace("{rel}", "simpson_per_source"))

@@ -1091,3 +1091,73 @@ def events_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(type, day) lag and trailing-window features for forecasting."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_lag_features_sql("date_format(d, 'yyyy-MM-dd')"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomalies (expected = daily level × hourly profile)
+# ---------------------------------------------------------------------------
+# The z-score band and MAD monitors treat every hour alike; real
+# traffic has a weekly rhythm, so the honest anomaly score compares
+# each (day, hour) cell against daily_total × that (dow, hour)'s
+# long-run share. Two reduced relations (daily totals; the 168-cell
+# profile, both from one scan each), a broadcast-sized join back, and
+# a residual ratio snapped before the |·| > threshold flag. Integer
+# counts throughout until the final ratios.
+
+
+def _seasonal_resid_sql(dow0: str, fmt_day: str) -> str:
+    return f"""
+WITH cells AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST({dow0} AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+),
+daily AS (
+    SELECT d, CAST(sum(n) AS DOUBLE) AS day_tot FROM cells GROUP BY d
+),
+profile AS (
+    SELECT dow, hr, CAST(sum(n) AS DOUBLE) AS cell_tot FROM cells
+    GROUP BY dow, hr
+),
+dow_tot AS (
+    SELECT dow, CAST(sum(cell_tot) AS DOUBLE) AS t FROM profile GROUP BY dow
+),
+scored AS (
+    -- expected = day's total × P(hour | that day-of-week), the exact
+    -- conditional from the long-run profile
+    SELECT c.d, c.dow, c.hr, c.n,
+           floor((dy.day_tot * (p.cell_tot / dt.t))
+                 * 1e6 + 0.5) / 1e6 AS expected
+    FROM cells c
+    JOIN daily dy ON c.d = dy.d
+    JOIN profile p ON c.dow = p.dow AND c.hr = p.hr
+    JOIN dow_tot dt ON c.dow = dt.dow
+)
+SELECT {fmt_day} AS day, dow, hr,
+       CAST(n AS BIGINT) AS n_events,
+       expected,
+       floor(((n - expected) / sqrt(greatest(expected, 1e0)))
+             * 1e6 + 0.5) / 1e6 AS poisson_z,
+       CAST(CASE WHEN abs(floor(((n - expected)
+                  / sqrt(greatest(expected, 1e0))) * 1e6 + 0.5) / 1e6)
+                 > 4e0 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM scored
+ORDER BY day, hr
+"""
+
+
+@register(
+    "events_seasonal_anomalies",
+    oracle=_seasonal_resid_sql(
+        "(dayofweek(ts) + 6) % 7", "strftime(d, '%Y-%m-%d')"
+    ),
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-style z vs (daily level × weekly hourly profile), flagged."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _seasonal_resid_sql("(dayofweek(ts) + 5) % 7", "date_format(d, 'yyyy-MM-dd')")
+    )

@@ -653,3 +653,80 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_hhi_sql())
+
+
+# ---------------------------------------------------------------------------
+# ABC part classification (inventory analytics, cutoff-bucketed)
+# ---------------------------------------------------------------------------
+# A-parts carry ~80% of revenue, B the next 15%, C the tail — the
+# inventory-policy classifier. Like the Lorenz/Gini report, this
+# avoids the global revenue-rank sort: ventile revenue cutoffs
+# broadcast back (the RFM pattern), bucket revenue sums give the
+# cumulative-share curve, and each bucket maps to A/B/C by WHERE ITS
+# CUMULATIVE SHARE SITS — so class boundaries land on bucket edges
+# (5% resolution, documented) instead of exact part ranks, and no
+# 10^8-part global sort ever runs. Revenue stays on the exact-sum
+# cent grid; shares snap at 1e-6 before the class compare.
+
+_ABC_SQL = """
+WITH per_part AS (
+    SELECT l_partkey, {rev} AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+cuts AS (
+    SELECT {cut_cols}
+    FROM per_part
+),
+buckets AS (
+    SELECT CAST({bucket} AS INT) AS bucket,
+           count(*) AS n_parts,
+           {rev_sum} AS rev
+    FROM per_part p CROSS JOIN cuts
+    GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev) AS DOUBLE) AS r FROM buckets),
+curve AS (
+    SELECT b.bucket, b.n_parts, b.rev,
+           floor((CAST(sum(b.rev) OVER (ORDER BY b.bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / t.r) * 1e6 + 0.5) / 1e6 AS cum_share_top
+    FROM buckets b CROSS JOIN tot t
+)
+SELECT CASE WHEN cum_share_top <= 8e-1 THEN 'A'
+            WHEN cum_share_top <= 95e-2 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+       {class_rev} AS class_revenue
+FROM curve
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
+def _abc_sql() -> str:
+    cut_cols = ",\n        ".join(
+        "floor(({q}(revenue, " + f"{i} / 20e0)) * 1e6 + 0.5) / 1e6 AS c{i}"
+        for i in range(1, 20)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN p.revenue > cuts.c{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 20)
+    )
+    return (
+        _ABC_SQL
+        .replace("{rev}", sql_exact_sum("l_extendedprice", 2))
+        .replace("{cut_cols}", cut_cols)
+        .replace("{bucket}", bucket)
+        .replace("{rev_sum}", sql_exact_sum("p.revenue", 2))
+        .replace("{class_rev}", sql_exact_sum("rev", 2))
+    )
+
+
+@register(
+    "lineitem_abc_classification",
+    oracle=_abc_sql().replace("{q}", "quantile_cont"),
+)
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/C part classes by cumulative revenue share (bucket-edged)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_abc_sql().replace("{q}", "percentile"))
