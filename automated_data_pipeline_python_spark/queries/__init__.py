@@ -118,7 +118,8 @@ _PRIORITY = [
     # events_dau_mau_stickiness, graph_brand_reachability,
     # corpus_source_js_matrix, events_peak_concurrency,
     # events_lag_feature_matrix, orders_hhi_concentration,
-    # dedup_minhash_estimate_accuracy.
+    # dedup_minhash_estimate_accuracy, lineitem_abc_classification,
+    # events_seasonal_anomalies, corpus_simpson_diversity.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -387,3 +387,13 @@ def test_feature_hhi_estimator_python_free(spark):
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_abc_anomaly_simpson_python_free(spark):
+    for name in (
+        "lineitem_abc_classification",
+        "events_seasonal_anomalies",
+        "corpus_simpson_diversity",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
