@@ -373,3 +373,79 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView("gopher_census")
     return spark.sql(_GOPHER_TAIL.replace("{rel}", "gopher_census"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV curve (the tokenizer-budget question)
+# ---------------------------------------------------------------------------
+# "How big a vocabulary do we need?" answered empirically: rank the
+# training slice's terms by frequency, then measure what share of a
+# HELD-OUT slice's tokens the top-k covers, for k ∈ {16, 32, 64, 128}.
+# Train = every source except src0; held-out = src0 (the DSIR target
+# convention). The rank window runs over the vocabulary relation
+# (Zipf-bounded), never tokens; coverage ratios divide exact integers.
+
+_OOV_KS = (16, 32, 64, 128)
+
+_OOV_TAIL = f"""
+train_vocab AS (
+    SELECT term, count(*) AS c FROM tok WHERE source != 'src0'
+    GROUP BY term
+),
+ranked AS (
+    SELECT term,
+           row_number() OVER (ORDER BY c DESC, term) AS rnk
+    FROM train_vocab
+),
+held AS (
+    SELECT term, count(*) AS c FROM tok WHERE source = 'src0'
+    GROUP BY term
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM held)
+SELECT k,
+       CAST(covered AS BIGINT) AS covered_tokens,
+       CAST(t.n AS BIGINT) AS heldout_tokens,
+       floor((covered / t.n) * 1e6 + 0.5) / 1e6 AS coverage,
+       floor((1e0 - covered / t.n) * 1e6 + 0.5) / 1e6 AS oov_rate
+FROM (
+    SELECT ks.k,
+           CAST(sum(CASE WHEN r.rnk IS NOT NULL AND r.rnk <= ks.k
+                    THEN h.c ELSE 0 END) AS DOUBLE) AS covered
+    FROM held h
+    LEFT JOIN ranked r ON h.term = r.term
+    CROSS JOIN ({{ks}}) ks
+    GROUP BY ks.k
+) c CROSS JOIN tot t
+ORDER BY k
+"""
+
+_OOV_DUCK_SQL = (
+    "WITH tok AS ("
+    f"SELECT source, tok AS term FROM "
+    f"(SELECT source, unnest({_D_TOK}) AS tok FROM documents)),\n"
+    + _OOV_TAIL.replace(
+        "{ks}",
+        "SELECT CAST(unnest(["
+        + ", ".join(str(k) for k in _OOV_KS)
+        + "]) AS INT) AS k",
+    )
+)
+
+
+@register("vocab_coverage_oov_curve", oracle=_OOV_DUCK_SQL)
+def vocab_coverage_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out token coverage and OOV rate vs top-k training vocab."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        f"SELECT source, tok AS term FROM "
+        f"(SELECT source, explode({_S_TOK}) AS tok FROM documents)"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("oov_tok")
+    return spark.sql(
+        "WITH tok AS (SELECT * FROM oov_tok),\n"
+        + _OOV_TAIL.replace(
+            "{ks}",
+            "SELECT explode(array("
+            + ", ".join(str(k) for k in _OOV_KS)
+            + ")) AS k",
+        )
+    )

@@ -397,3 +397,78 @@ def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simpson_per_source",
     )
     return spark.sql(_SIMPSON_TAIL.replace("{rel}", "simpson_per_source"))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence tests (the classical companion to MI)
+# ---------------------------------------------------------------------------
+# Same materialized joint-count relations as dq_mutual_information,
+# classical statistic: χ² = Σ (observed − expected)²/expected with
+# expected = row_tot·col_tot/n, plus degrees of freedom and Cramér's V
+# for cross-pair comparability. Observed counts and marginals are
+# exact integers; each cell's contribution is a deterministic double
+# snapped to the 1e-6 grid before the exact cell sum.
+
+_CHI2_BRANCH = """
+SELECT '{label}' AS pair,
+       CAST((SELECT count(DISTINCT jx) FROM {rel}) AS INT) AS card_x,
+       CAST((SELECT count(DISTINCT jy) FROM {rel}) AS INT) AS card_y,
+       chi.chi2,
+       CAST(((SELECT count(DISTINCT jx) FROM {rel}) - 1)
+            * ((SELECT count(DISTINCT jy) FROM {rel}) - 1) AS INT) AS dof,
+       floor(sqrt(chi.chi2 / (chi.n
+             * least((SELECT count(DISTINCT jx) FROM {rel}) - 1,
+                     (SELECT count(DISTINCT jy) FROM {rel}) - 1)))
+             * 1e6 + 0.5) / 1e6 AS cramers_v
+FROM (
+    SELECT {cellsum} AS chi2, max(n.n) AS n
+    FROM {rel} j
+    JOIN (SELECT jx, sum(c) AS cx FROM {rel} GROUP BY jx) mx ON j.jx = mx.jx
+    JOIN (SELECT jy, sum(c) AS cy FROM {rel} GROUP BY jy) my ON j.jy = my.jy
+    CROSS JOIN (SELECT sum(c) AS n FROM {rel}) n
+) chi
+"""
+
+
+def _chi2_sql(rels: list[str]) -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_exact_sum as es,
+    )
+
+    cellsum = es(
+        "(j.c - mx.cx * my.cy / n.n) * (j.c - mx.cx * my.cy / n.n)"
+        " / (mx.cx * my.cy / n.n)",
+        6,
+    )
+    branches = [
+        _CHI2_BRANCH.format(
+            label=f"{t}.{x}|{t}.{y}", rel=rel, cellsum=cellsum
+        )
+        for (t, x, y), rel in zip(_MI_PAIRS, rels)
+    ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM ({b})" for b in branches)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY pair"
+
+
+_CHI2_DUCK_SQL = (
+    "WITH "
+    + ", ".join(
+        f"joint_{i} AS ({_mi_joint_sql(t, x, y)})"
+        for i, (t, x, y) in enumerate(_MI_PAIRS)
+    )
+    + "\n"
+    + _chi2_sql([f"joint_{i}" for i in range(len(_MI_PAIRS))])
+)
+
+
+@register("dq_chi2_independence", oracle=_CHI2_DUCK_SQL)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic, dof, and Cramér's V per pair."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    rels = []
+    for i, (t, x, y) in enumerate(_MI_PAIRS):
+        view = f"chi2_joint_{i}"
+        _materialize_view(spark.sql(_mi_joint_sql(t, x, y)), view)
+        rels.append(view)
+    return spark.sql(_chi2_sql(rels))
