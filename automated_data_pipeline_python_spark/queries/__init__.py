@@ -119,7 +119,8 @@ _PRIORITY = [
     # corpus_source_js_matrix, events_peak_concurrency,
     # events_lag_feature_matrix, orders_hhi_concentration,
     # dedup_minhash_estimate_accuracy, lineitem_abc_classification,
-    # events_seasonal_anomalies, corpus_simpson_diversity.
+    # events_seasonal_anomalies, corpus_simpson_diversity,
+    # vocab_coverage_oov_curve, dq_chi2_independence.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

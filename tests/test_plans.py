@@ -397,3 +397,9 @@ def test_abc_anomaly_simpson_python_free(spark):
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_oov_chi2_python_free(spark):
+    for name in ("vocab_coverage_oov_curve", "dq_chi2_independence"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
