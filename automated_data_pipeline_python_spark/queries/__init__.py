@@ -120,7 +120,8 @@ _PRIORITY = [
     # events_lag_feature_matrix, orders_hhi_concentration,
     # dedup_minhash_estimate_accuracy, lineitem_abc_classification,
     # events_seasonal_anomalies, corpus_simpson_diversity,
-    # vocab_coverage_oov_curve, dq_chi2_independence.
+    # vocab_coverage_oov_curve, dq_chi2_independence,
+    # multimodal_frame_sample_plan, multimodal_audio_segments.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

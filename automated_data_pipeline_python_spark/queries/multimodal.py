@@ -1,10 +1,23 @@
-"""Multimodal metadata query for the driver catalog.
+"""Multimodal planning queries for the driver catalog.
 
 The corpus has no binary table, so media blobs are derived from document
 text bytes (payload-agnostic plumbing — see multimodal/binary_ops.py for
 the mapInPandas decode/feature/frame passes, which have no SQL oracle and
-are covered by tests/test_multimodal.py). The metadata pass itself is
-JVM-side and oracle-checkable: byte length + content hash per blob.
+are covered by tests/test_multimodal.py). Everything UPSTREAM of the
+codec boundary is JVM-side and oracle-checkable, and that is where the
+100 TB leverage lives: a video/audio pipeline never materializes decoded
+frames across a shuffle — it computes a PLAN of (blob, offset/timestamp)
+rows with integer arithmetic and ships only that plan into the
+Arrow-batched codec stage. Three such passes here:
+
+- blob metadata (byte length + content hash — the media dedup key)
+- uniform frame-sampling schedule (k timestamps/frame indices per video)
+- audio window segmentation (fixed window/hop byte-offset spans)
+
+Media attributes (duration, fps, sample rate) come deterministically
+from blob bytes/ids, standing in for container-header fields the codec
+stage would parse; the arithmetic downstream of them is the real
+operator and is exact in both engines.
 """
 
 from __future__ import annotations
@@ -40,3 +53,147 @@ def multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("content_sha"),
         F.length("text").alias("n_chars"),
     )
+
+
+def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Uniform frame-sampling schedule (video)
+# ---------------------------------------------------------------------------
+# The planning half of video frame extraction: k uniformly-spaced sample
+# timestamps per clip, mapped to frame indices at the clip's fps. The
+# decode half (seek + decode at those indices) is the mapInPandas codec
+# pass in multimodal/binary_ops.py (frame_sample), which consumes exactly
+# this (media_id, frame_idx) plan. duration/fps stand in for container
+# header fields; all downstream arithmetic is exact BIGINT.
+#
+# Scale: map-only explode of a constant-8 sequence — no shuffle at any
+# SF, output is 8 rows per clip regardless of media size, so the plan
+# table stays ~doc-count-sized while the blobs themselves never move.
+
+_N_SAMPLES = 8
+
+_FRAME_PLAN_SPARK_SQL = f"""
+WITH media AS (
+    SELECT doc_id                                        AS media_id,
+           CAST(octet_length(text) AS BIGINT)            AS n_bytes,
+           CAST(1000 + (octet_length(text) % 97) * 250 AS BIGINT)
+                                                         AS duration_ms,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 24 ELSE 30 END
+                AS BIGINT)                               AS fps
+    FROM documents
+    WHERE octet_length(text) > 0
+)
+SELECT media_id,
+       CAST(i AS BIGINT)                                 AS sample_id,
+       duration_ms,
+       fps,
+       CAST((i * duration_ms) div {_N_SAMPLES} AS BIGINT)       AS ts_ms,
+       CAST(((i * duration_ms) div {_N_SAMPLES}) * fps div 1000 AS BIGINT)
+                                                         AS frame_idx
+FROM media
+LATERAL VIEW explode(sequence(0, {_N_SAMPLES - 1})) t AS i
+"""
+
+_FRAME_PLAN_DUCK_SQL = f"""
+WITH media AS (
+    SELECT doc_id                                        AS media_id,
+           CAST(strlen(text) AS BIGINT)                  AS n_bytes,
+           CAST(1000 + (strlen(text) % 97) * 250 AS BIGINT)
+                                                         AS duration_ms,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 24 ELSE 30 END
+                AS BIGINT)                               AS fps
+    FROM documents
+    WHERE strlen(text) > 0
+)
+SELECT media_id,
+       CAST(i AS BIGINT)                                 AS sample_id,
+       duration_ms,
+       fps,
+       CAST((i * duration_ms) // {_N_SAMPLES} AS BIGINT)        AS ts_ms,
+       CAST(((i * duration_ms) // {_N_SAMPLES}) * fps // 1000 AS BIGINT)
+                                                         AS frame_idx
+FROM media, UNNEST(generate_series(0, {_N_SAMPLES - 1})) AS t(i)
+"""
+
+
+@register("multimodal_frame_sample_plan", oracle=_FRAME_PLAN_DUCK_SQL)
+def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling schedule: 8 sample timestamps per clip,
+    mapped to frame indices at the clip's fps.
+
+    Map-only (constant-width sequence explode, no shuffle at any SF);
+    the output plan is what ships to the Arrow-batched codec stage —
+    decoded frames never cross a shuffle boundary.
+    """
+    return _docs_sql(spark, sf_dir, _FRAME_PLAN_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Audio window segmentation (byte-offset spans)
+# ---------------------------------------------------------------------------
+# Fixed 80 ms window / 40 ms hop segmentation of PCM-style blobs at
+# 2 bytes/ms, emitted as (byte_off, seg_len) spans plus their timeline
+# positions. This is the offset plan an audio featurizer consumes — the
+# codec stage slices each blob locally by (byte_off, seg_len); the
+# segments themselves are never materialized engine-side. (Rates are
+# scaled to the corpus's ~300-byte blobs so the window/hop fan-out is
+# actually exercised — real PCM constants would put every blob inside
+# one hop and degenerate to a projection.)
+
+_BYTES_PER_MS = 2
+_WIN_B = 160  # 80 ms
+_HOP_B = 80  # 40 ms
+
+_AUDIO_SEG_SPARK_SQL = f"""
+WITH media AS (
+    SELECT doc_id                             AS media_id,
+           CAST(octet_length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE octet_length(text) > 0
+)
+SELECT media_id,
+       CAST(start div {_HOP_B} AS BIGINT)                 AS seg_id,
+       CAST(start AS BIGINT)                              AS byte_off,
+       CAST(least({_WIN_B}, n_bytes - start) AS BIGINT)   AS seg_len,
+       CAST(start div {_BYTES_PER_MS} AS BIGINT)          AS start_ms,
+       CAST((start + least({_WIN_B}, n_bytes - start)) div {_BYTES_PER_MS}
+            AS BIGINT)                                    AS end_ms,
+       (start + {_HOP_B} >= n_bytes)                      AS is_last
+FROM media
+LATERAL VIEW explode(sequence(0, n_bytes - 1, {_HOP_B})) t AS start
+"""
+
+_AUDIO_SEG_DUCK_SQL = f"""
+WITH media AS (
+    SELECT doc_id                             AS media_id,
+           CAST(strlen(text) AS BIGINT)       AS n_bytes
+    FROM documents
+    WHERE strlen(text) > 0
+)
+SELECT media_id,
+       CAST(start // {_HOP_B} AS BIGINT)                  AS seg_id,
+       CAST(start AS BIGINT)                              AS byte_off,
+       CAST(least({_WIN_B}, n_bytes - start) AS BIGINT)   AS seg_len,
+       CAST(start // {_BYTES_PER_MS} AS BIGINT)           AS start_ms,
+       CAST((start + least({_WIN_B}, n_bytes - start)) // {_BYTES_PER_MS}
+            AS BIGINT)                                    AS end_ms,
+       (start + {_HOP_B} >= n_bytes)                      AS is_last
+FROM media, UNNEST(generate_series(0, n_bytes - 1, {_HOP_B})) AS t(start)
+"""
+
+
+@register("multimodal_audio_segments", oracle=_AUDIO_SEG_DUCK_SQL)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window segmentation: 80 ms window / 40 ms hop at
+    2 bytes/ms, as (byte_off, seg_len) spans with timeline positions.
+
+    Map-only sequence() explode (no shuffle); row count scales with
+    total media bytes / hop, never quadratically, and blobs are sliced
+    locally in the codec stage — only the offset plan flows through
+    the engine.
+    """
+    return _docs_sql(spark, sf_dir, _AUDIO_SEG_SPARK_SQL)

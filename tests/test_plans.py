@@ -403,3 +403,24 @@ def test_oov_chi2_python_free(spark):
     for name in ("vocab_coverage_oov_curve", "dq_chi2_independence"):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_multimodal_plans_are_map_only(spark):
+    """Frame-sample and audio-segment PLANS never hash-shuffle: the
+    offset plan pipelines straight into the codec stage, so a keyed
+    exchange here would mean decoded-media bytes crossing the wire at
+    100 TB. The one allowed exchange is load_scaled's round-robin
+    fan-out of a single-split scan (parallelism, not semantics)."""
+    import re
+
+    for name in ("multimodal_frame_sample_plan", "multimodal_audio_segments"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+        keyed = [
+            ln
+            for ln in r.text.splitlines()
+            if re.search(r"\bExchange\b", ln)
+            and "Reused" not in ln
+            and "RoundRobinPartitioning" not in ln
+        ]
+        assert keyed == [], (name, keyed)
