@@ -121,7 +121,8 @@ _PRIORITY = [
     # dedup_minhash_estimate_accuracy, lineitem_abc_classification,
     # events_seasonal_anomalies, corpus_simpson_diversity,
     # vocab_coverage_oov_curve, dq_chi2_independence,
-    # multimodal_frame_sample_plan, multimodal_audio_segments.
+    # multimodal_frame_sample_plan, multimodal_audio_segments,
+    # dq_k_anonymity, events_latency_decade_histogram.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -305,3 +305,69 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-digit distribution of o_totalprice vs Benford expectation."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_BENFORD_BODY)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+# The data-governance gate a corpus runs before release: group records by
+# their quasi-identifier tuple (nation, market segment, account-balance
+# band) and report each group's size (k-anonymity) and the diversity of a
+# sensitive attribute inside it (l-diversity over order priority). Groups
+# below k=5 or l=3 are the re-identification risk the release must
+# suppress or generalize.
+#
+# Scale: DISTINCT (custkey, priority) pairs first — that caps the join
+# fan-out at 5 rows per customer before anything wide moves — then one
+# join keyed on custkey and one aggregation keyed on the QI tuple. Both
+# sides grow with the corpus, so no broadcast hint: AQE broadcasts while
+# small and sort-merge-joins at scale. Group count is bounded by the QI
+# domain (~nations x segments x 11 bands), so the report itself stays
+# tiny at any SF. The balance band uses floor(x/1000) on the stored
+# double — a single correctly-rounded IEEE op, identical cross-engine.
+
+_KANON_BODY = """
+WITH qi AS (
+    SELECT c_custkey,
+           c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000e0) AS BIGINT) AS bal_band
+    FROM customer
+),
+sens AS (
+    SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+),
+grp AS (
+    SELECT q.c_nationkey,
+           q.c_mktsegment,
+           q.bal_band,
+           count(DISTINCT q.c_custkey)      AS group_size,
+           count(DISTINCT s.o_orderpriority) AS l_diversity
+    FROM qi q LEFT JOIN sens s ON q.c_custkey = s.o_custkey
+    GROUP BY q.c_nationkey, q.c_mktsegment, q.bal_band
+)
+SELECT c_nationkey,
+       c_mktsegment,
+       bal_band,
+       CAST(group_size AS BIGINT)  AS group_size,
+       CAST(l_diversity AS BIGINT) AS l_diversity,
+       (group_size >= 5)           AS k5_anonymous,
+       (l_diversity >= 3)          AS l3_diverse
+FROM grp
+"""
+
+
+@register("dq_k_anonymity", oracle=_KANON_BODY)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier groups
+    (nation, segment, balance band; sensitive attribute = order
+    priority): group_size < 5 or l_diversity < 3 marks a
+    re-identification risk to suppress before release.
+
+    Distinct (custkey, priority) pairs reduce before the join; no
+    broadcast hint on either side (both scale with the corpus — AQE
+    decides). The output is QI-domain-bounded, tiny at any SF.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_KANON_BODY)

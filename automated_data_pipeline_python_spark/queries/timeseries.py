@@ -1161,3 +1161,68 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _seasonal_resid_sql("(dayofweek(ts) + 5) % 7", "date_format(d, 'yyyy-MM-dd')")
     )
+
+
+# ---------------------------------------------------------------------------
+# Latency-decade histogram of inter-arrival gaps
+# ---------------------------------------------------------------------------
+# The observability-standard exponential-bucket histogram, per event
+# type: bucket inter-arrival gaps by order of magnitude (decades of
+# microseconds). The bucket index is the DIGIT COUNT of the integer gap
+# — exact integer/string arithmetic on both engines, deliberately not
+# floor(log10(x)) or floor(log2(x)), whose libm results at exact bucket
+# edges are not guaranteed to round identically cross-engine. One
+# user-keyed shuffle for the lag, one tiny (type x decade) aggregation;
+# bucket bounds reconstruct as 10^(d-1), exact in a double far past any
+# realistic gap.
+
+
+def _latency_decades_sql(micros_diff: str) -> str:
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+gaps AS (
+    SELECT event_type, CAST(({micros_diff}) AS BIGINT) AS gap_us
+    FROM ordered
+    WHERE prev_ts IS NOT NULL AND ({micros_diff}) > 0
+),
+buckets AS (
+    SELECT event_type,
+           CAST(length(CAST(gap_us AS STRING)) AS BIGINT) AS decade,
+           CAST(count(*) AS BIGINT)                        AS n_gaps
+    FROM gaps
+    GROUP BY event_type, length(CAST(gap_us AS STRING))
+)
+SELECT event_type,
+       decade,
+       CAST(power(10e0, decade - 1) AS BIGINT) AS lo_us,
+       CAST(power(10e0, decade) - 1 AS BIGINT) AS hi_us,
+       n_gaps,
+       floor((CAST(n_gaps AS DOUBLE)
+              / sum(n_gaps) OVER (PARTITION BY event_type)) * 1e6 + 0.5) / 1e6
+                                               AS share
+FROM buckets
+"""
+
+
+@register(
+    "events_latency_decade_histogram",
+    oracle=_latency_decades_sql(
+        "date_diff('microsecond', CAST(prev_ts AS TIMESTAMP), CAST(ts AS TIMESTAMP))"
+    ),
+)
+def events_latency_decade_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (decade-of-microseconds) histogram of same-user
+    inter-arrival gaps per event type, with reconstructed bucket bounds
+    and within-type shares.
+
+    Digit-count bucketing keeps the edge math exact cross-engine; the
+    only corpus-sized stage is the lag window's user_id shuffle, and the
+    histogram itself is (types x ~14 decades) — constant-sized at any SF.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_latency_decades_sql("timestampdiff(MICROSECOND, prev_ts, ts)"))

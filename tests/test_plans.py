@@ -405,6 +405,15 @@ def test_oov_chi2_python_free(spark):
         assert r.python_free, name
 
 
+def test_governance_and_latency_histogram_python_free(spark):
+    """dq_k_anonymity joins two scale-growing tables (customer, orders)
+    — no hint, AQE picks the strategy; the latency histogram's only
+    corpus-sized stage is the lag window's user_id shuffle."""
+    for name in ("dq_k_anonymity", "events_latency_decade_histogram"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
 def test_multimodal_plans_are_map_only(spark):
     """Frame-sample and audio-segment PLANS never hash-shuffle: the
     offset plan pipelines straight into the codec stage, so a keyed
