@@ -170,3 +170,76 @@ def grouped_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .applyInPandas(slope, schema="o_custkey long, slope double")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-factor OLS via normal equations (closed-form multiple regression)
+# ---------------------------------------------------------------------------
+# revenue ~ quantity + discount, solved exactly: one aggregation pass
+# collects the 3x3 normal-equation moments (each an order-independent
+# exact sum on a decimal grid, like agg_corr_regression's bivariate
+# stats), then Cramer's rule solves for the coefficients in a single
+# deterministic double expression — identical SQL text on both engines,
+# so operation order matches bit-for-bit. This is the distributed
+# closed-form fit: at 100 TB it is ONE map-side-combinable aggregation
+# (9 moments), no gradient iterations, no driver-side math.
+
+
+def _ols2_sql(table: str) -> str:
+    y = "l_extendedprice * (1e0 - l_discount)"
+    s1 = sql_exact_sum("l_quantity", 2)
+    s2 = sql_exact_sum("l_discount", 2)
+    sy = sql_exact_sum(y, 4)
+    s11 = sql_exact_sum("l_quantity * l_quantity", 4)
+    s12 = sql_exact_sum("l_quantity * l_discount", 4)
+    s22 = sql_exact_sum("l_discount * l_discount", 4)
+    s1y = sql_exact_sum(f"l_quantity * ({y})", 4)
+    s2y = sql_exact_sum(f"l_discount * ({y})", 4)
+    syy = sql_exact_sum(f"({y}) * ({y})", 4)
+    return f"""
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {s1} AS s1, {s2} AS s2, {sy} AS sy,
+               {s11} AS s11, {s12} AS s12, {s22} AS s22,
+               {s1y} AS s1y, {s2y} AS s2y, {syy} AS syy
+        FROM {table}
+    ),
+    sol AS (
+        SELECT n_rows, n, sy, s1y, s2y, syy,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2))  AS det,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2))  AS det1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2))  AS det2
+        FROM m
+    )
+    SELECT n_rows,
+           floor((det0 / det) * 1e4 + 0.5) / 1e4 AS beta_intercept,
+           floor((det1 / det) * 1e4 + 0.5) / 1e4 AS beta_quantity,
+           floor((det2 / det) * 1e4 + 0.5) / 1e4 AS beta_discount,
+           floor((1e0 - (syy - (det0 * sy + det1 * s1y + det2 * s2y) / det)
+                        / (syy - sy * sy / n)) * 1e6 + 0.5) / 1e6
+                                                 AS r2
+    FROM sol
+    """
+
+
+@register("lineitem_ols_two_factor", oracle=_ols2_sql("lineitem"))
+def lineitem_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple regression: revenue ~ quantity + discount,
+    via the 3x3 normal equations from exact moment sums and a Cramer
+    solve in one deterministic expression.
+
+    One map-side-combinable aggregation (9 moments + count) at any SF;
+    the solve itself is constant work on a single row.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ols2_sql("lineitem"))

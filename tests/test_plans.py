@@ -414,6 +414,16 @@ def test_governance_and_latency_histogram_python_free(spark):
         assert r.python_free, name
 
 
+def test_ols_two_factor_is_one_aggregation_pass(spark):
+    """The closed-form fit collects all 9 moments in ONE scan + one
+    final-merge exchange; a second scan would mean the normal-equation
+    moments were not fused."""
+    r = plan_report(QUERIES["lineitem_ols_two_factor"].fn(spark, SF))
+    assert r.python_free
+    assert r.scans == 1
+    assert r.sort_merge_joins == 0 and r.broadcast_joins == 0
+
+
 def test_multimodal_plans_are_map_only(spark):
     """Frame-sample and audio-segment PLANS never hash-shuffle: the
     offset plan pipelines straight into the codec stage, so a keyed
