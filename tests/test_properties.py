@@ -103,3 +103,32 @@ class TestPortableHash:
         ).fetchone()[0]
         assert got == expected
         assert 0 <= got < 2**60
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS: exact recovery on noise-free data
+# ---------------------------------------------------------------------------
+# Construct revenue = 1 + 2*qty + 4*disc EXACTLY in doubles: discounts
+# in {0, 0.5} make (1 - d) a power of two, so extendedprice = y/(1-d)
+# is exact, and every grid snap inside sql_exact_sum is lossless. The
+# normal-equation solve must then return the true coefficients to the
+# output grid, with R^2 == 1.
+
+
+def test_ols_two_factor_recovers_exact_coefficients(spark):
+    from automated_data_pipeline_python_spark.queries.relational4 import _ols2_sql
+
+    rows = []
+    for q in range(1, 13):
+        for d in (0.0, 0.5):
+            y = 1.0 + 2.0 * q + 4.0 * d
+            rows.append((float(q), d, y / (1.0 - d) if d else y))
+    spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    ).createOrReplaceTempView("ols_synth")
+    got = spark.sql(_ols2_sql("ols_synth")).collect()[0]
+    assert got["n_rows"] == 24
+    assert got["beta_intercept"] == pytest.approx(1.0, abs=1e-4)
+    assert got["beta_quantity"] == pytest.approx(2.0, abs=1e-4)
+    assert got["beta_discount"] == pytest.approx(4.0, abs=1e-4)
+    assert got["r2"] == pytest.approx(1.0, abs=1e-6)
