@@ -13,6 +13,7 @@ Arrow-batched codec stage. Three such passes here:
 - blob metadata (byte length + content hash — the media dedup key)
 - uniform frame-sampling schedule (k timestamps/frame indices per video)
 - audio window segmentation (fixed window/hop byte-offset spans)
+- image tile grid (edge-clamped 64x64 patch plan)
 
 Media attributes (duration, fps, sample rate) come deterministically
 from blob bytes/ids, standing in for container-header fields the codec
@@ -197,3 +198,68 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine.
     """
     return _docs_sql(spark, sf_dir, _AUDIO_SEG_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Image tile grid (2D patch plan)
+# ---------------------------------------------------------------------------
+# Completes the planning triad (video frames / audio windows / image
+# tiles): the 64x64 patch grid a vision preprocessor cuts each image
+# into, with edge tiles clamped to the image bounds. Dimensions derive
+# deterministically from blob bytes/id (standing in for header fields);
+# the grid itself — a double sequence() explode over ceil(w/64) x
+# ceil(h/64) — is exact integer arithmetic on both engines.
+
+_TILE = 64
+
+_TILE_PLAN_SPARK_SQL = f"""
+WITH media AS (
+    SELECT doc_id                                             AS media_id,
+           CAST(64 + (octet_length(text) % 193) AS BIGINT)    AS width,
+           CAST(64 + (doc_id % 157) AS BIGINT)                AS height
+    FROM documents
+    WHERE octet_length(text) > 0
+)
+SELECT media_id, width, height,
+       CAST(tx AS BIGINT)                                     AS tile_x,
+       CAST(ty AS BIGINT)                                     AS tile_y,
+       CAST(tx * {_TILE} AS BIGINT)                           AS off_x,
+       CAST(ty * {_TILE} AS BIGINT)                           AS off_y,
+       CAST(least({_TILE}, width - tx * {_TILE}) AS BIGINT)   AS tile_w,
+       CAST(least({_TILE}, height - ty * {_TILE}) AS BIGINT)  AS tile_h
+FROM media
+LATERAL VIEW explode(sequence(0, (width + {_TILE - 1}) div {_TILE} - 1)) a AS tx
+LATERAL VIEW explode(sequence(0, (height + {_TILE - 1}) div {_TILE} - 1)) b AS ty
+"""
+
+_TILE_PLAN_DUCK_SQL = f"""
+WITH media AS (
+    SELECT doc_id                                             AS media_id,
+           CAST(64 + (strlen(text) % 193) AS BIGINT)          AS width,
+           CAST(64 + (doc_id % 157) AS BIGINT)                AS height
+    FROM documents
+    WHERE strlen(text) > 0
+)
+SELECT media_id, width, height,
+       CAST(tx AS BIGINT)                                     AS tile_x,
+       CAST(ty AS BIGINT)                                     AS tile_y,
+       CAST(tx * {_TILE} AS BIGINT)                           AS off_x,
+       CAST(ty * {_TILE} AS BIGINT)                           AS off_y,
+       CAST(least({_TILE}, width - tx * {_TILE}) AS BIGINT)   AS tile_w,
+       CAST(least({_TILE}, height - ty * {_TILE}) AS BIGINT)  AS tile_h
+FROM media,
+     UNNEST(generate_series(0, (width + {_TILE - 1}) // {_TILE} - 1)) AS a(tx),
+     UNNEST(generate_series(0, (height + {_TILE - 1}) // {_TILE} - 1)) AS b(ty)
+"""
+
+
+@register("multimodal_image_tile_plan", oracle=_TILE_PLAN_DUCK_SQL)
+def multimodal_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64x64 image tile grid with edge-clamped tile sizes — the 2D
+    patch plan a vision preprocessor consumes.
+
+    Map-only double sequence() explode (no keyed exchange); output rows
+    scale with total pixels / tile area, and pixels never cross the
+    engine — the codec stage crops locally from (off_x, off_y, w, h).
+    """
+    return _docs_sql(spark, sf_dir, _TILE_PLAN_SPARK_SQL)

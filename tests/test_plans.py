@@ -432,7 +432,11 @@ def test_multimodal_plans_are_map_only(spark):
     fan-out of a single-split scan (parallelism, not semantics)."""
     import re
 
-    for name in ("multimodal_frame_sample_plan", "multimodal_audio_segments"):
+    for name in (
+        "multimodal_frame_sample_plan",
+        "multimodal_audio_segments",
+        "multimodal_image_tile_plan",
+    ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
         keyed = [
