@@ -17,3 +17,12 @@ def fake_pages_of_ten(page: int) -> dict:
 
 def fake_single_item(page: int) -> dict:
     return {"items": [{"identifier": str(page), "name": f"n{page}"}]}
+
+
+def fake_bounded_feed(page: int) -> dict:
+    """7 pages of 5 items, then empty forever (a drained feed)."""
+    if page >= 7:
+        return {"items": []}
+    return {
+        "items": [{"identifier": str(page * 5 + i), "page_of": page} for i in range(5)]
+    }
