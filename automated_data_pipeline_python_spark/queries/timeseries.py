@@ -1199,8 +1199,11 @@ buckets AS (
 )
 SELECT event_type,
        decade,
-       CAST(power(10e0, decade - 1) AS BIGINT) AS lo_us,
-       CAST(power(10e0, decade) - 1 AS BIGINT) AS hi_us,
+       -- bounds built from digit strings, not power(10, d): pow is libm
+       -- (and Spark truncates double->bigint while DuckDB rounds), so an
+       -- off-by-an-ulp pow at a bucket edge would diverge cross-engine
+       CAST('1' || repeat('0', CAST(decade - 1 AS INT)) AS BIGINT) AS lo_us,
+       CAST(repeat('9', CAST(decade AS INT)) AS BIGINT)            AS hi_us,
        n_gaps,
        floor((CAST(n_gaps AS DOUBLE)
               / sum(n_gaps) OVER (PARTITION BY event_type)) * 1e6 + 0.5) / 1e6
