@@ -123,7 +123,8 @@ _PRIORITY = [
     # vocab_coverage_oov_curve, dq_chi2_independence,
     # multimodal_frame_sample_plan, multimodal_audio_segments,
     # dq_k_anonymity, events_latency_decade_histogram,
-    # lineitem_ols_two_factor, multimodal_image_tile_plan.
+    # lineitem_ols_two_factor, multimodal_image_tile_plan,
+    # warehouse_compaction_plan.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -730,3 +730,62 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B/C part classes by cumulative revenue share (bucket-edged)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_abc_sql().replace("{q}", "percentile"))
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan (lakehouse table maintenance)
+# ---------------------------------------------------------------------------
+# The OPTIMIZE/compaction planner a partitioned table runs periodically:
+# profile per-partition (day) sizes, then greedily pack consecutive
+# partitions into rewrite groups of ~TARGET rows via a running-total
+# bucket assignment — each group becomes one rewrite task whose output
+# is a near-target-sized file. Consecutive-day grouping (not
+# first-fit-decreasing) is deliberate: it preserves partition-range
+# clustering, so date-filtered reads still prune whole rewrite outputs.
+#
+# Scale: the corpus-sized work is ONE per-day count aggregation; the
+# running total and group assignment run on the tiny per-day relation
+# (365 rows/year — a window over days, never over events). Greedy
+# prefix-sum packing can overshoot TARGET by at most one partition,
+# the standard compaction-planner tradeoff.
+
+_COMPACT_TARGET = 25_000  # rows per rewrite group
+
+_COMPACTION_SQL = f"""
+WITH per_day AS (
+    -- the day renders as an ISO string: a raw DATE column round-trips
+    -- differently through the two engines' pandas paths
+    SELECT CAST(CAST(ts AS DATE) AS STRING) AS d,
+           CAST(count(*) AS BIGINT)         AS n_rows
+    FROM events
+    GROUP BY CAST(CAST(ts AS DATE) AS STRING)
+),
+planned AS (
+    SELECT d, n_rows,
+           CAST(coalesce(sum(n_rows) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_before
+    FROM per_day
+)
+SELECT d, n_rows, cum_before,
+       -- floor(), not a bare CAST: Spark truncates double->bigint while
+       -- DuckDB rounds, so CAST(cum/target AS BIGINT) diverges the
+       -- moment a fraction reaches .5 (it does at sf0.1)
+       CAST(floor(cum_before / {_COMPACT_TARGET}e0) AS BIGINT) AS rewrite_group,
+       (n_rows < {_COMPACT_TARGET // 10})                      AS is_small_file
+FROM planned
+"""
+
+
+@register("warehouse_compaction_plan", oracle=_COMPACTION_SQL)
+def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner: per-day partition sizes greedily packed into
+    ~25k-row rewrite groups by running-total bucketing, preserving
+    date-range clustering; partitions under 10% of target are flagged
+    as the small files motivating the rewrite.
+
+    One corpus-sized aggregation; the planning window runs over the
+    per-day relation only (365 rows/year at any SF).
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_COMPACTION_SQL)

@@ -414,6 +414,15 @@ def test_governance_and_latency_histogram_python_free(spark):
         assert r.python_free, name
 
 
+def test_compaction_plan_windows_only_the_day_relation(spark):
+    """The planner's running total must run on the per-day relation,
+    not the event stream: one scan, no python, and the plan's window
+    sits above the day aggregation."""
+    r = plan_report(QUERIES["warehouse_compaction_plan"].fn(spark, SF))
+    assert r.python_free
+    assert r.scans == 1
+
+
 def test_ols_two_factor_is_one_aggregation_pass(spark):
     """The closed-form fit collects all 9 moments in ONE scan + one
     final-merge exchange; a second scan would mean the normal-equation
