@@ -789,3 +789,115 @@ def warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_COMPACTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering keys (multi-dimensional layout for data skipping)
+# ---------------------------------------------------------------------------
+# The OPTIMIZE ZORDER BY primitive: interleave the bits of two cluster
+# dimensions (customer, order-day) so rows close in EITHER dimension
+# land in the same file — point/range predicates on either column then
+# skip most files, where a lexicographic sort only serves its leading
+# column. Bit extraction/interleave is exact integer work; Spark spells
+# shifts as shiftleft/shiftright functions and DuckDB as operators, so
+# the expression is generated per engine from one term list.
+#
+# Scale: map-only (zval is a projection; the sort it feeds is the
+# write-side exchange a clustered write pays anyway). 8 bits/dimension
+# = 256x256 grid, plenty to steer file assignment at any corpus size.
+
+_Z_BITS = 8
+
+
+def _z_interleave(bx: str, by: str, spark_style: bool) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        for col, off in ((bx, 2 * i), (by, 2 * i + 1)):
+            if spark_style:
+                terms.append(f"shiftleft(shiftright({col}, {i}) & 1, {off})")
+            else:
+                terms.append(f"((({col} >> {i}) & 1) << {off})")
+    return " + ".join(terms)
+
+
+def _zorder_sql(datediff_expr: str, spark_style: bool) -> str:
+    z = _z_interleave("bx", "by", spark_style)
+    return f"""
+WITH dims AS (
+    SELECT o_orderkey,
+           CAST(o_custkey % 256 AS BIGINT)          AS bx,
+           CAST(({datediff_expr}) % 256 AS BIGINT)  AS by
+    FROM orders
+),
+z AS (
+    SELECT o_orderkey, bx, by, CAST({z} AS BIGINT) AS zval FROM dims
+)
+SELECT o_orderkey, bx, by, zval,
+       CAST({'shiftright(zval, 10)' if spark_style else 'zval >> 10'}
+            AS BIGINT) AS zcluster
+FROM z
+"""
+
+
+@register(
+    "warehouse_zorder_clustering",
+    oracle=_zorder_sql("date_diff('day', DATE '1992-01-01', o_orderdate)", False),
+)
+def warehouse_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (customer, order-day):
+    8-bit interleave -> 64-cluster assignment, the sort key an
+    OPTIMIZE ZORDER write would use so predicates on either dimension
+    skip files.
+
+    Map-only exact bit arithmetic; the zval projection pipelines into
+    the clustered write's own exchange.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _zorder_sql("datediff(o_orderdate, DATE '1992-01-01')", True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map skipping report (min/max pruning effectiveness)
+# ---------------------------------------------------------------------------
+# The other half of the layout story: per file-group min/max zone maps
+# and how many groups a range predicate can skip without reading them.
+# Groups are order months (the natural ingestion partitioning); the
+# probe predicate is a mid-range totalprice band. min/max of stored
+# doubles involve no arithmetic, so the report is exact cross-engine.
+
+_ZM_LO = 100_000
+_ZM_HI = 200_000
+
+_ZONE_MAP_SQL = f"""
+WITH groups AS (
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS file_group,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice)        AS min_price,
+           max(o_totalprice)        AS max_price
+    FROM orders
+    GROUP BY year(o_orderdate) * 100 + month(o_orderdate)
+)
+SELECT file_group, n_rows, min_price, max_price,
+       (max_price < {_ZM_LO} OR min_price > {_ZM_HI}) AS skip_for_probe,
+       floor((CAST(sum(CASE WHEN max_price < {_ZM_LO} OR min_price > {_ZM_HI}
+                            THEN n_rows ELSE 0 END) OVER ()
+              AS DOUBLE) / sum(n_rows) OVER ()) * 1e6 + 0.5) / 1e6
+           AS corpus_skip_ratio
+FROM groups
+"""
+
+
+@register("warehouse_zone_map_skipping", oracle=_ZONE_MAP_SQL)
+def warehouse_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map report: per-month min/max of o_totalprice plus which
+    groups a [100k, 200k] probe skips and the corpus-wide skippable-row
+    ratio — the measurement that justifies (or rejects) a re-clustering.
+
+    One aggregation over orders; the skip analysis windows over the
+    tiny per-month relation.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ZONE_MAP_SQL)

@@ -423,6 +423,16 @@ def test_compaction_plan_windows_only_the_day_relation(spark):
     assert r.scans == 1
 
 
+def test_lakehouse_layout_queries_plan_shapes(spark):
+    """zorder is a pure projection (map-only — the zval feeds the
+    clustered write's own exchange); the zone-map report is one scan
+    whose window runs over the per-month relation."""
+    r = plan_report(QUERIES["warehouse_zorder_clustering"].fn(spark, SF))
+    assert r.python_free and r.scans == 1 and r.exchanges == 0
+    r = plan_report(QUERIES["warehouse_zone_map_skipping"].fn(spark, SF))
+    assert r.python_free and r.scans == 1
+
+
 def test_ols_two_factor_is_one_aggregation_pass(spark):
     """The closed-form fit collects all 9 moments in ONE scan + one
     final-merge exchange; a second scan would mean the normal-equation

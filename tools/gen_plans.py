@@ -43,6 +43,8 @@ QUERY_SET = [
     "events_latency_decade_histogram",
     "lineitem_ols_two_factor",
     "warehouse_compaction_plan",
+    "warehouse_zorder_clustering",
+    "warehouse_zone_map_skipping",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
