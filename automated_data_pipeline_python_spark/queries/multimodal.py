@@ -5,20 +5,24 @@ text bytes (payload-agnostic plumbing — see multimodal/binary_ops.py for
 the mapInPandas decode/feature/frame passes, which have no SQL oracle and
 are covered by tests/test_multimodal.py). Everything UPSTREAM of the
 codec boundary is JVM-side and oracle-checkable, and that is where the
-100 TB leverage lives: a video/audio pipeline never materializes decoded
-frames across a shuffle — it computes a PLAN of (blob, offset/timestamp)
-rows with integer arithmetic and ships only that plan into the
-Arrow-batched codec stage. Three such passes here:
+100 TB leverage lives: a video/audio/image pipeline never materializes
+decoded media across a shuffle — it computes a PLAN of (blob,
+offset/timestamp) rows with integer arithmetic and ships only that plan
+into the Arrow-batched codec stage. Four such passes here:
 
 - blob metadata (byte length + content hash — the media dedup key)
 - uniform frame-sampling schedule (k timestamps/frame indices per video)
 - audio window segmentation (fixed window/hop byte-offset spans)
 - image tile grid (edge-clamped 64x64 patch plan)
 
-Media attributes (duration, fps, sample rate) come deterministically
-from blob bytes/ids, standing in for container-header fields the codec
-stage would parse; the arithmetic downstream of them is the real
-operator and is exact in both engines.
+Media attributes (duration, fps, sample rate, dimensions) come
+deterministically from blob bytes/ids, standing in for container-header
+fields the codec stage would parse; the arithmetic downstream of them is
+the real operator and is exact in both engines.
+
+Each plan is ONE SQL body per query: the engines differ only in a few
+tokens (byte length, integer division, sequence explode), injected as
+dialect fragments so the twin texts cannot drift apart.
 """
 
 from __future__ import annotations
@@ -62,6 +66,40 @@ def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dialect fragments
+# ---------------------------------------------------------------------------
+# nbytes: UTF-8 byte length of a column.
+# idiv:   integer division (both operands integral in every use below).
+# expl1/expl2: explode a generate_series/sequence range (inclusive
+#   bounds, optional step — identical semantics in both engines) into
+#   column(s) joined laterally against the preceding relation.
+
+
+def _spark_dialect() -> dict[str, object]:
+    return {
+        "nbytes": lambda c: f"octet_length({c})",
+        "idiv": lambda a, b: f"({a}) div ({b})",
+        "expl": lambda var, lo, hi, step=None: (
+            f"LATERAL VIEW explode(sequence({lo}, {hi}"
+            + (f", {step}" if step else "")
+            + f")) {var}_t AS {var}"
+        ),
+    }
+
+
+def _duck_dialect() -> dict[str, object]:
+    return {
+        "nbytes": lambda c: f"strlen({c})",
+        "idiv": lambda a, b: f"({a}) // ({b})",
+        "expl": lambda var, lo, hi, step=None: (
+            f", UNNEST(generate_series({lo}, {hi}"
+            + (f", {step}" if step else "")
+            + f")) AS {var}_t({var})"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Uniform frame-sampling schedule (video)
 # ---------------------------------------------------------------------------
 # The planning half of video frame extraction: k uniformly-spaced sample
@@ -77,51 +115,32 @@ def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 _N_SAMPLES = 8
 
-_FRAME_PLAN_SPARK_SQL = f"""
+
+def _frame_plan_sql(d: dict[str, object]) -> str:
+    nbytes, idiv, expl = d["nbytes"], d["idiv"], d["expl"]
+    ts_ms = idiv("i * duration_ms", _N_SAMPLES)
+    return f"""
 WITH media AS (
     SELECT doc_id                                        AS media_id,
-           CAST(octet_length(text) AS BIGINT)            AS n_bytes,
-           CAST(1000 + (octet_length(text) % 97) * 250 AS BIGINT)
+           CAST(1000 + ({nbytes('text')} % 97) * 250 AS BIGINT)
                                                          AS duration_ms,
            CAST(CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 24 ELSE 30 END
                 AS BIGINT)                               AS fps
     FROM documents
-    WHERE octet_length(text) > 0
+    WHERE {nbytes('text')} > 0
 )
 SELECT media_id,
        CAST(i AS BIGINT)                                 AS sample_id,
        duration_ms,
        fps,
-       CAST((i * duration_ms) div {_N_SAMPLES} AS BIGINT)       AS ts_ms,
-       CAST(((i * duration_ms) div {_N_SAMPLES}) * fps div 1000 AS BIGINT)
-                                                         AS frame_idx
+       CAST({ts_ms} AS BIGINT)                           AS ts_ms,
+       CAST({idiv(f'({ts_ms}) * fps', 1000)} AS BIGINT)  AS frame_idx
 FROM media
-LATERAL VIEW explode(sequence(0, {_N_SAMPLES - 1})) t AS i
-"""
-
-_FRAME_PLAN_DUCK_SQL = f"""
-WITH media AS (
-    SELECT doc_id                                        AS media_id,
-           CAST(strlen(text) AS BIGINT)                  AS n_bytes,
-           CAST(1000 + (strlen(text) % 97) * 250 AS BIGINT)
-                                                         AS duration_ms,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 24 ELSE 30 END
-                AS BIGINT)                               AS fps
-    FROM documents
-    WHERE strlen(text) > 0
-)
-SELECT media_id,
-       CAST(i AS BIGINT)                                 AS sample_id,
-       duration_ms,
-       fps,
-       CAST((i * duration_ms) // {_N_SAMPLES} AS BIGINT)        AS ts_ms,
-       CAST(((i * duration_ms) // {_N_SAMPLES}) * fps // 1000 AS BIGINT)
-                                                         AS frame_idx
-FROM media, UNNEST(generate_series(0, {_N_SAMPLES - 1})) AS t(i)
+{expl('i', 0, _N_SAMPLES - 1)}
 """
 
 
-@register("multimodal_frame_sample_plan", oracle=_FRAME_PLAN_DUCK_SQL)
+@register("multimodal_frame_sample_plan", oracle=_frame_plan_sql(_duck_dialect()))
 def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform frame-sampling schedule: 8 sample timestamps per clip,
     mapped to frame indices at the clip's fps.
@@ -130,7 +149,7 @@ def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output plan is what ships to the Arrow-batched codec stage —
     decoded frames never cross a shuffle boundary.
     """
-    return _docs_sql(spark, sf_dir, _FRAME_PLAN_SPARK_SQL)
+    return _docs_sql(spark, sf_dir, _frame_plan_sql(_spark_dialect()))
 
 
 # ---------------------------------------------------------------------------
@@ -149,45 +168,30 @@ _BYTES_PER_MS = 2
 _WIN_B = 160  # 80 ms
 _HOP_B = 80  # 40 ms
 
-_AUDIO_SEG_SPARK_SQL = f"""
+
+def _audio_seg_sql(d: dict[str, object]) -> str:
+    nbytes, idiv, expl = d["nbytes"], d["idiv"], d["expl"]
+    return f"""
 WITH media AS (
     SELECT doc_id                             AS media_id,
-           CAST(octet_length(text) AS BIGINT) AS n_bytes
+           CAST({nbytes('text')} AS BIGINT)   AS n_bytes
     FROM documents
-    WHERE octet_length(text) > 0
+    WHERE {nbytes('text')} > 0
 )
 SELECT media_id,
-       CAST(start div {_HOP_B} AS BIGINT)                 AS seg_id,
+       CAST({idiv('start', _HOP_B)} AS BIGINT)            AS seg_id,
        CAST(start AS BIGINT)                              AS byte_off,
        CAST(least({_WIN_B}, n_bytes - start) AS BIGINT)   AS seg_len,
-       CAST(start div {_BYTES_PER_MS} AS BIGINT)          AS start_ms,
-       CAST((start + least({_WIN_B}, n_bytes - start)) div {_BYTES_PER_MS}
+       CAST({idiv('start', _BYTES_PER_MS)} AS BIGINT)     AS start_ms,
+       CAST({idiv(f'start + least({_WIN_B}, n_bytes - start)', _BYTES_PER_MS)}
             AS BIGINT)                                    AS end_ms,
        (start + {_HOP_B} >= n_bytes)                      AS is_last
 FROM media
-LATERAL VIEW explode(sequence(0, n_bytes - 1, {_HOP_B})) t AS start
-"""
-
-_AUDIO_SEG_DUCK_SQL = f"""
-WITH media AS (
-    SELECT doc_id                             AS media_id,
-           CAST(strlen(text) AS BIGINT)       AS n_bytes
-    FROM documents
-    WHERE strlen(text) > 0
-)
-SELECT media_id,
-       CAST(start // {_HOP_B} AS BIGINT)                  AS seg_id,
-       CAST(start AS BIGINT)                              AS byte_off,
-       CAST(least({_WIN_B}, n_bytes - start) AS BIGINT)   AS seg_len,
-       CAST(start // {_BYTES_PER_MS} AS BIGINT)           AS start_ms,
-       CAST((start + least({_WIN_B}, n_bytes - start)) // {_BYTES_PER_MS}
-            AS BIGINT)                                    AS end_ms,
-       (start + {_HOP_B} >= n_bytes)                      AS is_last
-FROM media, UNNEST(generate_series(0, n_bytes - 1, {_HOP_B})) AS t(start)
+{expl('start', 0, 'n_bytes - 1', _HOP_B)}
 """
 
 
-@register("multimodal_audio_segments", oracle=_AUDIO_SEG_DUCK_SQL)
+@register("multimodal_audio_segments", oracle=_audio_seg_sql(_duck_dialect()))
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio window segmentation: 80 ms window / 40 ms hop at
     2 bytes/ms, as (byte_off, seg_len) spans with timeline positions.
@@ -197,7 +201,7 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally in the codec stage — only the offset plan flows through
     the engine.
     """
-    return _docs_sql(spark, sf_dir, _AUDIO_SEG_SPARK_SQL)
+    return _docs_sql(spark, sf_dir, _audio_seg_sql(_spark_dialect()))
 
 
 # ---------------------------------------------------------------------------
@@ -212,13 +216,17 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TILE = 64
 
-_TILE_PLAN_SPARK_SQL = f"""
+
+def _tile_plan_sql(d: dict[str, object]) -> str:
+    nbytes, idiv, expl = d["nbytes"], d["idiv"], d["expl"]
+    n_tiles = lambda dim: f"{idiv(f'{dim} + {_TILE - 1}', _TILE)} - 1"  # noqa: E731
+    return f"""
 WITH media AS (
     SELECT doc_id                                             AS media_id,
-           CAST(64 + (octet_length(text) % 193) AS BIGINT)    AS width,
+           CAST(64 + ({nbytes('text')} % 193) AS BIGINT)      AS width,
            CAST(64 + (doc_id % 157) AS BIGINT)                AS height
     FROM documents
-    WHERE octet_length(text) > 0
+    WHERE {nbytes('text')} > 0
 )
 SELECT media_id, width, height,
        CAST(tx AS BIGINT)                                     AS tile_x,
@@ -228,32 +236,12 @@ SELECT media_id, width, height,
        CAST(least({_TILE}, width - tx * {_TILE}) AS BIGINT)   AS tile_w,
        CAST(least({_TILE}, height - ty * {_TILE}) AS BIGINT)  AS tile_h
 FROM media
-LATERAL VIEW explode(sequence(0, (width + {_TILE - 1}) div {_TILE} - 1)) a AS tx
-LATERAL VIEW explode(sequence(0, (height + {_TILE - 1}) div {_TILE} - 1)) b AS ty
-"""
-
-_TILE_PLAN_DUCK_SQL = f"""
-WITH media AS (
-    SELECT doc_id                                             AS media_id,
-           CAST(64 + (strlen(text) % 193) AS BIGINT)          AS width,
-           CAST(64 + (doc_id % 157) AS BIGINT)                AS height
-    FROM documents
-    WHERE strlen(text) > 0
-)
-SELECT media_id, width, height,
-       CAST(tx AS BIGINT)                                     AS tile_x,
-       CAST(ty AS BIGINT)                                     AS tile_y,
-       CAST(tx * {_TILE} AS BIGINT)                           AS off_x,
-       CAST(ty * {_TILE} AS BIGINT)                           AS off_y,
-       CAST(least({_TILE}, width - tx * {_TILE}) AS BIGINT)   AS tile_w,
-       CAST(least({_TILE}, height - ty * {_TILE}) AS BIGINT)  AS tile_h
-FROM media,
-     UNNEST(generate_series(0, (width + {_TILE - 1}) // {_TILE} - 1)) AS a(tx),
-     UNNEST(generate_series(0, (height + {_TILE - 1}) // {_TILE} - 1)) AS b(ty)
+{expl('tx', 0, n_tiles('width'))}
+{expl('ty', 0, n_tiles('height'))}
 """
 
 
-@register("multimodal_image_tile_plan", oracle=_TILE_PLAN_DUCK_SQL)
+@register("multimodal_image_tile_plan", oracle=_tile_plan_sql(_duck_dialect()))
 def multimodal_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64x64 image tile grid with edge-clamped tile sizes — the 2D
     patch plan a vision preprocessor consumes.
@@ -262,4 +250,4 @@ def multimodal_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale with total pixels / tile area, and pixels never cross the
     engine — the codec stage crops locally from (off_x, off_y, w, h).
     """
-    return _docs_sql(spark, sf_dir, _TILE_PLAN_SPARK_SQL)
+    return _docs_sql(spark, sf_dir, _tile_plan_sql(_spark_dialect()))

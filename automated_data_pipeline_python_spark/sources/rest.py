@@ -78,8 +78,18 @@ class PaginatedRestStreamReader(SimpleDataSourceStreamReader):
     uses — so recovery re-fetches a deterministic page range
     (``readBetweenOffsets``) and the sink sees each page exactly once
     across restarts. ``read`` advances at most ``pages_per_batch`` pages
-    per micro-batch and stops early at an empty page (feed exhausted for
-    now; the next trigger polls again).
+    per micro-batch.
+
+    Exactly-once hinges on the offset only ever crossing IMMUTABLE
+    pages: a page with fewer than ``page_size`` items is the feed's
+    still-filling tail (the standard paginated-API contract — a page is
+    complete once a later page exists, and it is full just before
+    that). Ingesting a partial page and advancing past it would both
+    drop the items appended to it later AND let a post-restart
+    ``readBetweenOffsets`` replay a different row set than the batch
+    originally committed. So ``read`` stops BEFORE any non-full page;
+    the tail is re-polled next trigger and ingested whole once it
+    fills (or once the caller knows the feed is drained).
 
     The *simple* stream-reader API prefetches on the driver — right for
     the modest page rates a polled API allows (the rate limiter is the
@@ -88,9 +98,10 @@ class PaginatedRestStreamReader(SimpleDataSourceStreamReader):
     ranges as partitions, exactly like the batch reader above.
     """
 
-    def __init__(self, transport: str, pages_per_batch: int) -> None:
+    def __init__(self, transport: str, pages_per_batch: int, page_size: int) -> None:
         self.transport = transport
         self.pages_per_batch = pages_per_batch
+        self.page_size = page_size
 
     def initialOffset(self) -> dict:
         return {"page": 0}
@@ -101,8 +112,8 @@ class PaginatedRestStreamReader(SimpleDataSourceStreamReader):
         page = start["page"]
         for _ in range(self.pages_per_batch):
             items = fetch_page(page).get("items", [])
-            if not items:
-                break
+            if len(items) < self.page_size:
+                break  # still-filling tail page: re-poll it next trigger
             rows.extend((page, json.dumps(i, sort_keys=True)) for i in items)
             page += 1
         return iter(rows), {"page": page}
@@ -121,7 +132,9 @@ class PaginatedRestDataSource(DataSource):
     page dict), ``pages`` (total page count, discovered by a driver-side
     probe in practice), ``pagesPerPartition`` (batch fan-out granularity
     — one task per range), ``pagesPerBatch`` (streaming: max pages per
-    micro-batch).
+    micro-batch), ``pageSize`` (streaming: the feed's full-page item
+    count — pages below it are treated as the still-filling tail and
+    not crossed; see PaginatedRestStreamReader).
     """
 
     @classmethod
@@ -142,6 +155,7 @@ class PaginatedRestDataSource(DataSource):
         return PaginatedRestStreamReader(
             transport=self.options["transport"],
             pages_per_batch=int(self.options.get("pagesperbatch", "4")),
+            page_size=int(self.options.get("pagesize", "1")),
         )
 
 

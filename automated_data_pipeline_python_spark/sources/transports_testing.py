@@ -26,3 +26,14 @@ def fake_bounded_feed(page: int) -> dict:
     return {
         "items": [{"identifier": str(page * 5 + i), "page_of": page} for i in range(5)]
     }
+
+
+def fake_partial_tail_feed(page: int) -> dict:
+    """2 full pages of 5, then a still-filling tail page of 3."""
+    if page < 2:
+        return {
+            "items": [{"identifier": str(page * 5 + i)} for i in range(5)]
+        }
+    if page == 2:
+        return {"items": [{"identifier": str(10 + i)} for i in range(3)]}
+    return {"items": []}

@@ -423,6 +423,22 @@ def test_compaction_plan_windows_only_the_day_relation(spark):
     assert r.scans == 1
 
 
+def test_ann_dim_truncation_stable_plan_facts(spark):
+    """Pin the session-stable facts for the ANN truncation eval (its
+    exchange/codegen counts shift with cross-session exchange reuse —
+    see the PLANS.md reading guide). The query localCheckpoints its
+    shared truth subtree, so the executed (post-AQE, post-materialize)
+    plan is the one that matters: every pre-checkpoint scan collapses
+    into the materialized block, all remaining joins broadcast, no
+    sort-merge survives, no python anywhere."""
+    df = QUERIES["ann_dim_truncation_recall"].fn(spark, SF)
+    df.collect()
+    r = plan_report(df)
+    assert r.python_free
+    assert r.scans == 2 and r.scans_with_pushed_filters == 2
+    assert r.sort_merge_joins == 0
+
+
 def test_lakehouse_layout_queries_plan_shapes(spark):
     """zorder is a pure projection (map-only — the zval feeds the
     clustered write's own exchange); the zone-map report is one scan

@@ -270,6 +270,7 @@ class TestPaginatedRestStreamSource:
                 "transports_testing:fake_bounded_feed",
             )
             .option("pagesPerBatch", 3)
+            .option("pageSize", 5)
             .load()
         )
         return (
@@ -312,6 +313,7 @@ class TestPaginatedRestStreamSource:
             transport="automated_data_pipeline_python_spark.sources."
             "transports_testing:fake_bounded_feed",
             pages_per_batch=3,
+            page_size=5,
         )
         start = r.initialOffset()
         live, mid = r.read(start)
@@ -323,3 +325,26 @@ class TestPaginatedRestStreamSource:
         # drained feed: offset stops advancing, no rows
         tail, final = r.read({"page": 7})
         assert list(tail) == [] and final == {"page": 7}
+
+    def test_partial_tail_page_is_not_crossed(self):
+        """A page below pageSize is the feed's still-filling tail: it
+        must not be ingested or crossed — advancing past it would drop
+        items appended later and make recovery replay a different row
+        set than the original batch (the exactly-once killer)."""
+        from automated_data_pipeline_python_spark.sources.rest import (
+            PaginatedRestStreamReader,
+        )
+
+        r = PaginatedRestStreamReader(
+            transport="automated_data_pipeline_python_spark.sources."
+            "transports_testing:fake_partial_tail_feed",
+            pages_per_batch=10,
+            page_size=5,
+        )
+        rows, off = r.read(r.initialOffset())
+        # pages 0-1 are full and ingested; page 2 (3 items) is the tail
+        assert off == {"page": 2}
+        assert len(list(rows)) == 10
+        # the tail stays un-crossed on every subsequent poll until full
+        again, off2 = r.read(off)
+        assert list(again) == [] and off2 == {"page": 2}

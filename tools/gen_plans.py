@@ -186,7 +186,12 @@ def main() -> None:
         "  (`PushedFilters`) — no full-scan-then-filter.",
         "- *exchanges*: shuffles in the executed plan (post-AQE; reused",
         "  exchanges excluded). Star joins show low counts because every",
-        "  dimension broadcasts.",
+        "  dimension broadcasts. For queries that localCheckpoint a",
+        "  shared subtree (the ANN eval family), exchange/codegen counts",
+        "  can shift a few units between generation sessions as exchange",
+        "  reuse kicks in or not — the load-bearing columns (scans,",
+        "  pushed filters, joins, python stages) are session-stable and",
+        "  are what tests/test_plans.py pins.",
         "- *python stages*: Arrow-batched Python boundaries. Only the",
         "  as-of join carries one — everything else is JVM/codegen.",
         "",
