@@ -125,7 +125,8 @@ _PRIORITY = [
     # dq_k_anonymity, events_latency_decade_histogram,
     # lineitem_ols_two_factor, multimodal_image_tile_plan,
     # warehouse_compaction_plan, warehouse_zorder_clustering,
-    # warehouse_zone_map_skipping.
+    # warehouse_zone_map_skipping, text_rake_phrases,
+    # graph_link_prediction.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

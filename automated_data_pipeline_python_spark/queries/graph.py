@@ -229,3 +229,65 @@ def graph_brand_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reach_edges"
     )
     return spark.sql("WITH RECURSIVE " + _reach_tail("reach_edges").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Link prediction via strong-neighbor overlap
+# ---------------------------------------------------------------------------
+# The classic graph-ML feature: for brand pairs, score how likely an
+# (absent or weak) edge is from the overlap of their STRONG
+# neighborhoods. "Strong" = each node's top-5 neighbors by weight
+# (rank-based, so the definition is scale-invariant — a raw weight
+# threshold would saturate as counts grow with the corpus). Jaccard =
+# |A∩B| / |A∪B| over those sets, all integer counts until the final
+# snapped ratio; the pair relation is bounded by brands², independent
+# of corpus size, and the corpus-sized work remains the one edge-list
+# build shared with PageRank/triangles.
+
+_TOP_NEIGHBORS = 5
+
+_LINK_PRED_TAIL = f"""
+strong AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+        FROM edges
+    ) WHERE rk <= {_TOP_NEIGHBORS}
+),
+deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS n FROM strong GROUP BY src
+),
+pairs AS (
+    SELECT a.src AS u, b.src AS v, CAST(count(*) AS BIGINT) AS common_strong
+    FROM strong a JOIN strong b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT p.u, p.v, p.common_strong,
+       (e.src IS NOT NULL) AS already_linked,
+       floor((CAST(p.common_strong AS DOUBLE)
+              / (du.n + dv.n - p.common_strong)) * 1e6 + 0.5) / 1e6
+           AS jaccard
+FROM pairs p
+JOIN deg du ON du.src = p.u
+JOIN deg dv ON dv.src = p.v
+LEFT JOIN (SELECT DISTINCT src, dst FROM strong) e
+       ON e.src = p.u AND e.dst = p.v
+"""
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"WITH edges AS ({_EDGES_SQL}), {_LINK_PRED_TAIL}",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap link prediction on the brand graph: top-5
+    strong neighborhoods per node (rank-based, scale-invariant), then
+    Jaccard over shared strong neighbors for every candidate pair,
+    flagged with whether a strong link already exists.
+
+    All integer counts until one snapped ratio; pair work is bounded by
+    brands x top-k, never corpus size.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(f"WITH edges AS ({_EDGES_SQL}), {_LINK_PRED_TAIL}")

@@ -522,3 +522,99 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _HEAPS_TAIL.replace("{curve}", "heaps_curve").lstrip()
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword-phrase extraction (stopword-delimited phrase chunking)
+# ---------------------------------------------------------------------------
+# Rapid Automatic Keyword Extraction: tokens between stopword boundaries
+# form candidate phrases; each word scores degree/frequency (degree =
+# summed length of the phrases it appears in), and a phrase scores the
+# sum of its words' scores. Distinct from the token-level scorers above
+# (TF-IDF, PMI, burstiness): the operator is PHRASE CHUNKING — the same
+# boundary-segmentation shape as sessionization, applied to a token
+# stream (running count of boundary tokens = segment id).
+#
+# Float discipline: degree/freq is snapped to a 1e6 integer grid PER
+# WORD and the phrase score summed as BIGINT, so no double is ever
+# accumulated in engine-dependent order.
+#
+# Scale: one explode (map-only fan-out), one doc-keyed window for the
+# segment ids, one word-stats aggregation (vocabulary-sized), one
+# broadcast-friendly join back. No per-pair products anywhere.
+
+
+def _rake_sql(d: dict[str, str]) -> str:
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {d['tok_arr']} AS a FROM documents
+    WHERE length(trim(text)) > 0
+),
+pos AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS i, {d['elem']} AS tok
+    FROM toks
+    {d['expl']}
+),
+segmented AS (
+    SELECT doc_id, i, tok,
+           CASE WHEN tok IN ({stop}) THEN 1 ELSE 0 END AS is_stop,
+           CAST(sum(CASE WHEN tok IN ({stop}) THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS seg
+    FROM pos
+),
+members AS (
+    SELECT doc_id, seg, i, tok,
+           CAST(count(*) OVER (PARTITION BY doc_id, seg) AS BIGINT) AS plen
+    FROM segmented WHERE is_stop = 0
+),
+word_stats AS (
+    -- RAKE word stats over ALL candidate phrases (singletons included)
+    SELECT tok,
+           CAST(count(*) AS BIGINT)  AS freq,
+           CAST(sum(plen) AS BIGINT) AS degree
+    FROM members GROUP BY tok
+),
+scored AS (
+    SELECT m.doc_id, m.seg, m.i, m.tok, m.plen,
+           -- degree/freq snapped to the 1e6 grid per word -> BIGINT
+           CAST(floor((CAST(w.degree AS DOUBLE) / w.freq) * 1e6 + 0.5)
+                AS BIGINT) AS wscore6
+    FROM members m JOIN word_stats w ON w.tok = m.tok
+)
+SELECT doc_id,
+       seg                                          AS phrase_pos,
+       {d['ordered_agg']}                           AS phrase,
+       plen                                         AS phrase_len,
+       CAST(sum(wscore6) AS DOUBLE) / 1e6           AS rake_score
+FROM scored
+WHERE plen >= 2
+GROUP BY doc_id, seg, plen
+"""
+
+
+_RAKE_SPARK = {
+    "tok_arr": f"split(trim(lower(text)), '\\\\s+')",
+    "elem": "element_at(a, CAST(i AS INT))",
+    "expl": "LATERAL VIEW explode(sequence(1, size(a))) t AS i",
+    "ordered_agg": "listagg(tok, ' ') WITHIN GROUP (ORDER BY i)",
+}
+_RAKE_DUCK = {
+    "tok_arr": "regexp_split_to_array(trim(lower(text)), '\\s+')",
+    "elem": "a[CAST(i AS INT)]",
+    "expl": ", UNNEST(generate_series(1, len(a))) AS t(i)",
+    "ordered_agg": "string_agg(tok, ' ' ORDER BY i)",
+}
+
+
+@register("text_rake_phrases", oracle=_rake_sql(_RAKE_DUCK))
+def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword phrases: stopword-boundary chunking (running-count
+    segment ids, the sessionization shape on a token stream), word
+    degree/frequency scores on the 1e6 grid, phrase score = exact
+    BIGINT sum of member scores.
+
+    One explode + one doc-keyed window + a vocabulary-sized stats join;
+    no double is accumulated in engine-dependent order.
+    """
+    return _docs_sql(spark, sf_dir, _rake_sql(_RAKE_SPARK))

@@ -423,6 +423,15 @@ def test_compaction_plan_windows_only_the_day_relation(spark):
     assert r.scans == 1
 
 
+def test_rake_and_link_prediction_python_free(spark):
+    """RAKE's only corpus-sized stages are the explode and one
+    doc-keyed window; link prediction's pair work is bounded by
+    brands x top-k. Neither may touch Python."""
+    for name in ("text_rake_phrases", "graph_link_prediction"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

@@ -45,6 +45,8 @@ QUERY_SET = [
     "warehouse_compaction_plan",
     "warehouse_zorder_clustering",
     "warehouse_zone_map_skipping",
+    "text_rake_phrases",
+    "graph_link_prediction",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
