@@ -126,7 +126,8 @@ _PRIORITY = [
     # lineitem_ols_two_factor, multimodal_image_tile_plan,
     # warehouse_compaction_plan, warehouse_zorder_clustering,
     # warehouse_zone_map_skipping, text_rake_phrases,
-    # graph_link_prediction.
+    # graph_link_prediction, dedup_prefix_filter_join,
+    # sketch_histogram_quantiles, part_skyline_pareto.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

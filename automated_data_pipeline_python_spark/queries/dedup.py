@@ -1381,3 +1381,101 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             perm=f"SELECT explode(sequence(0, {_N_PERM - 1})) AS i",
         ).lstrip()
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+# The literature-standard scalable similarity join (Xiao et al., "Efficient
+# Similarity Joins for Near Duplicate Detection"): order each document's
+# shingle set by GLOBAL document frequency ascending (rarest first,
+# shingle-value tiebreak — a total order), and join candidates only on the
+# PREFIX of length n - ceil(t*n) + 1. Pigeonhole: any pair with jaccard >=
+# t MUST share a prefix element, so recall is exact; precision comes free
+# because prefixes are built from the rarest shingles — the join keys are
+# low-df by construction, the opposite of the hot-key problem the df-cap
+# variant (dedup_ngram_jaccard_capped) handles by dropping. Distinct from
+# that query: the cap trades recall on hot shingles for bounded work;
+# prefix filtering keeps exact recall and bounds work via t.
+#
+# t is a DECIMAL literal on both engines, so n - ceil(t*n) + 1 is exact
+# integer arithmetic (no float boundary to snap).
+
+_PF_THRESHOLD = "0.5"
+
+_PF_TAIL = f"""
+dfreq AS (
+    SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM {{sh}} GROUP BY shingle
+),
+sized AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM {{sh}} GROUP BY doc_id
+),
+ranked AS (
+    SELECT s.doc_id, s.shingle,
+           row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk
+    FROM {{sh}} s JOIN dfreq d ON d.shingle = s.shingle
+),
+pref AS (
+    SELECT r.doc_id, r.shingle
+    FROM ranked r JOIN sized z ON z.doc_id = r.doc_id
+    WHERE r.rk <= z.n - CAST(ceil({_PF_THRESHOLD} * z.n) AS BIGINT) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS isect
+    FROM cand c
+    JOIN {{sh}} s1 ON s1.doc_id = c.doc_a
+    JOIN {{sh}} s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, na.n AS n_a, nb.n AS n_b, i.isect,
+       floor((CAST(i.isect AS DOUBLE) / (na.n + nb.n - i.isect)) * 1e6 + 0.5)
+           / 1e6 AS jaccard
+FROM inter i
+JOIN sized na ON i.doc_a = na.doc_id
+JOIN sized nb ON i.doc_b = nb.doc_id
+WHERE CAST(i.isect AS DOUBLE) / (na.n + nb.n - i.isect) >= {_PF_THRESHOLD}
+"""
+
+_PF_DUCK_SQL = (
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOK} AS w FROM documents
+),
+pf_sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM toks, UNNEST({duck_word_shingles('w', 3)}) AS t(shingle)
+),
+"""
+    + _PF_TAIL.format(sh="pf_sh")
+)
+
+_PF_SH_SPARK = f"""
+WITH toks AS (
+    SELECT doc_id, {_S_TOK} AS w FROM documents
+)
+SELECT DISTINCT doc_id, shingle
+FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
+"""
+
+
+@register("dedup_prefix_filter_join", oracle=_PF_DUCK_SQL)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall similarity join via df-ordered prefix filtering.
+
+    Candidate generation joins only each doc's n - ceil(t*n) + 1
+    globally-rarest shingles (pigeonhole guarantees no jaccard >= t
+    pair is missed); verification is exact over full shingle sets.
+    Join keys are low-df by construction — the skew-safety is inherent,
+    not a recall trade (contrast dedup_ngram_jaccard_capped).
+
+    Scale: one df aggregation + one doc-keyed window + a rare-key join;
+    the shingle relation is materialized once (CTE-inlining guard).
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(spark.sql(_PF_SH_SPARK), "pf_sh")
+    return spark.sql("WITH " + _PF_TAIL.format(sh="pf_sh").lstrip())

@@ -335,3 +335,72 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_BLOOM_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles (oracle-checkable sketch)
+# ---------------------------------------------------------------------------
+# The deterministic counterpart to approx_percentile: a fixed-width
+# histogram IS a mergeable quantile sketch (per-partition bin counts are
+# associative — map-side partials combine by addition, the same property
+# the HLL rollup above proves for count-distinct). Unlike t-digest/GK,
+# the estimate is a pure function of the bin counts, so it hash-matches
+# cross-engine: this gives the approx-aggregate family an ORACLE-CHECKED
+# member alongside the rows-only HLL/approx_percentile slots.
+#
+# Estimate: locate the first bin whose cumulative count reaches q*N,
+# linearly interpolate inside it, snap to the 1e6 grid. Error is bounded
+# by the bin width; at 100 TB the sketch stays O(bins) rows regardless
+# of corpus size and rolls up across any partitioning.
+
+_HQ_BIN = 1000
+
+_HQ_SQL = f"""
+WITH h AS (
+    SELECT CAST(floor(l_extendedprice / {_HQ_BIN}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY 1
+),
+cum AS (
+    SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+    FROM h
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+qs AS (
+    SELECT 'p50' AS ql, 0.50 AS q
+    UNION ALL SELECT 'p90', 0.90
+    UNION ALL SELECT 'p99', 0.99
+),
+hit AS (
+    SELECT q.ql, min(c.bin) AS bin
+    FROM qs q
+    CROSS JOIN tot t
+    JOIN cum c ON CAST(c.cum AS DOUBLE) >= CAST(q.q * t.n AS DOUBLE)
+    GROUP BY q.ql
+)
+SELECT hi.ql,
+       hi.bin * {_HQ_BIN}       AS bin_lo,
+       (hi.bin + 1) * {_HQ_BIN} AS bin_hi,
+       t.n                      AS n_total,
+       floor((hi.bin * {_HQ_BIN}
+              + {_HQ_BIN} * (CAST(q.q * t.n AS DOUBLE) - (c.cum - c.c)) / c.c
+             ) * 1e6 + 0.5) / 1e6 AS est
+FROM hit hi
+JOIN qs q ON q.ql = hi.ql
+JOIN cum c ON c.bin = hi.bin
+CROSS JOIN tot t
+"""
+
+
+@register("sketch_histogram_quantiles", oracle=_HQ_SQL)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice from a fixed-bin histogram sketch.
+
+    One scan builds O(bins) mergeable counts (map-side partial agg does
+    the heavy lifting); the quantile locate + interpolate runs over the
+    ~100-row bin table. Estimates are deterministic functions of the
+    counts — interpolated on the 1e6 grid — so the oracle hash-matches,
+    unlike sample- or sketch-library-based approx percentiles.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_HQ_SQL)

@@ -901,3 +901,66 @@ def warehouse_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ZONE_MAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (dominance frontier) per brand
+# ---------------------------------------------------------------------------
+# Classic OLAP skyline: within each brand, the parts no other part
+# dominates (price <=, size >=, strict in one) — minimize p_retailprice,
+# maximize p_size. The naive formulation is an O(n^2) dominance
+# anti-join; the 2-D skyline collapses to ONE window pass: a part
+# survives iff it is the cheapest at its size (RANGE CURRENT ROW =
+# the peer group) and strictly cheaper than everything at any larger
+# size (RANGE UNBOUNDED..1 PRECEDING under size DESC = running min over
+# strictly-larger sizes). Both frames share partitioning and ordering,
+# so Spark computes them in a single exchange + sort.
+#
+# The DuckDB oracle deliberately keeps the independent NOT EXISTS
+# dominance formulation — the two engines agree via different
+# algorithms, which is stronger parity evidence than mirroring the
+# window trick.
+
+_SKYLINE_SPARK_SQL = """
+WITH w AS (
+    SELECT p_brand, p_partkey, p_size, p_retailprice,
+           min(p_retailprice) OVER (
+               PARTITION BY p_brand ORDER BY p_size DESC
+               RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS best_same,
+           min(p_retailprice) OVER (
+               PARTITION BY p_brand ORDER BY p_size DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_larger
+    FROM part
+)
+SELECT p_brand, p_partkey, p_size, p_retailprice
+FROM w
+WHERE p_retailprice = best_same
+  AND (best_larger IS NULL OR p_retailprice < best_larger)
+"""
+
+_SKYLINE_DUCK_SQL = """
+SELECT p_brand, p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_brand = p.p_brand
+      AND q.p_retailprice <= p.p_retailprice
+      AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("part_skyline_pareto", oracle=_SKYLINE_DUCK_SQL)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier over (min price, max size) via a
+    single-pass window skyline; oracled against the independent
+    O(n^2) NOT EXISTS dominance definition.
+
+    Scale: one shuffle on brand, one sort by size — n log n per
+    partition where the naive dominance join is n^2; no doubles are
+    computed (min/compare select stored values exactly).
+    """
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SKYLINE_SPARK_SQL)

@@ -432,6 +432,23 @@ def test_rake_and_link_prediction_python_free(spark):
         assert r.python_free, name
 
 
+def test_prefix_filter_skyline_histogram_shapes(spark):
+    """The PPJoin prefix filter, the window skyline, and the histogram
+    quantile sketch stay Python-free; the skyline's two window frames
+    share one partitioning+ordering, so the plan carries exactly ONE
+    Window operator (the single-pass property its scale story claims)."""
+    for name in (
+        "dedup_prefix_filter_join",
+        "sketch_histogram_quantiles",
+        "part_skyline_pareto",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+    sky = QUERIES["part_skyline_pareto"].fn(spark, SF)
+    plan = sky._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

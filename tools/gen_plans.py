@@ -47,6 +47,9 @@ QUERY_SET = [
     "warehouse_zone_map_skipping",
     "text_rake_phrases",
     "graph_link_prediction",
+    "dedup_prefix_filter_join",
+    "sketch_histogram_quantiles",
+    "part_skyline_pareto",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
