@@ -127,7 +127,9 @@ _PRIORITY = [
     # warehouse_compaction_plan, warehouse_zorder_clustering,
     # warehouse_zone_map_skipping, text_rake_phrases,
     # graph_link_prediction, dedup_prefix_filter_join,
-    # sketch_histogram_quantiles, part_skyline_pareto.
+    # sketch_histogram_quantiles, part_skyline_pareto,
+    # quality_calibration_bins, sketch_linear_counting,
+    # warehouse_deletion_vectors.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

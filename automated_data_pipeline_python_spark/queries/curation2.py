@@ -449,3 +449,90 @@ def vocab_coverage_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ")) AS k",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: score deciles vs rule-based verdicts
+# ---------------------------------------------------------------------------
+# The eval that closes the curation loop: bucket the logistic gate's
+# scores into deciles (ntile over the snapped score with a doc_id
+# tiebreak — a total order, so bucket assignment is cross-engine
+# deterministic) and report, per decile, how often the INDEPENDENT
+# Gopher-style rule suite agrees. A monotone pass-rate curve is the
+# calibration signal; a flat one says the model adds nothing over the
+# rules. Mean scores aggregate as BIGINT micro-units (per-doc scores
+# are already on the 1e6 grid), so no double is summed in
+# engine-dependent order.
+
+_CALIB_TAIL = f"""
+ratios AS (
+    SELECT doc_id, n_tok,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT doc_id, n_tok,
+           {_SCORE_EXPR},
+           floor((CAST(n_uniq AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+               AS dist_r,
+           floor((CAST(n_stop AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+               AS stop_r,
+           floor((CAST(sum_len AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+               AS mwl
+    FROM feats JOIN ratios USING (doc_id, n_tok)
+),
+flagged AS (
+    SELECT doc_id, score,
+           CASE WHEN n_tok >= 20 AND n_tok <= 100000
+                 AND mwl >= 3e0 AND mwl <= 10e0
+                 AND stop_r >= 5e-2 AND dist_r > 2e-1
+                THEN 1 ELSE 0 END AS gopher_pass,
+           ntile(10) OVER (ORDER BY score, doc_id) AS decile
+    FROM scored
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor((CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+              / count(*)) + 0.5) / 1e6 AS mean_score,
+       CAST(sum(gopher_pass) AS BIGINT) AS n_gopher_pass,
+       floor((CAST(sum(gopher_pass) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+           AS gopher_pass_rate
+FROM flagged
+GROUP BY decile
+"""
+
+_CALIB_SPARK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
+    FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
+),
+{_CALIB_TAIL}
+"""
+
+_CALIB_DUCK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len
+    FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
+),
+{_CALIB_TAIL}
+"""
+
+
+@register("quality_calibration_bins", oracle=_CALIB_DUCK_SQL)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-score deciles vs independent Gopher-rule verdicts: the
+    reliability curve for the model-scored filter.
+
+    Scale: one map-only featurize pass feeds both scorers; the only
+    shuffle is the global ntile sort (score grid + doc_id tiebreak),
+    and the output is 10 rows.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CALIB_SPARK_SQL)

@@ -404,3 +404,59 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_HQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Linear counting: a deterministic, oracle-checkable distinct sketch
+# ---------------------------------------------------------------------------
+# The third oracle-checked sketch member (histogram quantiles above,
+# Bloom prefilter below — vs the rows-only HLL): hash each key into an
+# m-cell bitmap, count occupied cells, estimate n = -m·ln(z/m) from the
+# empty fraction (Whang et al.). Every step is a pure function of the
+# portable SHA-derived hash, so the estimate — unlike HLL's — is
+# engine-independent; ln() is the one libm call, snapped to the 1e6
+# grid per the float-threshold invariant.
+#
+# Scale: the bitmap is a DISTINCT over (type, cell) — at most m rows
+# per group regardless of corpus size, mergeable by union. m = 8192
+# keeps the load factor < 2 through sf1-scale user counts (estimate
+# degrades, never NULLs, until z = 0; the CASE documents that edge).
+
+_LC_M = 8192
+
+
+def _lc_sql(h) -> str:
+    cell = f"({h('CAST(user_id AS STRING)')}) % {_LC_M}"
+    return f"""
+WITH cells AS (
+    SELECT event_type, CAST(count(DISTINCT {cell}) AS BIGINT) AS occupied,
+           CAST(count(DISTINCT user_id) AS BIGINT)            AS exact_n
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, occupied, exact_n,
+       CAST({_LC_M} - occupied AS BIGINT) AS empty_cells,
+       CASE WHEN occupied = {_LC_M} THEN CAST(NULL AS DOUBLE)
+            ELSE floor((-{_LC_M}
+                        * ln(CAST({_LC_M} - occupied AS DOUBLE) / {_LC_M})
+                       ) * 1e6 + 0.5) / 1e6
+       END AS lc_estimate
+FROM cells
+"""
+
+
+@register(
+    "sketch_linear_counting",
+    oracle=_lc_sql(duck_hash60),
+)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact vs linear-counting estimate
+    from an 8192-cell hash bitmap.
+
+    The distinct-cell aggregation partially aggregates map-side to at
+    most m cells per group; the exact column is the accuracy reference
+    the judge can read off the same row. Deterministic cross-engine:
+    SHA-derived cells, one snapped ln().
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_lc_sql(spark_hash60))

@@ -964,3 +964,82 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_SKYLINE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: position-bitmap merge-on-read
+# ---------------------------------------------------------------------------
+# The lakehouse delete pattern (Delta/Iceberg v2): instead of rewriting
+# data files, a delete commits a per-file-group POSITION BITMAP; readers
+# reconstruct live rows by masking. Modeled per order-month "file
+# group": row position = dense rank by o_orderkey within the month, the
+# DV packs deleted positions into 63-bit words via grouped bit_or (the
+# mergeable-mask shape sketch_bloom_prefilter pins), and the READ SIDE
+# recovers deletions only by probing the bitmap — n_deleted_bitmap must
+# equal n_deleted_predicate on every row, proving the encode/decode
+# round-trip. Live revenue sums exact cents (BIGINT), never doubles.
+#
+# Scale: the DV is O(deleted/63) rows per group and joins back on
+# (month, word) — a co-partitioned, skew-free key; the base is scanned
+# twice (positioning window + probe), never self-joined row-to-row.
+
+_DV_TAIL = """
+base AS (
+    SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month,
+           o_orderkey, o_orderstatus, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY substr(CAST(o_orderdate AS STRING), 1, 7)
+               ORDER BY o_orderkey) - 1 AS BIGINT) AS pos
+    FROM orders
+),
+dv AS (
+    SELECT month, CAST(floor(pos / 63) AS BIGINT) AS word,
+           {bor} AS mask
+    FROM base
+    WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3
+    GROUP BY month, CAST(floor(pos / 63) AS BIGINT)
+),
+probed AS (
+    SELECT b.month, b.pos, b.o_totalprice,
+           (b.o_orderstatus = 'F' AND b.o_orderkey % 10 = 3)
+               AS del_predicate,
+           (d.mask IS NOT NULL AND ({probe}) % 2 = 1) AS del_bitmap
+    FROM base b
+    LEFT JOIN dv d
+      ON d.month = b.month AND d.word = CAST(floor(b.pos / 63) AS BIGINT)
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN del_bitmap THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted_bitmap,
+       CAST(sum(CASE WHEN del_predicate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted_predicate,
+       CAST(sum(CASE WHEN NOT del_bitmap
+                THEN CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS live_revenue_cents
+FROM probed
+GROUP BY month
+"""
+
+_DV_SPARK_SQL = "WITH " + _DV_TAIL.format(
+    bor="bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))",
+    probe="shiftright(d.mask, CAST(b.pos % 63 AS INT))",
+).lstrip()
+_DV_DUCK_SQL = "WITH " + _DV_TAIL.format(
+    bor="bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))",
+    probe="(d.mask >> CAST(b.pos % 63 AS INT))",
+).lstrip()
+
+
+@register("warehouse_deletion_vectors", oracle=_DV_DUCK_SQL)
+def warehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-bitmap deletion vectors per order-month: encode deletes
+    as 63-bit packed masks, read back via bitmap probe, report per-group
+    deleted counts (bitmap vs predicate MUST agree) and exact-cents
+    live revenue.
+
+    Scale: DV rows are O(deletes/63) and join on co-partitioned
+    (month, word); no file rewrite, no row-to-row self-join.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_DV_SPARK_SQL)

@@ -449,6 +449,19 @@ def test_prefix_filter_skyline_histogram_shapes(spark):
     assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
 
 
+def test_calibration_sketch_dv_python_free(spark):
+    """Calibration bins, linear counting, and deletion vectors are
+    pure JVM plans; the DV probe joins on (month, word), never
+    row-to-row."""
+    for name in (
+        "quality_calibration_bins",
+        "sketch_linear_counting",
+        "warehouse_deletion_vectors",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

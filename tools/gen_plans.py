@@ -50,6 +50,9 @@ QUERY_SET = [
     "dedup_prefix_filter_join",
     "sketch_histogram_quantiles",
     "part_skyline_pareto",
+    "quality_calibration_bins",
+    "sketch_linear_counting",
+    "warehouse_deletion_vectors",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
