@@ -129,7 +129,8 @@ _PRIORITY = [
     # graph_link_prediction, dedup_prefix_filter_join,
     # sketch_histogram_quantiles, part_skyline_pareto,
     # quality_calibration_bins, sketch_linear_counting,
-    # warehouse_deletion_vectors.
+    # warehouse_deletion_vectors, quality_auc_rank,
+    # events_cem_matching, feature_quantile_normalize.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

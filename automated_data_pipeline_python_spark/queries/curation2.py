@@ -536,3 +536,97 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CALIB_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# AUC via rank-sum: the distributed classifier eval
+# ---------------------------------------------------------------------------
+# AUC computed the only way that scales: the Mann-Whitney rank-sum
+# identity AUC = (R+ − n+(n+1)/2) / (n+·n−), never the O(n²) pairwise
+# definition. Tie handling is the standard average-rank convention,
+# kept in INTEGERS by working with doubled ranks: for a tied group
+# with min-rank r and size c, 2·avg_rank = 2r + c − 1. Everything is
+# integer until one final snapped division, so the oracle hash-matches
+# bit-for-bit. Labels come from the independent Gopher rule suite —
+# the same model-vs-rules pairing quality_calibration_bins bins.
+
+_AUC_TAIL = f"""
+ratios AS (
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT r.doc_id, {_SCORE_EXPR},
+           CASE WHEN f.n_tok >= 20 AND f.n_tok <= 100000
+                 AND floor((CAST(f.sum_len AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 BETWEEN 3e0 AND 10e0
+                 AND floor((CAST(f.n_stop AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 >= 5e-2
+                 AND floor((CAST(f.n_uniq AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 > 2e-1
+                THEN 1 ELSE 0 END AS pos
+    FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
+),
+ranked AS (
+    SELECT pos,
+           2 * CAST(rank() OVER (ORDER BY score) AS BIGINT)
+             + CAST(count(*) OVER (PARTITION BY score) AS BIGINT) - 1
+               AS avg_rank2
+    FROM scored
+),
+sums AS (
+    SELECT CAST(sum(pos) AS BIGINT)                              AS n_pos,
+           CAST(count(*) - sum(pos) AS BIGINT)                   AS n_neg,
+           CAST(sum(CASE WHEN pos = 1 THEN avg_rank2 ELSE 0 END)
+                AS BIGINT)                                       AS r2_pos
+    FROM ranked
+)
+SELECT n_pos, n_neg,
+       floor((CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+              / (2 * n_pos * n_neg)) * 1e6 + 0.5) / 1e6 AS auc,
+       floor((CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+              / (n_pos * n_neg) - 1.0) * 1e6 + 0.5) / 1e6 AS gini
+FROM sums
+"""
+
+_AUC_SPARK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
+    FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
+),
+{_AUC_TAIL}
+"""
+
+_AUC_DUCK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len
+    FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
+),
+{_AUC_TAIL}
+"""
+
+
+@register("quality_auc_rank", oracle=_AUC_DUCK_SQL)
+def quality_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC (+ Gini) of the logistic score against Gopher-rule labels
+    via the Mann-Whitney rank-sum identity with integer doubled ranks.
+
+    On this corpus AUC ≈ 0.22 — the placeholder weights rank OPPOSITE
+    the rule suite (the −0.005·n_tok term punishes exactly the long
+    docs the rules keep). That is the eval doing its job: the honest
+    tuning signal, same stance as the PQ recall eval.
+
+    Scale: one featurize pass, one global sort for ranks, one
+    aggregation — no pairwise comparisons anywhere; ties resolved by
+    the average-rank convention in exact integers.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_AUC_SPARK_SQL)

@@ -472,3 +472,80 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         _materialize_view(spark.sql(_mi_joint_sql(t, x, y)), view)
         rels.append(view)
     return spark.sql(_chi2_sql(rels))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (rank-based feature alignment)
+# ---------------------------------------------------------------------------
+# The fix once drift is detected: map each source's feature
+# distribution onto the POOLED distribution so per-source scale
+# artifacts vanish (rank-normalization — the multi-batch correction
+# microarray pipelines made standard, applied to doc length).
+#
+# Engineered for scale with ZERO doubles: a doc at within-source rank
+# rk of n maps to permille p = ceil(1000·rk/n) (integer ceil-division),
+# and permille p maps to the pooled value at global rank
+# ceil(p·N/1000). The pooled CDF is computed over DISTINCT VALUES
+# (value-vocabulary-sized, never a corpus-wide row_number — no
+# single-partition global window), and the permille→value lookup is a
+# 1000-row broadcast range-probe into that CDF. Every rank uses a
+# doc_id tiebreak; everything is BIGINT end to end.
+
+
+def _qnorm_sql(idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""
+WITH vals AS (
+    SELECT doc_id, source, n_chars FROM documents
+),
+src_ranked AS (
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+    FROM vals
+),
+gcdf AS (
+    SELECT n_chars AS g_val,
+           CAST(sum(c) OVER (ORDER BY n_chars) AS BIGINT)     AS cum,
+           CAST(sum(c) OVER (ORDER BY n_chars) - c AS BIGINT) AS prev_cum
+    FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+          FROM vals GROUP BY n_chars)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_glob FROM vals),
+permille AS (
+    SELECT p, {d('p * t.n_glob + 999', '1000')} AS g_rk
+    FROM {{series}} CROSS JOIN tot t
+),
+pmap AS (
+    SELECT p.p, g.g_val
+    FROM permille p JOIN gcdf g
+      ON g.cum >= p.g_rk AND g.prev_cum < p.g_rk
+)
+SELECT s.doc_id, s.source, s.n_chars,
+       m.g_val AS qn_chars
+FROM src_ranked s
+JOIN pmap m
+  ON m.p = {d('1000 * s.rk + s.n_src - 1', 's.n_src')}
+"""
+
+
+_QNORM_SPARK_SQL = _qnorm_sql("CAST(({a}) DIV ({b}) AS BIGINT)").format(
+    series="(SELECT explode(sequence(1, 1000)) AS p)"
+)
+_QNORM_DUCK_SQL = _qnorm_sql("CAST(({a}) // ({b}) AS BIGINT)").format(
+    series="(SELECT CAST(unnest(generate_series(1, 1000)) AS BIGINT) AS p)"
+)
+
+
+@register("feature_quantile_normalize", oracle=_QNORM_DUCK_SQL)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalize doc length per source onto the pooled
+    distribution via integer permille mapping.
+
+    Scale: source-partitioned rank windows (never a corpus-wide global
+    row_number), a distinct-value CDF, and a 1000-row broadcastable
+    permille lookup — all-BIGINT arithmetic, no float boundary at all.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_QNORM_SPARK_SQL)

@@ -180,3 +180,83 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(MICROSECOND, b.t0, b.t1)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Coarsened Exact Matching (CEM): the observational counterpart
+# ---------------------------------------------------------------------------
+# When assignment ISN'T randomized, compare like with like: coarsen
+# covariates into strata (here activity quintiles × span terciles via
+# ntile with a user_id tiebreak — total order, so stratum assignment is
+# cross-engine deterministic), drop strata lacking common support
+# (no treated or no control members), and report the per-stratum
+# treated/control outcome contrast. Output is PER STRATUM — no
+# cross-stratum double summation exists, so every number is a ratio of
+# exact integers snapped once (a single weighted-ATT scalar would sum
+# doubles in engine-dependent order; readers weight by w_treated).
+
+
+def _cem_sql(hash28: str) -> str:
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS outcome
+    FROM events
+    GROUP BY user_id
+),
+strat AS (
+    SELECT user_id, outcome,
+           CASE WHEN {hash28} % 2 = 1 THEN 1 ELSE 0 END AS treated,
+           CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS INT)
+               AS activity_q,
+           CAST(ntile(3) OVER (ORDER BY n_days, user_id) AS INT)
+               AS span_q
+    FROM per_user
+),
+cells AS (
+    SELECT activity_q, span_q,
+           CAST(sum(treated) AS BIGINT)                       AS n_treated,
+           CAST(count(*) - sum(treated) AS BIGINT)            AS n_control,
+           CAST(sum(CASE WHEN treated = 1 THEN outcome ELSE 0 END)
+                AS BIGINT)                                    AS sum_t,
+           CAST(sum(CASE WHEN treated = 0 THEN outcome ELSE 0 END)
+                AS BIGINT)                                    AS sum_c
+    FROM strat
+    GROUP BY activity_q, span_q
+),
+kept AS (
+    SELECT * FROM cells WHERE n_treated > 0 AND n_control > 0
+),
+tot AS (SELECT CAST(sum(n_treated) AS BIGINT) AS t_all FROM kept)
+SELECT k.activity_q, k.span_q, k.n_treated, k.n_control,
+       floor((CAST(k.sum_t AS DOUBLE) / k.n_treated) * 1e6 + 0.5) / 1e6
+           AS mean_treated,
+       floor((CAST(k.sum_c AS DOUBLE) / k.n_control) * 1e6 + 0.5) / 1e6
+           AS mean_control,
+       floor((CAST(k.sum_t AS DOUBLE) / k.n_treated
+              - CAST(k.sum_c AS DOUBLE) / k.n_control) * 1e6 + 0.5) / 1e6
+           AS att_contrast,
+       floor((CAST(k.n_treated AS DOUBLE) / t.t_all) * 1e6 + 0.5) / 1e6
+           AS w_treated
+FROM kept k CROSS JOIN tot t
+"""
+
+
+@register(
+    "events_cem_matching",
+    oracle=_cem_sql(duck_hash28("CAST(user_id AS STRING)")),
+)
+def events_cem_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching contrast: activity×span strata with
+    common-support pruning, per-stratum treated/control purchase-count
+    means and ATT weights.
+
+    Scale: one user aggregation, two vocabulary-free ntile windows over
+    the USER relation (not events), one 15-cell rollup; integers until
+    four snapped ratios per stratum.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cem_sql(spark_hash28("CAST(user_id AS STRING)")))

@@ -462,6 +462,20 @@ def test_calibration_sketch_dv_python_free(spark):
         assert r.python_free, name
 
 
+def test_auc_cem_qnorm_python_free(spark):
+    """AUC never materializes pairs, CEM windows run over the USER
+    relation, and quantile-normalize must not contain an unpartitioned
+    corpus-wide row_number — its only global window is the
+    distinct-value CDF. All Python-free."""
+    for name in (
+        "quality_auc_rank",
+        "events_cem_matching",
+        "feature_quantile_normalize",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

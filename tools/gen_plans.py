@@ -53,6 +53,9 @@ QUERY_SET = [
     "quality_calibration_bins",
     "sketch_linear_counting",
     "warehouse_deletion_vectors",
+    "quality_auc_rank",
+    "events_cem_matching",
+    "feature_quantile_normalize",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
