@@ -455,16 +455,24 @@ def vocab_coverage_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Classifier calibration: score deciles vs rule-based verdicts
 # ---------------------------------------------------------------------------
 # The eval that closes the curation loop: bucket the logistic gate's
-# scores into deciles (ntile over the snapped score with a doc_id
-# tiebreak — a total order, so bucket assignment is cross-engine
-# deterministic) and report, per decile, how often the INDEPENDENT
+# scores into deciles and report, per decile, how often the INDEPENDENT
 # Gopher-style rule suite agrees. A monotone pass-rate curve is the
 # calibration signal; a flat one says the model adds nothing over the
-# rules. Mean scores aggregate as BIGINT micro-units (per-doc scores
-# are already on the 1e6 grid), so no double is summed in
-# engine-dependent order.
+# rules.
+#
+# Deciles come from the SCORE HISTOGRAM, not a corpus-wide ntile: an
+# unpartitioned ntile/rank window moves every row to one partition —
+# the plan that dies at 100×. Scores live on the 1e6 grid, so the
+# distinct-score relation is bounded (≤2M cells); the decile of a score
+# is ceil(10·cdf/N) computed by INTEGER ceil-division over that bounded
+# relation (ties share a decile by construction — cross-engine
+# deterministic with no ordering at all). Mean scores aggregate as
+# BIGINT micro-units, so no double is summed in engine-dependent order.
 
-_CALIB_TAIL = f"""
+
+def _calib_tail(idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""
 ratios AS (
     SELECT doc_id, n_tok,
            CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
@@ -484,31 +492,45 @@ scored AS (
     FROM feats JOIN ratios USING (doc_id, n_tok)
 ),
 flagged AS (
-    SELECT doc_id, score,
+    SELECT score,
            CASE WHEN n_tok >= 20 AND n_tok <= 100000
                  AND mwl >= 3e0 AND mwl <= 10e0
                  AND stop_r >= 5e-2 AND dist_r > 2e-1
-                THEN 1 ELSE 0 END AS gopher_pass,
-           ntile(10) OVER (ORDER BY score, doc_id) AS decile
+                THEN 1 ELSE 0 END AS gopher_pass
     FROM scored
-)
-SELECT CAST(decile AS INT) AS decile,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       floor((CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-              / count(*)) + 0.5) / 1e6 AS mean_score,
-       CAST(sum(gopher_pass) AS BIGINT) AS n_gopher_pass,
-       floor((CAST(sum(gopher_pass) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+),
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT)          AS c_all,
+           CAST(sum(gopher_pass) AS BIGINT)  AS c_pass,
+           CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s6
+    FROM flagged GROUP BY score
+),
+chist AS (
+    SELECT c_all, c_pass, s6,
+           CAST(sum(c_all) OVER (ORDER BY score) AS BIGINT) AS cum
+    FROM hist
+),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n FROM hist)
+SELECT CAST({d('10 * c.cum + t.n - 1', 't.n')} AS INT) AS decile,
+       CAST(sum(c_all) AS BIGINT) AS n_docs,
+       floor((CAST(sum(s6) AS DOUBLE) / sum(c_all)) + 0.5) / 1e6
+           AS mean_score,
+       CAST(sum(c_pass) AS BIGINT) AS n_gopher_pass,
+       floor((CAST(sum(c_pass) AS DOUBLE) / sum(c_all)) * 1e6 + 0.5) / 1e6
            AS gopher_pass_rate
-FROM flagged
-GROUP BY decile
+FROM chist c CROSS JOIN tot t
+GROUP BY 1
 """
+
 
 _CALIB_SPARK_SQL = f"""
 WITH feats AS (
     SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
     FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
 ),
-{_CALIB_TAIL}
+{_calib_tail("CAST(({a}) DIV ({b}) AS BIGINT)")}
 """
 
 _CALIB_DUCK_SQL = f"""
@@ -521,7 +543,7 @@ WITH feats AS (
                AS sum_len
     FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
 ),
-{_CALIB_TAIL}
+{_calib_tail("CAST(({a}) // ({b}) AS BIGINT)")}
 """
 
 
@@ -530,9 +552,10 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic-score deciles vs independent Gopher-rule verdicts: the
     reliability curve for the model-scored filter.
 
-    Scale: one map-only featurize pass feeds both scorers; the only
-    shuffle is the global ntile sort (score grid + doc_id tiebreak),
-    and the output is 10 rows.
+    Scale: one map-only featurize pass feeds both scorers; deciles are
+    read off the bounded distinct-score histogram by integer
+    ceil-division (no corpus-wide ntile window), and the output is
+    ≤10 rows.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CALIB_SPARK_SQL)
@@ -543,12 +566,15 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # AUC computed the only way that scales: the Mann-Whitney rank-sum
 # identity AUC = (R+ − n+(n+1)/2) / (n+·n−), never the O(n²) pairwise
-# definition. Tie handling is the standard average-rank convention,
-# kept in INTEGERS by working with doubled ranks: for a tied group
-# with min-rank r and size c, 2·avg_rank = 2r + c − 1. Everything is
-# integer until one final snapped division, so the oracle hash-matches
-# bit-for-bit. Labels come from the independent Gopher rule suite —
-# the same model-vs-rules pairing quality_calibration_bins bins.
+# definition — and the rank-sum itself from the SCORE HISTOGRAM, never
+# a per-row global rank (an unpartitioned rank() window is a
+# single-partition sort of the corpus). Tie handling is the standard
+# average-rank convention in INTEGERS: a group with prev_cum rows
+# below it and c members has 2·avg_rank = 2·prev_cum + c + 1.
+# Everything is integer until one final snapped division, so the
+# oracle hash-matches bit-for-bit. Labels come from the independent
+# Gopher rule suite — the same model-vs-rules pairing
+# quality_calibration_bins bins.
 
 _AUC_TAIL = f"""
 ratios AS (
@@ -570,19 +596,27 @@ scored AS (
                 THEN 1 ELSE 0 END AS pos
     FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
 ),
-ranked AS (
-    SELECT pos,
-           2 * CAST(rank() OVER (ORDER BY score) AS BIGINT)
-             + CAST(count(*) OVER (PARTITION BY score) AS BIGINT) - 1
-               AS avg_rank2
-    FROM scored
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(sum(pos) AS BIGINT) AS c_pos
+    FROM scored GROUP BY score
+),
+chist AS (
+    -- prev_cum = rows strictly below this score; for the tied group
+    -- 2·avg_rank = 2·prev_cum + c_all + 1, so the rank-sum needs no
+    -- per-row rank at all — only the bounded score histogram.
+    SELECT c_all, c_pos,
+           CAST(sum(c_all) OVER (ORDER BY score) - c_all AS BIGINT)
+               AS prev_cum
+    FROM hist
 ),
 sums AS (
-    SELECT CAST(sum(pos) AS BIGINT)                              AS n_pos,
-           CAST(count(*) - sum(pos) AS BIGINT)                   AS n_neg,
-           CAST(sum(CASE WHEN pos = 1 THEN avg_rank2 ELSE 0 END)
-                AS BIGINT)                                       AS r2_pos
-    FROM ranked
+    SELECT CAST(sum(c_pos) AS BIGINT)                        AS n_pos,
+           CAST(sum(c_all - c_pos) AS BIGINT)                AS n_neg,
+           CAST(sum(c_pos * (2 * prev_cum + c_all + 1)) AS BIGINT)
+               AS r2_pos
+    FROM chist
 )
 SELECT n_pos, n_neg,
        floor((CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
@@ -624,9 +658,10 @@ def quality_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs the rules keep). That is the eval doing its job: the honest
     tuning signal, same stance as the PQ recall eval.
 
-    Scale: one featurize pass, one global sort for ranks, one
-    aggregation — no pairwise comparisons anywhere; ties resolved by
-    the average-rank convention in exact integers.
+    Scale: one featurize pass, one bounded score-histogram
+    aggregation — no pairwise comparisons and no per-row global rank
+    anywhere; ties resolved by the average-rank convention in exact
+    integers over histogram cells.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_AUC_SPARK_SQL)
