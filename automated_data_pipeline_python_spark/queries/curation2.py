@@ -153,7 +153,9 @@ def quality_logistic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QUALITY_SPARK_SQL)
 
 
-_SURPRISAL_TAIL = """
+def _surprisal_tail(idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""
 vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
 tot AS (SELECT count(*) AS n FROM tok),
 per_doc AS (
@@ -166,19 +168,30 @@ snapped AS (
     SELECT doc_id, n_tok,
            floor((sum_s / n_tok) * 1e6 + 0.5) / 1e6 AS mean_surprisal
     FROM per_doc
-)
-SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, mean_surprisal,
-       CAST(ntile(4) OVER (ORDER BY mean_surprisal, doc_id) AS INT)
-           AS ppl_bucket
-FROM snapped
+),
+shist AS (
+    SELECT mean_surprisal AS v, CAST(count(*) AS BIGINT) AS c
+    FROM snapped GROUP BY mean_surprisal
+),
+schist AS (
+    SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+    FROM shist
+),
+stot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM snapped)
+SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS n_tok, s.mean_surprisal,
+       CAST({d('4 * h.cum + t.n - 1', 't.n')} AS INT) AS ppl_bucket
+FROM snapped s
+JOIN schist h ON h.v = s.mean_surprisal
+CROSS JOIN stot t
 """
+
 
 _SURPRISAL_DUCK_SQL = f"""
 WITH tok AS (
     SELECT doc_id, token
     FROM (SELECT doc_id, {_D_TOK} AS w FROM documents), UNNEST(w) AS t(token)
 ),
-{_SURPRISAL_TAIL}
+{_surprisal_tail("CAST(({a}) // ({b}) AS BIGINT)")}
 """
 
 
@@ -191,8 +204,10 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the scoring join both read it — Spark would inline the
     tokenize+explode twice); the vocab table is Zipf-bounded →
     broadcast-sized, joined back onto the token stream in one pass.
-    The quartile window sorts doc-level rows only (corpus/1000s), not
-    tokens. mean_surprisal sums ~100 ln() terms — accumulated
+    Quartiles are read off the distinct-score CDF by integer
+    ceil-division — NOT a corpus-wide ntile window (which would move
+    every doc to one partition); equal scores share a bucket by
+    construction. mean_surprisal sums ~100 ln() terms — accumulated
     cross-engine ulp error is ~1e-13, far inside the 1e-6 snap.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -203,7 +218,10 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(w) t AS token
         """
     ).localCheckpoint(eager=True).createOrReplaceTempView("ug_tok")
-    return spark.sql(f"WITH tok AS (SELECT * FROM ug_tok),\n{_SURPRISAL_TAIL}")
+    return spark.sql(
+        "WITH tok AS (SELECT * FROM ug_tok),\n"
+        + _surprisal_tail("CAST(({a}) DIV ({b}) AS BIGINT)")
+    )
 
 
 # ---------------------------------------------------------------------------

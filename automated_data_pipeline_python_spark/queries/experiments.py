@@ -186,17 +186,21 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Coarsened Exact Matching (CEM): the observational counterpart
 # ---------------------------------------------------------------------------
 # When assignment ISN'T randomized, compare like with like: coarsen
-# covariates into strata (here activity quintiles × span terciles via
-# ntile with a user_id tiebreak — total order, so stratum assignment is
-# cross-engine deterministic), drop strata lacking common support
-# (no treated or no control members), and report the per-stratum
-# treated/control outcome contrast. Output is PER STRATUM — no
-# cross-stratum double summation exists, so every number is a ratio of
-# exact integers snapped once (a single weighted-ATT scalar would sum
-# doubles in engine-dependent order; readers weight by w_treated).
+# covariates into strata (activity quintiles × span terciles), drop
+# strata lacking common support (no treated or no control members),
+# and report the per-stratum treated/control outcome contrast.
+# Coarsening reads the bucket off each covariate's DISTINCT-VALUE CDF
+# by integer ceil-division — not an unpartitioned ntile window, which
+# would sort every user in one partition; equal covariate values share
+# a stratum by construction (the actual CEM definition). Output is PER
+# STRATUM — no cross-stratum double summation exists, so every number
+# is a ratio of exact integers snapped once (a single weighted-ATT
+# scalar would sum doubles in engine-dependent order; readers weight
+# by w_treated).
 
 
-def _cem_sql(hash28: str) -> str:
+def _cem_sql(hash28: str, idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
     return f"""
 WITH per_user AS (
     SELECT user_id,
@@ -207,14 +211,26 @@ WITH per_user AS (
     FROM events
     GROUP BY user_id
 ),
+ev_cdf AS (
+    SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+    FROM (SELECT n_events AS v, CAST(count(*) AS BIGINT) AS c
+          FROM per_user GROUP BY n_events)
+),
+dy_cdf AS (
+    SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+    FROM (SELECT n_days AS v, CAST(count(*) AS BIGINT) AS c
+          FROM per_user GROUP BY n_days)
+),
+u_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
 strat AS (
-    SELECT user_id, outcome,
+    SELECT u.user_id, u.outcome,
            CASE WHEN {hash28} % 2 = 1 THEN 1 ELSE 0 END AS treated,
-           CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS INT)
-               AS activity_q,
-           CAST(ntile(3) OVER (ORDER BY n_days, user_id) AS INT)
-               AS span_q
-    FROM per_user
+           CAST({d('5 * e.cum + t.n - 1', 't.n')} AS INT) AS activity_q,
+           CAST({d('3 * y.cum + t.n - 1', 't.n')} AS INT) AS span_q
+    FROM per_user u
+    JOIN ev_cdf e ON e.v = u.n_events
+    JOIN dy_cdf y ON y.v = u.n_days
+    CROSS JOIN u_tot t
 ),
 cells AS (
     SELECT activity_q, span_q,
@@ -247,7 +263,8 @@ FROM kept k CROSS JOIN tot t
 
 @register(
     "events_cem_matching",
-    oracle=_cem_sql(duck_hash28("CAST(user_id AS STRING)")),
+    oracle=_cem_sql(duck_hash28("CAST(user_id AS STRING)"),
+                    "CAST(({a}) // ({b}) AS BIGINT)"),
 )
 def events_cem_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarsened-exact-matching contrast: activity×span strata with
@@ -259,4 +276,7 @@ def events_cem_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     four snapped ratios per stratum.
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_cem_sql(spark_hash28("CAST(user_id AS STRING)")))
+    return spark.sql(
+        _cem_sql(spark_hash28("CAST(user_id AS STRING)"),
+                 "CAST(({a}) DIV ({b}) AS BIGINT)")
+    )
