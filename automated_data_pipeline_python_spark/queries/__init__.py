@@ -130,7 +130,8 @@ _PRIORITY = [
     # sketch_histogram_quantiles, part_skyline_pareto,
     # quality_calibration_bins, sketch_linear_counting,
     # warehouse_deletion_vectors, quality_auc_rank,
-    # events_cem_matching, feature_quantile_normalize.
+    # events_cem_matching, feature_quantile_normalize,
+    # bpe_train_merge_rounds, graph_weighted_sssp.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -291,3 +291,77 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(f"WITH edges AS ({_EDGES_SQL}), {_LINK_PRED_TAIL}")
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths (Bellman-Ford, unrolled)
+# ---------------------------------------------------------------------------
+# Single-source shortest path by edge COST (cost = max_w + 1 − w, so
+# the strongest tie is the cheapest hop — all BIGINT, no float path
+# sums), relaxed for exactly 3 Bellman-Ford rounds:
+# d_k(v) = min(d_{k-1}(v), min_u d_{k-1}(u) + cost(u, v)). Each round
+# is one join + one min-aggregation — the shape that runs as k
+# shuffle stages on a billion-edge graph (vertex state joined to
+# edges, grouped by destination), with no recursion engine needed;
+# reachability above pins the recursive-CTE variant, this pins the
+# unrolled-iteration variant with weights. Emitting d1/d2/d3 columns
+# shows monotone convergence per node.
+
+_SSSP_ROUNDS = 3
+
+
+def _sssp_tail(edges: str) -> str:
+    relax = """
+d{n} AS (
+    SELECT brand, min(d) AS d FROM (
+        SELECT brand, d FROM d{p}
+        UNION ALL
+        SELECT c.dst AS brand, d{p}.d + c.c AS d
+        FROM d{p} JOIN cost c ON c.src = d{p}.brand
+    ) {alias}
+    GROUP BY brand
+)"""
+    rounds = ",".join(
+        relax.format(n=n, p=n - 1, alias=f"u{n}")
+        for n in range(1, _SSSP_ROUNDS + 1)
+    )
+    return f"""
+mw AS (SELECT CAST(max(w) AS BIGINT) AS m FROM {edges}),
+cost AS (
+    SELECT src, dst, CAST(m + 1 - w AS BIGINT) AS c
+    FROM {edges} CROSS JOIN mw
+),
+srcn AS (SELECT min(src) AS s FROM {edges}),
+d0 AS (SELECT s AS brand, CAST(0 AS BIGINT) AS d FROM srcn),
+{rounds.lstrip()},
+nodes AS (SELECT DISTINCT src AS brand FROM {edges})
+SELECT n.brand,
+       CAST(x1.d AS BIGINT) AS dist_1hop,
+       CAST(x2.d AS BIGINT) AS dist_2hop,
+       CAST(x3.d AS BIGINT) AS dist_3hop
+FROM nodes n
+LEFT JOIN d1 x1 ON x1.brand = n.brand
+LEFT JOIN d2 x2 ON x2.brand = n.brand
+LEFT JOIN d3 x3 ON x3.brand = n.brand
+"""
+
+
+@register(
+    "graph_weighted_sssp",
+    oracle=f"WITH edges AS ({_EDGES_SQL}),\n" + _sssp_tail("edges").lstrip(),
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Bellman-Ford from the first brand over integer edge
+    costs (max_w + 1 − w), one join + min-agg per round; d1/d2/d3
+    columns expose the monotone relaxation.
+
+    The edge build is the only corpus-sized stage and is materialized
+    once; every round shuffles the vocabulary-sized vertex/edge
+    relations by dst.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "sssp_edges"
+    )
+    return spark.sql("WITH " + _sssp_tail("sssp_edges").lstrip())

@@ -416,3 +416,152 @@ def text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt.localCheckpoint(eager=True).createOrReplaceTempView("pmi_dt")
     return spark.sql(_pmi_tail_sql("pmi_dt"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-round training (the iterative half of tokenizer training)
+# ---------------------------------------------------------------------------
+# ``bpe_pair_merge_counts`` above is one counting pass; this is the
+# actual TRAINING LOOP, unrolled for 3 rounds: count adjacent token
+# pairs → pick the argmax merge (count desc, then lexicographic left,
+# right — a total order) → rewrite the corpus with the pair fused →
+# repeat on the rewritten corpus. The rewrite is two chained plain
+# ``replace`` passes over the single-space-joined token string: plain
+# replace is left-to-right non-overlapping in both engines, which IS
+# BPE's greedy merge order; one pass can skip an occurrence whose
+# leading space was consumed by the preceding match, and because two
+# skipped occurrences can never be adjacent (a skipped occurrence is
+# always preceded by a merged one), the second pass completes the
+# merge exactly.
+#
+# Scale: each round is one corpus re-tokenize + one pair aggregation
+# (vocabulary²-bounded, map-side combinable) + one broadcast of a
+# single merge row into a map-only rewrite — 3 unrolled rounds = 3
+# corpus scans, the inherent cost of BPE. On the Spark side each
+# round's corpus is materialized (localCheckpoint): round N+1
+# references round N twice (count + rewrite), so CTE inlining would
+# re-run the whole prefix exponentially. DuckDB materializes CTEs on
+# its own; the oracle keeps the single WITH chain.
+
+_BPE_ROUNDS = 3
+_BPE_JOIN = "¤"  # fuse marker; never appears in whitespace tokens
+
+
+def _bpe_round(n: int, elem: str, guard_seq: str) -> str:
+    """CTEs for round n: pairs_n, top_n (1 row), corpus_{n+1}."""
+    e1 = elem.format(i="i")
+    e2 = elem.format(i="i + 1")
+    return f"""
+tok{n} AS (
+    SELECT doc_id, {{split}} AS a FROM corpus{n}
+),
+pairs{n} AS (
+    SELECT {e1} AS l, {e2} AS r, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, a, i FROM tok{n} {guard_seq})
+    GROUP BY {e1}, {e2}
+),
+top{n} AS (
+    SELECT l, r, cnt FROM pairs{n}
+    ORDER BY cnt DESC, l, r LIMIT 1
+),
+corpus{n + 1} AS (
+    SELECT c.doc_id,
+           trim(replace(replace(
+               ' ' || trim(c.s) || ' ',
+               ' ' || t.l || ' ' || t.r || ' ',
+               ' ' || t.l || '{_BPE_JOIN}' || t.r || ' '),
+               ' ' || t.l || ' ' || t.r || ' ',
+               ' ' || t.l || '{_BPE_JOIN}' || t.r || ' ')) AS s
+    FROM corpus{n} c CROSS JOIN top{n} t
+)"""
+
+
+def _bpe_sql(spark_side: bool) -> str:
+    if spark_side:
+        split = "split(trim(s), ' ')"
+        elem = "element_at(a, CAST({i} AS INT))"
+        guard = (
+            "LATERAL VIEW explode(CASE WHEN size(a) >= 2 THEN "
+            "sequence(1, size(a) - 1) ELSE array() END) t AS i"
+        )
+        tok0 = "concat_ws(' ', split(trim(lower(text)), '\\\\s+'))"
+    else:
+        split = "string_split(trim(s), ' ')"
+        elem = "a[CAST({i} AS INT)]"
+        guard = (
+            ", UNNEST(CASE WHEN len(a) >= 2 THEN "
+            "generate_series(1, len(a) - 1) ELSE [] END) AS t(i)"
+        )
+        tok0 = (
+            "array_to_string(regexp_split_to_array(trim(lower(text)), "
+            "'\\s+'), ' ')"
+        )
+    rounds = "".join(
+        "," + _bpe_round(n, elem, guard).format(split=split)
+        for n in range(_BPE_ROUNDS)
+    )
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {n + 1} AS round, l AS merge_left, r AS merge_right, cnt"
+        f" AS pair_count FROM top{n}"
+        for n in range(_BPE_ROUNDS)
+    )
+    return f"""
+WITH corpus0 AS (
+    SELECT doc_id, {tok0} AS s FROM documents
+    WHERE length(trim(text)) > 0
+){rounds}
+SELECT CAST(round AS INT) AS round, merge_left, merge_right, pair_count
+FROM ({picks})
+"""
+
+
+@register("bpe_train_merge_rounds", oracle=_bpe_sql(False))
+def bpe_train_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled BPE training rounds: argmax adjacent pair →
+    greedy corpus fuse → recount, returning each round's learned merge
+    and its count.
+
+    Greedy-left merge via two plain-replace passes (exact: skipped
+    occurrences are never adjacent); deterministic argmax by
+    (count, left, right). Spark materializes each round's corpus
+    against CTE-inlining re-execution.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # Unroll with per-round materialization: build each round's corpus
+    # as a checkpointed view so every round scans the MATERIALIZED
+    # predecessor exactly once, then union the per-round top picks.
+    split = "split(trim(s), ' ')"
+    elem = "element_at(a, CAST({i} AS INT))"
+    guard = (
+        "LATERAL VIEW explode(CASE WHEN size(a) >= 2 THEN "
+        "sequence(1, size(a) - 1) ELSE array() END) t AS i"
+    )
+    spark.sql(
+        """
+        SELECT doc_id,
+               concat_ws(' ', split(trim(lower(text)), '\\\\s+')) AS s
+        FROM documents WHERE length(trim(text)) > 0
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("bpe_corpus0")
+    picks = []
+    for n in range(_BPE_ROUNDS):
+        body = _bpe_round(n, elem, guard).format(split=split)
+        # body defines tok{n}/pairs{n}/top{n}/corpus{n+1} against
+        # corpus{n}; point corpus{n} at the materialized view.
+        sql = "WITH corpus%d AS (SELECT * FROM bpe_corpus%d),%s" % (n, n, body)
+        nxt = spark.sql(
+            sql + f"\nSELECT doc_id, s FROM corpus{n + 1}"
+        )
+        nxt.localCheckpoint(eager=True).createOrReplaceTempView(
+            f"bpe_corpus{n + 1}"
+        )
+        picks.append(
+            sql
+            + f"\nSELECT {n + 1} AS round, l AS merge_left,"
+            f" r AS merge_right, cnt AS pair_count FROM top{n}"
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in picks)
+    return spark.sql(
+        "SELECT CAST(round AS INT) AS round, merge_left, merge_right,"
+        f" pair_count FROM ({union})"
+    )

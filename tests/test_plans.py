@@ -476,6 +476,15 @@ def test_auc_cem_qnorm_python_free(spark):
         assert r.python_free, name
 
 
+def test_bpe_and_sssp_python_free(spark):
+    """The BPE training rounds and the Bellman-Ford relaxation are
+    pure JVM plans; BPE's per-round corpus is checkpointed, so the
+    final plan reads materialized rounds, not the whole chain."""
+    for name in ("bpe_train_merge_rounds", "graph_weighted_sssp"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

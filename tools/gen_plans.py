@@ -56,6 +56,8 @@ QUERY_SET = [
     "quality_auc_rank",
     "events_cem_matching",
     "feature_quantile_normalize",
+    "bpe_train_merge_rounds",
+    "graph_weighted_sssp",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
