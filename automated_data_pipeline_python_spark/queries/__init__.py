@@ -131,7 +131,8 @@ _PRIORITY = [
     # quality_calibration_bins, sketch_linear_counting,
     # warehouse_deletion_vectors, quality_auc_rank,
     # events_cem_matching, feature_quantile_normalize,
-    # bpe_train_merge_rounds, graph_weighted_sssp.
+    # bpe_train_merge_rounds, graph_weighted_sssp,
+    # events_cep_absence_pattern, lm_heldout_perplexity.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

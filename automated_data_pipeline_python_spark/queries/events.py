@@ -854,3 +854,63 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(d.day AS STRING)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP absence pattern: A → B within T with no C between
+# ---------------------------------------------------------------------------
+# The complex-event-processing staple MATCH_RECOGNIZE exists for —
+# "view converts to a purchase within 24 hours, UNLESS an error
+# intervenes" — as three filtered scans and two user-keyed temporal
+# predicates: an interval join picks each view's NEXT purchase inside
+# the window (min-aggregation, not all pairs), and a correlated NOT
+# EXISTS (Spark plans it as a user-keyed anti join) vetoes matches
+# with an error strictly between. events_path_patterns pins the
+# regex-over-sequence form of CEP; this pins the interval-algebra form.
+
+_CEP_SQL = """
+WITH v AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+    SELECT v.user_id, v.event_id, v.ts AS v_ts, min(p.ts) AS p_ts
+    FROM v JOIN p ON p.user_id = v.user_id
+              AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    GROUP BY v.user_id, v.event_id, v.ts
+),
+judged AS (
+    SELECT c.event_id,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM events e
+               WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                 AND e.ts > c.v_ts AND e.ts < c.p_ts
+           ) THEN 0 ELSE 1 END AS is_clean
+    FROM conv c
+)
+SELECT substr(CAST(v.ts AS STRING), 1, 10) AS day,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(count(j.event_id) AS BIGINT) AS n_converted,
+       CAST(sum(CASE WHEN j.is_clean = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean,
+       CAST(sum(CASE WHEN j.is_clean = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocked
+FROM v LEFT JOIN judged j ON j.event_id = v.event_id
+GROUP BY substr(CAST(v.ts AS STRING), 1, 10)
+"""
+
+
+@register("events_cep_absence_pattern", oracle=_CEP_SQL)
+def events_cep_absence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day counts of view→purchase-within-24h conversions, split
+    by whether an error event intervened (the CEP absence veto).
+
+    Scale: every temporal predicate rides a user_id equi-key (interval
+    join state and the NOT-EXISTS anti join are both user-partitioned);
+    the next-purchase pick is a min-aggregation, never an all-pairs
+    product.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CEP_SQL)

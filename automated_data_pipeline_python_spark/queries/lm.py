@@ -565,3 +565,94 @@ def bpe_train_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(round AS INT) AS round, merge_left, merge_right,"
         f" pair_count FROM ({union})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out bigram perplexity (the CCNet-style LM filter, properly split)
+# ---------------------------------------------------------------------------
+# ``doc_unigram_surprisal`` scores docs against corpus-wide unigram
+# stats — fine as a repetitiveness screen, but a real perplexity
+# filter must score HELD-OUT text under a model trained elsewhere or
+# it just rewards being typical of yourself. Train = every source
+# except src0 (bigram + prefix counts, add-1 smoothed over the train
+# bigram vocabulary V); eval = src0 docs, scored
+# ln P(w2|w1) = ln((c(w1 w2)+1) / (c(w1 ·)+V)) with both counts
+# COALESCEd to 0 for unseen events — exact integers into one ln() per
+# bigram. ppl = exp(mean NLL), snapped (exp/ln accumulate ~1e-13
+# cross-engine over ~100 terms, far inside the 1e-6 grid).
+#
+# Scale: train counts are two vocabulary-bounded aggregations; eval
+# bigrams LEFT-JOIN those counts on the bigram/prefix key (Zipf-
+# bounded, map-side combinable); per-doc rollup is one aggregation.
+# The token/shingle relation is built once per side, materialized on
+# the Spark side (two readers: train counts + eval bigrams).
+
+
+def _ppl_tail(bg: str) -> str:
+    return f"""
+train_bg AS (
+    SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+    FROM {bg} WHERE source != 'src0' GROUP BY bigram
+),
+train_pre AS (
+    SELECT split_part(bigram, ' ', 1) AS w1,
+           CAST(sum(c2) AS BIGINT) AS c1
+    FROM train_bg GROUP BY split_part(bigram, ' ', 1)
+),
+vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM train_bg),
+eval_bg AS (
+    SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1
+    FROM {bg} WHERE source = 'src0'
+),
+scored AS (
+    SELECT e.doc_id,
+           ln((coalesce(tb.c2, 0) + 1e0)
+              / (coalesce(tp.c1, 0) + vs.v)) AS lp
+    FROM eval_bg e
+    LEFT JOIN train_bg tb ON tb.bigram = e.bigram
+    LEFT JOIN train_pre tp ON tp.w1 = e.w1
+    CROSS JOIN vsize vs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor((-sum(lp) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_nll,
+       floor(exp(-sum(lp) / count(*)) * 1e6 + 0.5) / 1e6 AS ppl
+FROM scored
+GROUP BY doc_id
+"""
+
+
+_PPL_DUCK_SQL = (
+    f"""
+WITH bg AS (
+    SELECT doc_id, source, s AS bigram
+    FROM (SELECT doc_id, source,
+                 {duck_word_shingles(DUCK_TOKENS.format(col="text"), 2)} AS sh
+          FROM documents), UNNEST(sh) AS t(s)
+),
+"""
+    + _ppl_tail("bg")
+)
+
+
+@register("lm_heldout_perplexity", oracle=_PPL_DUCK_SQL)
+def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram perplexity of the src0 slice under an add-1
+    model trained on every OTHER source — the properly-split LM
+    quality filter.
+
+    Scale: vocabulary-bounded train counts, Zipf-keyed left joins,
+    one per-doc rollup; the bigram relation is materialized once and
+    read by both the train and eval sides.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        f"""
+        SELECT doc_id, source, s AS bigram
+        FROM (SELECT doc_id, source,
+                     {spark_word_shingles(SPARK_TOKENS.format(col="text"), 2)}
+                         AS sh
+              FROM documents) LATERAL VIEW explode(sh) t AS s
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("ppl_bg")
+    return spark.sql("WITH " + _ppl_tail("ppl_bg").lstrip())

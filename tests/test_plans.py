@@ -485,6 +485,15 @@ def test_bpe_and_sssp_python_free(spark):
         assert r.python_free, name
 
 
+def test_cep_and_perplexity_python_free(spark):
+    """The CEP interval join and NOT-EXISTS veto both ride user_id
+    equi-keys; the perplexity train/eval joins ride bigram keys. No
+    Python, no cartesian products."""
+    for name in ("events_cep_absence_pattern", "lm_heldout_perplexity"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

@@ -58,6 +58,8 @@ QUERY_SET = [
     "feature_quantile_normalize",
     "bpe_train_merge_rounds",
     "graph_weighted_sssp",
+    "events_cep_absence_pattern",
+    "lm_heldout_perplexity",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
