@@ -132,7 +132,8 @@ _PRIORITY = [
     # warehouse_deletion_vectors, quality_auc_rank,
     # events_cem_matching, feature_quantile_normalize,
     # bpe_train_merge_rounds, graph_weighted_sssp,
-    # events_cep_absence_pattern, lm_heldout_perplexity.
+    # events_cep_absence_pattern, lm_heldout_perplexity,
+    # sketch_kmv_distinct.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

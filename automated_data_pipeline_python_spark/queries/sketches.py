@@ -460,3 +460,81 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_lc_sql(spark_hash60))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — order-statistics family
+# ---------------------------------------------------------------------------
+# Fourth oracle-checked sketch, and a different FAMILY from the bitmap
+# (linear counting) and bin-count (histogram) members: KMV keeps the k
+# smallest hash values; the k-th min h_k estimates density, so
+# distinct ≈ (k−1)·M/h_k over hash domain M = 2^60. Deterministic
+# cross-engine because the SHA-derived hash is. Mergeability is the
+# point — the global TOTAL row is computed from the UNION of the
+# per-type k-min sets (the global k smallest are necessarily inside
+# that union), never from rescanning the facts.
+#
+# Scale: DISTINCT (type, hash) bounds state at distinct-keys; the
+# rank window partitions by type; every sketch is k rows.
+
+_KMV_K = 64
+_KMV_M = f"{1 << 60}e0"  # hash domain 2^60 as an exact DOUBLE literal
+
+
+def _kmv_sql(h) -> str:
+    hv = h("CAST(user_id AS STRING)")
+    est = (
+        f"CASE WHEN n_hashes < {_KMV_K} THEN CAST(n_hashes AS DOUBLE) "
+        f"ELSE floor(({_KMV_K - 1}e0 * {_KMV_M} / kth) * 1e6 + 0.5) / 1e6 "
+        "END"
+    )
+    return f"""
+WITH hset AS (
+    SELECT DISTINCT event_type, {hv} AS hv FROM events
+),
+ranked AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+    FROM hset
+),
+mins AS (SELECT event_type, hv, rk FROM ranked WHERE rk <= {_KMV_K}),
+per_type AS (
+    SELECT m.event_type,
+           CAST(max(CASE WHEN m.rk = {_KMV_K} THEN m.hv END) AS BIGINT)
+               AS kth,
+           CAST(x.n AS BIGINT) AS n_hashes,
+           CAST(x.n AS BIGINT) AS exact_n
+    FROM mins m
+    JOIN (SELECT event_type, count(*) AS n FROM hset GROUP BY event_type) x
+      ON x.event_type = m.event_type
+    GROUP BY m.event_type, x.n
+),
+merged AS (
+    SELECT 'TOTAL' AS event_type,
+           CAST(max(CASE WHEN grk = {_KMV_K} THEN hv END) AS BIGINT) AS kth,
+           CAST((SELECT count(DISTINCT hv) FROM hset) AS BIGINT)
+               AS n_hashes,
+           CAST((SELECT count(DISTINCT hv) FROM hset) AS BIGINT)
+               AS exact_n
+    FROM (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS grk
+        FROM (SELECT DISTINCT hv FROM mins) u
+    ) g
+    WHERE grk <= {_KMV_K}
+)
+SELECT event_type, exact_n, kth AS kth_min_hash, {est} AS kmv_estimate
+FROM (SELECT * FROM per_type UNION ALL SELECT * FROM merged) allrows
+"""
+
+
+@register("sketch_kmv_distinct", oracle=_kmv_sql(duck_hash60))
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via a k=64 KMV sketch, plus a
+    TOTAL row merged from the per-type k-min sets alone.
+
+    Exact counts ride along as the accuracy reference; under-filled
+    sketches (fewer than k keys) report the exact count, the KMV
+    small-set convention.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kmv_sql(spark_hash60))

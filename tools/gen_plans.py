@@ -60,6 +60,7 @@ QUERY_SET = [
     "graph_weighted_sssp",
     "events_cep_absence_pattern",
     "lm_heldout_perplexity",
+    "sketch_kmv_distinct",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
