@@ -341,3 +341,39 @@ class TestAsofUnionWindow:
             for n in (1, 2, 3)
         }
         assert picks == {9.0}  # greatest under struct order, any partitioning
+
+
+def test_prefix_filter_join_exact_recall(spark):
+    """The PPJoin pigeonhole claim, black-box: prefix-filtered pairs at
+    t=0.5 must equal the FULL shingle-join pairs (dedup_ngram_jaccard,
+    discovered at t=0.2) filtered to jaccard >= 0.5."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pf = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_prefix_filter_join"].fn(spark, sf).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf).collect()
+        if r.jaccard >= 0.5
+    }
+    assert pf == full
+    assert full, "vacuous fixture: no pairs above threshold"
+
+
+def test_bpe_double_replace_completes_greedy_merge(spark):
+    """The two-pass plain-replace fuse is exact: alternate occurrences
+    skipped by pass 1 (consumed boundary space) are all caught by pass
+    2, because two skipped occurrences are never adjacent."""
+    row = spark.sql(
+        """
+        SELECT trim(replace(replace(' ' || 'a b a b a b a b' || ' ',
+                   ' a b ', ' a+b '), ' a b ', ' a+b ')) AS s,
+               trim(replace(' ' || 'a b a b a b a b' || ' ',
+                   ' a b ', ' a+b ')) AS one_pass
+        """
+    ).collect()[0]
+    assert row.s == "a+b a+b a+b a+b"
+    assert row.one_pass != row.s  # pass 1 alone genuinely under-merges

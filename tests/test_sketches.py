@@ -117,3 +117,44 @@ def test_bloom_contract_no_false_negatives(spark):
     assert row.false_negatives == 0
     assert row.bloom_positives >= row.true_members
     assert row.n_batch_keys >= row.bloom_positives
+
+
+def test_linear_counting_and_kmv_accuracy(spark):
+    """The two deterministic distinct sketches stay within their
+    theoretical error envelopes against the exact column they carry."""
+    from automated_data_pipeline_python_spark.queries.sketches import (
+        sketch_kmv_distinct,
+        sketch_linear_counting,
+    )
+
+    for r in sketch_linear_counting(spark, SF_DIR).collect():
+        assert r.lc_estimate is not None
+        # load factor ~0.02 here → relative error well under 10%.
+        assert abs(r.lc_estimate - r.exact_n) / r.exact_n < 0.1, r
+
+    for r in sketch_kmv_distinct(spark, SF_DIR).collect():
+        if r.exact_n < 64:  # under-filled sketch reports exact
+            assert r.kmv_estimate == float(r.exact_n), r
+        else:
+            # KMV relative error ~1/sqrt(k) = 12.5%; allow 4 sigma.
+            assert abs(r.kmv_estimate - r.exact_n) / r.exact_n < 0.5, r
+
+
+def test_histogram_quantiles_bracket_exact(spark):
+    """Every histogram-sketch quantile estimate lies inside its bin,
+    and the exact quantile lies in the same bin (the sketch's error
+    contract: bounded by bin width)."""
+    from automated_data_pipeline_python_spark.queries.sketches import (
+        sketch_histogram_quantiles,
+    )
+
+    rows = {r.ql: r for r in sketch_histogram_quantiles(spark, SF_DIR).collect()}
+    assert set(rows) == {"p50", "p90", "p99"}
+    li = load(spark, SF_DIR, "lineitem")
+    for ql, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        r = rows[ql]
+        assert r.bin_lo <= r.est <= r.bin_hi, r
+        exact = li.selectExpr(
+            f"percentile(l_extendedprice, {q}) AS v"
+        ).collect()[0].v
+        assert r.bin_lo - 1e-9 <= exact <= r.bin_hi + 1e-9, (r, exact)
