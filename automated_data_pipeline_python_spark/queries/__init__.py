@@ -133,7 +133,8 @@ _PRIORITY = [
     # events_cem_matching, feature_quantile_normalize,
     # bpe_train_merge_rounds, graph_weighted_sssp,
     # events_cep_absence_pattern, lm_heldout_perplexity,
-    # sketch_kmv_distinct.
+    # sketch_kmv_distinct, sketch_kmv_set_ops, dq_freshness_sla,
+    # orders_association_rules.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

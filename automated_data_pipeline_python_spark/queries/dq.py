@@ -371,3 +371,45 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_KANON_BODY)
+
+
+# ---------------------------------------------------------------------------
+# Freshness / SLA report (the data-ops staleness monitor)
+# ---------------------------------------------------------------------------
+# Per event type: last arrival vs the corpus watermark (global max ts),
+# staleness in whole minutes (integer microsecond difference floored —
+# no float time math), and an SLA verdict. The shape every ingestion
+# dashboard runs; downstream of the bronze layer this is one grouped
+# max + a broadcast of the 1-row watermark.
+
+
+def _freshness_sql(usdiff: str) -> str:
+    return f"""
+WITH wm AS (SELECT max(ts) AS w FROM events),
+per_type AS (
+    SELECT event_type, max(ts) AS last_ts FROM events GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.last_ts AS STRING) AS last_ts,
+       CAST(w.w AS STRING)       AS watermark,
+       CAST(floor(({usdiff}) / 60000000) AS BIGINT) AS staleness_min,
+       CASE WHEN ({usdiff}) <= CAST(3600000000 AS BIGINT) THEN 'fresh'
+            WHEN ({usdiff}) <= CAST(86400000000 AS BIGINT) THEN 'lagging'
+            ELSE 'stale' END AS sla_status
+FROM per_type p CROSS JOIN wm w
+"""
+
+
+@register(
+    "dq_freshness_sla",
+    oracle=_freshness_sql("date_diff('microsecond', p.last_ts, w.w)"),
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type last arrival, staleness vs the corpus watermark in
+    whole minutes, and a fresh/lagging/stale SLA verdict — all in
+    integer microseconds (timestamps render as STRING per the
+    cross-engine date discipline)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _freshness_sql("timestampdiff(MICROSECOND, p.last_ts, w.w)")
+    )

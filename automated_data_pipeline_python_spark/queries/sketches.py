@@ -538,3 +538,79 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_kmv_sql(spark_hash60))
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (sketch Jaccard / intersection)
+# ---------------------------------------------------------------------------
+# What KMV buys over bitmap/bin sketches: SET ALGEBRA. With k-min sets
+# for two keys (view vs purchase users), the k smallest of their union
+# is a uniform sample of A∪B, so |M ∩ A ∩ B| / k estimates Jaccard and
+# jacc·|A∪B| estimates the intersection — no rescan of the facts, the
+# sketch rows alone. Membership of the ≤k sample hashes is verified by
+# a semi-join against the per-side distinct-hash sets (k-row probe
+# side — broadcastable at any scale). Exact columns ride along.
+
+_KSO_K = 64
+
+
+def _kmv_setops_sql(h) -> str:
+    hv = h("CAST(user_id AS STRING)")
+    return f"""
+WITH ha AS (
+    SELECT DISTINCT {hv} AS hv FROM events WHERE event_type = 'view'
+),
+hb AS (
+    SELECT DISTINCT {hv} AS hv FROM events WHERE event_type = 'purchase'
+),
+ka AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KSO_K}),
+kb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KSO_K}),
+m AS (
+    SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) u
+    ORDER BY hv LIMIT {_KSO_K}
+),
+probe AS (
+    SELECT m.hv,
+           CASE WHEN a.hv IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+           CASE WHEN b.hv IS NOT NULL THEN 1 ELSE 0 END AS in_b
+    FROM m
+    LEFT JOIN ha a ON a.hv = m.hv
+    LEFT JOIN hb b ON b.hv = m.hv
+),
+est AS (
+    SELECT CAST(count(*) AS BIGINT) AS k_used,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_both,
+           CAST(max(hv) AS BIGINT) AS hk
+    FROM probe
+),
+ex AS (
+    SELECT CAST((SELECT count(*) FROM ha) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM hb) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM ha JOIN hb ON ha.hv = hb.hv)
+                AS BIGINT) AS n_both
+)
+SELECT 'view x purchase' AS pair,
+       ex.n_a AS exact_a, ex.n_b AS exact_b, ex.n_both AS exact_intersection,
+       floor((CAST(ex.n_both AS DOUBLE) / (ex.n_a + ex.n_b - ex.n_both))
+             * 1e6 + 0.5) / 1e6 AS exact_jaccard,
+       floor((CAST(est.k_both AS DOUBLE) / est.k_used) * 1e6 + 0.5) / 1e6
+           AS kmv_jaccard,
+       floor(((CAST(est.k_both AS DOUBLE) / est.k_used)
+              * ({_KSO_K - 1}e0 * {_KMV_M} / est.hk)) * 1e6 + 0.5) / 1e6
+           AS kmv_intersection
+FROM est CROSS JOIN ex
+"""
+
+
+@register("sketch_kmv_set_ops", oracle=_kmv_setops_sql(duck_hash60))
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard and intersection cardinality of view-users vs
+    purchase-users estimated purely from k=64 KMV sketches, with the
+    exact values alongside.
+
+    Scale: after the distinct-hash aggregations, every relation is
+    ≤k rows; the membership probes are k-row broadcast joins.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kmv_setops_sql(spark_hash60))

@@ -1043,3 +1043,68 @@ def warehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_DV_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Association rules (directional confidence) from brand baskets
+# ---------------------------------------------------------------------------
+# The Apriori OUTPUT surface: basket_brand_lift reports symmetric pair
+# lift; rules are DIRECTIONAL — A→B carries confidence
+# P(B-basket | A-basket) = co/nA, so each qualifying pair emits up to
+# two rules with different confidences (same support and lift). A
+# min-support prefilter prunes the pair space before any division —
+# the Apriori downward-closure step — and the output is the top-40
+# rules by confidence under a TOTAL order (confidence, antecedent,
+# consequent). No absolute confidence floor: a fixed floor is
+# scale-dependent (per-brand order counts grow with the corpus while
+# basket sizes don't, so every confidence shrinks), and a top-k under
+# a total order is the scale-invariant report.
+
+_RULES_MIN_SUPPORT = 2
+_RULES_TOP = 40
+
+_ASSOC_RULES_SQL = f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+nb AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY brand),
+tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+co AS (
+    SELECT a.brand AS ba, b.brand AS bb, CAST(count(*) AS BIGINT) AS n_co
+    FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+    GROUP BY a.brand, b.brand
+    HAVING count(*) >= {_RULES_MIN_SUPPORT}
+),
+rules AS (
+    SELECT ba AS antecedent, bb AS consequent, n_co FROM co
+    UNION ALL
+    SELECT bb, ba, n_co FROM co
+)
+SELECT r.antecedent, r.consequent, r.n_co AS support_orders,
+       floor((CAST(r.n_co AS DOUBLE) / na.n) * 1e6 + 0.5) / 1e6
+           AS confidence,
+       floor((CAST(r.n_co AS DOUBLE) * t.n_orders / (na.n * nc.n))
+             * 1e6 + 0.5) / 1e6 AS lift
+FROM rules r
+JOIN nb na ON na.brand = r.antecedent
+JOIN nb nc ON nc.brand = r.consequent
+CROSS JOIN tot t
+ORDER BY confidence DESC, antecedent, consequent
+LIMIT {_RULES_TOP}
+"""
+
+
+@register("orders_association_rules", oracle=_ASSOC_RULES_SQL)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional brand association rules: support-pruned co-order
+    pairs fanned into A→B / B→A with confidence and lift, top-40
+    under a total order (no scale-dependent confidence floor).
+
+    Scale: the basket self-join is bounded by basket size; the
+    min-support HAVING prunes before the rule fan-out; brand margins
+    (nb) are vocabulary-sized joins.
+    """
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ASSOC_RULES_SQL)

@@ -494,6 +494,24 @@ def test_cep_and_perplexity_python_free(spark):
         assert r.python_free, name
 
 
+def test_kmv_freshness_rules_python_free(spark):
+    """KMV sketches, the freshness monitor, and association rules are
+    pure JVM plans; KMV set-ops' k-min picks must plan as TakeOrdered
+    (no unpartitioned rank window over the hash sets)."""
+    for name in (
+        "sketch_kmv_distinct",
+        "sketch_kmv_set_ops",
+        "dq_freshness_sla",
+        "orders_association_rules",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+    so = QUERIES["sketch_kmv_set_ops"].fn(spark, SF)
+    plan = so._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

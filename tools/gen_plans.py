@@ -61,6 +61,9 @@ QUERY_SET = [
     "events_cep_absence_pattern",
     "lm_heldout_perplexity",
     "sketch_kmv_distinct",
+    "sketch_kmv_set_ops",
+    "dq_freshness_sla",
+    "orders_association_rules",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
