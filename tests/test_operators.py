@@ -377,3 +377,74 @@ def test_bpe_double_replace_completes_greedy_merge(spark):
     ).collect()[0]
     assert row.s == "a+b a+b a+b a+b"
     assert row.one_pass != row.s  # pass 1 alone genuinely under-merges
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    """Direct dominance check of the window-pass skyline: every kept
+    point is non-dominated and every dropped point is dominated
+    (within its brand), verified in Python against the raw table."""
+    from collections import defaultdict
+
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    kept = {
+        (r.p_brand, r.p_partkey)
+        for r in QUERIES["part_skyline_pareto"].fn(spark, sf).collect()
+    }
+    by_brand = defaultdict(list)
+    for r in load(spark, sf, "part").collect():
+        by_brand[r.p_brand].append((r.p_partkey, r.p_size, r.p_retailprice))
+    for brand, pts in by_brand.items():
+        for key, size, price in pts:
+            dominated = any(
+                (q_price <= price and q_size >= size)
+                and (q_price < price or q_size > size)
+                for _, q_size, q_price in pts
+            )
+            assert ((brand, key) in kept) == (not dominated), (brand, key)
+
+
+def test_deletion_vector_bitmap_roundtrip_and_tail_word(spark):
+    """The DV probe must recover exactly the predicate-deleted rows in
+    every month — including months whose deletes land in the partial
+    last 63-bit word."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    rows = QUERIES["warehouse_deletion_vectors"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert any(r.n_deleted_predicate > 0 for r in rows)
+    # partial tail word exercised: some month's row count is not a
+    # multiple of 63 yet still has deletes
+    assert any(
+        r.n_rows % 63 != 0 and r.n_deleted_predicate > 0 for r in rows
+    )
+    for r in rows:
+        assert r.n_deleted_bitmap == r.n_deleted_predicate, r
+
+
+def test_quantile_normalize_is_monotone_and_near_identity_pooled(spark):
+    """Rank-normalization invariants: within a source the mapping is
+    monotone in the raw value, and the pooled distribution maps onto
+    (approximately) itself — the permille grid allows only one bucket
+    of slack."""
+    from collections import defaultdict
+
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    rows = QUERIES["feature_quantile_normalize"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append((r.n_chars, r.doc_id, r.qn_chars))
+    for src, vals in by_src.items():
+        vals.sort()
+        qn = [v[2] for v in vals]
+        assert qn == sorted(qn), src
+    # pooled sanity: global min/max map to themselves
+    all_rows = sorted((r.n_chars, r.qn_chars) for r in rows)
+    assert all_rows[-1][1] == max(r.n_chars for r in rows)
