@@ -134,7 +134,8 @@ _PRIORITY = [
     # bpe_train_merge_rounds, graph_weighted_sssp,
     # events_cep_absence_pattern, lm_heldout_perplexity,
     # sketch_kmv_distinct, sketch_kmv_set_ops, dq_freshness_sla,
-    # orders_association_rules.
+    # orders_association_rules, events_power_analysis,
+    # events_hysteresis_alerts.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -280,3 +280,65 @@ def events_cem_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cem_sql(spark_hash28("CAST(user_id AS STRING)"),
                  "CAST(({a}) DIV ({b}) AS BIGINT)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis: the sample-size calculator that precedes the test
+# ---------------------------------------------------------------------------
+# Completes the experimentation suite (design → CUPED → CEM →
+# analysis): given the OBSERVED conversion base rate p (the same ≥14-
+# purchases definition events_ab_test_lift uses), the two-proportion
+# sample size per arm for 80% power at two-sided α=5% is
+# n = (z_{α/2} + z_β)² · 2·p(1−p) / Δ², evaluated for relative MDEs
+# of 2/5/10%. z constants are fixed literals; p is a ratio of exact
+# integers; every output is one snapped float expression — the pure
+# closed-form shape, one corpus aggregation feeding a 3-row table.
+
+_Z_ALPHA2 = "1.959964"  # z_{0.975}
+_Z_BETA = "0.841621"    # z_{0.80}
+
+
+def _power_sql() -> str:
+    zsum2 = f"(({_Z_ALPHA2} + {_Z_BETA}) * ({_Z_ALPHA2} + {_Z_BETA}))"
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                     >= 14 THEN 1 ELSE 0 END AS converted
+    FROM events
+    GROUP BY user_id
+),
+base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_conv
+    FROM per_user
+),
+mde AS (
+    SELECT 0.02 AS rel UNION ALL SELECT 0.05 UNION ALL SELECT 0.10
+),
+calc AS (
+    SELECT m.rel, b.n_users, b.n_conv,
+           CAST(b.n_conv AS DOUBLE) / b.n_users AS p,
+           CAST(m.rel AS DOUBLE) * (CAST(b.n_conv AS DOUBLE) / b.n_users)
+               AS delta
+    FROM mde m CROSS JOIN base b
+)
+SELECT floor(rel * 1e6 + 0.5) / 1e6 AS rel_mde,
+       n_users, n_conv,
+       floor(p * 1e6 + 0.5) / 1e6 AS base_rate,
+       CAST(ceil({zsum2} * 2e0 * p * (1e0 - p) / (delta * delta))
+            AS BIGINT) AS n_per_arm,
+       (n_users >= 2 * CAST(ceil({zsum2} * 2e0 * p * (1e0 - p)
+                                 / (delta * delta)) AS BIGINT))
+           AS currently_powered
+FROM calc
+"""
+
+
+@register("events_power_analysis", oracle=_power_sql())
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample size per arm (80% power, α=5%) at 2/5/10%
+    relative MDE from the observed base rate, with a verdict on
+    whether the current user count is already sufficient."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_power_sql())

@@ -1229,3 +1229,63 @@ def events_latency_decade_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_latency_decades_sql("timestampdiff(MICROSECOND, prev_ts, ts)"))
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis alerting (two-threshold stateful alarm)
+# ---------------------------------------------------------------------------
+# The ops-monitoring alarm that z-score bands can't express: ON when
+# the reading crosses the high threshold, OFF only after it falls
+# below the LOW one — the dead band suppresses flapping. Stateful, but
+# not iterative: the state at any event is the DIRECTION OF THE MOST
+# RECENT CROSSING, i.e. one LOCF window (last non-null crossing signal
+# per user, running frame) — the same shape as forward fill, so one
+# user-keyed shuffle handles arbitrarily long histories. Episodes =
+# OFF→ON transitions via lag. All comparisons are against literal
+# thresholds on stored doubles — no engine-computed float boundaries.
+
+_HYST_HI = "200.0"
+_HYST_LO = "50.0"
+
+
+def _hysteresis_sql(locf: str) -> str:
+    sig = (
+        f"CASE WHEN value >= {_HYST_HI} THEN 1 "
+        f"WHEN value <= {_HYST_LO} THEN 0 END"
+    )
+    return f"""
+WITH state AS (
+    SELECT user_id, event_id, ts,
+           coalesce({locf.format(expr=sig)}
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS alarm
+    FROM events
+),
+edges AS (
+    SELECT user_id, alarm,
+           coalesce(lag(alarm) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 0) AS prev
+    FROM state
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN alarm = 1 AND prev = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_episodes,
+       CAST(sum(alarm) AS BIGINT) AS n_events_in_alarm,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM edges
+GROUP BY user_id
+HAVING sum(CASE WHEN alarm = 1 AND prev = 0 THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register(
+    "events_hysteresis_alerts",
+    oracle=_hysteresis_sql("last_value({expr} IGNORE NULLS)"),
+)
+def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-threshold (200/50) hysteresis alarm: episode
+    counts and events-in-alarm, state carried by one LOCF window —
+    no iteration, one user-keyed shuffle."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hysteresis_sql("last_value({expr}, true)"))

@@ -512,6 +512,14 @@ def test_kmv_freshness_rules_python_free(spark):
     assert "Window" not in plan
 
 
+def test_power_and_hysteresis_python_free(spark):
+    """Power analysis is one aggregation + closed form; the hysteresis
+    alarm carries state through user-partitioned LOCF windows only."""
+    for name in ("events_power_analysis", "events_hysteresis_alerts"):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
 def test_ann_dim_truncation_stable_plan_facts(spark):
     """Pin the session-stable facts for the ANN truncation eval (its
     exchange/codegen counts shift with cross-session exchange reuse —

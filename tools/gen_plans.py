@@ -64,6 +64,8 @@ QUERY_SET = [
     "sketch_kmv_set_ops",
     "dq_freshness_sla",
     "orders_association_rules",
+    "events_power_analysis",
+    "events_hysteresis_alerts",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
