@@ -135,7 +135,8 @@ _PRIORITY = [
     # events_cep_absence_pattern, lm_heldout_perplexity,
     # sketch_kmv_distinct, sketch_kmv_set_ops, dq_freshness_sla,
     # orders_association_rules, events_power_analysis,
-    # events_hysteresis_alerts.
+    # events_hysteresis_alerts, orders_ship_latency_percentiles,
+    # events_new_vs_returning_dau.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

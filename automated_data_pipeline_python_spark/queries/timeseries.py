@@ -1289,3 +1289,44 @@ def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     no iteration, one user-keyed shuffle."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hysteresis_sql("last_value({expr}, true)"))
+
+
+# ---------------------------------------------------------------------------
+# New vs returning DAU (the growth-accounting split)
+# ---------------------------------------------------------------------------
+# events_dau_mau_stickiness reports engagement depth; growth
+# accounting needs the SOURCE of each day's actives: first-ever-seen
+# (new) vs returning. First-seen day is one user-keyed min-aggregation
+# over the (user, day) relation; the daily split is a second rollup —
+# no window at all. Days render as STRING per the cross-engine date
+# discipline.
+
+_NVR_SQL = """
+WITH days AS (
+    SELECT user_id, substr(CAST(ts AS STRING), 1, 10) AS day
+    FROM events GROUP BY user_id, substr(CAST(ts AS STRING), 1, 10)
+),
+firsts AS (
+    SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id
+)
+SELECT d.day,
+       CAST(count(*) AS BIGINT) AS dau,
+       CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+       CAST(sum(CASE WHEN d.day != f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS returning_users,
+       floor((CAST(sum(CASE WHEN d.day != f.first_day THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+           AS returning_share
+FROM days d JOIN firsts f ON f.user_id = d.user_id
+GROUP BY d.day
+"""
+
+
+@register("events_new_vs_returning_dau", oracle=_NVR_SQL)
+def events_new_vs_returning_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into first-ever-seen vs returning users —
+    the growth-accounting series. Two user-keyed aggregations, no
+    windows."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_NVR_SQL)

@@ -1108,3 +1108,53 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_ASSOC_RULES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Order→ship latency percentiles (fulfillment SLA distribution)
+# ---------------------------------------------------------------------------
+# The supply-chain twin of events_funnel_timing: integer latency days
+# (microsecond difference, integer floor-division — no float time
+# math) per order priority, summarized with the proven cross-engine
+# percentile interpolation pairing (Spark percentile / DuckDB
+# quantile_cont, e-notation fractions to pin DOUBLE). One orderkey
+# fact join, unhinted per the broadcast policy; the percentile
+# aggregation runs per priority over integer day values.
+
+
+def _ship_latency_sql(q: str, usdiff: str) -> str:
+    return f"""
+WITH lat AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(floor(({usdiff}) / 86400000000) AS BIGINT) AS lat_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(lat_days) AS BIGINT) AS min_days,
+       floor({q}(lat_days, 5e-1) * 1e6 + 0.5) / 1e6 AS p50_days,
+       floor({q}(lat_days, 9e-1) * 1e6 + 0.5) / 1e6 AS p90_days,
+       CAST(max(lat_days) AS BIGINT) AS max_days
+FROM lat GROUP BY priority
+"""
+
+
+@register(
+    "orders_ship_latency_percentiles",
+    oracle=_ship_latency_sql(
+        "quantile_cont", "date_diff('microsecond', o.o_orderdate, l.l_shipdate)"
+    ),
+)
+def orders_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency (integer days) min/p50/p90/max per order
+    priority — the fulfillment SLA distribution."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        _ship_latency_sql(
+            "percentile",
+            "timestampdiff(MICROSECOND, o.o_orderdate, l.l_shipdate)",
+        )
+    )

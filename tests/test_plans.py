@@ -518,6 +518,12 @@ def test_power_and_hysteresis_python_free(spark):
     for name in ("events_power_analysis", "events_hysteresis_alerts"):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+    for name in (
+        "orders_ship_latency_percentiles",
+        "events_new_vs_returning_dau",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
 
 
 def test_ann_dim_truncation_stable_plan_facts(spark):

@@ -66,6 +66,8 @@ QUERY_SET = [
     "orders_association_rules",
     "events_power_analysis",
     "events_hysteresis_alerts",
+    "orders_ship_latency_percentiles",
+    "events_new_vs_returning_dau",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
