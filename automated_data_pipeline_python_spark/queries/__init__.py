@@ -136,7 +136,8 @@ _PRIORITY = [
     # sketch_kmv_distinct, sketch_kmv_set_ops, dq_freshness_sla,
     # orders_association_rules, events_power_analysis,
     # events_hysteresis_alerts, orders_ship_latency_percentiles,
-    # events_new_vs_returning_dau.
+    # events_new_vs_returning_dau, events_trajectory_similarity,
+    # events_three_way_interval_join.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -914,3 +914,128 @@ def events_cep_absence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CEP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory similarity search (REPOSE-style top-k, edit distance)
+# ---------------------------------------------------------------------------
+# Distributed top-k trajectory similarity (cf. REPOSE, ICDE 2021): each
+# user's behavior is a path string (event-type initials in strict
+# (ts, event_id) order); the query user's path broadcasts and every
+# other user scores ONE exact Levenshtein DP against it — linear in
+# users, never pairwise, finished by a TakeOrdered top-10. Paths are
+# capped at 200 symbols (identical substr both engines) so the
+# per-row DP cost is bounded; similarity = 1 − d/max(|a|,|b|) is a
+# ratio of exact integers, snapped. Cross-engine levenshtein equality
+# is already load-bearing for fuzzy_levenshtein_pairs.
+
+_TRAJ_CAP = 200
+
+
+def _traj_sql(ordered_agg: str) -> str:
+    return f"""
+WITH paths AS (
+    SELECT user_id,
+           substr({ordered_agg}, 1, {_TRAJ_CAP}) AS path
+    FROM (SELECT user_id, ts, event_id,
+                 substr(event_type, 1, 1) AS sym FROM events) e
+    GROUP BY user_id
+),
+q AS (SELECT min(user_id) AS qu FROM paths),
+qp AS (SELECT p.path AS qpath FROM paths p JOIN q ON p.user_id = q.qu),
+scored AS (
+    SELECT p.user_id,
+           CAST(length(p.path) AS BIGINT) AS path_len,
+           CAST(levenshtein(p.path, qp.qpath) AS BIGINT) AS edit_dist,
+           floor((1e0 - CAST(levenshtein(p.path, qp.qpath) AS DOUBLE)
+                  / greatest(length(p.path), length(qp.qpath)))
+                 * 1e6 + 0.5) / 1e6 AS similarity
+    FROM paths p CROSS JOIN qp CROSS JOIN q
+    WHERE p.user_id != q.qu
+)
+SELECT user_id, path_len, edit_dist, similarity
+FROM scored
+ORDER BY similarity DESC, user_id
+LIMIT 10
+"""
+
+
+@register(
+    "events_trajectory_similarity",
+    oracle=_traj_sql(
+        "string_agg(sym, '' ORDER BY ts, event_id)"
+    ),
+)
+def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users whose event-type trajectory is closest (edit
+    distance) to the query user's — broadcast-one-path scoring, no
+    pairwise product."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _traj_sql("listagg(sym, '') WITHIN GROUP (ORDER BY ts, event_id)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way interval join (view → click ≤1h → purchase ≤24h triples)
+# ---------------------------------------------------------------------------
+# The three-relation temporal join the multi-way stream-join
+# literature optimizes (cf. circular pipelines for multi-way stream
+# joins, ICDE 2018): unlike the funnel (min-aggregated) and the CEP
+# pattern (first-match), this emits EVERY qualifying (view, click,
+# purchase) triple — the cardinality-bearing form whose state sizing
+# at 100 TB is the hard part. Both joins ride the user_id equi-key
+# (one shuffle partitioning serves the whole chain); the interval
+# predicates bound state exactly as watermarks would in streaming.
+# Latency stats stay integer microseconds until one snapped ratio.
+
+_THREE_WAY_SQL = """
+WITH v AS (
+    SELECT user_id, event_id AS vid, ts AS vts FROM events
+    WHERE event_type = 'view'
+),
+c AS (
+    SELECT user_id, event_id AS cid, ts AS cts FROM events
+    WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, event_id AS pid, ts AS pts FROM events
+    WHERE event_type = 'purchase'
+),
+triples AS (
+    SELECT v.user_id, v.vts, {us_lat} AS lat_us
+    FROM v
+    JOIN c ON c.user_id = v.user_id
+          AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR
+    JOIN p ON p.user_id = c.user_id
+          AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 24 HOUR
+)
+SELECT substr(CAST(vts AS STRING), 1, 10) AS day,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       floor((CAST(sum(CAST(floor(lat_us / 60000000) AS BIGINT))
+                   AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+           AS avg_latency_min
+FROM triples
+GROUP BY substr(CAST(vts AS STRING), 1, 10)
+"""
+
+
+@register(
+    "events_three_way_interval_join",
+    oracle=_THREE_WAY_SQL.replace(
+        "{us_lat}", "date_diff('microsecond', v.vts, p.pts)"
+    ),
+)
+def events_three_way_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day counts and view→purchase latency of every qualifying
+    (view, click≤1h, purchase≤24h) triple — the multi-way interval
+    join, all legs on one user_id partitioning."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _THREE_WAY_SQL.replace(
+            "{us_lat}", "timestampdiff(MICROSECOND, v.vts, p.pts)"
+        )
+    )

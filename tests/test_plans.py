@@ -521,6 +521,8 @@ def test_power_and_hysteresis_python_free(spark):
     for name in (
         "orders_ship_latency_percentiles",
         "events_new_vs_returning_dau",
+        "events_trajectory_similarity",
+        "events_three_way_interval_join",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -68,6 +68,8 @@ QUERY_SET = [
     "events_hysteresis_alerts",
     "orders_ship_latency_percentiles",
     "events_new_vs_returning_dau",
+    "events_trajectory_similarity",
+    "events_three_way_interval_join",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
