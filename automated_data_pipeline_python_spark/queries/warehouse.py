@@ -1158,3 +1158,69 @@ def orders_ship_latency_percentiles(
             "timestampdiff(MICROSECOND, o.o_orderdate, l.l_shipdate)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index (base-weighted inflation series)
+# ---------------------------------------------------------------------------
+# The BI/economics staple: price level of month m relative to the BASE
+# month, weighting every part's unit price by its BASE-month quantity
+# — index_m = Σ p_m(i)·q_0(i) / Σ p_0(i)·q_0(i) over parts priced in
+# both months. Unit prices are ratios of exact cent/quantity sums
+# (deterministic doubles); the cross-part Σ of p·q terms is the
+# order-dependent float sum the exact-sum discipline exists for, so
+# each term snaps to the 1e4 grid and accumulates as DECIMAL
+# (sql_exact_sum). Shuffles: one (month, part) aggregation, one join
+# to the base-month relation on partkey, one month rollup.
+
+_LASP_MP_SQL = """
+SELECT substr(CAST(l_shipdate AS STRING), 1, 7) AS month,
+       l_partkey,
+       CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY substr(CAST(l_shipdate AS STRING), 1, 7), l_partkey
+"""
+
+# mp is referenced three times (base slice, join, base-month scalar
+# subquery); Spark inlines CTEs, so the catalog fn materializes it once
+# (localCheckpoint) — the DuckDB oracle keeps the single WITH chain.
+_LASP_TAIL = f"""
+base AS (
+    SELECT l_partkey,
+           CAST(cents AS DOUBLE) / (qty * 1e2) AS p0,
+           qty AS q0
+    FROM {{mp}} WHERE month = (SELECT min(month) FROM {{mp}})
+),
+joined AS (
+    SELECT mp.month,
+           CAST(mp.cents AS DOUBLE) / (mp.qty * 1e2) AS pm,
+           b.p0, b.q0
+    FROM {{mp}} mp JOIN base b ON b.l_partkey = mp.l_partkey
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_common_parts,
+       floor(({sql_exact_sum("pm * q0", 4)})
+             / ({sql_exact_sum("p0 * q0", 4)}) * 1e6 + 0.5) / 1e6
+           AS laspeyres_index
+FROM joined
+GROUP BY month
+"""
+
+_LASP_SQL = ("WITH mp AS (" + _LASP_MP_SQL + "),"
+             + _LASP_TAIL.format(mp="mp").lstrip())
+
+
+@register("lineitem_price_index_laspeyres", oracle=_LASP_SQL)
+def lineitem_price_index_laspeyres(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly Laspeyres price index vs the first shipping month:
+    base-quantity-weighted unit prices over the parts common to both
+    months, with order-independent exact sums for the Σ p·q terms."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(_LASP_MP_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "lasp_mp"
+    )
+    return spark.sql("WITH " + _LASP_TAIL.format(mp="lasp_mp").lstrip())

@@ -523,6 +523,7 @@ def test_power_and_hysteresis_python_free(spark):
         "events_new_vs_returning_dau",
         "events_trajectory_similarity",
         "events_three_way_interval_join",
+        "lineitem_price_index_laspeyres",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -70,6 +70,7 @@ QUERY_SET = [
     "events_new_vs_returning_dau",
     "events_trajectory_similarity",
     "events_three_way_interval_join",
+    "lineitem_price_index_laspeyres",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
