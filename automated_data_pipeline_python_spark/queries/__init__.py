@@ -137,7 +137,8 @@ _PRIORITY = [
     # orders_association_rules, events_power_analysis,
     # events_hysteresis_alerts, orders_ship_latency_percentiles,
     # events_new_vs_returning_dau, events_trajectory_similarity,
-    # events_three_way_interval_join, lineitem_price_index_laspeyres.
+    # events_three_way_interval_join, lineitem_price_index_laspeyres,
+    # rag_reciprocal_rank_fusion.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

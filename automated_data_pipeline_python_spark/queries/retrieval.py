@@ -284,3 +284,99 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin subtraction so both engines rank identical values.
     """
     return _emb_sql(spark, sf_dir, _HARDNEG_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid lexical + vector retrieval)
+# ---------------------------------------------------------------------------
+# The standard RAG ranking combiner: run a lexical leg (query-term hit
+# counts over documents) and a semantic leg (cosine vs the query
+# embedding, vec_id 0 — the aligned doc_id space), take each leg's
+# top-20 with ORDER BY + LIMIT (TakeOrdered, no corpus-wide rank
+# window), then fuse with RRF = Σ 1/(60 + rank_leg) over a full outer
+# join — docs found by only one leg still score. Ranks are integers;
+# the fused score is a sum of two reciprocals of integers, snapped
+# once. k=60 is the canonical RRF constant.
+
+_RRF_LEG_TOP = 20
+_RRF_TOP = 10
+
+
+def _rrf_sql(tok_sub: str, emb_cte: str, cos: str) -> str:
+    return f"""
+WITH lex AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+    FROM ({tok_sub}) t
+    WHERE tok IN ({_TERMS_IN})
+    GROUP BY doc_id
+),
+lex_top AS (
+    SELECT doc_id, hits FROM lex ORDER BY hits DESC, doc_id
+    LIMIT {_RRF_LEG_TOP}
+),
+lex_rank AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY hits DESC, doc_id) AS INT) AS r
+    FROM lex_top
+),
+{emb_cte},
+sem AS (
+    SELECT b.vec_id AS doc_id,
+           floor(({cos}) * 1e6 + 0.5) / 1e6 AS cs
+    FROM emb_n a JOIN emb_n b ON a.vec_id = 0 AND b.vec_id != 0
+),
+sem_top AS (
+    SELECT doc_id, cs FROM sem ORDER BY cs DESC, doc_id
+    LIMIT {_RRF_LEG_TOP}
+),
+sem_rank AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT) AS r
+    FROM sem_top
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       l.r AS lex_rank, s.r AS sem_rank,
+       floor((coalesce(1e0 / (60 + l.r), 0e0)
+              + coalesce(1e0 / (60 + s.r), 0e0)) * 1e6 + 0.5) / 1e6
+           AS rrf_score
+FROM lex_rank l FULL OUTER JOIN sem_rank s ON s.doc_id = l.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOP}
+"""
+
+
+_RRF_SPARK_SQL = _rrf_sql(
+    f"SELECT doc_id, tok FROM (SELECT doc_id, {_S_TOK} AS a FROM documents)"
+    " LATERAL VIEW explode(a) x AS tok",
+    "emb_n AS (SELECT vec_id, embedding,"
+    " sqrt(aggregate(transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm FROM embeddings)",
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (a.nrm * b.nrm)",
+)
+_RRF_DUCK_SQL = _rrf_sql(
+    f"SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents",
+    "emb_n AS (SELECT vec_id, embedding,"
+    " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    " AS nrm FROM embeddings)",
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (a.nrm * b.nrm)",
+)
+
+
+@register("rag_reciprocal_rank_fusion", oracle=_RRF_DUCK_SQL)
+def rag_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical top-20 and cosine top-20 legs fused
+    by reciprocal-rank fusion (k=60), full-outer so single-leg hits
+    survive; top-10 under a total order.
+
+    Scale: each leg reduces to a TakeOrdered top-k; ranks are assigned
+    on the 20-row leg outputs; fusion joins two 20-row relations.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_RRF_SPARK_SQL)

@@ -524,6 +524,7 @@ def test_power_and_hysteresis_python_free(spark):
         "events_trajectory_similarity",
         "events_three_way_interval_join",
         "lineitem_price_index_laspeyres",
+        "rag_reciprocal_rank_fusion",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
