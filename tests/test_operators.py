@@ -448,3 +448,27 @@ def test_quantile_normalize_is_monotone_and_near_identity_pooled(spark):
     # pooled sanity: global min/max map to themselves
     all_rows = sorted((r.n_chars, r.qn_chars) for r in rows)
     assert all_rows[-1][1] == max(r.n_chars for r in rows)
+
+
+def test_rrf_fuses_both_legs(spark):
+    """RRF sanity: the fused ranking is non-empty, scores decrease,
+    and a doc ranked #1 by BOTH legs would out-score any single-leg
+    doc (1/61 + 1/61 > 1/61 + 0) — i.e. dual-leg hits dominate when
+    present."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    rows = QUERIES["rag_reciprocal_rank_fusion"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.lex_rank is not None or r.sem_rank is not None
+        both = r.lex_rank is not None and r.sem_rank is not None
+        expect = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert abs(r.rrf_score - expect) < 2e-6, r
+        if both and r is rows[0]:
+            assert r.rrf_score > 1.0 / 61
