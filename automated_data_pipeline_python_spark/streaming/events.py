@@ -474,3 +474,57 @@ def count_min_cells(events: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
         F.expr(f"{spark_hash60(key)} % {w}").alias("bucket"),
     )
     return keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def hysteresis_alarm_stream(
+    events: DataFrame, hi: float = 200.0, lo: float = 50.0
+) -> DataFrame:
+    """Streaming twin of ``queries.timeseries.events_hysteresis_alerts``:
+    the two-threshold dead-band alarm as explicit per-user GroupState.
+
+    State is four integers per user (alarm flag, episode count,
+    events-in-alarm, events seen) — bounded regardless of stream
+    length; rows sort by (ts, event_id) inside each micro-batch, the
+    same total order the batch LOCF window uses, so a fully-delivered
+    ordered stream converges to the batch answer exactly
+    (tests/test_streaming.py pins it).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        alarm, episodes, in_alarm, n = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        pdfs = list(pdf_iter)
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                sig = 1 if v >= hi else (0 if v <= lo else None)
+                if sig is not None:
+                    if sig == 1 and alarm == 0:
+                        episodes += 1
+                    alarm = sig
+                if alarm:
+                    in_alarm += 1
+                n += 1
+        state.update((alarm, episodes, in_alarm, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_episodes": [episodes],
+                "n_events_in_alarm": [in_alarm],
+                "n_events": [n],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_episodes long,"
+            " n_events_in_alarm long, n_events long"
+        ),
+        stateStructType="alarm long, episodes long, in_alarm long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -555,3 +555,34 @@ def test_count_min_grid_stream_equals_batch(spark, events_dir):
     cols = ["r", "bucket", "c"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert got.count() <= 4 * 256
+
+
+def test_hysteresis_alarm_stream_equals_batch_catalog(spark, events_dir):
+    """The stateful streaming alarm converges to the oracle-checked
+    batch query on a fully-delivered stream."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.events import (
+        hysteresis_alarm_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.user_id: (r.n_episodes, r.n_events_in_alarm, r.n_events)
+        for r in QUERIES["events_hysteresis_alerts"].fn(spark, sf).collect()
+    }
+    stream = read_events_stream(spark, events_dir)
+    out = run_to_memory(
+        hysteresis_alarm_stream(stream), "t_hyst", output_mode="update"
+    )
+    # update mode re-emits per batch; the final row per user (max
+    # n_events) is the accumulated state.
+    got = {}
+    for r in out.collect():
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[2]:
+            got[r.user_id] = (r.n_episodes, r.n_events_in_alarm, r.n_events)
+    got = {u: v for u, v in got.items() if v[0] > 0}
+    assert got == batch
+    assert batch, "vacuous fixture: no alarm episodes"
