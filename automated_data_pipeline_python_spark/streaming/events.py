@@ -528,3 +528,59 @@ def hysteresis_alarm_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def view_click_purchase_stream_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    purchases: DataFrame,
+    click_within: str = "1 hour",
+    purchase_within: str = "24 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """CHAINED stream-stream interval join: every (view, click ≤1h
+    after it, purchase ≤24h after the click) triple — the multi-way
+    join the stream-join literature sizes state for, and the streaming
+    twin of ``queries.events.events_three_way_interval_join``'s core.
+
+    Spark supports cascaded stream-stream joins in append mode when
+    every input carries a watermark and every join bounds its
+    event-time range: the first join's state evicts once the
+    click-side watermark passes ``view_ts + click_within``, the
+    second's once the purchase-side watermark passes
+    ``click_ts + purchase_within``. Batch inputs run the identical
+    plan (watermarks no-op), which is how the parity test pins it.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark_delay)
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark_delay)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark_delay)
+    vc = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {click_within}")
+        ),
+    )
+    return vc.join(
+        p,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {purchase_within}")
+        ),
+    ).select("user_id", "view_id", "click_id", "purchase_id")

@@ -586,3 +586,39 @@ def test_hysteresis_alarm_stream_equals_batch_catalog(spark, events_dir):
     got = {u: v for u, v in got.items() if v[0] > 0}
     assert got == batch
     assert batch, "vacuous fixture: no alarm episodes"
+
+
+def test_three_way_stream_join_equals_batch(spark, events_dir):
+    """Chained stream-stream interval joins (view→click→purchase)
+    produce exactly the batch triples."""
+    from pyspark.sql import functions as F
+
+    from automated_data_pipeline_python_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        view_click_purchase_stream_join,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    legs_b = [
+        ev.filter(F.col("event_type") == t)
+        for t in ("view", "click", "purchase")
+    ]
+    batch = {
+        (r.view_id, r.click_id, r.purchase_id)
+        for r in view_click_purchase_stream_join(*legs_b).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir)
+    legs_s = [
+        stream.filter(F.col("event_type") == t)
+        for t in ("view", "click", "purchase")
+    ]
+    out = run_to_memory(
+        view_click_purchase_stream_join(*legs_s),
+        "t_3way",
+        output_mode="append",
+    )
+    got = {(r.view_id, r.click_id, r.purchase_id) for r in out.collect()}
+    assert got == batch
+    assert batch, "vacuous fixture: no triples"
