@@ -32,3 +32,18 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_no_engine_dependent_round_in_any_oracle():
+    """CLAUDE.md invariant, enforced mechanically: no oracle may call
+    SQL round() — engines disagree near .xx5 boundaries; the portable
+    form is floor(x*1eD + 0.5)/1eD. (VARCHAR casts are NOT checked:
+    oracles are DuckDB-only text, where VARCHAR is legal.)"""
+    import re
+
+    offenders = [
+        name
+        for name, q in QUERIES.items()
+        if q.oracle and re.search(r"(?<![a-z_])round\s*\(", q.oracle, re.I)
+    ]
+    assert offenders == []
