@@ -1228,3 +1228,90 @@ def embedding_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sep_mom",
     )
     return spark.sql("WITH " + _SEP_TAIL.replace("{mom}", "sep_mom").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (Lv et al., VLDB 2007)
+# ---------------------------------------------------------------------------
+# The table-count killer: instead of adding hash tables to lift recall,
+# each QUERY also probes the perturbed buckets one hyperplane-bit away
+# (the most likely homes of near-misses). Probe set per (query, table)
+# = original bucket + {_N_PLANES} one-bit flips — query-side fan-out
+# only, the DATA side is bucketed exactly once; candidates still meet
+# through an equi-join on (table, bucket). XOR is the one non-portable
+# spelling: Spark `^` is bitwise xor while DuckDB `^` is POWER — the
+# oracle must use xor().
+
+_MP_PROBE_TAIL = f"""
+probes AS (
+    SELECT b.vec_id, b.t,
+           CASE WHEN j = -1 THEN b.bucket ELSE {{xor}} END AS pbucket
+    FROM {{buckets}} b {{probe_series}}
+    WHERE b.vec_id < {_N_QUERIES}
+),
+cand AS (
+    SELECT DISTINCT p.vec_id AS qa, bb.vec_id AS nb
+    FROM probes p
+    JOIN {{buckets}} bb ON bb.t = p.t AND bb.bucket = p.pbucket
+),
+{{emb_n}},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {{cos}} AS cos
+    FROM cand
+    JOIN emb_n a ON a.vec_id = cand.qa
+    JOIN emb_n b ON b.vec_id = cand.nb AND b.vec_id != a.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id,
+       floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+_MP_SPARK_TAIL = "WITH " + _MP_PROBE_TAIL.format(
+    xor="(b.bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)))",
+    probe_series=(
+        f"LATERAL VIEW explode(sequence(-1, {_N_PLANES - 1})) jx AS j"
+    ),
+    buckets="mp_lsh_buckets",
+    emb_n=_SPARK_EMB_N_CTE,
+    cos=_SPARK_COS,
+).lstrip()
+
+_MP_DUCK_SQL = (
+    _BUCKETS_CORE_DUCK
+    + ","
+    + _MP_PROBE_TAIL.format(
+        xor="xor(b.bucket, CAST(1 AS BIGINT) << CAST(j AS INT))",
+        probe_series=(
+            f", UNNEST(generate_series(-1, {_N_PLANES - 1})) AS g(j)"
+        ),
+        buckets="buckets",
+        emb_n=_DUCK_EMB_N_CTE,
+        cos=_DUCK_COS,
+    )
+)
+
+
+@register("ann_lsh_multiprobe_topk", oracle=_MP_DUCK_SQL)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: queries additionally probe every
+    one-bit-perturbed bucket, lifting recall without more tables or
+    any data-side fan-out; exact cosine re-ranks candidates.
+
+    Scale: the probe relation is queries × tables × (planes+1) rows —
+    query-side only; the data bucketing and the (t, bucket) equi-join
+    are unchanged from ann_lsh_topk.
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    spark.sql(
+        _BUCKETS_CORE_SPARK + "SELECT vec_id, t, bucket FROM buckets"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("mp_lsh_buckets")
+    return spark.sql(_MP_SPARK_TAIL)

@@ -525,6 +525,7 @@ def test_power_and_hysteresis_python_free(spark):
         "events_three_way_interval_join",
         "lineitem_price_index_laspeyres",
         "rag_reciprocal_rank_fusion",
+        "ann_lsh_multiprobe_topk",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

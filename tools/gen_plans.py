@@ -72,6 +72,7 @@ QUERY_SET = [
     "events_three_way_interval_join",
     "lineitem_price_index_laspeyres",
     "rag_reciprocal_rank_fusion",
+    "ann_lsh_multiprobe_topk",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
