@@ -1315,3 +1315,71 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BUCKETS_CORE_SPARK + "SELECT vec_id, t, bucket FROM buckets"
     ).localCheckpoint(eager=True).createOrReplaceTempView("mp_lsh_buckets")
     return spark.sql(_MP_SPARK_TAIL)
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe recall eval: does the probing actually buy recall?
+# ---------------------------------------------------------------------------
+# The quantified version of multi-probe's pitch: same tables, same
+# planes, recall@10 vs brute-force truth for single-probe vs
+# multi-probe. The per-query delta IS the technique's value — and the
+# honest tuning signal if a configuration ever shows none.
+
+_MPR_DUCK_SQL = f"""
+WITH exact AS ({_KNN_DUCK_SQL}),
+sp AS ({_LSH_DUCK_FULL}),
+mp AS ({_MP_DUCK_SQL}),
+sp_recall AS (
+    SELECT 'lsh_single' AS method, e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           floor((count(a.neighbor_id) / CAST({_TOP_K} AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS recall
+    FROM exact e LEFT JOIN sp a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+),
+mp_recall AS (
+    SELECT 'lsh_multiprobe' AS method, e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           floor((count(a.neighbor_id) / CAST({_TOP_K} AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS recall
+    FROM exact e LEFT JOIN mp a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT * FROM sp_recall UNION ALL SELECT * FROM mp_recall
+"""
+
+
+@register("ann_multiprobe_recall_eval", oracle=_MPR_DUCK_SQL)
+def ann_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of single-probe vs multi-probe LSH against exact
+    truth, per query — the measured recall the probing buys on
+    identical tables/planes."""
+    exact = knn_bruteforce_topk(spark, sf_dir)
+    sp = ann_lsh_topk(spark, sf_dir)
+    mp = ann_lsh_multiprobe_topk(spark, sf_dir)
+
+    def recall(a: DataFrame, method: str) -> DataFrame:
+        hits = (
+            exact.join(
+                a.select("query_id", "neighbor_id").withColumn(
+                    "hit", F.lit(1)
+                ),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("hit").alias("hits"))
+        )
+        return hits.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "hits",
+            (
+                F.floor(F.col("hits") / F.lit(float(_TOP_K)) * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("recall"),
+        )
+
+    return recall(sp, "lsh_single").unionAll(recall(mp, "lsh_multiprobe"))
