@@ -680,3 +680,66 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"size({SPARK_TOKENS.format(col='text')})",
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual τ-sampling)
+# ---------------------------------------------------------------------------
+# The practical successor to uniform-target resampling above: sampling
+# probabilities ∝ share^τ, the multilingual-LM convention (τ→1 keeps
+# the natural mix, τ→0 approaches uniform; 0.3/0.7 are the standard
+# settings). Float discipline: shares snap to the 1e6 grid FIRST so
+# pow() runs on identical doubles in both engines; each share^τ term
+# snaps to the 1e9 grid before the cross-language normalizing sum
+# (snapped integers sum order-independently); the final probability
+# snaps once more.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_exact_sum as _mx_exact_sum,
+)
+
+_TEMP_TAUS = ("0.3e0", "0.7e0")
+
+
+def _temp_mix_sql(tok_len: str) -> str:
+    arms = []
+    for tau in _TEMP_TAUS:
+        arms.append(f"""
+SELECT '{tau[:3]}' AS tau, lang, token_share,
+       floor((pw / norm) * 1e6 + 0.5) / 1e6 AS temp_weight
+FROM (
+    SELECT lang, token_share,
+           floor(power(token_share, {tau}) * 1e9 + 0.5) / 1e9 AS pw
+    FROM shares
+) a
+CROSS JOIN (
+    SELECT {_mx_exact_sum(f"power(token_share, {tau})", 9)} AS norm
+    FROM shares
+) n""")
+    arms_sql = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH per AS (
+    SELECT lang, CAST(sum({tok_len}) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+shares AS (
+    SELECT lang,
+           floor((CAST(n_tokens AS DOUBLE) / total_tokens) * 1e6 + 0.5)
+               / 1e6 AS token_share
+    FROM per CROSS JOIN tot
+)
+{arms_sql}
+"""
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=_temp_mix_sql(f"len({_D_TOK})"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling weights ∝ token_share^τ for τ ∈ {0.3, 0.7} per
+    language — the multilingual temperature-sampling table, with
+    snapped-pow + exact-sum normalization."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_temp_mix_sql(f"size({_S_TOK})"))
