@@ -73,6 +73,8 @@ QUERY_SET = [
     "lineitem_price_index_laspeyres",
     "rag_reciprocal_rank_fusion",
     "ann_lsh_multiprobe_topk",
+    "ann_multiprobe_recall_eval",
+    "mixture_temperature_weights",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
