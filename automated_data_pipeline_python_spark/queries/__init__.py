@@ -139,7 +139,8 @@ _PRIORITY = [
     # events_new_vs_returning_dau, events_trajectory_similarity,
     # events_three_way_interval_join, lineitem_price_index_laspeyres,
     # rag_reciprocal_rank_fusion, ann_lsh_multiprobe_topk,
-    # ann_multiprobe_recall_eval, mixture_temperature_weights.
+    # ann_multiprobe_recall_eval, mixture_temperature_weights,
+    # bpe_compression_curve.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -656,3 +656,107 @@ def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).localCheckpoint(eager=True).createOrReplaceTempView("ppl_bg")
     return spark.sql("WITH " + _ppl_tail("ppl_bg").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# BPE compression curve (why the merges are worth training)
+# ---------------------------------------------------------------------------
+# The metric that motivates BPE: each learned merge shrinks the corpus
+# token count (every fused occurrence removes one token) while growing
+# the symbol vocabulary by at most one. Reuses the exact round
+# machinery above — corpus_0..corpus_3 — and reports, per round, total
+# tokens and distinct symbols: the compression/vocabulary trade the
+# tokenizer-budget decision reads.
+
+def _bpe_stats_select(n: int, split: str, elem: str, guard: str) -> str:
+    return f"""
+SELECT {n} AS round,
+       CAST(sum(size(a)) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+FROM (
+    SELECT a, {elem.format(i="i")} AS tok
+    FROM (SELECT {split} AS a FROM corpus{n}) s {guard}
+) x
+"""
+
+
+def _bpe_curve_sql_duck() -> str:
+    split = "string_split(trim(s), ' ')"
+    elem = "a[CAST({i} AS INT)]"
+    guard = (
+        ", UNNEST(CASE WHEN len(a) >= 1 THEN "
+        "generate_series(1, len(a)) ELSE [] END) AS t(i)"
+    )
+    relem = "a[CAST({i} AS INT)]"
+    rguard = (
+        ", UNNEST(CASE WHEN len(a) >= 2 THEN "
+        "generate_series(1, len(a) - 1) ELSE [] END) AS t(i)"
+    )
+    tok0 = (
+        "array_to_string(regexp_split_to_array(trim(lower(text)), "
+        "'\\s+'), ' ')"
+    )
+    rounds = "".join(
+        "," + _bpe_round(n, relem, rguard).format(split=split)
+        for n in range(_BPE_ROUNDS)
+    )
+    # DuckDB's size() is len() — patch the stats select per dialect.
+    stats = "\nUNION ALL\n".join(
+        _bpe_stats_select(n, split, elem, guard).replace("sum(size(a))", "sum(len(a))")
+        for n in range(_BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH corpus0 AS (
+    SELECT doc_id, {tok0} AS s FROM documents
+    WHERE length(trim(text)) > 0
+){rounds}
+SELECT CAST(round AS INT) AS round, n_tokens, vocab FROM ({stats})
+"""
+
+
+@register("bpe_compression_curve", oracle=_bpe_curve_sql_duck())
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token count and symbol vocabulary after 0..3 BPE merge
+    rounds — the compression/vocab trade curve, reusing the trained
+    rounds' materialized corpora."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    split = "split(trim(s), ' ')"
+    relem = "element_at(a, CAST({i} AS INT))"
+    rguard = (
+        "LATERAL VIEW explode(CASE WHEN size(a) >= 2 THEN "
+        "sequence(1, size(a) - 1) ELSE array() END) t AS i"
+    )
+    elem = "element_at(a, CAST({i} AS INT))"
+    guard = (
+        "LATERAL VIEW explode(CASE WHEN size(a) >= 1 THEN "
+        "sequence(1, size(a)) ELSE array() END) t AS i"
+    )
+    spark.sql(
+        f"""
+        SELECT doc_id,
+               concat_ws(' ', split(trim(lower(text)), '\\\\s+')) AS s
+        FROM documents WHERE length(trim(text)) > 0
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("bpc_corpus0")
+    stats = []
+    for n in range(_BPE_ROUNDS + 1):
+        sql = "WITH corpus%d AS (SELECT * FROM bpc_corpus%d)" % (n, n)
+        if n < _BPE_ROUNDS:
+            body = _bpe_round(n, relem, rguard).format(split=split)
+            nxt = spark.sql(
+                sql + "," + body + f"\nSELECT doc_id, s FROM corpus{n + 1}"
+            )
+            nxt.localCheckpoint(eager=True).createOrReplaceTempView(
+                f"bpc_corpus{n + 1}"
+            )
+        stats.append(
+            "SELECT * FROM ("
+            + sql
+            + "\n"
+            + _bpe_stats_select(n, split, elem, guard)
+            + ")"
+        )
+    union = "\nUNION ALL\n".join(stats)
+    return spark.sql(
+        f"SELECT CAST(round AS INT) AS round, n_tokens, vocab FROM ({union})"
+    )

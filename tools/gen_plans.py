@@ -75,6 +75,7 @@ QUERY_SET = [
     "ann_lsh_multiprobe_topk",
     "ann_multiprobe_recall_eval",
     "mixture_temperature_weights",
+    "bpe_compression_curve",
     "q8_market_share",
     "q21_sole_late_shipper",
     "events_interval_join",
