@@ -37,6 +37,8 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     graph,
     drift,
     experiments,
+    experiments2,
+    reco,
     retrieval,
     multimodal,
     warehouse,
@@ -140,7 +142,10 @@ _PRIORITY = [
     # events_three_way_interval_join, lineitem_price_index_laspeyres,
     # rag_reciprocal_rank_fusion, ann_lsh_multiprobe_topk,
     # ann_multiprobe_recall_eval, mixture_temperature_weights,
-    # bpe_compression_curve.
+    # bpe_compression_curve, events_ucb_bandit_replay,
+    # events_sprt_ab_trajectory, events_crosscorr_lead_lag,
+    # reco_item_item_cosine, events_holt_winters_weekly,
+    # warehouse_merge_upsert.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -1,0 +1,251 @@
+"""Sequential-decision analytics over the event log: offline bandit
+replay, sequential hypothesis testing, and lead-lag cross-correlation.
+
+These complete the experimentation family (A/B lift, CUPED, CEM,
+power analysis in :mod:`experiments`) with the *sequential* side of
+the discipline — the analyses a growth/ML team runs when decisions are
+made over time rather than at a fixed horizon:
+
+- ``events_ucb_bandit_replay``: deterministic offline replay of a
+  UCB1 policy over per-day arm statistics (which arm WOULD the policy
+  have pulled each day, given the observed history).
+- ``events_sprt_ab_trajectory``: Wald's sequential probability ratio
+  test trajectory — the cumulative log-likelihood ratio with
+  accept/continue boundaries, the standard early-stopping monitor.
+- ``events_crosscorr_lead_lag``: Pearson cross-correlation of the
+  click and purchase daily series at lags −3..+3 days — the classic
+  "does metric X lead metric Y" screen.
+
+Scale shape (the same for all three): ONE corpus-sized aggregation
+reduces the event log to a days×arms (or days) relation, and the
+sequential logic runs entirely on that bounded relation — cumulative
+windows over bounded relations are allowed by the repo invariant, and
+every cumulative quantity is an exact integer (counts, snapped cents)
+so window-accumulation order cannot perturb results. The only floats
+are single scalar expressions over those integers (mean + sqrt bonus,
+counts × ln constants, moment-sum correlation), snapped to the 1e-6
+grid before any ranking or threshold compare per the repo's
+float-boundary discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Offline UCB1 bandit replay
+# ---------------------------------------------------------------------------
+# Arms = event types; reward = event `value` (2-decimal, snapped to
+# exact cents). For each day d (>= the first day every arm has
+# history), compute each arm's pre-d pull count n_prev and mean
+# reward, score ucb = mean + sqrt(2·ln(N_prev)/n_prev), and emit the
+# argmax arm. The spine (all days × all arms, zero-filled) makes the
+# cumulative windows well-defined even for arm-silent days. UCB1's
+# play-each-arm-once bootstrap is the n_prev>0 filter: in this corpus
+# every arm is pulled on day 1, so only day 1 itself is excluded.
+# Window sums are over BIGINT (DuckDB widens to HUGEINT — cast back);
+# the ucb float is one expression over exact integers, snapped BEFORE
+# the per-day argmax, with the arm name as the total-order tiebreak.
+
+
+def _ucb_sql(fmt_day: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT event_type AS arm, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS pulls,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS DECIMAL(38,0)))
+                AS BIGINT) AS reward_c
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+spine AS (
+    SELECT a.arm, dd.d
+    FROM (SELECT DISTINCT arm FROM daily) a
+    CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+),
+filled AS (
+    SELECT s.arm, s.d,
+           coalesce(daily.pulls, 0) AS pulls,
+           coalesce(daily.reward_c, 0) AS reward_c
+    FROM spine s
+    LEFT JOIN daily ON daily.arm = s.arm AND daily.d = s.d
+),
+cum AS (
+    SELECT arm, d,
+           CAST(coalesce(sum(pulls) OVER (
+               PARTITION BY arm ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_prev,
+           CAST(coalesce(sum(reward_c) OVER (
+               PARTITION BY arm ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS r_prev
+    FROM filled
+),
+tot AS (
+    SELECT d, CAST(sum(n_prev) AS BIGINT) AS big_n FROM cum GROUP BY d
+),
+scored AS (
+    SELECT cum.arm, cum.d, cum.n_prev, tot.big_n,
+           floor((CAST(r_prev AS DOUBLE) / 1e2 / n_prev
+                  + sqrt(2e0 * ln(CAST(big_n AS DOUBLE)) / n_prev))
+                 * 1e6 + 0.5) / 1e6 AS ucb
+    FROM cum
+    JOIN tot ON cum.d = tot.d
+    WHERE cum.n_prev > 0 AND tot.big_n > 1
+),
+ranked AS (
+    SELECT arm, d, n_prev, big_n, ucb,
+           CAST(row_number() OVER (PARTITION BY d ORDER BY ucb DESC, arm)
+                AS BIGINT) AS rk
+    FROM scored
+)
+SELECT {fmt_day} AS day, arm AS chosen_arm,
+       n_prev AS arm_pulls_before, big_n AS total_pulls_before,
+       ucb AS ucb_score
+FROM ranked
+WHERE rk = 1
+ORDER BY day
+"""
+
+
+@register(
+    "events_ucb_bandit_replay",
+    oracle=_ucb_sql("strftime(d, '%Y-%m-%d')"),
+)
+def events_ucb_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline UCB1 replay: the arm a UCB1 policy would pull each day."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ucb_sql("date_format(d, 'yyyy-MM-dd')"))
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT trajectory
+# ---------------------------------------------------------------------------
+# Bernoulli SPRT on purchase-vs-click composition: each purchase/click
+# event is a trial, success = purchase; H0: p = 0.45 vs H1: p = 0.55,
+# α = 0.05, β = 0.2. The cumulative LLR after day d is
+#   succ·ln(p1/p0) + fail·ln((1−p1)/(1−p0)),
+# exact integer counts times two ln constants both engines evaluate
+# from the same double inputs. Boundaries A = ln((1−β)/α) = ln(16),
+# B = ln(β/(1−α)). Per the float-boundary invariant, BOTH the LLR and
+# the boundaries are snapped to the 1e-6 grid before the compare.
+
+
+_SPRT_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS succ,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS fail
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY CAST(ts AS DATE)
+),
+cum AS (
+    SELECT d,
+           CAST(sum(succ) OVER (ORDER BY d) AS BIGINT) AS cum_succ,
+           CAST(sum(fail) OVER (ORDER BY d) AS BIGINT) AS cum_fail
+    FROM daily
+),
+llr AS (
+    SELECT d, cum_succ, cum_fail,
+           floor((cum_succ * ln(55e-2 / 45e-2)
+                  + cum_fail * ln(45e-2 / 55e-2)) * 1e6 + 0.5) / 1e6
+               AS llr
+    FROM cum
+)
+SELECT {fmt_day} AS day,
+       cum_succ + cum_fail AS cum_trials, cum_succ, llr,
+       CASE
+           WHEN llr >= floor(ln(8e-1 / 5e-2) * 1e6 + 0.5) / 1e6
+               THEN 'accept_h1'
+           WHEN llr <= floor(ln(2e-1 / 95e-2) * 1e6 + 0.5) / 1e6
+               THEN 'accept_h0'
+           ELSE 'continue'
+       END AS decision
+FROM llr
+ORDER BY day
+"""
+
+
+@register(
+    "events_sprt_ab_trajectory",
+    oracle=_SPRT_SQL.replace("{fmt_day}", "strftime(d, '%Y-%m-%d')"),
+)
+def events_sprt_ab_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPRT cumulative log-likelihood trajectory with decision column."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _SPRT_SQL.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation
+# ---------------------------------------------------------------------------
+# r(lag) = corr(clicks_d, purchases_{d+lag}) for lag −3..+3, computed
+# from exact integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) per lag —
+# never from engine-internal corr(), whose accumulation order differs.
+# The lag spine is a portable 7-row UNION ALL (inline VALUES syntax
+# differs between the engines); the day join is on integer day numbers
+# (dialect-parameterized datediff). Magnitudes: with c events/day and
+# D days, n·Σxy ≈ D²·c² — BIGINT-safe through ~10⁷ events/day.
+
+
+def _xcorr_sql(daynum: str) -> str:
+    lags = " UNION ALL ".join(
+        f"SELECT CAST({v} AS BIGINT) AS lag" for v in range(-3, 4)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS x,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS y
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+),
+idx AS (SELECT {daynum} AS i, x, y FROM daily),
+lags AS ({lags}),
+pairs AS (
+    SELECT lags.lag, a.x, b.y
+    FROM lags
+    JOIN idx a ON 1 = 1
+    JOIN idx b ON b.i = a.i + lags.lag
+),
+mom AS (
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs
+    GROUP BY lag
+)
+SELECT lag AS lag_days, n AS n_days,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS xcorr
+FROM mom
+ORDER BY lag_days
+"""
+
+
+@register(
+    "events_crosscorr_lead_lag",
+    oracle=_xcorr_sql("CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)"),
+)
+def events_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase daily-series cross-correlation at lags −3..+3."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _xcorr_sql("CAST(datediff(d, DATE '1970-01-01') AS BIGINT)")
+    )

@@ -1330,3 +1330,92 @@ def events_new_vs_returning_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_NVR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive smoothing (level + trend + weekly seasonality)
+# ---------------------------------------------------------------------------
+# Triple exponential smoothing with period m = 7:
+#   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+#   b_t = γ(l_t − l_{t−1}) + (1−γ)b_{t−1}
+#   s_t = δ(x_t − l_t)   + (1−δ)s_{t−m}
+# α=0.2, γ=0.1, δ=0.1. A recursive CTE only sees the PREVIOUS
+# iteration's rows, so s_{t−m} cannot be fetched by joining 7 levels
+# back; instead the last 7 seasonals ride along as seven scalar state
+# columns that shift one slot per step (s1 = s_{t−6} … s7 = s_t) —
+# fully portable SQL, no array-dialect divergence. Seeding at t = m:
+# l = mean of the first week, b = 0, s_k = x_k − l (exact integer sum
+# / 7, then identical double chains). Same reduced-relation shape as
+# the Holt/EWMA family: the one corpus-sized pass is the daily count
+# aggregation; level/trend/seasonal snap to the 1e-6 grid each step
+# (the CUSUM discipline) so state cannot drift cross-engine. The
+# one-step forecast l + b + s_{t+1−m} reads the post-shift s1 slot.
+
+_HW_BODY = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, d, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i
+    FROM daily
+),
+wk1 AS (
+    SELECT event_type,
+           CAST(sum(n) AS DOUBLE) / 7e0 AS l0,
+           max(CASE WHEN i = 1 THEN CAST(n AS DOUBLE) END) AS x1,
+           max(CASE WHEN i = 2 THEN CAST(n AS DOUBLE) END) AS x2,
+           max(CASE WHEN i = 3 THEN CAST(n AS DOUBLE) END) AS x3,
+           max(CASE WHEN i = 4 THEN CAST(n AS DOUBLE) END) AS x4,
+           max(CASE WHEN i = 5 THEN CAST(n AS DOUBLE) END) AS x5,
+           max(CASE WHEN i = 6 THEN CAST(n AS DOUBLE) END) AS x6,
+           max(CASE WHEN i = 7 THEN CAST(n AS DOUBLE) END) AS x7
+    FROM idx WHERE i <= 7 GROUP BY event_type
+),
+hw(event_type, i, d, n, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+    SELECT idx.event_type, idx.i, idx.d, idx.n,
+           floor(w.l0 * 1e6 + 0.5) / 1e6, 0e0,
+           floor((w.x1 - w.l0) * 1e6 + 0.5) / 1e6,
+           floor((w.x2 - w.l0) * 1e6 + 0.5) / 1e6,
+           floor((w.x3 - w.l0) * 1e6 + 0.5) / 1e6,
+           floor((w.x4 - w.l0) * 1e6 + 0.5) / 1e6,
+           floor((w.x5 - w.l0) * 1e6 + 0.5) / 1e6,
+           floor((w.x6 - w.l0) * 1e6 + 0.5) / 1e6,
+           floor((w.x7 - w.l0) * 1e6 + 0.5) / 1e6
+    FROM idx JOIN wk1 w ON w.event_type = idx.event_type
+    WHERE idx.i = 7
+    UNION ALL
+    SELECT idx.event_type, idx.i, idx.d, idx.n,
+           floor((2e-1 * (idx.n - h.s1) + 8e-1 * (h.l + h.b))
+                 * 1e6 + 0.5) / 1e6,
+           floor((1e-1 * ((2e-1 * (idx.n - h.s1) + 8e-1 * (h.l + h.b))
+                          - h.l)
+                  + 9e-1 * h.b) * 1e6 + 0.5) / 1e6,
+           h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+           floor((1e-1 * (idx.n
+                          - (2e-1 * (idx.n - h.s1)
+                             + 8e-1 * (h.l + h.b)))
+                  + 9e-1 * h.s1) * 1e6 + 0.5) / 1e6
+    FROM hw h
+    JOIN idx ON idx.event_type = h.event_type AND idx.i = h.i + 1
+)
+SELECT event_type, {fmt_day} AS day, CAST(n AS BIGINT) AS n_events,
+       l AS level, b AS trend, s7 AS seasonal,
+       floor((l + b + s1) * 1e6 + 0.5) / 1e6 AS forecast_next
+FROM hw
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "events_holt_winters_weekly",
+    oracle=_HW_BODY.replace("{fmt_day}", "strftime(d, '%Y-%m-%d')"),
+)
+def events_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive smoothing of daily counts, weekly season."""
+    _raise_recursion_limits(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HW_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')"))

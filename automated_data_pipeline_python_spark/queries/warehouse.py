@@ -1224,3 +1224,64 @@ def lineitem_price_index_laspeyres(
         "lasp_mp"
     )
     return spark.sql("WITH " + _LASP_TAIL.format(mp="lasp_mp").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert semantics (copy-on-write)
+# ---------------------------------------------------------------------------
+# Spark has no MERGE INTO without a table format that supports it, but
+# MERGE is a fixed relational algebra: target ANTI-JOIN change-keys,
+# UNION ALL the upsert payloads (deletes simply never come back). The
+# change batch here is deterministic and exercises all three ops —
+# INSERTs (post-cutoff orders, unseen keys), UPDATEs (urgent target
+# orders flip status F and get a 1e1 surcharge), DELETEs (low-priority
+# open target orders). One key-shuffle anti join + union; the change
+# side is a fraction of the target, so AQE broadcasts it while small
+# and shuffle-joins at scale (no hint — it grows with the corpus).
+# Output is the post-merge (status, priority) rollup with exact-sum
+# totals, so the hash pins the full merge result, not just counts.
+
+_MERGE_CUTOFF = "DATE '1997-01-01'"
+
+_MERGE_SQL = f"""
+WITH target AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st,
+           o_orderpriority AS pr, o_totalprice AS tp
+    FROM orders WHERE o_orderdate < {_MERGE_CUTOFF}
+),
+changes AS (
+    SELECT o_orderkey AS k, 'upsert' AS op, o_orderstatus AS st,
+           o_orderpriority AS pr, o_totalprice AS tp
+    FROM orders WHERE o_orderdate >= {_MERGE_CUTOFF}
+    UNION ALL
+    SELECT k, 'upsert', 'F', pr, tp + 1e1
+    FROM target WHERE pr = '1-URGENT'
+    UNION ALL
+    SELECT k, 'delete', st, pr, tp
+    FROM target WHERE pr = '5-LOW' AND st = 'O'
+),
+merged AS (
+    SELECT t.k, t.st, t.pr, t.tp
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.k = t.k)
+    UNION ALL
+    SELECT k, st, pr, tp FROM changes WHERE op = 'upsert'
+)
+SELECT st AS o_orderstatus, pr AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {{total}} AS total_price,
+       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+FROM merged
+GROUP BY st, pr
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "warehouse_merge_upsert",
+    oracle=_MERGE_SQL.format(total=sql_exact_sum("tp", 2)),
+)
+def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (insert/update/delete) applied copy-on-write, rolled up."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MERGE_SQL.format(total=sql_exact_sum("tp", 2)))

@@ -86,6 +86,10 @@ ROUND5_TOUCHED = [
 OUT_OF_WINDOW_MODULES = {
     "relational2", "relational3", "relational4", "relational5",
     "windows2", "curation", "rag", "text", "multimodal",
+    # Session-4 additions (sequential-decision analytics, item-item
+    # CF): no slot left this round; first evidence comes from the
+    # full-catalog replay artifact, rotating into the r6 window.
+    "experiments2", "reco",
 }
 
 
