@@ -145,7 +145,8 @@ _PRIORITY = [
     # bpe_compression_curve, events_ucb_bandit_replay,
     # events_sprt_ab_trajectory, events_crosscorr_lead_lag,
     # reco_item_item_cosine, events_holt_winters_weekly,
-    # warehouse_merge_upsert.
+    # warehouse_merge_upsert, quality_brier_decomposition,
+    # text_textrank_keywords, dedup_cdc_chunks.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

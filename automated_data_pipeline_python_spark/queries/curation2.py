@@ -683,3 +683,139 @@ def quality_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_AUC_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (Murphy: reliability − resolution + uncertainty)
+# ---------------------------------------------------------------------------
+# The companion to the reliability curve above: ONE number for overall
+# probabilistic skill (Brier), split into the calibration term
+# (reliability: do predicted probabilities match observed rates), the
+# discrimination term (resolution: do bins separate the base rate),
+# and the irreducible outcome variance (uncertainty). Murphy's
+# identity is exact only when forecasts are constant within bins;
+# with 10 equal-width bins the within-bin variance shows up as a
+# RESIDUAL column — reported honestly rather than hidden.
+#
+# Float discipline: scores live on the 1e6 grid (p6 integer
+# micro-units), outcomes are 0/1, so the Brier numerator is an exact
+# integer sum of (p6 − 1e6·o)² in DECIMAL(38,0) (overflow-safe far
+# beyond any corpus; DuckDB would widen anyway). Per-bin reliability/
+# resolution terms are single double expressions over integer bin
+# sums, snapped to the 1e-9 grid and summed as BIGINT — the ≤10-row
+# bin rollup cannot introduce accumulation-order drift. Bin id is
+# INTEGER division of p6 (Spark DIV / DuckDB //), never a float
+# boundary compare.
+
+
+def _brier_tail(idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""
+ratios AS (
+    SELECT doc_id, n_tok,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT doc_id, n_tok,
+           {_SCORE_EXPR},
+           floor((CAST(n_uniq AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+               AS dist_r,
+           floor((CAST(n_stop AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+               AS stop_r,
+           floor((CAST(sum_len AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+               AS mwl
+    FROM feats JOIN ratios USING (doc_id, n_tok)
+),
+obs AS (
+    SELECT CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS p6,
+           CASE WHEN n_tok >= 20 AND n_tok <= 100000
+                 AND mwl >= 3e0 AND mwl <= 10e0
+                 AND stop_r >= 5e-2 AND dist_r > 2e-1
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS o
+    FROM scored
+),
+bins AS (
+    SELECT least(CAST({d("p6", "100000")} AS BIGINT), CAST(9 AS BIGINT))
+               AS bin,
+           CAST(count(*) AS BIGINT) AS n_k,
+           CAST(sum(p6) AS BIGINT) AS sp6,
+           CAST(sum(o) AS BIGINT) AS so,
+           CAST(sum(CAST((p6 - 1000000 * o) * (p6 - 1000000 * o)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sq_k
+    FROM obs GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_k) AS BIGINT) AS n,
+           CAST(sum(so) AS BIGINT) AS so_all,
+           CAST(sum(sq_k) AS DOUBLE) AS sq
+    FROM bins
+),
+terms AS (
+    SELECT
+        CAST(sum(CAST(floor(
+            (CAST(b.sp6 - 1000000 * b.so AS DOUBLE)
+             * CAST(b.sp6 - 1000000 * b.so AS DOUBLE)
+             / (CAST(b.n_k AS DOUBLE) * 1e12)) * 1e9 + 0.5)
+            AS BIGINT)) AS BIGINT) AS rel9,
+        CAST(sum(CAST(floor(
+            (CAST(b.so * t.n - t.so_all * b.n_k AS DOUBLE)
+             * CAST(b.so * t.n - t.so_all * b.n_k AS DOUBLE)
+             / (CAST(b.n_k AS DOUBLE) * CAST(t.n AS DOUBLE)
+                * CAST(t.n AS DOUBLE))) * 1e9 + 0.5)
+            AS BIGINT)) AS BIGINT) AS res9
+    FROM bins b CROSS JOIN tot t
+)
+SELECT t.n AS n_docs,
+       floor((CAST(t.so_all AS DOUBLE) / t.n) * 1e6 + 0.5) / 1e6
+           AS base_rate,
+       floor((t.sq / 1e12 / t.n) * 1e6 + 0.5) / 1e6 AS brier,
+       floor((CAST(x.rel9 AS DOUBLE) / 1e9 / t.n) * 1e6 + 0.5) / 1e6
+           AS reliability,
+       floor((CAST(x.res9 AS DOUBLE) / 1e9 / t.n) * 1e6 + 0.5) / 1e6
+           AS resolution,
+       floor(((CAST(t.so_all AS DOUBLE) / t.n)
+              * (1e0 - CAST(t.so_all AS DOUBLE) / t.n)) * 1e6 + 0.5) / 1e6
+           AS uncertainty,
+       floor((t.sq / 1e12 / t.n
+              - (CAST(x.rel9 AS DOUBLE) / 1e9 / t.n
+                 - CAST(x.res9 AS DOUBLE) / 1e9 / t.n
+                 + (CAST(t.so_all AS DOUBLE) / t.n)
+                   * (1e0 - CAST(t.so_all AS DOUBLE) / t.n)))
+             * 1e6 + 0.5) / 1e6 AS within_bin_residual
+FROM tot t CROSS JOIN terms x
+"""
+
+
+_BRIER_SPARK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
+    FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
+),
+{_brier_tail("CAST(({a}) DIV ({b}) AS BIGINT)")}
+"""
+
+_BRIER_DUCK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len
+    FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
+),
+{_brier_tail("CAST(({a}) // ({b}) AS BIGINT)")}
+"""
+
+
+@register("quality_brier_decomposition", oracle=_BRIER_DUCK_SQL)
+def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the logistic gate vs the Gopher-rule labels,
+    decomposed into reliability − resolution + uncertainty (+ honest
+    within-bin residual). One map-only featurize pass; everything
+    after the 10-bin rollup is scalar."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BRIER_SPARK_SQL)

@@ -1479,3 +1479,123 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_PF_SH_SPARK), "pf_sh")
     return spark.sql("WITH " + _PF_TAIL.format(sh="pf_sh").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup rate
+# ---------------------------------------------------------------------------
+# The storage-dedup classic (LBFS/rsync family): chunk boundaries are
+# placed where a rolling content hash satisfies hash(window) % D == 0,
+# so an insertion early in a document only perturbs the one chunk it
+# lands in — unlike fixed-size chunking, where every later chunk
+# shifts. Here the "rolling" window is the 4-gram ending at each
+# position, hashed with the repo's portable sha256-prefix hash28
+# (D = 16 → ~16-char expected chunks on this corpus), boundaries at
+# positions 4..len−1 so no empty tail chunk exists. Chunks are
+# re-derived as substrings between consecutive starts via ONE per-doc
+# lead() window (per-doc partitions — bounded), grouped by chunk hash
+# for the dedup census per source plus a corpus-wide TOTAL row (total
+# distinct is not derivable from per-source distincts).
+#
+# Scale: position explode is map-only, O(total chars) — the same cost
+# class as the shingle pipelines; the dedup census shuffles chunk
+# HASHES (narrow), never chunk text. No minimum-chunk-length
+# constraint (that needs sequential suppression; the pure
+# content-defined form is the textbook baseline). Spark's
+# sequence(4, n−1) needs the descending-range guard; DuckDB's
+# generate_series returns [] for empty ranges natively.
+
+
+def _cdc_tail(hchunk: str) -> str:
+    return f"""
+spans AS (
+    SELECT doc_id, source, text,
+           s,
+           coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s), n + 1) - s
+               AS clen
+    FROM starts
+),
+chunks AS (
+    SELECT doc_id, source,
+           {hchunk} AS ch,
+           clen
+    FROM spans
+),
+per_source AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(clen) AS BIGINT) AS len_sum
+    FROM chunks GROUP BY source
+),
+everything AS (
+    SELECT * FROM per_source
+    UNION ALL
+    SELECT 'TOTAL',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT ch) AS BIGINT),
+           CAST(sum(clen) AS BIGINT)
+    FROM chunks
+)
+SELECT source, n_chunks, n_distinct_chunks,
+       floor((CAST(n_chunks - n_distinct_chunks AS DOUBLE) / n_chunks)
+             * 1e6 + 0.5) / 1e6 AS dup_rate,
+       floor((CAST(len_sum AS DOUBLE) / n_chunks) * 1e6 + 0.5) / 1e6
+           AS avg_chunk_len
+FROM everything
+ORDER BY source
+"""
+
+
+_CDC_SPARK_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
+    FROM documents
+),
+bnd AS (
+    SELECT doc_id, p
+    FROM (
+        SELECT doc_id, text,
+               explode(CASE WHEN n >= 5 THEN sequence(CAST(4 AS BIGINT), n - 1)
+                            ELSE array() END) AS p
+        FROM base
+    ) e
+    WHERE {spark_hash28("substr(text, CAST(p - 3 AS INT), 4)")} % 16 = 0
+),
+starts AS (
+    SELECT doc_id, source, text, n, CAST(1 AS BIGINT) AS s FROM base
+    UNION ALL
+    SELECT b.doc_id, b.source, b.text, b.n, bnd.p + 1
+    FROM bnd JOIN base b ON b.doc_id = bnd.doc_id
+),
+{_cdc_tail('sha2(substring(text, CAST(s AS INT), CAST(clen AS INT)), 256)')}
+"""
+
+_CDC_DUCK_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
+    FROM documents
+),
+bnd AS (
+    SELECT doc_id, p
+    FROM (
+        SELECT doc_id, text, unnest(generate_series(4, n - 1)) AS p
+        FROM base
+    ) e
+    WHERE {duck_hash28("substr(text, CAST(p - 3 AS INT), 4)")} % 16 = 0
+),
+starts AS (
+    SELECT doc_id, source, text, n, CAST(1 AS BIGINT) AS s FROM base
+    UNION ALL
+    SELECT b.doc_id, b.source, b.text, b.n, bnd.p + 1
+    FROM bnd JOIN base b ON b.doc_id = bnd.doc_id
+),
+{_cdc_tail('sha256(substring(text, CAST(s AS INT), CAST(clen AS INT)))')}
+"""
+
+
+@register("dedup_cdc_chunks", oracle=_CDC_DUCK_SQL)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk boundaries + chunk-hash dedup census."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CDC_SPARK_SQL)

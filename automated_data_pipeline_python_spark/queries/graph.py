@@ -43,50 +43,51 @@ GROUP BY a.brand, b.brand
 """
 
 
-def _pagerank_tail(edges: str) -> str:
+def _pagerank_tail(edges: str, node: str = "brand", suffix: str = "") -> str:
     es = sql_exact_sum
     r = sql_stable_round
     # One damping iteration: r_next(dst) = 0.15/N + 0.85 * sum_src
     # r(src) * w/out_w(src). Edges are symmetric, so dst set == src set
     # == nodes and there are no dangling nodes to redistribute.
     return f"""
-WITH nodes AS (SELECT DISTINCT src AS brand FROM {edges}),
+WITH nodes AS (SELECT DISTINCT src AS {node} FROM {edges}),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 outw AS (
     SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM {edges} GROUP BY src
 ),
-r0 AS (SELECT brand, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+r0 AS (SELECT {node}, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes, nn),
 c1 AS (
-    SELECT e.dst AS brand,
+    SELECT e.dst AS {node},
            {es("r0.r * (CAST(e.w AS DOUBLE) / CAST(ow.out_w AS DOUBLE))", 9)}
                AS s
     FROM {edges} e
-    JOIN r0 ON e.src = r0.brand
+    JOIN r0 ON e.src = r0.{node}
     JOIN outw ow ON e.src = ow.src
     GROUP BY e.dst
 ),
-r1 AS (SELECT c1.brand, {r("15e-2 / nn.n + 85e-2 * c1.s", 9)} AS r
+r1 AS (SELECT c1.{node}, {r("15e-2 / nn.n + 85e-2 * c1.s", 9)} AS r
        FROM c1, nn),
 c2 AS (
-    SELECT e.dst AS brand,
+    SELECT e.dst AS {node},
            {es("r1.r * (CAST(e.w AS DOUBLE) / CAST(ow.out_w AS DOUBLE))", 9)}
                AS s
     FROM {edges} e
-    JOIN r1 ON e.src = r1.brand
+    JOIN r1 ON e.src = r1.{node}
     JOIN outw ow ON e.src = ow.src
     GROUP BY e.dst
 ),
-r2 AS (SELECT c2.brand, {r("15e-2 / nn.n + 85e-2 * c2.s", 9)} AS r
+r2 AS (SELECT c2.{node}, {r("15e-2 / nn.n + 85e-2 * c2.s", 9)} AS r
        FROM c2, nn)
-SELECT r2.brand,
+SELECT r2.{node} AS {node},
        {r("r2.r", 6)} AS pagerank,
        CAST(deg.n_neighbors AS BIGINT) AS n_neighbors,
        CAST(deg.w_total AS BIGINT) AS w_total
 FROM r2
 JOIN (
-    SELECT src AS brand, count(*) AS n_neighbors, sum(w) AS w_total
+    SELECT src AS {node}, count(*) AS n_neighbors, sum(w) AS w_total
     FROM {edges} GROUP BY src
-) deg ON r2.brand = deg.brand
+) deg ON r2.{node} = deg.{node}
+{suffix}
 """
 
 
@@ -365,3 +366,92 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sssp_edges"
     )
     return spark.sql("WITH " + _sssp_tail("sssp_edges").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+# Mihalcea & Tarau 2004: rank words by PageRank over the adjacency
+# graph of content words (here: tokens >= 5 chars, window 2). RAKE
+# (text_rake_phrases) scores phrases by degree heuristics; TextRank is
+# the graph-centrality alternative on the same corpus — the classic
+# unsupervised keyword pair. The corpus-sized work is ONE bigram
+# explode (map-only, per-doc bounded); the graph itself is
+# vocabulary²-bounded and the PageRank tail reuses the brand graph's
+# exact-sum/snap float discipline verbatim. Top-20 is totally ordered
+# (snapped rank, then word).
+
+from automated_data_pipeline_python_spark.functions.text import (  # noqa: E402
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_word_shingles,
+    spark_word_shingles,
+)
+from automated_data_pipeline_python_spark.tables import load_scaled  # noqa: E402
+
+_TR_EDGES_SPARK = f"""
+WITH tok AS (
+    SELECT {SPARK_TOKENS.format(col='text')} AS toks FROM documents
+),
+bg AS (
+    SELECT explode({spark_word_shingles('toks', 2)}) AS s FROM tok
+),
+pairs AS (
+    SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2 FROM bg
+),
+filt AS (
+    SELECT w1, w2 FROM pairs
+    WHERE length(w1) >= 5 AND length(w2) >= 5 AND w1 <> w2
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+FROM (SELECT w1 AS src, w2 AS dst FROM filt
+      UNION ALL
+      SELECT w2 AS src, w1 AS dst FROM filt) e
+GROUP BY src, dst
+"""
+
+_TR_EDGES_DUCK = f"""
+WITH tok AS (
+    SELECT {DUCK_TOKENS.format(col='text')} AS toks FROM documents
+),
+bg AS (
+    SELECT unnest({duck_word_shingles('toks', 2)}) AS s FROM tok
+),
+pairs AS (
+    SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2 FROM bg
+),
+filt AS (
+    SELECT w1, w2 FROM pairs
+    WHERE length(w1) >= 5 AND length(w2) >= 5 AND w1 <> w2
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+FROM (SELECT w1 AS src, w2 AS dst FROM filt
+      UNION ALL
+      SELECT w2 AS src, w1 AS dst FROM filt) e
+GROUP BY src, dst
+"""
+
+_TR_SUFFIX = "ORDER BY pagerank DESC, word\nLIMIT 20"
+
+_TEXTRANK_DUCK = (
+    "WITH tr_edges AS (" + _TR_EDGES_DUCK + ")\n"
+    + _pagerank_tail("tr_edges", node="word", suffix=_TR_SUFFIX)
+    .replace("WITH nodes", ", nodes", 1)
+)
+
+
+@register("text_textrank_keywords", oracle=_TEXTRANK_DUCK)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 TextRank keywords over the word co-occurrence graph.
+
+    The edge list feeds four tail stages; Spark inlines CTEs, so it is
+    materialized once via localCheckpoint (DuckDB materializes shared
+    CTEs itself — single-statement oracle).
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_TR_EDGES_SPARK).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("tr_edges")
+    return spark.sql(
+        _pagerank_tail("tr_edges", node="word", suffix=_TR_SUFFIX)
+    )
