@@ -590,3 +590,31 @@ def test_multimodal_plans_are_map_only(spark):
             and "RoundRobinPartitioning" not in ln
         ]
         assert keyed == [], (name, keyed)
+
+
+def test_session4_additions_python_free(spark):
+    """Sequential-decision, CF, calibration, TextRank, CDC, MERGE:
+    all pure DataFrame/SQL — a python stage in any of them would mean
+    the operator fell off the JVM fast path."""
+    for name in (
+        "events_ucb_bandit_replay",
+        "events_sprt_ab_trajectory",
+        "events_crosscorr_lead_lag",
+        "reco_item_item_cosine",
+        "events_holt_winters_weekly",
+        "warehouse_merge_upsert",
+        "quality_brier_decomposition",
+        "text_textrank_keywords",
+        "dedup_cdc_chunks",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_item_item_cf_pair_join_not_cartesian(spark):
+    """The capped self-join must be an equi-join on the user key —
+    a cartesian/nested-loop product here is the quadratic blowup the
+    per-user cap exists to prevent."""
+    r = plan_report(QUERIES["reco_item_item_cosine"].fn(spark, SF))
+    assert "CartesianProduct" not in r.text
+    assert "BroadcastNestedLoopJoin" not in r.text

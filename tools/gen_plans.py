@@ -184,6 +184,15 @@ QUERY_SET = [
     "corpus_simpson_diversity",
     "vocab_coverage_oov_curve",
     "dq_chi2_independence",
+    "events_ucb_bandit_replay",
+    "events_sprt_ab_trajectory",
+    "events_crosscorr_lead_lag",
+    "reco_item_item_cosine",
+    "events_holt_winters_weekly",
+    "warehouse_merge_upsert",
+    "quality_brier_decomposition",
+    "text_textrank_keywords",
+    "dedup_cdc_chunks",
 ]
 
 
