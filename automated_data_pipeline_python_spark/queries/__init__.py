@@ -146,7 +146,9 @@ _PRIORITY = [
     # events_sprt_ab_trajectory, events_crosscorr_lead_lag,
     # reco_item_item_cosine, events_holt_winters_weekly,
     # warehouse_merge_upsert, quality_brier_decomposition,
-    # text_textrank_keywords, dedup_cdc_chunks.
+    # text_textrank_keywords, dedup_cdc_chunks,
+    # events_bootstrap_ci_mean, events_ks_two_sample,
+    # events_kleinberg_bursts.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -549,3 +549,75 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_QNORM_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov test
+# ---------------------------------------------------------------------------
+# The distribution-shape member of the drift family: KL/PSI/JS above
+# compare binned densities; KS compares FULL empirical CDFs — the
+# supremum gap D = max_v |F1(v) − F2(v)| — with no binning choice at
+# all. Here: click vs purchase `value` distributions.
+#
+# Everything is integer until the final division: values are
+# 2-decimal doubles → exact cents, the evaluation grid is the bounded
+# DISTINCT-cents relation (the distinct-value-CDF discipline — no
+# corpus-wide row window), per-side cumulative counts come from ONE
+# unpartitioned window over that bounded grid, and the gap compares
+# cross-multiplied integers |c1·n2 − c2·n1| so no float enters the
+# argmax. The statistic, its location (smallest cents at the max gap
+# — integer tiebreak), and the asymptotic p-value
+# 2·exp(−2D²·n1n2/(n1+n2)) are single float expressions, snapped.
+
+_KS_SQL = """
+WITH vals AS (
+    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+grid AS (
+    SELECT cents,
+           CAST(sum(is_x) AS BIGINT) AS cx,
+           CAST(sum(1 - is_x) AS BIGINT) AS cy
+    FROM vals GROUP BY cents
+),
+cdf AS (
+    SELECT cents,
+           CAST(sum(cx) OVER (ORDER BY cents) AS BIGINT) AS fx,
+           CAST(sum(cy) OVER (ORDER BY cents) AS BIGINT) AS fy
+    FROM grid
+),
+tot AS (
+    SELECT CAST(sum(cx) AS BIGINT) AS n1, CAST(sum(cy) AS BIGINT) AS n2
+    FROM grid
+),
+gaps AS (
+    SELECT c.cents,
+           abs(c.fx * t.n2 - c.fy * t.n1) AS gap_i,
+           t.n1, t.n2,
+           CAST(row_number() OVER (
+               ORDER BY abs(c.fx * t.n2 - c.fy * t.n1) DESC, c.cents)
+               AS BIGINT) AS rk
+    FROM cdf c CROSS JOIN tot t
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       floor((CAST(gap_i AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+             * 1e6 + 0.5) / 1e6 AS ks_stat,
+       floor((CAST(cents AS DOUBLE) / 1e2) * 1e6 + 0.5) / 1e6
+           AS ks_location,
+       floor((2e0 * exp(-2e0
+                        * (CAST(gap_i AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+                        * (CAST(gap_i AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+                        * (CAST(n1 AS DOUBLE) * n2 / (n1 + n2))))
+             * 1e6 + 0.5) / 1e6 AS p_value
+FROM gaps WHERE rk = 1
+"""
+
+
+@register("events_ks_two_sample", oracle=_KS_SQL)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic, location, and asymptotic p-value for
+    the click vs purchase value distributions."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_KS_SQL)

@@ -249,3 +249,112 @@ def events_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _xcorr_sql("CAST(datediff(d, DATE '1970-01-01') AS BIGINT)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-seeded Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+# The scale-correct bootstrap (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams", and the Poisson bootstrap in Spark's own
+# sampleByKey lineage): instead of resampling n rows WITH replacement
+# (which needs global coordination), each row gets an independent
+# Poisson(1) weight per replicate — preserved under partitioning, one
+# map-only pass for ALL replicates. Randomness is the repo's portable
+# content hash (event_id ⊕ replicate id → 28-bit uniform), so both
+# engines draw identical weights and the whole estimate is
+# reproducible — no engine RNG anywhere. The Poisson(1) inverse CDF is
+# a CASE ladder over fixed cumulative literals (truncated at k=9,
+# P(k>9) < 1e-9). Replicate means land on the 1e-6 grid → integer
+# micro-units, so the bootstrap SE derives from exact integer moment
+# sums over the B=40 bounded replicate rows. Output: point estimate,
+# bootstrap SE, normal-theory 95% CI.
+
+_B_REPLICATES = 40
+
+# P(Poisson(1) <= k) for k = 0..8, 6dp-truncated literals (identical
+# text on both engines; the ladder compares a 28-bit integer hash, so
+# thresholds are scaled to the integer grid — no float compare at all).
+_POIS_CDF6 = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999]
+
+
+def _pois_case(u6: str) -> str:
+    arms = " ".join(
+        f"WHEN {u6} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF6)
+    )
+    return f"CASE {arms} ELSE 9 END"
+
+
+def _bootstrap_sql(hash28: str) -> str:
+    # u6: hash scaled to [0, 1e6) integer grid via modulo (268435456 =
+    # 2^28; the modulo keeps arithmetic integer — bias < 2^-8 of a
+    # grid cell, irrelevant for a bootstrap draw and identical on both
+    # engines).
+    u6 = f"({hash28} % 1000000)"
+    reps = " UNION ALL ".join(
+        f"SELECT {r} AS rep" for r in range(1, _B_REPLICATES + 1)
+    )
+    return f"""
+WITH purch AS (
+    SELECT event_id,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+reps AS ({reps}),
+weighted AS (
+    SELECT reps.rep,
+           {_pois_case(u6)} AS w,
+           cents
+    FROM purch CROSS JOIN reps
+),
+rep_means AS (
+    SELECT rep,
+           CAST(floor((CAST(sum(w * cents) AS DOUBLE)
+                       / (1e2 * sum(w))) * 1e6 + 0.5) AS BIGINT) AS m6
+    FROM weighted GROUP BY rep
+),
+boot AS (
+    SELECT CAST(count(*) AS BIGINT) AS b,
+           CAST(sum(m6) AS BIGINT) AS sm,
+           CAST(sum(m6 * m6) AS BIGINT) AS sm2
+    FROM rep_means
+),
+point AS (
+    SELECT CAST(sum(cents) AS BIGINT) AS sc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM purch
+)
+SELECT p.n AS n_obs, b.b AS n_replicates,
+       floor((CAST(p.sc AS DOUBLE) / (1e2 * p.n)) * 1e6 + 0.5) / 1e6
+           AS mean_value,
+       floor((sqrt(CAST(b.b * b.sm2 - b.sm * b.sm AS DOUBLE)
+                   / (CAST(b.b AS DOUBLE) * (b.b - 1))) / 1e6)
+             * 1e6 + 0.5) / 1e6 AS boot_se,
+       floor((CAST(p.sc AS DOUBLE) / (1e2 * p.n)
+              - 196e-2 * sqrt(CAST(b.b * b.sm2 - b.sm * b.sm AS DOUBLE)
+                              / (CAST(b.b AS DOUBLE) * (b.b - 1))) / 1e6)
+             * 1e6 + 0.5) / 1e6 AS ci_lower,
+       floor((CAST(p.sc AS DOUBLE) / (1e2 * p.n)
+              + 196e-2 * sqrt(CAST(b.b * b.sm2 - b.sm * b.sm AS DOUBLE)
+                              / (CAST(b.b AS DOUBLE) * (b.b - 1))) / 1e6)
+             * 1e6 + 0.5) / 1e6 AS ci_upper
+FROM point p CROSS JOIN boot b
+"""
+
+
+@register(
+    "events_bootstrap_ci_mean",
+    oracle=_bootstrap_sql(
+        "CAST('0x' || substr(sha256(CAST(event_id AS VARCHAR) || ':' "
+        "|| CAST(rep AS VARCHAR)), 1, 7) AS BIGINT)"
+    ),
+)
+def events_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean purchase value; B=40
+    hash-seeded replicates in one map-only pass."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _bootstrap_sql(
+            "CAST(conv(substr(sha2(CAST(event_id AS STRING) || ':' "
+            "|| CAST(rep AS STRING), 256), 1, 7), 16, 10) AS BIGINT)"
+        )
+    )

@@ -1419,3 +1419,95 @@ def events_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_HW_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')"))
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection (2-state Viterbi, exact)
+# ---------------------------------------------------------------------------
+# Kleinberg 2002: model the daily purchase-count series as a 2-state
+# automaton (base rate λ0 = series mean, burst rate λ1 = 1.1·λ0 — the
+# corpus' real structure is the weekday/weekend split at ~±8%, and the
+# burst/base ratio is a scale-free sensitivity: the weekday plateau
+# stays a burst at every corpus size, unlike an absolute threshold),
+# charge
+# a Poisson emission cost per day plus γ = 1 for each 0→1 transition,
+# and take the MINIMUM-cost state path — the principled "is this spike
+# a burst or noise" labeling, vs the z-score/CUSUM heuristics above.
+#
+# Viterbi needs backtracking, which a recursive CTE cannot do by
+# revisiting rows — so each state carries its FULL backpointer path as
+# a '0'/'1' string that grows one char per day (days-bounded, ~120
+# chars at any horizon; string concat is portable ||). The emission
+# cost drops the state-independent ln(x!) term (identical for both
+# states, cancels in every comparison — and lgamma is not portable
+# SQL), leaving λ_s − x·ln λ_s. Costs snap to the 1e-6 grid each step
+# (the recursion discipline), ties prefer the lower state via <= —
+# deterministic on both engines because the compared doubles are
+# identical snapped values. One corpus-sized count pass; the recursion
+# walks the bounded daily series; the final explode re-joins states to
+# days by integer position.
+
+_BURST_BODY = """
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT d, n,
+           CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+    FROM daily
+),
+mu AS (
+    SELECT CAST(sum(n) AS DOUBLE) / count(*) AS l0,
+           11e-1 * (CAST(sum(n) AS DOUBLE) / count(*)) AS l1
+    FROM idx
+),
+vit(i, c0, p0, c1, p1) AS (
+    SELECT idx.i,
+           floor((mu.l0 - idx.n * ln(mu.l0)) * 1e6 + 0.5) / 1e6,
+           '0',
+           floor((mu.l1 - idx.n * ln(mu.l1) + 1e0) * 1e6 + 0.5) / 1e6,
+           '1'
+    FROM idx CROSS JOIN mu WHERE idx.i = 1
+    UNION ALL
+    SELECT idx.i,
+           floor((mu.l0 - idx.n * ln(mu.l0)
+                  + CASE WHEN v.c0 <= v.c1 THEN v.c0 ELSE v.c1 END)
+                 * 1e6 + 0.5) / 1e6,
+           CASE WHEN v.c0 <= v.c1 THEN v.p0 ELSE v.p1 END || '0',
+           floor((mu.l1 - idx.n * ln(mu.l1)
+                  + CASE WHEN v.c0 + 1e0 <= v.c1 THEN v.c0 + 1e0
+                         ELSE v.c1 END)
+                 * 1e6 + 0.5) / 1e6,
+           CASE WHEN v.c0 + 1e0 <= v.c1 THEN v.p0 ELSE v.p1 END || '1'
+    FROM vit v
+    JOIN idx ON idx.i = v.i + 1
+    CROSS JOIN mu
+),
+last AS (
+    SELECT c0, p0, c1, p1 FROM vit
+    WHERE i = (SELECT max(i) FROM vit)
+),
+best AS (
+    SELECT CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path FROM last
+)
+SELECT {fmt_day} AS day, idx.n AS n_events,
+       CASE WHEN substr(best.path, CAST(idx.i AS INT), 1) = '1'
+            THEN 'burst' ELSE 'normal' END AS state
+FROM idx CROSS JOIN best
+ORDER BY day
+"""
+
+
+@register(
+    "events_kleinberg_bursts",
+    oracle=_BURST_BODY.replace("{fmt_day}", "strftime(idx.d, '%Y-%m-%d')"),
+)
+def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost 2-state burst labeling of the daily purchase series."""
+    _raise_recursion_limits(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _BURST_BODY.replace("{fmt_day}", "date_format(idx.d, 'yyyy-MM-dd')")
+    )

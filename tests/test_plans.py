@@ -606,6 +606,9 @@ def test_session4_additions_python_free(spark):
         "quality_brier_decomposition",
         "text_textrank_keywords",
         "dedup_cdc_chunks",
+        "events_bootstrap_ci_mean",
+        "events_ks_two_sample",
+        "events_kleinberg_bursts",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -193,6 +193,9 @@ QUERY_SET = [
     "quality_brier_decomposition",
     "text_textrank_keywords",
     "dedup_cdc_chunks",
+    "events_bootstrap_ci_mean",
+    "events_ks_two_sample",
+    "events_kleinberg_bursts",
 ]
 
 
