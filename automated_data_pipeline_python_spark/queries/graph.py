@@ -455,3 +455,84 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _pagerank_tail("tr_edges", node="word", suffix=_TR_SUFFIX)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling)
+# ---------------------------------------------------------------------------
+# The density-subgraph classic: repeatedly delete nodes of degree < k;
+# what survives is the k-core. The raw co-purchase graph is near-
+# complete at every scale factor (every brand co-occurs with every
+# other eventually), so cores are read off the MUTUAL TOP-5 graph —
+# each node keeps its 5 strongest neighbors (rank-based, so the graph
+# stays sparse as weights grow with the corpus; the
+# graph_link_prediction discipline) and an edge survives only if BOTH
+# endpoints keep it. Three peel rounds unrolled (the bounded-iteration
+# twin of the Bellman-Ford SSSP below); each round is one semi-join +
+# degree recount on the vocabulary-sized graph. Integer-only — no
+# float anywhere.
+
+_KCORE_K = 3
+
+_KCORE_SQL = f"""
+WITH ranked AS (
+    SELECT src, dst,
+           CAST(row_number() OVER (PARTITION BY src
+                                   ORDER BY w DESC, dst) AS BIGINT) AS rk
+    FROM {{edges}}
+),
+top5 AS (SELECT src, dst FROM ranked WHERE rk <= 5),
+mutual AS (
+    SELECT a.src, a.dst
+    FROM top5 a JOIN top5 b ON b.src = a.dst AND b.dst = a.src
+),
+deg0 AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM mutual GROUP BY src),
+alive1 AS (SELECT src FROM deg0 WHERE d >= {_KCORE_K}),
+e1 AS (
+    SELECT m.src, m.dst FROM mutual m
+    JOIN alive1 s ON s.src = m.src
+    JOIN alive1 t ON t.src = m.dst
+),
+deg1 AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e1 GROUP BY src),
+alive2 AS (SELECT src FROM deg1 WHERE d >= {_KCORE_K}),
+e2 AS (
+    SELECT m.src, m.dst FROM e1 m
+    JOIN alive2 s ON s.src = m.src
+    JOIN alive2 t ON t.src = m.dst
+),
+deg2 AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY src),
+alive3 AS (SELECT src FROM deg2 WHERE d >= {_KCORE_K}),
+e3 AS (
+    SELECT m.src, m.dst FROM e2 m
+    JOIN alive3 s ON s.src = m.src
+    JOIN alive3 t ON t.src = m.dst
+),
+deg3 AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e3 GROUP BY src)
+SELECT d0.src AS brand,
+       d0.d AS degree_mutual,
+       coalesce(d3.d, 0) AS degree_after_peel,
+       coalesce(d3.d, 0) >= {_KCORE_K} AS in_kcore
+FROM deg0 d0
+LEFT JOIN deg3 d3 ON d3.src = d0.src
+ORDER BY brand
+"""
+
+_KCORE_DUCK = (
+    "WITH edges AS (" + _EDGES_SQL + ")\n"
+    + _KCORE_SQL.replace("WITH ranked", ", ranked", 1).format(edges="edges")
+)
+
+
+@register("graph_brand_kcore", oracle=_KCORE_DUCK)
+def graph_brand_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=3) of the mutual-top-5 brand graph.
+
+    The mutual graph feeds every peel round; the base edge list is
+    materialized once via localCheckpoint against CTE inlining.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "kcore_edges"
+    )
+    return spark.sql(_KCORE_SQL.format(edges="kcore_edges"))

@@ -1035,3 +1035,99 @@ def explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join
+# ---------------------------------------------------------------------------
+# The third as-of direction (pandas merge_asof's direction='nearest'):
+# each purchase takes whichever click — latest-before or earliest-
+# after — is closer in time, ties preferring backward. Neither engine
+# has it natively; here it composes the repo's pure-JVM union+window
+# as-of operator in BOTH directions and resolves by exact integer
+# microsecond gaps (no float). DuckDB's oracle is the mirrored pair of
+# native ASOF joins. Scale: two user_id window passes + one event_id
+# equi-join — all single-shuffle stages; a fused single-pass variant
+# exists (carry both LOCF frames in one window) but the composed form
+# keeps the operator surface orthogonal.
+
+_ASOF_NEAREST_DUCK = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+b AS (
+    SELECT p.event_id AS id, p.user_id, p.ts, c.ts AS bts, c.value AS bval
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+f AS (
+    SELECT p.event_id AS id, c.ts AS fts, c.value AS fval
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT b.id AS purchase_id, b.user_id,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+            WHEN b.bts IS NULL THEN strftime(f.fts, '%Y-%m-%d %H:%M:%S.%f')
+            WHEN f.fts IS NULL THEN strftime(b.bts, '%Y-%m-%d %H:%M:%S.%f')
+            WHEN date_diff('microsecond', b.bts, b.ts)
+                 <= date_diff('microsecond', b.ts, f.fts)
+            THEN strftime(b.bts, '%Y-%m-%d %H:%M:%S.%f')
+            ELSE strftime(f.fts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts,
+       CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+            WHEN b.bts IS NULL THEN f.fval
+            WHEN f.fts IS NULL THEN b.bval
+            WHEN date_diff('microsecond', b.bts, b.ts)
+                 <= date_diff('microsecond', b.ts, f.fts)
+            THEN b.bval ELSE f.fval END AS click_value,
+       CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN 'none'
+            WHEN b.bts IS NULL THEN 'forward'
+            WHEN f.fts IS NULL THEN 'backward'
+            WHEN date_diff('microsecond', b.bts, b.ts)
+                 <= date_diff('microsecond', b.ts, f.fts)
+            THEN 'backward' ELSE 'forward' END AS matched_direction
+FROM b JOIN f ON f.id = b.id
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_DUCK)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest': closer of latest-prior and
+    earliest-later click per purchase, backward on exact ties."""
+    purchases = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    bwd = asof_join_union_window(
+        purchases, clicks, on="ts", by="user_id",
+        right_prefix="b_", right_cols=["ts", "value"],
+    )
+    fwd = asof_join_union_window(
+        purchases, clicks, on="ts", by="user_id",
+        right_prefix="f_", right_cols=["ts", "value"],
+        direction="forward",
+    ).select("event_id", "f_ts", "f_value")
+    gap_b = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    gap_f = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
+    take_b = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (gap_b <= gap_f)
+    )
+    both_null = F.col("b_ts").isNull() & F.col("f_ts").isNull()
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        bwd.join(fwd, "event_id")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.when(both_null, F.lit(None).cast("string"))
+            .when(take_b, F.date_format("b_ts", fmt))
+            .otherwise(F.date_format("f_ts", fmt))
+            .alias("click_ts"),
+            F.when(both_null, F.lit(None).cast("double"))
+            .when(take_b, F.col("b_value"))
+            .otherwise(F.col("f_value"))
+            .alias("click_value"),
+            F.when(both_null, F.lit("none"))
+            .when(take_b, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("matched_direction"),
+        )
+    )

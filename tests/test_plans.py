@@ -609,6 +609,8 @@ def test_session4_additions_python_free(spark):
         "events_bootstrap_ci_mean",
         "events_ks_two_sample",
         "events_kleinberg_bursts",
+        "join_asof_nearest",
+        "graph_brand_kcore",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -196,6 +196,8 @@ QUERY_SET = [
     "events_bootstrap_ci_mean",
     "events_ks_two_sample",
     "events_kleinberg_bursts",
+    "join_asof_nearest",
+    "graph_brand_kcore",
 ]
 
 
