@@ -148,7 +148,8 @@ _PRIORITY = [
     # warehouse_merge_upsert, quality_brier_decomposition,
     # text_textrank_keywords, dedup_cdc_chunks,
     # events_bootstrap_ci_mean, events_ks_two_sample,
-    # events_kleinberg_bursts, join_asof_nearest, graph_brand_kcore.
+    # events_kleinberg_bursts, join_asof_nearest, graph_brand_kcore,
+    # text_token_llr, retrieval_maxsim_colbert, lm_unigram_em_round.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

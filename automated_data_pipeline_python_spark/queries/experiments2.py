@@ -51,27 +51,29 @@ from automated_data_pipeline_python_spark.tables import load
 # the per-day argmax, with the arm name as the total-order tiebreak.
 
 
-def _ucb_sql(fmt_day: str) -> str:
+_UCB_DAILY_SQL = """
+SELECT event_type AS arm, CAST(ts AS DATE) AS d,
+       CAST(count(*) AS BIGINT) AS pulls,
+       CAST(sum(CAST(floor(value * 1e2 + 0.5) AS DECIMAL(38,0)))
+            AS BIGINT) AS reward_c
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _ucb_tail(fmt_day: str, daily: str) -> str:
     return f"""
-WITH daily AS (
-    SELECT event_type AS arm, CAST(ts AS DATE) AS d,
-           CAST(count(*) AS BIGINT) AS pulls,
-           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS DECIMAL(38,0)))
-                AS BIGINT) AS reward_c
-    FROM events
-    GROUP BY event_type, CAST(ts AS DATE)
-),
-spine AS (
+WITH spine AS (
     SELECT a.arm, dd.d
-    FROM (SELECT DISTINCT arm FROM daily) a
-    CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+    FROM (SELECT DISTINCT arm FROM {daily}) a
+    CROSS JOIN (SELECT DISTINCT d FROM {daily}) dd
 ),
 filled AS (
     SELECT s.arm, s.d,
            coalesce(daily.pulls, 0) AS pulls,
            coalesce(daily.reward_c, 0) AS reward_c
     FROM spine s
-    LEFT JOIN daily ON daily.arm = s.arm AND daily.d = s.d
+    LEFT JOIN {daily} daily ON daily.arm = s.arm AND daily.d = s.d
 ),
 cum AS (
     SELECT arm, d,
@@ -114,12 +116,24 @@ ORDER BY day
 
 @register(
     "events_ucb_bandit_replay",
-    oracle=_ucb_sql("strftime(d, '%Y-%m-%d')"),
+    oracle=(
+        "WITH ucb_daily AS (" + _UCB_DAILY_SQL + ")\n"
+        + _ucb_tail("strftime(d, '%Y-%m-%d')", "ucb_daily")
+        .replace("WITH spine", ", spine", 1)
+    ),
 )
 def events_ucb_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offline UCB1 replay: the arm a UCB1 policy would pull each day."""
+    """Offline UCB1 replay: the arm a UCB1 policy would pull each day.
+
+    The bounded days×arms daily relation feeds the spine (twice), the
+    fill join, and the cumulative windows; Spark inlines CTEs — four
+    corpus scans at 100 TB — so it is materialized once via
+    localCheckpoint (DuckDB materializes shared CTEs itself)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ucb_sql("date_format(d, 'yyyy-MM-dd')"))
+    spark.sql(_UCB_DAILY_SQL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("ucb_daily")
+    return spark.sql(_ucb_tail("date_format(d, 'yyyy-MM-dd')", "ucb_daily"))
 
 
 # ---------------------------------------------------------------------------
@@ -197,21 +211,23 @@ def events_sprt_ab_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D days, n·Σxy ≈ D²·c² — BIGINT-safe through ~10⁷ events/day.
 
 
-def _xcorr_sql(daynum: str) -> str:
+_XCORR_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS d,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+            AS BIGINT) AS x,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+            AS BIGINT) AS y
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+def _xcorr_tail(daynum: str, daily: str) -> str:
     lags = " UNION ALL ".join(
         f"SELECT CAST({v} AS BIGINT) AS lag" for v in range(-3, 4)
     )
     return f"""
-WITH daily AS (
-    SELECT CAST(ts AS DATE) AS d,
-           CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
-                AS BIGINT) AS x,
-           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
-                AS BIGINT) AS y
-    FROM events
-    GROUP BY CAST(ts AS DATE)
-),
-idx AS (SELECT {daynum} AS i, x, y FROM daily),
+WITH idx AS (SELECT {daynum} AS i, x, y FROM {daily}),
 lags AS ({lags}),
 pairs AS (
     SELECT lags.lag, a.x, b.y
@@ -241,13 +257,28 @@ ORDER BY lag_days
 
 @register(
     "events_crosscorr_lead_lag",
-    oracle=_xcorr_sql("CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)"),
+    oracle=(
+        "WITH xc_daily AS (" + _XCORR_DAILY_SQL + ")\n"
+        + _xcorr_tail(
+            "CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)",
+            "xc_daily",
+        ).replace("WITH idx", ", idx", 1)
+    ),
 )
 def events_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Click→purchase daily-series cross-correlation at lags −3..+3."""
+    """Click→purchase daily-series cross-correlation at lags −3..+3.
+
+    The bounded daily relation is joined to itself per lag; Spark
+    inlines CTEs — two corpus scans — so it is materialized once via
+    localCheckpoint (DuckDB materializes shared CTEs itself)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(_XCORR_DAILY_SQL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("xc_daily")
     return spark.sql(
-        _xcorr_sql("CAST(datediff(d, DATE '1970-01-01') AS BIGINT)")
+        _xcorr_tail(
+            "CAST(datediff(d, DATE '1970-01-01') AS BIGINT)", "xc_daily"
+        )
     )
 
 

@@ -760,3 +760,242 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT CAST(round AS INT) AS round, n_tokens, vocab FROM ({union})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood-ratio collocations (G²)
+# ---------------------------------------------------------------------------
+# The statistically sound sibling of text_token_pmi: PMI over-rewards
+# rare pairs (one co-occurrence of two hapaxes maxes the score);
+# Dunning's G² = 2·Σ O·ln(O/E) over the bigram's 2×2 contingency
+# table weighs evidence mass, which is why it is the standard
+# collocation test (Dunning 1993) for real corpora. Counts come from
+# ONE adjacent-bigram explode (map-only) + vocabulary²-bounded
+# aggregations; every table cell (k11, k12, k21, k22) is an exact
+# integer derived from the pair/left/right marginals, and G² is one
+# float expression over those integers (x·ln x with the 0·ln 0 = 0
+# guard), snapped before the top-30 rank with a (w1, w2) tiebreak.
+
+
+def _xlx(x: str) -> str:
+    return f"(CASE WHEN {x} = 0 THEN 0e0 ELSE CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) END)"
+
+
+def _llr_tail(pairs: str) -> str:
+    k11 = "p.k11"
+    k12 = "(l.r1 - p.k11)"
+    k21 = "(r.c1 - p.k11)"
+    k22 = "(t.n - l.r1 - r.c1 + p.k11)"
+    g2 = (
+        f"2e0 * ({_xlx(k11)} + {_xlx(k12)} + {_xlx(k21)} + {_xlx(k22)}"
+        f" - {_xlx('l.r1')} - {_xlx('(t.n - l.r1)')}"
+        f" - {_xlx('r.c1')} - {_xlx('(t.n - r.c1)')}"
+        f" + {_xlx('t.n')})"
+    )
+    return f"""
+counts AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11 FROM {pairs}
+    GROUP BY w1, w2
+),
+lefts AS (
+    SELECT w1, CAST(sum(k11) AS BIGINT) AS r1 FROM counts GROUP BY w1
+),
+rights AS (
+    SELECT w2, CAST(sum(k11) AS BIGINT) AS c1 FROM counts GROUP BY w2
+),
+tot AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM counts)
+SELECT p.w1, p.w2, p.k11 AS pair_count,
+       floor(({g2}) * 1e6 + 0.5) / 1e6 AS llr_g2
+FROM counts p
+JOIN lefts l ON l.w1 = p.w1
+JOIN rights r ON r.w2 = p.w2
+CROSS JOIN tot t
+ORDER BY llr_g2 DESC, p.w1, p.w2
+LIMIT 30
+"""
+
+
+_LLR_PAIRS_SPARK = f"""
+SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2
+FROM (
+    SELECT explode({spark_word_shingles('toks', 2)}) AS s
+    FROM (SELECT {SPARK_TOKENS.format(col='text')} AS toks FROM documents)
+)
+"""
+
+_LLR_PAIRS_DUCK = f"""
+SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2
+FROM (
+    SELECT unnest({duck_word_shingles('toks', 2)}) AS s
+    FROM (SELECT {DUCK_TOKENS.format(col='text')} AS toks FROM documents)
+)
+"""
+
+_LLR_DUCK_SQL = (
+    "WITH bigr AS (" + _LLR_PAIRS_DUCK + ")\n"
+    + _llr_tail("bigr").replace("\ncounts AS", "\n, counts AS", 1)
+)
+
+
+@register("text_token_llr", oracle=_LLR_DUCK_SQL)
+def text_token_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 Dunning G² collocations over adjacent token bigrams.
+
+    The bigram relation feeds three marginal aggregations; Spark
+    inlines CTEs, so it is materialized once via localCheckpoint.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_LLR_PAIRS_SPARK).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("llr_bigr")
+    return spark.sql("WITH " + _llr_tail("llr_bigr").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer: one full EM round (SentencePiece-style)
+# ---------------------------------------------------------------------------
+# The OTHER tokenizer-training algorithm (Kudo 2018), complementing the
+# BPE merge loop above: seed a subword vocabulary, E-step = find each
+# word's minimum-cost segmentation under current piece probabilities,
+# M-step = re-estimate probabilities from the chosen segmentations.
+#
+# Why this is tractable as pure SQL at 100 TB: the corpus first
+# reduces to DISTINCT words × frequency (Zipf — vocabulary ≪ corpus;
+# the ONE corpus-sized pass is that token count), and everything
+# after runs on bounded relations. The seed vocab is the top-40
+# multi-char substrings by frequency (RANK-based, so the vocab is
+# scale-invariant where an absolute cutoff breaks) plus every single
+# char (segmentability guarantee). The E-step enumerates ALL
+# segmentations per word via a recursive CTE — ≤ 2^(len−1) ≤ 128
+# paths for ≤ 8-char words, exact rather than heuristic — carrying
+# (pos, cost, path); cost adds −ln p(piece) per step and snaps to the
+# 1e-9 grid each extension (the recursion discipline), so both
+# engines walk identical doubles; argmin per word tiebreaks on the
+# path string. The M-step is one weighted explode of the winning
+# paths. Output: top-30 pieces by re-estimated probability.
+
+
+def _unigram_sql(
+    gen2: str, unnest_path: str, idx_word: str
+) -> str:
+    return f"""
+words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS wf
+    FROM (SELECT {idx_word} AS w FROM tok_exploded)
+    GROUP BY w
+),
+subs AS (
+    SELECT substr(p.w, CAST(p.i AS INT), CAST(p.l AS INT)) AS piece,
+           CAST(p.l AS BIGINT) AS len,
+           CAST(sum(p.wf) AS BIGINT) AS pf
+    FROM ({gen2}) p
+    GROUP BY 1, 2
+),
+multi AS (
+    SELECT piece, len, pf
+    FROM (
+        SELECT piece, len, pf,
+               CAST(row_number() OVER (ORDER BY pf DESC, piece) AS BIGINT)
+                   AS rk
+        FROM subs WHERE len >= 2
+    ) r WHERE rk <= 40
+),
+vocab AS (
+    SELECT piece, len, pf FROM subs WHERE len = 1
+    UNION ALL
+    SELECT piece, len, pf FROM multi
+),
+tot AS (SELECT CAST(sum(pf) AS BIGINT) AS pftot FROM vocab),
+seg(w, wf, pos, cost, path) AS (
+    SELECT w, wf, CAST(0 AS BIGINT), 0e0, '' FROM words
+    UNION ALL
+    SELECT s.w, s.wf, s.pos + v.len,
+           floor((s.cost
+                  + ln(CAST(t.pftot AS DOUBLE))
+                  - ln(CAST(v.pf AS DOUBLE))) * 1e9 + 0.5) / 1e9,
+           CASE WHEN s.path = '' THEN v.piece
+                ELSE s.path || ' ' || v.piece END
+    FROM seg s
+    JOIN vocab v ON substr(s.w, CAST(s.pos + 1 AS INT), CAST(v.len AS INT))
+                    = v.piece
+    CROSS JOIN tot t
+    WHERE s.pos + v.len <= length(s.w)
+),
+best AS (
+    SELECT w, wf, path
+    FROM (
+        SELECT w, wf, path,
+               CAST(row_number() OVER (
+                   PARTITION BY w
+                   ORDER BY floor(cost * 1e6 + 0.5) / 1e6, path)
+                   AS BIGINT) AS rk
+        FROM seg WHERE pos = length(w)
+    ) z WHERE rk = 1
+),
+mstep AS (
+    SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt_new
+    FROM (SELECT wf, {unnest_path} AS piece FROM best) u
+    GROUP BY piece
+),
+newtot AS (SELECT CAST(sum(cnt_new) AS BIGINT) AS ntot FROM mstep)
+SELECT v.piece, v.len AS piece_len,
+       floor((CAST(v.pf AS DOUBLE) / t.pftot) * 1e6 + 0.5) / 1e6 AS p_seed,
+       coalesce(m.cnt_new, 0) AS count_em,
+       floor((CAST(coalesce(m.cnt_new, 0) AS DOUBLE) / nt.ntot)
+             * 1e6 + 0.5) / 1e6 AS p_em
+FROM vocab v
+LEFT JOIN mstep m ON m.piece = v.piece
+CROSS JOIN tot t CROSS JOIN newtot nt
+ORDER BY p_em DESC, v.piece
+LIMIT 30
+"""
+
+
+_UNIGRAM_GEN2_SPARK = """
+    SELECT ww.w, ww.wf, ii.i, ll.l
+    FROM words ww
+    LATERAL VIEW explode(sequence(1, length(ww.w))) ii AS i
+    LATERAL VIEW explode(sequence(1, 4)) ll AS l
+    WHERE ii.i + ll.l - 1 <= length(ww.w)
+"""
+
+_UNIGRAM_GEN2_DUCK = """
+    SELECT ww.w, ww.wf, ii.i, ll.l
+    FROM words ww,
+         LATERAL (SELECT unnest(generate_series(1, length(ww.w))) AS i) ii,
+         (SELECT unnest(generate_series(1, 4)) AS l) ll
+    WHERE ii.i + ll.l - 1 <= length(ww.w)
+"""
+
+
+@register(
+    "lm_unigram_em_round",
+    oracle=(
+        "WITH RECURSIVE tok_exploded AS ("
+        f"SELECT unnest({DUCK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),\n"
+        + _unigram_sql(
+            _UNIGRAM_GEN2_DUCK,
+            "unnest(string_split(path, ' '))",
+            "tk",
+        ).lstrip()
+    ),
+)
+def lm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM round of a unigram-LM (SentencePiece-style) tokenizer:
+    rank-seeded subword vocab → exact minimum-cost segmentation per
+    distinct word (exhaustive recursive enumeration) → re-estimated
+    piece probabilities."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "WITH RECURSIVE tok_exploded AS ("
+        f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),\n"
+        + _unigram_sql(
+            _UNIGRAM_GEN2_SPARK,
+            "explode(split(path, ' '))",
+            "tk",
+        ).lstrip()
+    )

@@ -380,3 +380,77 @@ def rag_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(_RRF_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style) MaxSim retrieval
+# ---------------------------------------------------------------------------
+# BM25 above scores on lexical term frequency; MaxSim is the
+# late-interaction shape (Khattab & Zaharia, SIGIR'20): every doc
+# TOKEN gets its own embedding, each query term matches its BEST doc
+# token, and the doc score is the sum of those per-term maxima —
+# semantic generalization without crushing the doc into one vector.
+# Token "embeddings" here are the repo's deterministic 28-bit content
+# hashes read as ±1 hypercube vectors, so cosine reduces to Hamming
+# agreement: sim = 28 − 2·popcount(h_q XOR h_t) — EXACT INTEGERS end
+# to end (the simhash/multiprobe machinery, reused for ranking). A
+# real encoder drops in by swapping the hash for an embedding column
+# and max-cosine for max-dot; the plan shape (explode → per-(doc,term)
+# max → per-doc sum → top-k) is identical.
+#
+# Scale: one token explode (map-only) × |Q| small query terms; the
+# per-doc rollup shuffles (doc, term)-grouped integers; top-10 is a
+# TakeOrdered with doc_id tiebreak. XOR portability trap (pinned by
+# the multiprobe family): Spark `^` is xor, DuckDB `^` is POWER — the
+# oracle spells xor().
+
+
+def _maxsim_sql(tok: str, unnest: str, hash28: str, xor: str) -> str:
+    return f"""
+WITH qterms AS (
+    SELECT term, {hash28.format(col="term")} AS qh
+    FROM (SELECT {unnest} AS term)
+),
+dtok AS (
+    SELECT doc_id, {hash28.format(col="tok")} AS th
+    FROM (SELECT doc_id, {tok} AS tok FROM documents)
+),
+permax AS (
+    SELECT d.doc_id, q.term,
+           CAST(max(28 - 2 * bit_count({xor})) AS BIGINT) AS best_sim
+    FROM dtok d CROSS JOIN qterms q
+    GROUP BY d.doc_id, q.term
+),
+scored AS (
+    SELECT doc_id,
+           CAST(sum(best_sim) AS BIGINT) AS maxsim_score,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM permax GROUP BY doc_id
+)
+SELECT doc_id, maxsim_score, n_terms_matched
+FROM scored
+ORDER BY maxsim_score DESC, doc_id
+LIMIT 10
+"""
+
+
+_MAXSIM_DUCK_SQL = _maxsim_sql(
+    tok=f"unnest({DUCK_TOKENS.format(col='text')})",
+    unnest=f"unnest([{_TERMS_IN}])",
+    hash28="CAST('0x' || substr(sha256({col}), 1, 7) AS BIGINT)",
+    xor="xor(q.qh, d.th)",
+)
+
+
+@register("retrieval_maxsim_colbert", oracle=_MAXSIM_DUCK_SQL)
+def retrieval_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by late-interaction MaxSim over hash token vectors."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _maxsim_sql(
+            tok=f"explode({SPARK_TOKENS.format(col='text')})",
+            unnest=f"explode(array({_TERMS_IN}))",
+            hash28="CAST(conv(substr(sha2({col}, 256), 1, 7), 16, 10) AS BIGINT)",
+            xor="q.qh ^ d.th",
+        )
+    )

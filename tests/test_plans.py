@@ -611,6 +611,9 @@ def test_session4_additions_python_free(spark):
         "events_kleinberg_bursts",
         "join_asof_nearest",
         "graph_brand_kcore",
+        "text_token_llr",
+        "retrieval_maxsim_colbert",
+        "lm_unigram_em_round",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -198,6 +198,9 @@ QUERY_SET = [
     "events_kleinberg_bursts",
     "join_asof_nearest",
     "graph_brand_kcore",
+    "text_token_llr",
+    "retrieval_maxsim_colbert",
+    "lm_unigram_em_round",
 ]
 
 
