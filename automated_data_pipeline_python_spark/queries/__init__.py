@@ -149,7 +149,9 @@ _PRIORITY = [
     # text_textrank_keywords, dedup_cdc_chunks,
     # events_bootstrap_ci_mean, events_ks_two_sample,
     # events_kleinberg_bursts, join_asof_nearest, graph_brand_kcore,
-    # text_token_llr, retrieval_maxsim_colbert, lm_unigram_em_round.
+    # text_token_llr, retrieval_maxsim_colbert, lm_unigram_em_round,
+    # lm_kneser_ney_bigram, selection_kcenter_greedy,
+    # reco_als_rank1_round.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

@@ -260,3 +260,133 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pi_x"
     )
     return spark.sql(_power_iter_tail("pi_x"))
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (Gonzalez) coreset selection
+# ---------------------------------------------------------------------------
+# Diversity-based data selection: pick the point farthest from every
+# center chosen so far — Gonzalez's 2-approximation to the k-center
+# objective, the standard coreset/active-learning seed selector
+# (Sener & Savarese 2018 use exactly this over embeddings). Each round
+# is ONE map-only pass updating the running min-distance against the
+# newly selected (single, broadcast-sized) center plus ONE
+# TakeOrdered argmax — never a pairwise product, so the shape survives
+# any corpus scale; k rounds cost k corpus scans, the inherent price
+# of the greedy algorithm.
+#
+# Cross-engine float discipline: squared distances reuse the kmeans
+# expansion (nrm2 − 2·dot + cnrm2) snapped to the 1e-6 grid, the
+# running minimum is a least() of snapped values, and every argmax
+# tiebreaks on vec_id — so differing float summation orders cannot
+# flip a selection.
+
+_KC_ROUNDS = 3  # greedy selections after the deterministic seed
+
+
+def _kc_d2(dot, bn: str, a: str, b: str, cn: str) -> str:
+    expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+def _kcenter_sql(dot, base_src: str) -> str:
+    d2 = lambda bn, a, b, cn: _kc_d2(dot, bn, a, b, cn)  # noqa: E731
+    ctes = [
+        f"base AS ({base_src})",
+        "s0 AS (SELECT vec_id, v, nrm2 FROM base ORDER BY vec_id LIMIT 1)",
+        (
+            "d1 AS (SELECT b.vec_id, b.v, b.nrm2, "
+            + d2("b.nrm2", "b.v", "s.v", "s.nrm2")
+            + " AS dmin FROM base b CROSS JOIN s0 s)"
+        ),
+    ]
+    for r in range(1, _KC_ROUNDS + 1):
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, v, nrm2, dmin FROM d{r}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"d{r + 1} AS (SELECT d.vec_id, d.v, d.nrm2, "
+            f"least(d.dmin, {d2('d.nrm2', 'd.v', 's.v', 's.nrm2')}) AS dmin "
+            f"FROM d{r} d CROSS JOIN s{r} s)"
+        )
+    ctes.append(f"cov AS (SELECT max(dmin) AS r2 FROM d{_KC_ROUNDS + 1})")
+    picks = ["SELECT 0 AS round, vec_id, 0e0 AS sel_dist2 FROM s0"] + [
+        f"SELECT {r} AS round, vec_id, dmin AS sel_dist2 FROM s{r}"
+        for r in range(1, _KC_ROUNDS + 1)
+    ]
+    union = "\nUNION ALL\n".join(picks)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(p.round AS INT) AS round,
+       CAST(p.vec_id AS BIGINT) AS center_vec_id,
+       p.sel_dist2,
+       cov.r2 AS coverage_radius2
+FROM ({union}) p CROSS JOIN cov
+ORDER BY p.round
+"""
+    )
+
+
+_KC_DUCK_SQL = _kcenter_sql(
+    dot=lambda a, b: f"list_dot_product({a}, {b})",
+    base_src=(
+        "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+    ),
+)
+
+
+@register("selection_kcenter_greedy", oracle=_KC_DUCK_SQL)
+def selection_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez) selection over embeddings: seed =
+    min vec_id, then 3 farthest-point selections, with the final
+    coverage radius (max over points of the min squared distance to
+    any selected center).
+
+    Each round's running-min relation feeds two consumers (the argmax
+    pick and the next round's update); Spark inlines CTEs, so every
+    d-relation is materialized via localCheckpoint — otherwise round N
+    re-executes the whole prefix exponentially (the BPE-rounds
+    discipline).
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    dot = lambda a, b: _SPARK_DOT.format(a=a, b=b)  # noqa: E731
+    d2 = lambda bn, a, b, cn: _kc_d2(dot, bn, a, b, cn)  # noqa: E731
+    spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
+        "kc_base"
+    )
+    spark.sql(
+        "SELECT vec_id, v, nrm2 FROM kc_base ORDER BY vec_id LIMIT 1"
+    ).createOrReplaceTempView("kc_s0")
+    spark.sql(
+        "SELECT b.vec_id, b.v, b.nrm2, "
+        + d2("b.nrm2", "b.v", "s.v", "s.nrm2")
+        + " AS dmin FROM kc_base b CROSS JOIN kc_s0 s"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("kc_d1")
+    for r in range(1, _KC_ROUNDS + 1):
+        spark.sql(
+            f"SELECT vec_id, v, nrm2, dmin FROM kc_d{r}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1"
+        ).createOrReplaceTempView(f"kc_s{r}")
+        spark.sql(
+            f"SELECT d.vec_id, d.v, d.nrm2, "
+            f"least(d.dmin, {d2('d.nrm2', 'd.v', 's.v', 's.nrm2')}) AS dmin "
+            f"FROM kc_d{r} d CROSS JOIN kc_s{r} s"
+        ).localCheckpoint(eager=True).createOrReplaceTempView(f"kc_d{r + 1}")
+    picks = ["SELECT 0 AS round, vec_id, 0e0 AS sel_dist2 FROM kc_s0"] + [
+        f"SELECT {r} AS round, vec_id, dmin AS sel_dist2 FROM kc_s{r}"
+        for r in range(1, _KC_ROUNDS + 1)
+    ]
+    union = "\nUNION ALL\n".join(picks)
+    return spark.sql(
+        f"""
+WITH cov AS (SELECT max(dmin) AS r2 FROM kc_d{_KC_ROUNDS + 1})
+SELECT CAST(p.round AS INT) AS round,
+       CAST(p.vec_id AS BIGINT) AS center_vec_id,
+       p.sel_dist2,
+       cov.r2 AS coverage_radius2
+FROM ({union}) p CROSS JOIN cov
+ORDER BY p.round
+"""
+    )

@@ -568,6 +568,109 @@ def bpe_train_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram smoothing (the production n-gram LM)
+# ---------------------------------------------------------------------------
+# The smoothing every deployed n-gram LM actually uses (Kneser & Ney
+# 1995; Chen & Goodman 1998 interpolated form):
+#
+#   P_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1 ·)
+#               + D·N1+(w1 ·)/c(w1 ·) · N1+(· w2)/N1+(· ·)
+#
+# with absolute discount D = 0.75. The continuation probability
+# N1+(· w2)/N1+(· ·) — "in how many distinct contexts does w2
+# follow?" — is the KN insight that plain add-k misses ("Francisco" is
+# frequent but only ever follows "San").
+#
+# Every input is an exact integer from the bigram-type table: c2, the
+# prefix marginal c1, the distinct-continuation count N1+(w1 ·), the
+# distinct-predecessor count N1+(· w2), and the bigram-type total.
+# P_KN and the backoff weight λ(w1) are each ONE float expression over
+# those integers, snapped to the 1e-6 grid before the (count, bigram)
+# top-30 rank — a total order, so the LIMIT boundary is deterministic.
+#
+# Scale: the corpus-sized pass is the bigram count (map-side
+# combinable); the three marginals re-aggregate only the bigram VOCAB
+# (Zipf-bounded, corpus-sublinear) and join back on the vocab keys.
+# Spark inlines CTEs, so the bigram-type table — read by four
+# consumers — is materialized once via localCheckpoint.
+
+_KN_D = "0.75e0"
+_KN_TOP = 30
+
+
+def _kn_tail(big: str) -> str:
+    pkn = (
+        f"(greatest(CAST(b.c2 AS DOUBLE) - {_KN_D}, 0e0) / p.c1)"
+        f" + ({_KN_D} * p.n_cont / p.c1)"
+        f" * (CAST(c.n_pred AS DOUBLE) / t.n_types)"
+    )
+    lam = f"{_KN_D} * p.n_cont / p.c1"
+    return f"""
+pre AS (
+    SELECT w1,
+           CAST(sum(c2) AS BIGINT)   AS c1,
+           CAST(count(*) AS BIGINT)  AS n_cont
+    FROM {big} GROUP BY w1
+),
+cont AS (
+    SELECT w2, CAST(count(*) AS BIGINT) AS n_pred
+    FROM {big} GROUP BY w2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM {big})
+SELECT b.w1, b.w2, b.c2 AS pair_count,
+       p.c1 AS prefix_count,
+       c.n_pred AS continuation_contexts,
+       {sql_stable_round(pkn, 6)} AS p_kn,
+       {sql_stable_round(lam, 6)} AS backoff_lambda
+FROM {big} b
+JOIN pre p ON p.w1 = b.w1
+JOIN cont c ON c.w2 = b.w2
+CROSS JOIN tot t
+ORDER BY b.c2 DESC, b.w1, b.w2
+LIMIT {_KN_TOP}
+"""
+
+
+def _kn_big_sql(shingles2: str, unnest_tpl: str) -> str:
+    return f"""
+SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
+       CAST(count(*) AS BIGINT) AS c2
+FROM (SELECT {shingles2} AS sh FROM documents){unnest_tpl}
+GROUP BY 1, 2
+"""
+
+
+_KN_DUCK_SQL = (
+    "WITH big AS ("
+    + _kn_big_sql(
+        duck_word_shingles(DUCK_TOKENS.format(col="text"), 2),
+        ", UNNEST(sh) AS t(s)",
+    )
+    + ")\n"
+    + _kn_tail("big").replace("\npre AS", "\n, pre AS", 1)
+)
+
+
+@register("lm_kneser_ney_bigram", oracle=_KN_DUCK_SQL)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigrams with interpolated Kneser-Ney probabilities:
+    discounted MLE + continuation-probability backoff (D = 0.75).
+
+    The bigram-type table feeds four consumers (prefix marginal,
+    continuation marginal, type total, final select); Spark inlines
+    CTEs, so it is materialized once via localCheckpoint.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        _kn_big_sql(
+            spark_word_shingles(SPARK_TOKENS.format(col="text"), 2),
+            " LATERAL VIEW explode(sh) t AS s",
+        )
+    ).localCheckpoint(eager=True).createOrReplaceTempView("kn_big")
+    return spark.sql("WITH " + _kn_tail("kn_big").lstrip())
+
+
+# ---------------------------------------------------------------------------
 # Held-out bigram perplexity (the CCNet-style LM filter, properly split)
 # ---------------------------------------------------------------------------
 # ``doc_unigram_surprisal`` scores docs against corpus-wide unigram

@@ -24,6 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_sum,
+    sql_stable_round,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
@@ -89,3 +93,115 @@ def reco_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reco_capped"
     )
     return spark.sql(_cosine_tail("reco_capped"))
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 ALS: one alternating-least-squares round over the
+# customer x brand rating matrix
+# ---------------------------------------------------------------------------
+# The matrix-factorization training kernel (Koren et al. 2009) at rank
+# 1, where each half-step has a closed form and the whole round is
+# relational algebra:
+#
+#   r(u,b) = total quantity customer u bought of brand b (exact BIGINT)
+#   init   v0(b) = 1            ->  u1(u) = sum_b r(u,b) / |b(u)|
+#   update v1(b) = sum_u r(u,b)*u1(u) / sum_u u1(u)^2   (observed u only)
+#
+# plus the per-brand RMSE of r ~ u1*v1 — the convergence signal a
+# driver-looped higher-rank ALS would test (rank k swaps the scalar
+# divisions for k x k normal-equation solves per entity; the join/agg
+# plan is unchanged, which is the point of shipping the rank-1 form).
+#
+# Float discipline: u1 is one snapped division of exact integers; the
+# v1 numerator/denominator and the squared-error sums are cross-row
+# float sums -> sql_exact_sum (1e-6-snapped terms, DECIMAL
+# accumulation), so accumulation order cannot flip a digit.
+#
+# Scale: ratings are ONE orders JOIN lineitem JOIN part pass, then every
+# stage aggregates or joins on (u) or (b) keys — no pairs anywhere;
+# brand cardinality is bounded, user cardinality shuffles hash-
+# partitioned. The ratings relation feeds three consumers (u-step,
+# v-step, error pass) and u1 feeds two; Spark inlines CTEs, so both
+# are materialized via localCheckpoint.
+
+_ALS_RATINGS_SQL = """
+SELECT o_custkey AS u, p_brand AS b,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN part ON p_partkey = l_partkey
+GROUP BY o_custkey, p_brand
+"""
+
+_ALS_UFAC_TPL = """
+SELECT u,
+       floor((CAST(sum(r) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS uf
+FROM {ratings} GROUP BY u
+"""
+
+
+def _als_tail(ratings: str, ufac: str) -> str:
+    num = sql_exact_sum("CAST(rt.r AS DOUBLE) * uf.uf", 6)
+    den = sql_exact_sum("uf.uf * uf.uf", 6)
+    sse = sql_exact_sum(
+        "(CAST(rt.r AS DOUBLE) - uf.uf * vs.vf)"
+        " * (CAST(rt.r AS DOUBLE) - uf.uf * vs.vf)", 6
+    )
+    return f"""
+vfac AS (
+    SELECT rt.b,
+           CAST(count(*) AS BIGINT) AS n_users,
+           {num} AS num,
+           {den} AS den
+    FROM {ratings} rt JOIN {ufac} uf ON uf.u = rt.u
+    GROUP BY rt.b
+),
+vs AS (
+    SELECT b, n_users,
+           {sql_stable_round("num / den", 6)} AS vf
+    FROM vfac
+),
+err AS (
+    SELECT rt.b,
+           {sse} AS sse,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {ratings} rt
+    JOIN {ufac} uf ON uf.u = rt.u
+    JOIN vs ON vs.b = rt.b
+    GROUP BY rt.b
+)
+SELECT vs.b AS brand,
+       vs.n_users,
+       vs.vf AS item_factor,
+       {sql_stable_round("sqrt(err.sse / err.n)", 6)} AS rmse
+FROM vs JOIN err ON err.b = vs.b
+ORDER BY vs.b
+"""
+
+
+_ALS_DUCK_SQL = (
+    "WITH ratings AS (" + _ALS_RATINGS_SQL + "),\n"
+    + "ufac AS (" + _ALS_UFAC_TPL.format(ratings="ratings") + "),\n"
+    + _als_tail("ratings", "ufac").replace("\nvfac AS", "\n vfac AS", 1)
+)
+
+
+@register("reco_als_rank1_round", oracle=_ALS_DUCK_SQL)
+def reco_als_rank1_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One closed-form rank-1 ALS round over customer x brand
+    quantities: per-brand item factor after the u-step/v-step pair,
+    with per-brand RMSE as the convergence signal.
+
+    Ratings feed three stages and the user factors two; Spark inlines
+    CTEs, so both are materialized via localCheckpoint.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_ALS_RATINGS_SQL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("als_ratings")
+    spark.sql(_ALS_UFAC_TPL.format(ratings="als_ratings")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("als_ufac")
+    return spark.sql("WITH " + _als_tail("als_ratings", "als_ufac").lstrip())

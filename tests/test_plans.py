@@ -619,6 +619,26 @@ def test_session4_additions_python_free(spark):
         assert r.python_free, name
 
 
+def test_session5_batch6_python_free(spark):
+    """Kneser-Ney bigrams, greedy k-center selection, rank-1 ALS:
+    all pure DataFrame/SQL — a python stage in any of them would mean
+    the operator fell off the JVM fast path."""
+    for name in (
+        "lm_kneser_ney_bigram",
+        "selection_kcenter_greedy",
+        "reco_als_rank1_round",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_als_join_keys_not_cartesian(spark):
+    """Every ALS stage joins on the (u) or (b) key — a cartesian
+    product would mean the rating matrix went pairwise."""
+    r = plan_report(QUERIES["reco_als_rank1_round"].fn(spark, SF))
+    assert "CartesianProduct" not in r.text
+
+
 def test_item_item_cf_pair_join_not_cartesian(spark):
     """The capped self-join must be an equi-join on the user key —
     a cartesian/nested-loop product here is the quadratic blowup the

@@ -201,6 +201,9 @@ QUERY_SET = [
     "text_token_llr",
     "retrieval_maxsim_colbert",
     "lm_unigram_em_round",
+    "lm_kneser_ney_bigram",
+    "selection_kcenter_greedy",
+    "reco_als_rank1_round",
 ]
 
 
