@@ -43,6 +43,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     multimodal,
     warehouse,
     rag,
+    mlstats,
 )
 
 # ---------------------------------------------------------------------------
@@ -151,7 +152,9 @@ _PRIORITY = [
     # events_kleinberg_bursts, join_asof_nearest, graph_brand_kcore,
     # text_token_llr, retrieval_maxsim_colbert, lm_unigram_em_round,
     # lm_kneser_ney_bigram, selection_kcenter_greedy,
-    # reco_als_rank1_round.
+    # reco_als_rank1_round, quality_isotonic_calibration,
+    # quality_conformal_interval, agg_spearman_rank_corr,
+    # dq_mahalanobis_outliers, er_sorted_neighborhood.
     "text_bm25_ranking",
     "events_psi_value_drift",
     "dq_mutual_information",

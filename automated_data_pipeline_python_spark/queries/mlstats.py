@@ -1,0 +1,475 @@
+"""Statistical-ML evaluation operators: isotonic calibration, split
+conformal prediction, rank correlation, Mahalanobis outliers, and
+sorted-neighborhood entity-resolution blocking.
+
+The model-eval layer a curation pipeline runs on top of its scores:
+PAVA-isotonic recalibration of the quality classifier's reliability
+curve, distribution-free conformal intervals around a point predictor,
+Spearman rank correlation between bounded measures (the monotone-
+association check Pearson misses), covariance-aware 2-feature outlier
+scoring, and the classic windowed-blocking candidate generator for
+record linkage.
+
+All pure Spark SQL with value-identical DuckDB oracles. Float
+discipline per repo invariants: exact-integer inputs wherever
+possible, ``sql_exact_sum`` for every cross-row float sum, snap to the
+1e-6 grid before any compare/rank, integer ceil-division via
+Spark ``DIV`` / DuckDB ``//``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_sum,
+    sql_stable_round,
+)
+from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.queries.curation2 import (
+    _CALIB_DUCK_SQL,
+    _CALIB_SPARK_SQL,
+)
+from automated_data_pipeline_python_spark.tables import load, load_scaled
+
+# ---------------------------------------------------------------------------
+# Isotonic recalibration of the reliability curve (PAVA via minimax)
+# ---------------------------------------------------------------------------
+# quality_calibration_bins shows the classifier's raw reliability curve
+# is non-monotone in places; the standard fix is isotonic regression
+# (pool-adjacent-violators) over the bins, which is what sklearn's
+# CalibratedClassifierCV(method="isotonic") fits. PAVA's sequential
+# pooling has an exact closed form — the minimax identity
+#
+#   iso(i) = max_{j<=i} min_{k>=i} wavg(pass, [j..k])
+#
+# (Robertson, Wright & Dykstra 1988) — which IS relational algebra
+# over the bounded bin set: all O(B^3) range averages from a triple
+# self-join of <=10 rows, then a min/max cascade. Every weighted
+# average is one snapped division of exact integers.
+#
+# Scale: the corpus-sized work is the bin construction (inherited from
+# quality_calibration_bins: one featurize pass + bounded score
+# histogram); everything here runs on <=10 rows. The bins relation
+# feeds five consumers; Spark inlines CTEs, so it is materialized.
+
+
+def _iso_tail(bins: str) -> str:
+    return f"""
+rng AS (
+    SELECT j.decile AS jd, k.decile AS kd,
+           {sql_stable_round(
+               "CAST(sum(b.n_gopher_pass) AS DOUBLE) / sum(b.n_docs)", 6)}
+               AS wavg
+    FROM {bins} j
+    JOIN {bins} k ON j.decile <= k.decile
+    JOIN {bins} b ON b.decile >= j.decile AND b.decile <= k.decile
+    GROUP BY j.decile, k.decile
+),
+innermin AS (
+    SELECT i.decile AS i, r.jd, min(r.wavg) AS mn, max(r.wavg) AS mx
+    FROM {bins} i
+    JOIN rng r ON r.jd <= i.decile AND r.kd >= i.decile
+    GROUP BY i.decile, r.jd
+),
+iso AS (
+    -- nondecreasing fit: max_j min_k; nonincreasing (antitonic) fit:
+    -- min_j max_k — the direction this classifier actually has (its
+    -- AUC < 0.5 is documented in quality_auc_rank), so the antitonic
+    -- column carries the information while the isotonic one collapses
+    -- to the grand mean.
+    SELECT i AS decile, max(mn) AS iso_rate, min(mx) AS antitonic_rate
+    FROM innermin GROUP BY i
+)
+SELECT b.decile,
+       b.n_docs,
+       {sql_stable_round(
+           "CAST(b.n_gopher_pass AS DOUBLE) / b.n_docs", 6)} AS raw_rate,
+       iso.iso_rate,
+       iso.antitonic_rate
+FROM {bins} b JOIN iso ON iso.decile = b.decile
+ORDER BY b.decile
+"""
+
+
+_ISO_DUCK_SQL = (
+    "WITH bins AS (SELECT decile, n_docs, n_gopher_pass FROM ("
+    + _CALIB_DUCK_SQL
+    + ") z),\n"
+    + _iso_tail("bins").replace("\nrng AS", "\n rng AS", 1)
+)
+
+
+@register("quality_isotonic_calibration", oracle=_ISO_DUCK_SQL)
+def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) fit of the Gopher-pass rate over score deciles
+    via the exact minimax identity — the monotone recalibration of
+    quality_calibration_bins' reliability curve.
+
+    The bounded bin relation feeds five consumers; Spark inlines CTEs,
+    so it is materialized once via localCheckpoint.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        "SELECT decile, n_docs, n_gopher_pass FROM ("
+        + _CALIB_SPARK_SQL
+        + ") z"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("iso_bins")
+    return spark.sql("WITH " + _iso_tail("iso_bins").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Split conformal prediction interval (distribution-free coverage)
+# ---------------------------------------------------------------------------
+# The modern uncertainty wrapper (Vovk et al.; Angelopoulos & Bates
+# 2023): fit any point predictor, take the ceil((n+1)(1-a))-th
+# smallest absolute residual on a held-out calibration split as the
+# interval half-width q-hat, and the test-set interval y-hat +/- q-hat
+# covers with probability >= 1-a, NO distributional assumptions. The
+# point predictor here is the fixed linear rule chars ~ 6*tokens (swap
+# in any trained regressor; the plan does not change). Residuals are
+# exact integers; the conformal quantile is read off the residual
+# histogram's cumulative counts with the rank computed by integer
+# ceil-division — no corpus-wide rank window.
+#
+# Scale: one featurize pass split by doc_id parity, one bounded
+# residual histogram (values bounded by the doc-length range), one
+# test-side coverage aggregation. The scored relation feeds both
+# splits; Spark inlines CTEs, so it is materialized.
+
+_CONF_ALPHA_PCT = 95  # 1 - alpha as integer percent
+
+
+def _conformal_tail(pred: str, idiv) -> str:
+    k = idiv(f"{_CONF_ALPHA_PCT} * (nc.n + 1) + 99", "100")
+    return f"""
+calib AS (SELECT resid FROM {pred} WHERE doc_id % 2 = 0),
+test AS (SELECT resid FROM {pred} WHERE doc_id % 2 = 1),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calib),
+kq AS (SELECT nc.n, CAST({k} AS BIGINT) AS k FROM nc),
+hist AS (SELECT resid, CAST(count(*) AS BIGINT) AS c FROM calib GROUP BY resid),
+chist AS (
+    SELECT resid, CAST(sum(c) OVER (ORDER BY resid) AS BIGINT) AS cum
+    FROM hist
+),
+qhat AS (
+    SELECT min(ch.resid) AS q FROM chist ch CROSS JOIN kq
+    WHERE ch.cum >= kq.k
+),
+cov AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.resid <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+    FROM test t CROSS JOIN qhat q
+)
+SELECT kq.n AS n_calib,
+       cov.n_test,
+       CAST(q.q AS BIGINT) AS qhat,
+       {sql_stable_round("CAST(cov.n_covered AS DOUBLE) / cov.n_test", 6)}
+           AS coverage,
+       {_CONF_ALPHA_PCT}e-2 AS target_level
+FROM kq CROSS JOIN qhat q CROSS JOIN cov
+"""
+
+
+def _conformal_pred_sql(ntok: str) -> str:
+    return f"""
+SELECT doc_id, abs(n_chars - 6 * CAST({ntok} AS BIGINT)) AS resid
+FROM (SELECT doc_id, n_chars, {{tok}} AS toks FROM documents)
+"""
+
+
+_CONF_DUCK_SQL = (
+    "WITH pred AS ("
+    + _conformal_pred_sql("len(toks)").format(
+        tok="regexp_split_to_array(trim(text), '\\s+')"
+    )
+    + "),\n"
+    + _conformal_tail("pred", lambda a, b: f"({a}) // ({b})").replace(
+        "\ncalib AS", "\n calib AS", 1
+    )
+)
+
+
+@register("quality_conformal_interval", oracle=_CONF_DUCK_SQL)
+def quality_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal interval around the chars ~ 6*tokens predictor:
+    calibration-split conformal quantile (exact integer rank, histogram
+    read-off) and the resulting test-split empirical coverage vs the
+    95% target.
+
+    The residual relation feeds both splits; Spark inlines CTEs, so it
+    is materialized once via localCheckpoint.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        _conformal_pred_sql("size(toks)").format(
+            tok="split(trim(text), '\\\\s+')"
+        )
+    ).localCheckpoint(eager=True).createOrReplaceTempView("conf_pred")
+    return spark.sql(
+        "WITH "
+        + _conformal_tail(
+            "conf_pred", lambda a, b: f"({a}) DIV ({b})"
+        ).lstrip()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation battery (monotone association)
+# ---------------------------------------------------------------------------
+# The rank sibling of agg_corr_regression's Pearson: Spearman's rho is
+# Pearson over average ranks, robust to monotone-nonlinear coupling
+# and outliers. Computed the only way that scales: ranks come from the
+# bounded DISTINCT-VALUE histograms (quantity has <=50 cells, discount
+# and tax <=11 each), never a corpus-wide rank window. Tie handling is
+# the standard average-rank convention in INTEGERS — a value with cum
+# rows at-or-below it and c members has doubled avg rank
+# 2*cum - c + 1 — and every cross moment comes from the bounded JOINT
+# histograms (quantity x discount <= 550 cells), so after one corpus
+# projection and three pair-count aggregations everything runs on
+# bounded relations. Moment sums use sql_exact_sum at grid 0 (terms
+# are exact-integer-valued doubles; DECIMAL accumulation is order-
+# independent where a raw BIGINT sum would overflow at large sf).
+
+_SP_ROWS_SQL = """
+SELECT CAST(l_quantity AS BIGINT) AS q,
+       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+       CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+FROM lineitem
+"""
+
+
+def _spearman_tail(rows: str) -> str:
+    def rank_cte(h: str) -> str:
+        return (
+            f"SELECT val, c, CAST(2 * sum(c) OVER (ORDER BY val) - c + 1"
+            f" AS BIGINT) AS r2 FROM {h}"
+        )
+
+    def rho(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> str:
+        return sql_stable_round(
+            f"(m.n * m.{sxy} - m.{sx} * m.{sy})"
+            f" / (sqrt(m.n * m.{sxx} - m.{sx} * m.{sx})"
+            f" * sqrt(m.n * m.{syy} - m.{sy} * m.{sy}))",
+            6,
+        )
+
+    es = lambda e: sql_exact_sum(e, 0)  # noqa: E731
+    return f"""
+qd AS (SELECT q, d, CAST(count(*) AS BIGINT) AS c FROM {rows} GROUP BY q, d),
+qt AS (SELECT q, t, CAST(count(*) AS BIGINT) AS c FROM {rows} GROUP BY q, t),
+dt AS (SELECT d, t, CAST(count(*) AS BIGINT) AS c FROM {rows} GROUP BY d, t),
+qh AS (SELECT q AS val, CAST(sum(c) AS BIGINT) AS c FROM qd GROUP BY q),
+dh AS (SELECT d AS val, CAST(sum(c) AS BIGINT) AS c FROM qd GROUP BY d),
+th AS (SELECT t AS val, CAST(sum(c) AS BIGINT) AS c FROM qt GROUP BY t),
+qr AS ({rank_cte("qh")}),
+dr AS ({rank_cte("dh")}),
+tr AS ({rank_cte("th")}),
+m AS (
+    SELECT
+        CAST((SELECT sum(c) FROM qh) AS DOUBLE) AS n,
+        (SELECT {es("CAST(c AS DOUBLE) * r2")} FROM qr)        AS sq,
+        (SELECT {es("CAST(c AS DOUBLE) * r2")} FROM dr)        AS sd,
+        (SELECT {es("CAST(c AS DOUBLE) * r2")} FROM tr)        AS st,
+        (SELECT {es("CAST(c AS DOUBLE) * r2 * r2")} FROM qr)   AS sqq,
+        (SELECT {es("CAST(c AS DOUBLE) * r2 * r2")} FROM dr)   AS sdd,
+        (SELECT {es("CAST(c AS DOUBLE) * r2 * r2")} FROM tr)   AS stt,
+        (SELECT {es("CAST(p.c AS DOUBLE) * a.r2 * b.r2")}
+         FROM qd p JOIN qr a ON a.val = p.q JOIN dr b ON b.val = p.d) AS sqd,
+        (SELECT {es("CAST(p.c AS DOUBLE) * a.r2 * b.r2")}
+         FROM qt p JOIN qr a ON a.val = p.q JOIN tr b ON b.val = p.t) AS sqt,
+        (SELECT {es("CAST(p.c AS DOUBLE) * a.r2 * b.r2")}
+         FROM dt p JOIN dr a ON a.val = p.d JOIN tr b ON b.val = p.t) AS sdt
+)
+SELECT 'quantity' AS var_x, 'discount' AS var_y,
+       CAST(m.n AS BIGINT) AS n, {rho("sqd", "sq", "sd", "sqq", "sdd")} AS rho
+FROM m
+UNION ALL
+SELECT 'quantity', 'tax', CAST(m.n AS BIGINT),
+       {rho("sqt", "sq", "st", "sqq", "stt")}
+FROM m
+UNION ALL
+SELECT 'discount', 'tax', CAST(m.n AS BIGINT),
+       {rho("sdt", "sd", "st", "sdd", "stt")}
+FROM m
+"""
+
+
+_SP_DUCK_SQL = (
+    "WITH rows_ AS (" + _SP_ROWS_SQL + "),\n"
+    + _spearman_tail("rows_").replace("\nqd AS", "\n qd AS", 1)
+)
+
+
+@register("agg_spearman_rank_corr", oracle=_SP_DUCK_SQL)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation battery over (quantity, discount,
+    tax): average-rank tie convention in exact doubled integers, ranks
+    and cross moments read entirely off bounded value histograms.
+
+    The projected row relation feeds three joint-histogram
+    aggregations; Spark inlines CTEs, so it is materialized once.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(_SP_ROWS_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "sp_rows"
+    )
+    return spark.sql("WITH " + _spearman_tail("sp_rows").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis 2-feature outlier scoring (covariance-aware DQ screen)
+# ---------------------------------------------------------------------------
+# events_mad_outliers screens one column at a time; correlated features
+# need the covariance-aware distance or they flag the wrong rows (a
+# high-balance high-activity customer is normal; high-balance
+# ZERO-activity is the anomaly). With 2 features the precision matrix
+# has a closed 2x2 inverse, so d^2 is one expression over five moment
+# sums — the exact shape production DQ monitors use for
+# low-dimensional profile outliers.
+#
+# Features: account balance in exact cents, order count per customer
+# (LEFT JOIN: dormant customers keep 0 — they are the interesting
+# tail). Moments via sql_exact_sum at grid 0; means/covariances are
+# single divisions of identical exact inputs (bit-identical cross-
+# engine); d^2 snaps to the 1e-6 grid before the (d2, custkey) top-20.
+#
+# Scale: one customer-orders left-join aggregation (hash-keyed), one
+# moment aggregation, one map-only scoring pass, TakeOrdered top-20.
+# The feature relation feeds the moment pass and the scorer; Spark
+# inlines CTEs, so it is materialized.
+
+_MAHA_FEATS_SQL = """
+SELECT c.c_custkey,
+       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS y
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+"""
+
+
+def _maha_tail(feats: str) -> str:
+    es = lambda e: sql_exact_sum(e, 0)  # noqa: E731
+    d2 = (
+        "((f.x - m.mx) * (f.x - m.mx) * m.vyy"
+        " - 2 * (f.x - m.mx) * (f.y - m.my) * m.vxy"
+        " + (f.y - m.my) * (f.y - m.my) * m.vxx)"
+        " / (m.vxx * m.vyy - m.vxy * m.vxy)"
+    )
+    return f"""
+mom AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {es("CAST(x AS DOUBLE)")} AS sx,
+           {es("CAST(y AS DOUBLE)")} AS sy,
+           {es("CAST(x AS DOUBLE) * x")} AS sxx,
+           {es("CAST(y AS DOUBLE) * y")} AS syy,
+           {es("CAST(x AS DOUBLE) * y")} AS sxy
+    FROM {feats}
+),
+m AS (
+    SELECT n, sx / n AS mx, sy / n AS my,
+           sxx / n - (sx / n) * (sx / n) AS vxx,
+           syy / n - (sy / n) * (sy / n) AS vyy,
+           sxy / n - (sx / n) * (sy / n) AS vxy
+    FROM mom
+)
+SELECT f.c_custkey,
+       {sql_stable_round("CAST(f.x AS DOUBLE) / 100", 2)} AS acctbal,
+       f.y AS n_orders,
+       {sql_stable_round(d2, 6)} AS maha_d2
+FROM {feats} f CROSS JOIN m
+ORDER BY maha_d2 DESC, f.c_custkey
+LIMIT 20
+"""
+
+
+_MAHA_DUCK_SQL = (
+    "WITH feats AS (" + _MAHA_FEATS_SQL + "),\n"
+    + _maha_tail("feats").replace("\nmom AS", "\n mom AS", 1)
+)
+
+
+@register("dq_mahalanobis_outliers", oracle=_MAHA_DUCK_SQL)
+def dq_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by 2-feature Mahalanobis distance over
+    (account balance, order count) with the closed-form 2x2 precision
+    matrix — the covariance-aware outlier screen.
+
+    The feature relation feeds the moment pass and the scorer; Spark
+    inlines CTEs, so it is materialized once via localCheckpoint.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(_MAHA_FEATS_SQL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("maha_feats")
+    return spark.sql("WITH " + _maha_tail("maha_feats").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity-resolution blocking
+# ---------------------------------------------------------------------------
+# The OTHER classic ER candidate generator (Hernandez & Stolfo 1995),
+# complementing fuzzy_levenshtein_pairs' block self-join and
+# dedup_prefix_filter_join's prefix filtering: sort records by a
+# blocking key, slide a window of size w, and emit only
+# window-adjacent pairs — O(n*w) candidates instead of O(sum block^2).
+# Within each block the pairing is lead(1)/lead(2) over the
+# (name, key) sort — a total order, so the candidate set is
+# deterministic.
+#
+# Scale: the window partitions on the blocking key (first word +
+# second-word initial). On this fixed-vocabulary corpus that is ~200
+# blocks — honest caveat: a production deployment keys on a
+# data-diverse prefix (sort-key first k chars) so block cardinality
+# grows with the corpus; the plan (partitioned sort + lead) is
+# unchanged. Work per block is linear in block size (sort + two
+# leads), never quadratic.
+
+_SNM_LEV = 3
+_SNM_SQL = f"""
+WITH keyed AS (
+    SELECT p_partkey, p_name,
+           split_part(p_name, ' ', 1) || '|'
+               || substr(split_part(p_name, ' ', 2), 1, 1) AS blk
+    FROM part
+),
+w AS (
+    SELECT blk, p_partkey, p_name,
+           lead(p_partkey, 1) OVER
+               (PARTITION BY blk ORDER BY p_name, p_partkey) AS k1,
+           lead(p_name, 1) OVER
+               (PARTITION BY blk ORDER BY p_name, p_partkey) AS n1,
+           lead(p_partkey, 2) OVER
+               (PARTITION BY blk ORDER BY p_name, p_partkey) AS k2,
+           lead(p_name, 2) OVER
+               (PARTITION BY blk ORDER BY p_name, p_partkey) AS n2
+    FROM keyed
+),
+cand AS (
+    SELECT blk, p_partkey AS key_a, k1 AS key_b, p_name AS name_a,
+           n1 AS name_b, CAST(levenshtein(p_name, n1) AS INT) AS lev
+    FROM w WHERE n1 IS NOT NULL
+    UNION ALL
+    SELECT blk, p_partkey, k2, p_name, n2,
+           CAST(levenshtein(p_name, n2) AS INT)
+    FROM w WHERE n2 IS NOT NULL
+)
+SELECT blk, key_a, key_b, name_a, name_b, lev
+FROM cand
+WHERE lev <= {_SNM_LEV} AND key_a != key_b
+"""
+
+
+@register("er_sorted_neighborhood", oracle=_SNM_SQL)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs over part names: block on
+    (first word, second-word initial), sort by (name, key), pair each
+    record with its next two neighbors, keep pairs within edit
+    distance 3."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SNM_SQL)

@@ -627,6 +627,11 @@ def test_session5_batch6_python_free(spark):
         "lm_kneser_ney_bigram",
         "selection_kcenter_greedy",
         "reco_als_rank1_round",
+        "quality_isotonic_calibration",
+        "quality_conformal_interval",
+        "agg_spearman_rank_corr",
+        "dq_mahalanobis_outliers",
+        "er_sorted_neighborhood",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -86,10 +86,11 @@ ROUND5_TOUCHED = [
 OUT_OF_WINDOW_MODULES = {
     "relational2", "relational3", "relational4", "relational5",
     "windows2", "curation", "rag", "text", "multimodal",
-    # Session-4 additions (sequential-decision analytics, item-item
-    # CF): no slot left this round; first evidence comes from the
-    # full-catalog replay artifact, rotating into the r6 window.
-    "experiments2", "reco",
+    # Session-4/5 additions (sequential-decision analytics, item-item
+    # CF + rank-1 ALS, the mlstats eval family): no slot left this
+    # round; first evidence comes from the full-catalog replay
+    # artifact, rotating into the r6 window.
+    "experiments2", "reco", "mlstats",
 }
 
 
