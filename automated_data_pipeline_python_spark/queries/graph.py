@@ -536,3 +536,81 @@ def graph_brand_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kcore_edges"
     )
     return spark.sql(_KCORE_SQL.format(edges="kcore_edges"))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (2 unrolled iterations)
+# ---------------------------------------------------------------------------
+# Kleinberg's HITS (1999), the eigenvector sibling of PageRank that
+# separates "points at good things" (hub) from "is pointed at"
+# (authority) — on the weighted co-purchase digraph the same
+# _EDGES_SQL builds for PageRank. Two unrolled rounds of the mutual
+# recursion a <- E^T h, h <- E a, each L2-normalized:
+#
+#   a1 = normalize(col-sums of w)        (h0 = 1; exact integers)
+#   h1 = normalize(E a1)                 (exact-sum of snapped terms)
+#   a2 = normalize(E^T h1)
+#
+# Float discipline: the a1 pre-normalization sums are exact BIGINTs;
+# every subsequent cross-row sum is sql_exact_sum at 1e-9, every
+# normalized score snaps to 1e-6 before feeding the next round (the
+# power-iteration discipline — embedding_power_iteration:205).
+#
+# Scale: the one corpus-sized stage is the edge build (shared with
+# PageRank); both iterations run on the bounded brand graph
+# (|V| <= brands, |E| <= brands^2), so the whole refinement is
+# broadcast-sized at any corpus scale.
+
+
+def _hits_tail(edges: str) -> str:
+    es = sql_exact_sum
+    r = sql_stable_round
+    return f"""
+a1p AS (
+    SELECT dst, CAST(sum(w) AS BIGINT) AS s FROM {edges} GROUP BY dst
+),
+a1n AS (SELECT sqrt({es("CAST(s AS DOUBLE) * s", 0)}) AS nrm FROM a1p),
+a1 AS (SELECT dst, {r("CAST(s AS DOUBLE) / nrm", 6)} AS a FROM a1p, a1n),
+h1p AS (
+    SELECT e.src, {es("e.w * a1.a", 9)} AS s
+    FROM {edges} e JOIN a1 ON a1.dst = e.dst
+    GROUP BY e.src
+),
+h1n AS (SELECT sqrt({es("s * s", 9)}) AS nrm FROM h1p),
+h1 AS (SELECT src, {r("s / nrm", 6)} AS h FROM h1p, h1n),
+a2p AS (
+    SELECT e.dst, {es("e.w * h1.h", 9)} AS s
+    FROM {edges} e JOIN h1 ON h1.src = e.src
+    GROUP BY e.dst
+),
+a2n AS (SELECT sqrt({es("s * s", 9)}) AS nrm FROM a2p)
+SELECT a2p.dst AS brand,
+       {r("a2p.s / a2n.nrm", 6)} AS authority,
+       h1.h AS hub
+FROM a2p CROSS JOIN a2n
+JOIN h1 ON h1.src = a2p.dst
+ORDER BY brand
+"""
+
+
+_HITS_DUCK = (
+    "WITH edges AS (" + _EDGES_SQL + "),\n"
+    + _hits_tail("edges").replace("\na1p AS", "\n a1p AS", 1)
+)
+
+
+@register("graph_brand_hits", oracle=_HITS_DUCK)
+def graph_brand_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled HITS iterations on the weighted brand co-purchase
+    digraph: per-brand authority and hub scores, L2-normalized each
+    round with the power-iteration float discipline.
+
+    The edge relation feeds three matrix-product stages; Spark inlines
+    CTEs, so it is materialized once via localCheckpoint.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "hits_edges"
+    )
+    return spark.sql("WITH " + _hits_tail("hits_edges").lstrip())

@@ -1102,3 +1102,68 @@ def lm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tk",
         ).lstrip()
     )
+
+
+# ---------------------------------------------------------------------------
+# word2vec negative-sampling distribution (unigram^0.75 table)
+# ---------------------------------------------------------------------------
+# The sampling table every skip-gram/contrastive trainer builds before
+# the first gradient step (Mikolov et al. 2013): negatives are drawn
+# with p(w) proportional to count(w)^0.75 — the exponent that lifts the
+# tail enough to make rare-word negatives appear. This query builds the
+# top-40 rows of that table with cumulative interval boundaries (the
+# inverse-CDF form a sampler binary-searches into).
+#
+# Float discipline: count^0.75 = exp(0.75*ln(c)) snaps to the 1e-6
+# grid the moment it is computed (exp/ln can differ by an ulp
+# cross-engine); the normalizer is an exact sum of the snapped
+# weights; the cumulative boundary is a running sum of the SAME
+# snapped integers (DECIMAL accumulation, order fixed by the
+# (count DESC, term) total order). The cumulative window runs over
+# the VOCABULARY relation — corpus-sublinear, the invariant-
+# sanctioned cumulative-window class.
+
+
+def _negtable_sql(word_extract: str, unnest_words: str) -> str:
+    w75 = "floor(exp(0.75 * ln(CAST(cnt AS DOUBLE))) * 1e6 + 0.5) / 1e6"
+    tot = sql_exact_sum("w75", 6)
+    return f"""
+WITH terms AS (
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT {word_extract} AS ws FROM documents){unnest_words}
+    GROUP BY w
+),
+pw AS (SELECT term, cnt, {w75} AS w75 FROM terms),
+tot AS (SELECT {tot} AS tw FROM pw),
+cum AS (
+    SELECT term, cnt, w75,
+           CAST(sum(CAST(floor(w75 * 1e6 + 0.5) AS DECIMAL(38,0)))
+                OVER (ORDER BY cnt DESC, term) AS DOUBLE) / 1e6 AS cw
+    FROM pw
+)
+SELECT c.term, c.cnt,
+       {sql_stable_round("c.w75 / t.tw", 6)} AS p_neg,
+       {sql_stable_round("c.cw / t.tw", 6)} AS cum_boundary
+FROM cum c CROSS JOIN tot t
+ORDER BY c.cnt DESC, c.term
+LIMIT 40
+"""
+
+
+_NEG_SPARK_SQL = _negtable_sql(
+    "regexp_extract_all(text, '[a-z]+', 0)",
+    " LATERAL VIEW explode(ws) t AS w",
+)
+
+_NEG_DUCK_SQL = _negtable_sql(
+    "regexp_extract_all(text, '[a-z]+')",
+    ", UNNEST(ws) AS t(w)",
+)
+
+
+@register("lm_negative_sampling_table", oracle=_NEG_DUCK_SQL)
+def lm_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 rows of the unigram^0.75 negative-sampling table with
+    cumulative inverse-CDF boundaries — the skip-gram/contrastive
+    trainer's sampling distribution, built exactly."""
+    return _docs_sql(spark, sf_dir, _NEG_SPARK_SQL)

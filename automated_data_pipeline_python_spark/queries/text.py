@@ -618,3 +618,175 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     no double is accumulated in engine-dependent order.
     """
     return _docs_sql(spark, sf_dir, _rake_sql(_RAKE_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS local document similarity)
+# ---------------------------------------------------------------------------
+# Schleimer, Wilkerson & Aiken 2003: hash every k-char gram, slide a
+# w-hash window, keep each window's MINIMUM hash — the fingerprint set
+# is position-local (guaranteed to catch any match of length >= w+k-1)
+# where minhash sampling is not. The plagiarism-detector / code-clone
+# primitive, complementing text_fingerprints' stride sampling and the
+# minhash family's set sketches.
+#
+# Scale: the k-gram explode is map-only (<= n_chars rows per doc); the
+# window minimum PARTITIONS BY doc (per-doc linear work, fully
+# distributed); fingerprint doc-frequencies cap the pair join at
+# df <= 8 per fingerprint — the repo's hot-shingle guard, so the pair
+# stage is bounded per key and never O(n^2); boilerplate fingerprints
+# (df > cap) are dropped exactly as production MOSS drops
+# over-shared grams.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_stable_round as _snap,
+)
+
+_WINNOW_K = 8   # k-gram length (chars)
+_WINNOW_W = 4   # window size (hashes)
+_WINNOW_DF_CAP = 8
+
+
+def _winnow_fp_sql(hash60, explode_tpl: str) -> str:
+    """The (doc_id, fingerprint) relation — explode, window-min, distinct."""
+    return f"""
+SELECT DISTINCT doc_id, minh
+FROM (
+    SELECT doc_id, i, maxpos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS minh
+    FROM (
+        SELECT doc_id, i, maxpos, {hash60(f"substr(s, CAST(i AS INT), {_WINNOW_K})")} AS h
+        FROM (
+            SELECT doc_id, s, length(s) - {_WINNOW_K} + 1 AS maxpos,
+                   {{seq}} AS idx
+            FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+            WHERE length(s) >= {_WINNOW_K + _WINNOW_W - 1}
+        ){explode_tpl}
+    ) hashed
+) wins
+WHERE i <= maxpos - {_WINNOW_W - 1}
+"""
+
+
+def _winnow_tail(fp: str) -> str:
+    return f"""
+kept AS (
+    SELECT minh FROM {fp} GROUP BY minh
+    HAVING count(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
+),
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM {fp} GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM {fp} a
+    JOIN kept k ON k.minh = a.minh
+    JOIN {fp} b ON b.minh = a.minh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.shared_fps,
+       {_snap("CAST(p.shared_fps AS DOUBLE) / least(sa.nfp, sb.nfp)", 6)}
+           AS overlap_coeff
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b
+LIMIT 30
+"""
+
+
+_WINNOW_DUCK_SQL = (
+    "WITH fp AS ("
+    + _winnow_fp_sql(duck_hash60, ", UNNEST(idx) AS t(i)").format(
+        seq=(
+            f"CASE WHEN length(s) >= {_WINNOW_K} THEN "
+            f"generate_series(1, length(s) - {_WINNOW_K} + 1) ELSE [] END"
+        )
+    )
+    + "),\n"
+    + _winnow_tail("fp").replace("\nkept AS", "\n kept AS", 1)
+)
+
+
+@register("text_winnowing_fingerprints", oracle=_WINNOW_DUCK_SQL)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 document pairs by shared winnowing fingerprints (k=8
+    char-grams, w=4 window minima, df-capped pair join) with the
+    overlap coefficient — the MOSS local-similarity primitive.
+
+    The fingerprint relation feeds four consumers (df cap, both pair
+    sides, per-doc sizes); Spark inlines CTEs, so it is materialized
+    once via localCheckpoint.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        _winnow_fp_sql(spark_hash60, " LATERAL VIEW explode(idx) t AS i").format(
+            seq=(
+                f"CASE WHEN length(s) >= {_WINNOW_K} THEN "
+                f"sequence(1, length(s) - {_WINNOW_K} + 1) ELSE array() END"
+            )
+        )
+    ).localCheckpoint(eager=True).createOrReplaceTempView("win_fp")
+    return spark.sql("WITH " + _winnow_tail("win_fp").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing coverage + Chao1 vocabulary richness
+# ---------------------------------------------------------------------------
+# The unseen-mass diagnostics read off the frequency-of-frequencies
+# table: Good-Turing's missing-mass estimate P0 = N1/N (the fraction
+# of the NEXT corpus expected to be unseen types — the smoothing mass
+# every n-gram LM redistributes) and the bias-corrected Chao1 richness
+# estimate V + N1(N1-1)/(2(N2+1)) (how many types exist including
+# never-sampled ones). Pure integer arithmetic until two final snapped
+# divisions.
+#
+# Scale: one corpus-sized term count, one vocabulary-sized
+# frequency-of-frequencies aggregation, one scalar rollup.
+
+
+def _goodturing_sql(word_extract: str, unnest_words: str) -> str:
+    return f"""
+WITH terms AS (
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT {word_extract} AS ws FROM documents){unnest_words}
+    GROUP BY w
+),
+fof AS (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM terms GROUP BY c),
+agg AS (
+    SELECT CAST(sum(c * nc) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN nc ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN c = 2 THEN nc ELSE 0 END) AS BIGINT) AS n2
+    FROM fof
+)
+SELECT vocab, n_tokens, n1 AS singletons, n2 AS doubletons,
+       {_snap("CAST(n1 AS DOUBLE) / n_tokens", 6)} AS p_unseen,
+       {_snap("1e0 - CAST(n1 AS DOUBLE) / n_tokens", 6)} AS coverage,
+       {_snap(
+           "vocab + CAST(n1 AS DOUBLE) * (n1 - 1) / (2 * (n2 + 1))", 4)}
+           AS chao1_richness
+FROM agg
+"""
+
+
+_GT_SPARK_SQL = _goodturing_sql(
+    "regexp_extract_all(text, '[a-z]+', 0)",
+    " LATERAL VIEW explode(ws) t AS w",
+)
+
+_GT_DUCK_SQL = _goodturing_sql(
+    "regexp_extract_all(text, '[a-z]+')",
+    ", UNNEST(ws) AS t(w)",
+)
+
+
+@register("corpus_good_turing_chao1", oracle=_GT_DUCK_SQL)
+def corpus_good_turing_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing mass + bias-corrected Chao1 richness from
+    the frequency-of-frequencies table — the corpus coverage
+    diagnostics an LM-data pipeline reads before committing a crawl."""
+    return _docs_sql(spark, sf_dir, _GT_SPARK_SQL)

@@ -743,3 +743,60 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapped-pow + exact-sum normalization."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_temp_mix_sql(f"size({_S_TOK})"))
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced mixture weights (effective number of samples)
+# ---------------------------------------------------------------------------
+# Cui et al. 2019: reweighting by raw inverse frequency over-corrects
+# because marginal samples overlap — the effective number of samples
+# in a class of size n is E_n = (1 - beta^n)/(1 - beta), and the
+# class-balanced weight is proportional to 1/E_n. The third member of
+# the mixture family: domain weights re-balance by token share,
+# temperature weights flatten by alpha-power, class-balanced weights
+# saturate by beta-geometric overlap.
+#
+# Float discipline: beta^n = exp(n*ln(beta)) snaps to the 1e-9 grid
+# the moment it is computed (libm exp/ln can differ by an ulp
+# cross-engine and n amplifies it); E_n and 1/E_n are then single
+# divisions of identical doubles; the normalizer is an exact sum of
+# 1e-9-snapped inverse weights over the bounded source relation.
+#
+# Scale: one corpus-sized source count, then everything runs on the
+# bounded source list.
+
+_CB_BETA = "0.999e0"
+
+
+def _cb_weights_sql() -> str:
+    bn = f"floor(exp(n * ln({_CB_BETA})) * 1e9 + 0.5) / 1e9"
+    inv = "floor((1e0 / eff_n) * 1e9 + 0.5) / 1e9"
+    wsum = _mx_exact_sum("invw", 9)
+    return f"""
+WITH src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY source
+),
+eff AS (
+    SELECT source, n,
+           floor(((1e0 - {bn}) / (1e0 - {_CB_BETA})) * 1e6 + 0.5) / 1e6
+               AS eff_n
+    FROM src
+),
+iw AS (SELECT source, n, eff_n, {inv} AS invw FROM eff),
+tot AS (SELECT {wsum} AS tw FROM iw)
+SELECT i.source, i.n AS n_docs, i.eff_n,
+       floor((i.invw / t.tw) * 1e6 + 0.5) / 1e6 AS cb_weight
+FROM iw i CROSS JOIN tot t
+ORDER BY i.source
+"""
+
+
+@register("mixture_class_balanced_weights", oracle=_cb_weights_sql())
+def mixture_class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source class-balanced weights via the effective number of
+    samples E_n = (1-beta^n)/(1-beta), beta = 0.999 — saturating
+    re-balancing that neither over-corrects tiny sources (raw inverse
+    frequency) nor ignores them (proportional)."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_cb_weights_sql())
