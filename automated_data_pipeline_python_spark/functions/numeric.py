@@ -97,3 +97,26 @@ def sql_exact_sum(expr: str, grid_digits: int) -> str:
 def sql_exact_avg(expr: str, grid_digits: int) -> str:
     """SQL form of :func:`exact_avg` — valid in Spark SQL *and* DuckDB."""
     return f"{sql_exact_sum(expr, grid_digits)} / count({expr})"
+
+
+def sql_normal_two_sided_p(absz: str) -> str:
+    """Two-sided normal p-value ``2·(1 − Φ(|z|))`` as portable SQL.
+
+    Neither Spark SQL nor DuckDB ships ``erf``, so this is the
+    Abramowitz–Stegun 26.2.17 polynomial (|err| < 7.5e-8) written as one
+    arithmetic expression over ``exp``/``*``/``+`` — both engines
+    evaluate the identical text, and callers snap the result to the
+    1e-6 grid, so the sub-grid approximation error and any libm ulp
+    drift both vanish. ``absz`` must be a non-negative expression
+    (pass ``abs(z)``), itself already snapped per the float-boundary
+    discipline.
+    """
+    k = f"(1e0 / (1e0 + 0.2316419e0 * ({absz})))"
+    poly = (
+        f"{k} * (0.31938153e0 + {k} * (-0.356563782e0 + {k} * "
+        f"(1.781477937e0 + {k} * (-1.821255978e0 + {k} * 1.330274429e0))))"
+    )
+    return (
+        f"(2e0 * 0.3989422804014327e0 * exp(-(({absz}) * ({absz})) / 2e0)"
+        f" * {poly})"
+    )

@@ -621,3 +621,89 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the click vs purchase value distributions."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_KS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (Wilcoxon rank-sum) test
+# ---------------------------------------------------------------------------
+# The rank-based sibling of the KS test above: KS asks "are the CDFs
+# anywhere apart", Mann–Whitney asks "does one sample stochastically
+# dominate" — the robust two-sample location screen that ignores
+# outliers a t-test would chase. Same click-vs-purchase value framing.
+#
+# Everything stays integer until the final z: ranks come from the
+# bounded DISTINCT-cents grid (the distinct-value-CDF discipline — the
+# same unpartitioned-window-over-the-grid shape the KS query pins),
+# average midranks for a tied group double to exact integers
+# (2·rank = 2·cum_before + t + 1), so the doubled rank sum 2·R1, the
+# doubled statistic 2·U1 = 2·R1 − n1(n1+1), and the tie correction
+# Σ(t³−t) are all exact DECIMAL sums. z (normal approximation with the
+# standard tie-corrected variance) is one float expression over those
+# integers, snapped; the two-sided p runs abs(z) through the shared
+# A&S normal-CDF polynomial (sql_normal_two_sided_p) and snaps.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_normal_two_sided_p,
+)
+
+_MW_Z = """(
+    (CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+          AS DOUBLE) / 2e0
+     - CAST(n1 AS DOUBLE) * n2 / 2e0)
+    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12e0
+           * ((n1 + n2 + 1e0)
+              - CAST(tie3 AS DOUBLE)
+                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+)"""
+
+_MW_SQL = f"""
+WITH vals AS (
+    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+grid AS (
+    SELECT cents,
+           CAST(sum(is_x) AS BIGINT) AS cx,
+           CAST(sum(1 - is_x) AS BIGINT) AS cy
+    FROM vals GROUP BY cents
+),
+ranked AS (
+    SELECT cents, cx, cy, cx + cy AS t,
+           CAST(coalesce(sum(cx + cy) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+    FROM grid
+),
+agg AS (
+    SELECT CAST(sum(cx) AS BIGINT) AS n1,
+           CAST(sum(cy) AS BIGINT) AS n2,
+           CAST(sum(CAST(cx AS DECIMAL(38,0)) * (2 * cum_before + t + 1))
+                AS DECIMAL(38,0)) AS r1x2,
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+                AS DECIMAL(38,0)) AS tie3
+    FROM ranked
+),
+zed AS (
+    SELECT n1, n2,
+           floor((CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                       AS DOUBLE) / 2e0) * 1e6 + 0.5) / 1e6 AS u_stat,
+           floor({_MW_Z} * 1e6 + 0.5) / 1e6 AS z_score
+    FROM agg
+)
+SELECT n1 AS n_click, n2 AS n_purchase, u_stat, z_score,
+       floor({sql_normal_two_sided_p("abs(z_score)")} * 1e6 + 0.5) / 1e6
+           AS p_value
+FROM zed
+"""
+
+
+@register("events_mann_whitney_u", oracle=_MW_SQL)
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test of the click vs purchase value
+    distributions: exact tie-corrected midranks off the distinct-cents
+    grid, normal-approximation z, and two-sided p."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MW_SQL)

@@ -389,3 +389,102 @@ def events_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|| CAST(rep AS STRING), 256), 1, 7), 16, 10) AS BIGINT)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR screen over the hour-of-day metric family
+# ---------------------------------------------------------------------------
+# The multiple-comparisons step every metric dashboard needs once it
+# tests more than one cell: 24 simultaneous z-tests ("does hour h's
+# mean purchase value differ from the global mean?") produce 24
+# p-values, and naive α=0.05 thresholding would expect >1 false
+# positive; BH (1995) controls the false-discovery rate instead —
+# sort p ascending, find the largest k with p_(k) ≤ k·α/m, reject the
+# k smallest.
+#
+# Float discipline: all moments are exact DECIMAL sums of integer
+# cents (and squared cents); each z is ONE expression over those
+# integers, snapped; p comes from the shared A&S normal polynomial,
+# snapped BEFORE the rank (the snap-before-compare invariant — the
+# rank is a compare); the BH boundary compares the snapped p to the
+# snapped k·α/m with the hour as rank tiebreak. The rank/cumulative
+# windows run over the 24-row hourly relation — bounded by the clock,
+# not the corpus.
+#
+# Scale: ONE corpus-sized aggregation to 24 rows; everything after is
+# driver-trivial yet expressed relationally.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_normal_two_sided_p,
+)
+
+_BH_ALPHA_OVER_M = "5e-2 / 24e0"
+
+_BH_SQL = f"""
+WITH pv AS (
+    SELECT CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+hourly AS (
+    SELECT hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                AS DECIMAL(38,0)) AS s2
+    FROM pv GROUP BY hr
+),
+overall AS (
+    SELECT CAST(sum(n) AS BIGINT) AS ng,
+           CAST(sum(s) AS DECIMAL(38,0)) AS sg,
+           CAST(sum(s2) AS DECIMAL(38,0)) AS s2g
+    FROM hourly
+),
+zed AS (
+    SELECT h.hr, h.n,
+           floor((CAST(h.s AS DOUBLE) / h.n / 1e2) * 1e6 + 0.5) / 1e6
+               AS mean_value,
+           floor(((CAST(h.s AS DOUBLE) / h.n - CAST(g.sg AS DOUBLE) / g.ng)
+                  / sqrt((CAST(g.s2g AS DOUBLE) / g.ng
+                          - (CAST(g.sg AS DOUBLE) / g.ng)
+                            * (CAST(g.sg AS DOUBLE) / g.ng)) / h.n))
+                 * 1e6 + 0.5) / 1e6 AS z_score
+    FROM hourly h CROSS JOIN overall g
+),
+pvals AS (
+    SELECT hr, n, mean_value, z_score,
+           floor({sql_normal_two_sided_p("abs(z_score)")} * 1e6 + 0.5) / 1e6
+               AS p_value
+    FROM zed
+),
+ranked AS (
+    SELECT hr, n, mean_value, z_score, p_value,
+           CAST(row_number() OVER (ORDER BY p_value, hr) AS BIGINT) AS p_rank
+    FROM pvals
+),
+thresh AS (
+    SELECT hr, n, mean_value, z_score, p_value, p_rank,
+           floor((CAST(p_rank AS DOUBLE) * {_BH_ALPHA_OVER_M})
+                 * 1e6 + 0.5) / 1e6 AS bh_cutoff
+    FROM ranked
+),
+cut AS (
+    SELECT coalesce(max(p_rank), CAST(0 AS BIGINT)) AS kstar
+    FROM thresh WHERE p_value <= bh_cutoff
+)
+SELECT t.hr AS hour_of_day, t.n AS n_purchases, t.mean_value,
+       t.z_score, t.p_value, t.p_rank, t.bh_cutoff,
+       (t.p_rank <= c.kstar) AS rejected
+FROM thresh t CROSS JOIN cut c
+ORDER BY hour_of_day
+"""
+
+
+@register("events_bh_fdr_screen", oracle=_BH_SQL)
+def events_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24 simultaneous hour-of-day mean-purchase-value z-tests with
+    Benjamini–Hochberg FDR control at α=0.05: per-hour z, p, BH rank,
+    step-up cutoff, and the reject decision."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BH_SQL)

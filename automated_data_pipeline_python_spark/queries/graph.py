@@ -614,3 +614,67 @@ def graph_brand_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits_edges"
     )
     return spark.sql("WITH " + _hits_tail("hits_edges").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the brand-family partition
+# ---------------------------------------------------------------------------
+# The community-quality score (Newman & Girvan 2004) every clustering
+# of a graph is judged by: Q = Σ_c [ in_c/W − (deg_c/W)² ], where W is
+# the total directed edge weight, in_c the weight inside community c,
+# and deg_c the weighted degree of c. Communities here are the brand
+# families (first digit of 'Brand#xy' — TPC-H's 5 manufacturer
+# groups), making this the null-hypothesis check on whether
+# manufacturer structure shows up in co-purchase behavior (on uniform
+# TPC-H baskets it should sit near 0 — that near-zero IS the signal).
+#
+# Everything is exact BIGINT until the two final divisions per
+# community, snapped. The corpus-sized stage is the shared edge
+# build; the modularity terms are three aggregations of the bounded
+# edge relation (|E| <= brands²).
+
+
+def _modularity_tail(edges: str) -> str:
+    r = sql_stable_round
+    q = (
+        "CAST(coalesce(i.iw, 0) AS DOUBLE) / t.tw"
+        " - (CAST(d.dw AS DOUBLE) / t.tw) * (CAST(d.dw AS DOUBLE) / t.tw)"
+    )
+    return f"""
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM {edges}),
+deg AS (
+    SELECT substr(src, 7, 1) AS com, CAST(sum(w) AS BIGINT) AS dw,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_brands
+    FROM {edges} GROUP BY substr(src, 7, 1)
+),
+intra AS (
+    SELECT substr(src, 7, 1) AS com, CAST(sum(w) AS BIGINT) AS iw
+    FROM {edges}
+    WHERE substr(src, 7, 1) = substr(dst, 7, 1)
+    GROUP BY substr(src, 7, 1)
+)
+SELECT d.com AS community, d.n_brands,
+       coalesce(i.iw, 0) AS internal_w, d.dw AS degree_w,
+       {r(q, 6)} AS q_contrib
+FROM deg d
+LEFT JOIN intra i ON i.com = d.com
+CROSS JOIN tot t
+ORDER BY community
+"""
+
+
+@register(
+    "graph_brand_modularity",
+    oracle="WITH edges AS (" + _EDGES_SQL + "),\n"
+    + _modularity_tail("edges").replace("\ntot AS", "\n tot AS", 1),
+)
+def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman modularity contributions of the
+    brand-family partition of the co-purchase graph — exact integer
+    weights, two snapped divisions per community."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "mod_edges"
+    )
+    return spark.sql("WITH " + _modularity_tail("mod_edges").lstrip())
