@@ -473,3 +473,102 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 3."""
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_SNM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record-linkage scoring
+# ---------------------------------------------------------------------------
+# The decision layer on top of er_sorted_neighborhood's candidate
+# generator (Fellegi & Sunter 1969 — the model behind Splink and every
+# census linker): each compared field contributes log2(m/u) when it
+# agrees and log2((1-m)/(1-u)) when it disagrees, where m = P(agree |
+# match) and u = P(agree | non-match). m is the usual fixed prior
+# (0.9); u is ESTIMATED FROM THE DATA as the random-agreement
+# probability of the field — Σ c_v(c_v−1) / N(N−1) over the field's
+# value histogram, an exact integer ratio (the u-estimation shortcut
+# every FS implementation ships).
+#
+# Float discipline: each u is an exact-integer ratio snapped to 1e-9;
+# each field weight is one log2 expression over that snapped u,
+# snapped to 1e-6; the pair score is a fixed 4-term expression of
+# snapped weights (single-expression arithmetic, no cross-row float
+# sum), snapped before the top-30 rank with (key_a, key_b) tiebreak.
+#
+# Scale: candidates are O(n·w) from the partitioned
+# sorted-neighborhood window (never a block self-join); the four u
+# estimates are value-histogram aggregates (bounded by each field's
+# domain); attribute lookups are two keyed joins on p_partkey.
+
+_FS_M = "0.9e0"  # P(field agrees | records match) — fixed prior
+
+
+def _fs_u(field: str) -> str:
+    # Random-agreement probability: sum_v c_v(c_v-1) / N(N-1), exact
+    # integers until one snapped division.
+    return f"""
+    SELECT floor((CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
+                  / (CAST(max(n) AS DOUBLE) * (max(n) - 1)))
+                 * 1e9 + 0.5) / 1e9 AS u
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS n
+        FROM part GROUP BY {field}
+    ) h
+"""
+
+
+def _fs_w(u_rel: str, agree: str) -> str:
+    # Snapped agree/disagree weight for one field.
+    m = _FS_M
+    return (
+        f"floor((CASE WHEN {agree} THEN log2({m} / {u_rel}.u) "
+        f"ELSE log2((1e0 - {m}) / (1e0 - {u_rel}.u)) END) * 1e6 + 0.5) / 1e6"
+    )
+
+
+_FS_FIELDS = [
+    ("brand", "p_brand", "ub"),
+    ("fword", "split_part(p_name, ' ', 1)", "uc"),
+    ("psize", "p_size", "us"),
+    ("ptype", "p_type", "ut"),
+]
+
+_FS_SQL = (
+    "WITH cand AS (SELECT key_a, key_b FROM (" + _SNM_SQL.replace(
+        "SELECT blk, key_a, key_b, name_a, name_b, lev",
+        "SELECT key_a, key_b, lev",
+        1,
+    ) + ") c),\n"
+    + ",\n".join(f"{alias} AS ({_fs_u(col)})" for _, col, alias in _FS_FIELDS)
+    + f""",
+scored AS (
+    SELECT c.key_a, c.key_b,
+           (a.p_brand = b.p_brand) AS agree_brand,
+           (split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)) AS agree_fword,
+           (a.p_size = b.p_size) AS agree_size,
+           (a.p_type = b.p_type) AS agree_type,
+           {_fs_w("ub", "a.p_brand = b.p_brand")}
+           + {_fs_w("uc", "split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)")}
+           + {_fs_w("us", "a.p_size = b.p_size")}
+           + {_fs_w("ut", "a.p_type = b.p_type")} AS raw_score
+    FROM cand c
+    JOIN part a ON a.p_partkey = c.key_a
+    JOIN part b ON b.p_partkey = c.key_b
+    CROSS JOIN ub CROSS JOIN uc CROSS JOIN us CROSS JOIN ut
+)
+SELECT key_a, key_b, agree_brand, agree_fword, agree_size, agree_type,
+       floor(raw_score * 1e6 + 0.5) / 1e6 AS fs_score
+FROM scored
+ORDER BY fs_score DESC, key_a, key_b
+LIMIT 30
+"""
+)
+
+
+@register("er_fellegi_sunter", oracle=_FS_SQL)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter match scores over the sorted-neighborhood
+    candidate pairs: data-estimated u probabilities per field, fixed
+    m=0.9, log2 agree/disagree weights, top-30 pairs."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_FS_SQL)
