@@ -969,8 +969,9 @@ def text_token_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-char substrings by frequency (RANK-based, so the vocab is
 # scale-invariant where an absolute cutoff breaks) plus every single
 # char (segmentability guarantee). The E-step enumerates ALL
-# segmentations per word via a recursive CTE — ≤ 2^(len−1) ≤ 128
-# paths for ≤ 8-char words, exact rather than heuristic — carrying
+# segmentations per word via a recursive CTE — the words CTE caps
+# length(w) <= 12, so ≤ 2^(len−1) ≤ 2048 paths per word no matter
+# what the corpus contains, exact rather than heuristic — carrying
 # (pos, cost, path); cost adds −ln p(piece) per step and snaps to the
 # 1e-9 grid each extension (the recursion discipline), so both
 # engines walk identical doubles; argmin per word tiebreaks on the
@@ -983,8 +984,16 @@ def _unigram_sql(
 ) -> str:
     return f"""
 words AS (
+    -- length(w) <= 12 bounds the E-step: the exhaustive segmentation
+    -- enumeration is <= 2^(len-1) <= 2048 paths per word. Without the
+    -- guard one 40-char token (URL, hex hash — guaranteed in a web
+    -- corpus) explodes the recursion exponentially. Dropping over-long
+    -- tokens is the standard tokenizer-training truncation
+    -- (SentencePiece max_sentencepiece_length ancestry) and is
+    -- mirrored verbatim in the DuckDB oracle (shared SQL).
     SELECT w, CAST(count(*) AS BIGINT) AS wf
     FROM (SELECT {idx_word} AS w FROM tok_exploded)
+    WHERE length(w) <= 12
     GROUP BY w
 ),
 subs AS (
@@ -1087,21 +1096,39 @@ _UNIGRAM_GEN2_DUCK = """
 def lm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One EM round of a unigram-LM (SentencePiece-style) tokenizer:
     rank-seeded subword vocab → exact minimum-cost segmentation per
-    distinct word (exhaustive recursive enumeration) → re-estimated
-    piece probabilities."""
+    distinct word (exhaustive recursive enumeration, bounded by the
+    length(w) <= 12 guard in the words CTE) → re-estimated piece
+    probabilities.
+
+    The recursion-limit confs are raised only for the duration of this
+    call: the 30-row result is materialized eagerly (localCheckpoint)
+    and the previous limits restored in a ``finally`` — the shared
+    session is never left with a 1e8 row limit.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cteRecursionLevelLimit", "spark.sql.cteRecursionRowLimit")
+    }
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(
-        "WITH RECURSIVE tok_exploded AS ("
-        f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
-        "FROM documents),\n"
-        + _unigram_sql(
-            _UNIGRAM_GEN2_SPARK,
-            "explode(split(path, ' '))",
-            "tk",
-        ).lstrip()
-    )
+    try:
+        return spark.sql(
+            "WITH RECURSIVE tok_exploded AS ("
+            f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
+            "FROM documents),\n"
+            + _unigram_sql(
+                _UNIGRAM_GEN2_SPARK,
+                "explode(split(path, ' '))",
+                "tk",
+            ).lstrip()
+        ).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ in DuckDB (its year() is BIGINT, Spark's is INT).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automated_data_pipeline_python_spark.functions.numeric import (
@@ -462,10 +462,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The max is taken over ROUNDED revenue so the float comparison is
     engine-stable (see functions/numeric.py). Spark computes the
-    aggregate ONCE and applies a global-window max — no CTE
-    re-execution (Spark inlines CTEs; a second reference would
-    recompute the sum with a different partition order and could
-    round differently at a .xx5 boundary).
+    aggregate ONCE — ``localCheckpoint`` materializes it so the scalar
+    max and the equality probe read the same rounded rows (Spark
+    inlines CTEs; a second reference would recompute the sum with a
+    different partition order and could round differently at a .xx5
+    boundary). The max itself is a scalar ``agg`` broadcast-joined
+    back: a global-window max would move every per-supplier row to a
+    single partition, which dies once supplier grows with the corpus.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1998-01-01 00:00:00"))
@@ -476,10 +479,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias(
             "total_revenue"
         )
+    ).localCheckpoint(eager=True)
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
     )
-    top = revenue.withColumn(
-        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_revenue"))
     return (
         top.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -1,0 +1,98 @@
+"""No unlisted single-partition WindowExec anywhere in the catalog.
+
+A Window node fed by `Exchange SinglePartition` serializes its entire
+input through one task — the classic silent scale-killer (fine at
+sf0.1, dead at 100 TB). The repo invariant allows global windows ONLY
+over provably bounded relations:
+
+- constant-k top-k outputs (`ORDER BY ... LIMIT k` feeding a rank);
+- value HISTOGRAMS (`GROUP BY value` over a snapped/integer domain —
+  cardinality bounded by the value grid, not the corpus);
+- fixed-size seed/vocab relations (rank-capped, e.g. `rk <= 40`).
+
+Every allowlisted query below was audited (tools/audit_global_windows.py)
+and falls in one of those classes — the justification is the comment.
+A new query that plans a single-partition window without being added
+here (with a bounded-input justification) fails this test.
+"""
+
+from __future__ import annotations
+
+import re
+
+from automated_data_pipeline_python_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+# query -> bounded-input justification (audited 2026-08, round 6)
+ALLOWED = {
+    "agg_spearman_rank_corr": "rank CDF over value histograms (quantity/discount/tax domains)",
+    "doc_unigram_surprisal": "rank over token-vocab relation (Zipf-bounded, rank-capped)",
+    "er_fellegi_sunter": "u-estimate totals over per-field value histograms (brand/size/type/fword domains)",
+    "events_bh_fdr_screen": "BH rank over 24 hour-of-day test rows",
+    "events_cem_matching": "CDFs over n_events/n_days value histograms (bounded domains)",
+    "events_kleinberg_bursts": "state DP over day-granularity relation (calendar-bounded)",
+    "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
+    "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",
+    "events_sprt_ab_trajectory": "cumulative LLR over day-granularity trajectory",
+    "feature_quantile_normalize": "CDF over distinct-value histogram (snapped grid)",
+    "lineitem_abc_classification": "cumulative revenue share over brand-level aggregate (bounded brand domain)",
+    "lm_negative_sampling_table": "cumulative boundaries over top-40 rank-capped vocab",
+    "orders_interpurchase_survival": "KM curve over day-gap histogram (gap domain)",
+    "orders_pareto_concentration": "cumulative share over percentile-bucket relation (100 buckets)",
+    "quality_auc_rank": "rank-sum AUC off snapped-score histogram",
+    "quality_calibration_bins": "CDF over distinct-score histogram (snapped grid)",
+    "quality_conformal_interval": "quantile read off residual histogram (bounded residual domain)",
+    "sample_importance_dsir": "rank over ORDER BY + LIMIT 50 picked relation",
+    "sketch_heavy_hitter_terms": "rank over approx_top_k output (k=25 rows)",
+    "sketch_histogram_quantiles": "CDF over fixed-width bin histogram",
+    "text_bm25_ranking": "rank over ORDER BY + LIMIT 20 picked relation",
+    "text_tfidf_top_terms": "rank over per-term aggregate capped by rank filter (vocab-bounded)",
+    "vocab_coverage_oov_curve": "cumulative coverage over rank-capped vocab",
+    "warehouse_compaction_plan": "window over single-day partition relation (bounded by audit day)",
+    "warehouse_zone_map_skipping": "global share over file-zone aggregate (file-count relation)",
+}
+
+
+def _indent(line: str) -> int:
+    m = re.match(r"[\s:+\-*()0-9]*", line)
+    return m.end() if m else 0
+
+
+def _has_single_partition_window(plan_text: str) -> bool:
+    lines = plan_text.splitlines()
+    for i, line in enumerate(lines):
+        s = line.strip()
+        if not (s.startswith("Window") or " Window " in line):
+            continue
+        depth = _indent(line)
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _indent(nxt) <= depth:
+                break
+            if "Exchange SinglePartition" in nxt:
+                return True
+    return False
+
+
+def test_no_unlisted_single_partition_windows(spark):
+    offenders = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        text = df._jdf.queryExecution().executedPlan().toString()
+        if _has_single_partition_window(text) and name not in ALLOWED:
+            offenders.append(name)
+    assert offenders == [], (
+        "single-partition WindowExec without a bounded-input entry in "
+        f"ALLOWED: {offenders}"
+    )
+
+
+def test_allowlist_has_no_stale_entries(spark):
+    """Every ALLOWED entry still plans a global window — keeps the
+    allowlist honest when a query is redesigned away from one."""
+    stale = []
+    for name in sorted(ALLOWED):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        text = df._jdf.queryExecution().executedPlan().toString()
+        if not _has_single_partition_window(text):
+            stale.append(name)
+    assert stale == [], f"ALLOWED entries that no longer global-window: {stale}"
