@@ -57,121 +57,67 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # query module is represented. Everything else still registers and is
 # verified by tools/verify_driver.py + CI at sf0.001/sf0.01.
 _PRIORITY = [
-    # (a) new in round 5
-    "ann_pq_tuning_sweep",
-    "quality_logistic_filter",
-    "doc_unigram_surprisal",
-    "corpus_shuffle_shards",
-    "sample_token_budget",
-    "cdc_snapshot_diff",
-    "profile_orders_columns",
-    "events_zscore_bands",
-    "dedup_incremental_minhash",
-    "ann_ivf_cell_assignment",   # first round WITH an oracle (was rows-only)
-    "dedup_substring_windows",   # lm.py (new module, round 5)
-    "lm_bigram_entropy",
-    "bpe_pair_merge_counts",
-    "text_zipf_slope",
-    "pipe_syntax_nation_value",  # Spark 4 |> surface (new, round 5)
-    "events_path_patterns",      # sequence analytics (new, round 5)
-    "events_ohlc_hourly",
-    "ann_ndcg_eval",             # rank-aware ANN eval (new, round 5)
-    "text_token_pmi",            # collocation mining (new, round 5)
-    "events_retention_cohorts",  # product analytics (new, round 5)
-    "events_twap_hourly",
-    "sample_weighted_reservoir", # A-ES weighted sampling (new, round 5)
-    "events_rolling_wau",        # rolling distinct users (new, round 5)
-    "embedding_power_iteration", # PCA power-iteration kernel (new, round 5)
-    "events_markov_transitions", # behavioral transition matrix (new, round 5)
-    "rfm_customer_segments",     # quantile-cutoff RFM (new, round 5)
-    "sample_train_val_test",     # deterministic holdout split (new, round 5)
-    "contamination_semantic",    # paraphrase-robust decontam (new, round 5)
-    "basket_brand_lift",         # market-basket affinity (new, round 5)
-    "events_funnel_timing",      # conversion-latency percentiles (new, round 5)
-    "events_ewma_daily",         # recursive EWMA smoothing (new, round 5)
-    "events_activity_streaks",   # gaps-and-islands streaks (new, round 5)
-    "events_interarrival_stats", # inter-arrival percentiles (new, round 5)
-    "events_daily_acf",          # integer-moment autocorrelation (new, r5)
-    "events_last_touch_attribution",  # marketing attribution (new, round 5)
-    "graph_brand_pagerank",      # distributed PageRank (new, round 5)
-    "graph_brand_triangles",     # triangle count / clustering (new, round 5)
-    "dq_key_skew_report",        # join-key skew diagnostics (new, round 5)
-    "events_cusum_changepoints", # CUSUM level-shift monitoring (new, r5)
-    "events_ab_test_lift",       # hash-split A/B z-test (new, round 5)
-    "orders_cohort_ltv",         # cohort LTV curves (new, round 5)
-    "warehouse_incremental_agg", # incremental MV maintenance (new, r5)
-    # (a) new in round 5, session 3 (retrieval + drift families' first
-    # driver evidence). The session's other additions have no slot
-    # left and are verified by tools/verify_driver.py this round
-    # (VERIFY_FULL_r05 artifact) pending r6 window rotation:
-    # text_inverted_postings, embedding_hard_negatives,
-    # dq_benford_first_digit, events_mad_outliers,
-    # corpus_source_kl_divergence, lang_id_confusion,
-    # sample_importance_dsir, quality_gopher_rules,
-    # ann_dim_truncation_recall, events_bitmap_retention,
-    # events_seasonality_profile, orders_pareto_concentration,
-    # sketch_count_min_terms, sketch_bloom_prefilter,
-    # events_holt_forecast, events_forecast_backtest,
-    # events_multi_touch_attribution, param_marker_priority_stats,
-    # events_theil_sen_trend, orders_interpurchase_survival,
-    # dedup_ngram_containment, text_term_burstiness,
-    # events_cuped_adjustment, events_winsorized_stats,
-    # scd2_as_of_snapshot, events_session_bounce_rate,
-    # text_heaps_vocab_growth, embedding_class_separability,
-    # events_dau_mau_stickiness, graph_brand_reachability,
-    # corpus_source_js_matrix, events_peak_concurrency,
-    # events_lag_feature_matrix, orders_hhi_concentration,
-    # dedup_minhash_estimate_accuracy, lineitem_abc_classification,
-    # events_seasonal_anomalies, corpus_simpson_diversity,
-    # vocab_coverage_oov_curve, dq_chi2_independence,
-    # multimodal_frame_sample_plan, multimodal_audio_segments,
-    # dq_k_anonymity, events_latency_decade_histogram,
-    # lineitem_ols_two_factor, multimodal_image_tile_plan,
-    # warehouse_compaction_plan, warehouse_zorder_clustering,
-    # warehouse_zone_map_skipping, text_rake_phrases,
-    # graph_link_prediction, dedup_prefix_filter_join,
-    # sketch_histogram_quantiles, part_skyline_pareto,
-    # quality_calibration_bins, sketch_linear_counting,
-    # warehouse_deletion_vectors, quality_auc_rank,
-    # events_cem_matching, feature_quantile_normalize,
-    # bpe_train_merge_rounds, graph_weighted_sssp,
-    # events_cep_absence_pattern, lm_heldout_perplexity,
-    # sketch_kmv_distinct, sketch_kmv_set_ops, dq_freshness_sla,
-    # orders_association_rules, events_power_analysis,
-    # events_hysteresis_alerts, orders_ship_latency_percentiles,
-    # events_new_vs_returning_dau, events_trajectory_similarity,
-    # events_three_way_interval_join, lineitem_price_index_laspeyres,
-    # rag_reciprocal_rank_fusion, ann_lsh_multiprobe_topk,
-    # ann_multiprobe_recall_eval, mixture_temperature_weights,
-    # bpe_compression_curve, events_ucb_bandit_replay,
-    # events_sprt_ab_trajectory, events_crosscorr_lead_lag,
-    # reco_item_item_cosine, events_holt_winters_weekly,
-    # warehouse_merge_upsert, quality_brier_decomposition,
-    # text_textrank_keywords, dedup_cdc_chunks,
-    # events_bootstrap_ci_mean, events_ks_two_sample,
-    # events_kleinberg_bursts, join_asof_nearest, graph_brand_kcore,
-    # text_token_llr, retrieval_maxsim_colbert, lm_unigram_em_round,
-    # lm_kneser_ney_bigram, selection_kcenter_greedy,
-    # reco_als_rank1_round, quality_isotonic_calibration,
-    # quality_conformal_interval, agg_spearman_rank_corr,
-    # dq_mahalanobis_outliers, er_sorted_neighborhood.
-    "text_bm25_ranking",
-    "events_psi_value_drift",
-    "dq_mutual_information",
-    # (a) touched in round 5: semdedup cosine snap; heavy-hitter
-    # maxItemsTracked; broadcast-hint removal across the TPC-H star
-    # family (q7/q19/q8/dq_star dropped — same change class re-proves
-    # via q3/q5/q16, the named suspects + the planner-forced exemption)
-    "semdedup_cluster_prune",
-    "sketch_heavy_hitter_terms",
+    # (a) the 17 round-5 additions that postdate VERIFY_FULL_r05 — their
+    # only prior oracle evidence was pytest parity at sf0.001; this
+    # window converts them into hard driver rows (VERDICT r5 task 1).
+    "lm_kneser_ney_bigram",
+    "reco_als_rank1_round",
+    "selection_kcenter_greedy",
+    "agg_spearman_rank_corr",
+    "quality_isotonic_calibration",
+    "quality_conformal_interval",
+    "dq_mahalanobis_outliers",
+    "er_sorted_neighborhood",
+    "er_fellegi_sunter",
+    "graph_brand_hits",
+    "graph_brand_modularity",
+    "events_mann_whitney_u",
+    "events_bh_fdr_screen",
+    "lm_negative_sampling_table",
+    "text_winnowing_fingerprints",
+    "corpus_good_turing_chao1",
+    "mixture_class_balanced_weights",
+    # (b) semantically touched in round 6 — must re-prove:
+    "q15_top_supplier",          # window-max -> scalar agg + broadcast-back
+    "lm_unigram_em_round",       # length<=12 E-step bound (both engines)
+    # (c) new in round 6 (appended as they land):
+    # (d) green sentinels — one per query module not already covered by
+    # (a)/(b), so a regression anywhere can surface in the driver
+    # window; all r1-r5 hash-green and unchanged this round.
+    "corpus_curation_funnel",        # curation
+    "quality_gopher_rules",          # curation2
+    "dedup_minhash_lsh",             # dedup (headline)
+    "dq_star_schema_report",         # dq
+    "events_sessionization",         # events
+    "events_ab_test_lift",           # experiments
+    "events_ucb_bandit_replay",      # experiments2
+    "gapfill_monthly_orders",        # modern_sql
+    "multimodal_media_metadata",     # multimodal
+    "chunk_documents_overlap",       # rag
+    "q1_pricing_summary",            # relational
+    "pivot_status_by_priority",      # relational2
+    "q2_cheapest_supplier_per_part", # relational3
+    "agg_corr_regression",           # relational4
+    "fuzzy_levenshtein_pairs",       # relational5
+    "text_bm25_ranking",             # retrieval
+    "ann_lsh_topk",                  # similarity
+    "sketch_kmv_distinct",           # sketches
+    "events_cusum_changepoints",     # timeseries
+    "warehouse_merge_upsert",        # warehouse
+    "window_rank_battery",           # windows2
+    # (e) heavy/headline green sentinels filling the window to 50.
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q16_part_supplier_relation",
-    # Modules NOT in this round's window (relational2/relational3/
-    # relational4/relational5/windows2/curation/rag/text/multimodal)
-    # are r1-r4 hash-green, unchanged this round, and replayed by
-    # tools/verify_driver.py; the window spends its slots where they
-    # buy NEW driver evidence.
+    "q16_part_supplier_relation",    # planner-forced NAAJ broadcast exemption
+    "q8_market_share",
+    "dedup_simhash_pairs",
+    "kmeans_lloyd_refine",
+    "knn_bruteforce_topk",
+    "contamination_ngram_overlap",
+    "reco_item_item_cosine",
+    "events_kleinberg_bursts",
+    # Everything else still registers and is replayed by
+    # tools/verify_driver.py at sf0.01+sf0.1 (VERIFY_FULL_r06).
 ]
 
 

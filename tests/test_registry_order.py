@@ -1,97 +1,44 @@
 """Registry-order contract: the grading driver only records correctness
 rows for the first 50 registered queries, so the window must be spent
-where it buys new evidence. Round-5 rotation: every query ADDED or
-SEMANTICALLY TOUCHED this round re-proves (new PQ sweep, newly-oracled
-IVF assignment, semdedup cosine snap, heavy-hitter sketch bound, the
-broadcast-hint removals across the TPC-H star family), and the
+where it buys new evidence. Round-6 rotation (VERDICT r5 task 1): the
+17 round-5 additions that postdate the VERIFY_FULL_r05 replay get their
+first hard driver rows, the two queries semantically touched in round 6
+(q15 window-max rewrite, unigram-EM E-step bound) re-prove, and the
 remaining slots are green sentinels chosen so every query module is
-represented — the r1-r4 union already gave every catalog query a
-driver row, so the window's job is regression detection now.
+represented — the r1-r5 union already gave every catalog query a driver
+row, so the window's job is regression detection now.
 """
 
 from __future__ import annotations
 
 from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, oracle_sql
 
-# New in round 5 (first driver row / first hash-checked row).
-ROUND5_NEW = [
-    "ann_pq_tuning_sweep",
-    "quality_logistic_filter",
-    "doc_unigram_surprisal",
-    "corpus_shuffle_shards",
-    "sample_token_budget",
-    "cdc_snapshot_diff",
-    "profile_orders_columns",
-    "events_zscore_bands",
-    "dedup_incremental_minhash",
-    "ann_ivf_cell_assignment",
-    "dedup_substring_windows",
-    "lm_bigram_entropy",
-    "bpe_pair_merge_counts",
-    "text_zipf_slope",
-    "pipe_syntax_nation_value",
-    "events_path_patterns",
-    "events_ohlc_hourly",
-    "ann_ndcg_eval",
-    "text_token_pmi",
-    "events_retention_cohorts",
-    "events_twap_hourly",
-    "sample_weighted_reservoir",
-    "events_rolling_wau",
-    "embedding_power_iteration",
-    "events_markov_transitions",
-    "rfm_customer_segments",
-    "sample_train_val_test",
-    "contamination_semantic",
-    "basket_brand_lift",
-    "events_funnel_timing",
-    "events_ewma_daily",
-    "events_activity_streaks",
-    "events_interarrival_stats",
-    "events_daily_acf",
-    "events_last_touch_attribution",
-    "graph_brand_pagerank",
-    "graph_brand_triangles",
-    "dq_key_skew_report",
-    "events_cusum_changepoints",
-    "events_ab_test_lift",
-    "orders_cohort_ltv",
-    "warehouse_incremental_agg",
-    # session 3: retrieval + drift families' first driver evidence.
-    # The session's 17 other additions (see the deferred list in
-    # queries/__init__.py) are full-catalog-replayed this round
-    # (VERIFY_FULL_r05 artifact) and rotate into the r6 window.
-    "text_bm25_ranking",
-    "events_psi_value_drift",
-    "dq_mutual_information",
+# Post-VERIFY_FULL_r05 additions: first driver-grade evidence this round.
+ROUND6_FIRST_EVIDENCE = [
+    "lm_kneser_ney_bigram",
+    "reco_als_rank1_round",
+    "selection_kcenter_greedy",
+    "agg_spearman_rank_corr",
+    "quality_isotonic_calibration",
+    "quality_conformal_interval",
+    "dq_mahalanobis_outliers",
+    "er_sorted_neighborhood",
+    "er_fellegi_sunter",
+    "graph_brand_hits",
+    "graph_brand_modularity",
+    "events_mann_whitney_u",
+    "events_bh_fdr_screen",
+    "lm_negative_sampling_table",
+    "text_winnowing_fingerprints",
+    "corpus_good_turing_chao1",
+    "mixture_class_balanced_weights",
 ]
 
-# Semantics or plan touched in round 5; must re-prove on the driver.
-# The hint-removal change class re-proves via representatives
-# (q3/q5 relational, q8/q16 tpch2, dq_star referential checks);
-# q7/q19 rotated out to make room for the round-5 additions — same
-# change class, replayed by tools/verify_driver.py.
-ROUND5_TOUCHED = [
-    "semdedup_cluster_prune", "sketch_heavy_hitter_terms",
-    "q3_shipping_priority", "q5_region_revenue",
-    "q16_part_supplier_relation",
+# Semantics or plan touched in round 6; must re-prove on the driver.
+ROUND6_TOUCHED = [
+    "q15_top_supplier",     # global-window max -> scalar agg + broadcast-back
+    "lm_unigram_em_round",  # length<=12 E-step bound, conf restore
 ]
-
-# Modules with no window slot this round: their pre-round-5 queries
-# are r1-r4 hash-green and unchanged; session-3 additions landing in
-# them (e.g. text.lang_id_confusion) are in the deferred r6-rotation
-# list and covered by the full-catalog replay artifact this round.
-# Pinned so a module silently losing BOTH its window slot and its
-# green history fails the coverage test below.
-OUT_OF_WINDOW_MODULES = {
-    "relational2", "relational3", "relational4", "relational5",
-    "windows2", "curation", "rag", "text", "multimodal",
-    # Session-4/5 additions (sequential-decision analytics, item-item
-    # CF + rank-1 ALS, the mlstats eval family): no slot left this
-    # round; first evidence comes from the full-catalog replay
-    # artifact, rotating into the r6 window.
-    "experiments2", "reco", "mlstats",
-}
 
 
 def test_priority_list_is_first_50():
@@ -101,28 +48,25 @@ def test_priority_list_is_first_50():
 
 def test_window_covers_new_and_touched():
     window = set(_PRIORITY)
-    for required in [*ROUND5_NEW, *ROUND5_TOUCHED]:
+    for required in [*ROUND6_FIRST_EVIDENCE, *ROUND6_TOUCHED]:
         assert required in window, required
 
 
 def test_window_represents_every_module():
     """Sentinel coverage: a regression in any query module must be able
-    to surface in the driver window — except the pinned out-of-window
-    modules, whose queries are r1-r4 green, unchanged this round, and
-    replayed by tools/verify_driver.py."""
+    to surface in the driver window."""
     window_mods = {
         QUERIES[n].fn.__module__.rsplit(".", 1)[1] for n in _PRIORITY
     }
     all_mods = {
         q.fn.__module__.rsplit(".", 1)[1] for q in QUERIES.values()
     }
-    assert all_mods - window_mods == OUT_OF_WINDOW_MODULES
+    assert all_mods - window_mods == set()
 
 
 def test_window_is_oracle_dense():
-    """Every window slot hash-checks (ann_ivf_cell_assignment gained an
-    oracle in round 5; the by-design rows-only queries are out of the
-    window now that their rows exist in the r1-r4 union)."""
+    """Every window slot hash-checks (the by-design rows-only queries
+    are out of the window — their rows exist in the r1-r5 union)."""
     oracles = oracle_sql()
     missing = [n for n in _PRIORITY if n not in oracles]
     assert missing == []
