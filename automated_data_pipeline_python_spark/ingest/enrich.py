@@ -79,6 +79,69 @@ def fetch_distinct_urls(
     return df.sparkSession.createDataFrame(rows, schema=schema)
 
 
+def fetch_distinct_urls_auto(
+    df: DataFrame,
+    transport_factory: Callable[[], Callable[[str], Awaitable[dict]]],
+    url_col: str = "metadata_url",
+    payload_field: str = "attributes",
+    max_concurrency: int = 15,
+    driver_side_limit: int = 10_000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Route between the driver-side and executor-side fetch by size.
+
+    The driver-side path (:func:`fetch_distinct_urls`) is lower-latency
+    for dimension-sized URL sets (no Python-worker spin-up, one pooled
+    connection set); the executor-side path
+    (:func:`fetch_distinct_urls_distributed`) is the only one that
+    survives a URL set that grows with the corpus (zero driver collect,
+    fan-out bounded by ``partitions × max_concurrency``). This wrapper
+    makes the scale path the DEFAULT above a threshold instead of an
+    opt-in: the distinct-URL count is estimated with one
+    ``approx_count_distinct`` pass (no shuffle of the full distinct
+    set, ~2% relative error — the threshold is a routing heuristic, not
+    a correctness boundary), and the driver path is taken only when the
+    estimate fits ``driver_side_limit``.
+
+    Both paths build the transport from ``transport_factory`` (the
+    driver path locally — closed after the eager fetch; the distributed
+    path per executor partition), so callers configure exactly one
+    thing. Results are identical across paths: same distinct-once
+    semantics, same (url, traits) schema.
+    """
+    est = df.agg(
+        F.approx_count_distinct(
+            F.when(
+                F.col(url_col).isNotNull() & (F.col(url_col) != ""),
+                F.col(url_col),
+            )
+        ).alias("n_urls")
+    ).collect()[0][0]
+    if est <= driver_side_limit:
+        transport = transport_factory()
+        try:
+            # eager: rows are fetched and localized before we return
+            return fetch_distinct_urls(
+                df,
+                transport,
+                url_col=url_col,
+                payload_field=payload_field,
+                max_concurrency=max_concurrency,
+            )
+        finally:
+            close = getattr(transport, "close", None)
+            if callable(close):
+                close()
+    return fetch_distinct_urls_distributed(
+        df,
+        transport_factory,
+        url_col=url_col,
+        payload_field=payload_field,
+        max_concurrency=max_concurrency,
+        partitions=partitions,
+    )
+
+
 def fetch_distinct_urls_distributed(
     df: DataFrame,
     transport_factory: Callable[[], Callable[[str], Awaitable[dict]]],

@@ -651,3 +651,14 @@ def test_item_item_cf_pair_join_not_cartesian(spark):
     r = plan_report(QUERIES["reco_item_item_cosine"].fn(spark, SF))
     assert "CartesianProduct" not in r.text
     assert "BroadcastNestedLoopJoin" not in r.text
+
+
+def test_q15_no_window_and_python_free(spark):
+    """Round-6 rewrite pin: q15's max-revenue selection must stay a
+    scalar aggregate broadcast-joined back — the previous global-window
+    max single-partitioned a supplier-sized relation. No Window node of
+    any kind belongs in this plan."""
+    r = plan_report(QUERIES["q15_top_supplier"].fn(spark, SF))
+    assert "Window" not in r.text
+    assert r.python_free
+    assert r.broadcast_joins >= 1  # the 1-row max joins back broadcast

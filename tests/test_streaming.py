@@ -452,7 +452,16 @@ def test_transform_with_state_running_totals(spark, events_dir):
     the applyInPandasWithState v1 operator pinned above. Needs the
     RocksDB provider (the only backend implementing the v2 state
     layout) AND protobuf (the v2 state-server wire protocol) — gated
-    like the Kafka-jar and PIL tests, runs wherever protobuf exists."""
+    like the Kafka-jar and PIL tests, runs wherever protobuf exists.
+
+    Why the gate can't be lifted in THIS container (audited round 6):
+    no google.protobuf runtime exists anywhere on disk (only typeshed
+    stubs), the environment prohibits pip/apt installs, and the wire
+    protocol serializes real StateMessage protos between the Python
+    worker and the JVM state server — it cannot be stubbed without
+    reimplementing protobuf encoding. The operator itself
+    (running_user_totals_tws) is import-clean and plan-builds; only
+    the end-to-end state exchange needs the runtime."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState state protocol needs protobuf",

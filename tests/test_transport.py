@@ -212,3 +212,55 @@ def test_distributed_enrichment_zero_driver_collect(spark, api_base):
     joined = enrichment_join(nfts, meta)
     with_traits = joined.where(F.col("traits").isNotNull()).count()
     assert with_traits == 40  # every URL-bearing row enriched
+
+
+def test_auto_enrichment_routes_by_distinct_count(spark, api_base):
+    """fetch_distinct_urls_auto: the distributed path is the DEFAULT
+    above the threshold, the driver path below it — and both return the
+    same (url, traits) table. Path taken is observable in the plan:
+    the driver path localizes rows (LocalTableScan / ExistingRDD,
+    fetch already done), the distributed path keeps a MapInPandas
+    stage (fetch happens on executors at collect time)."""
+    from automated_data_pipeline_python_spark.ingest.enrich import (
+        fetch_distinct_urls_auto,
+    )
+
+    n_urls = 8
+    rows = [
+        (str(i), f"{api_base}/traits/{i % n_urls}") for i in range(32)
+    ] + [("x", None), ("y", "")]
+    nfts = spark.createDataFrame(rows, ["identifier", "metadata_url"])
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # Above threshold -> executor-side fetch (MapInPandas stage).
+    _ApiHandler.meta_hits.clear()
+    dist = fetch_distinct_urls_auto(
+        nfts,
+        transport_factory=PooledHttpTransport,
+        max_concurrency=4,
+        driver_side_limit=3,
+        partitions=2,
+    )
+    assert "MapInPandas" in plan(dist)
+    dist_rows = {r.metadata_url: [t.asDict() for t in r.traits] for r in dist.collect()}
+    assert len(dist_rows) == n_urls
+    hits_dist = dict(_ApiHandler.meta_hits)
+
+    # Below threshold -> driver-side fetch (already localized).
+    _ApiHandler.meta_hits.clear()
+    drv = fetch_distinct_urls_auto(
+        nfts,
+        transport_factory=PooledHttpTransport,
+        max_concurrency=4,
+        driver_side_limit=10_000,
+    )
+    assert "MapInPandas" not in plan(drv)
+    drv_rows = {r.metadata_url: [t.asDict() for t in r.traits] for r in drv.collect()}
+    hits_drv = dict(_ApiHandler.meta_hits)
+
+    # Identical results across paths; each URL fetched exactly once by both.
+    assert drv_rows == dist_rows
+    assert hits_dist == hits_drv
+    assert all(n == 1 for p, n in hits_drv.items() if p.startswith("/traits/"))
