@@ -80,7 +80,16 @@ _PRIORITY = [
     # (b) semantically touched in round 6 — must re-prove:
     "q15_top_supplier",          # window-max -> scalar agg + broadcast-back
     "lm_unigram_em_round",       # length<=12 E-step bound (both engines)
-    # (c) new in round 6 (appended as they land):
+    # (c) new in round 6 (first driver evidence):
+    "quality_cohens_kappa",
+    "quality_ece_from_bins",
+    "er_em_mu_round",
+    "orders_nelson_aalen_hazard",
+    "orders_theil_atkinson_inequality",
+    "events_periodogram_periods",
+    "graph_label_propagation",
+    "corpus_trigram_novelty",
+    "lm_viterbi_segmentation",
     # (d) green sentinels — one per query module not already covered by
     # (a)/(b), so a regression anywhere can surface in the driver
     # window; all r1-r5 hash-green and unchanged this round.
@@ -105,17 +114,9 @@ _PRIORITY = [
     "events_cusum_changepoints",     # timeseries
     "warehouse_merge_upsert",        # warehouse
     "window_rank_battery",           # windows2
-    # (e) heavy/headline green sentinels filling the window to 50.
-    "q3_shipping_priority",
-    "q5_region_revenue",
+    # (e) heavy/headline green sentinel filling the window to 50
+    # (q16: the planner-forced NAAJ broadcast exemption stays pinned).
     "q16_part_supplier_relation",    # planner-forced NAAJ broadcast exemption
-    "q8_market_share",
-    "dedup_simhash_pairs",
-    "kmeans_lloyd_refine",
-    "knn_bruteforce_topk",
-    "contamination_ngram_overlap",
-    "reco_item_item_cosine",
-    "events_kleinberg_bursts",
     # Everything else still registers and is replayed by
     # tools/verify_driver.py at sf0.01+sf0.1 (VERIFY_FULL_r06).
 ]

@@ -488,8 +488,10 @@ def vocab_coverage_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT micro-units, so no double is summed in engine-dependent order.
 
 
-def _calib_tail(idiv: str) -> str:
-    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+def _flagged_chain() -> str:
+    """feats -> scored -> flagged: the logistic score + Gopher verdict
+    per document — shared by the calibration bins (decile tail below),
+    Cohen's kappa, and the ECE rollup in queries/mlstats.py."""
     return f"""
 ratios AS (
     SELECT doc_id, n_tok,
@@ -516,7 +518,12 @@ flagged AS (
                  AND stop_r >= 5e-2 AND dist_r > 2e-1
                 THEN 1 ELSE 0 END AS gopher_pass
     FROM scored
-),
+)"""
+
+
+def _calib_tail(idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""{_flagged_chain()},
 hist AS (
     SELECT score,
            CAST(count(*) AS BIGINT)          AS c_all,
@@ -543,15 +550,19 @@ GROUP BY 1
 """
 
 
-_CALIB_SPARK_SQL = f"""
+# Engine-specific feats headers, shared with queries/mlstats.py
+# (Cohen's kappa, ECE) so every consumer scores documents identically.
+_FEATS_SPARK_HEADER = f"""
 WITH feats AS (
     SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
     FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
-),
+)"""
+
+_CALIB_SPARK_SQL = f"""{_FEATS_SPARK_HEADER},
 {_calib_tail("CAST(({a}) DIV ({b}) AS BIGINT)")}
 """
 
-_CALIB_DUCK_SQL = f"""
+_FEATS_DUCK_HEADER = f"""
 WITH feats AS (
     SELECT doc_id,
            len(toks) AS n_tok,
@@ -560,7 +571,9 @@ WITH feats AS (
            CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
                AS sum_len
     FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
-),
+)"""
+
+_CALIB_DUCK_SQL = f"""{_FEATS_DUCK_HEADER},
 {_calib_tail("CAST(({a}) // ({b}) AS BIGINT)")}
 """
 

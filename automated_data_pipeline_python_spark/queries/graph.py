@@ -678,3 +678,68 @@ def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mod_edges"
     )
     return spark.sql("WITH " + _modularity_tail("mod_edges").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (2 synchronous rounds, weighted argmax vote)
+# ---------------------------------------------------------------------------
+# Community detection without a preset partition — the complement to
+# graph_brand_modularity, which SCORES a given partition: initialize
+# every node with its own label, then each round every node adopts the
+# label with the highest incident edge-weight sum among its neighbors
+# (Raghavan et al. 2007), ties broken by lexicographically smallest
+# label. Two synchronous rounds, fully deterministic (weights are
+# exact integers; the argmax is a partitioned rank with a total
+# tiebreak — no RNG, no update-order dependence).
+#
+# Scale: each round is one join edges->labels (hash-partitioned on the
+# node key), one (node, label) weight aggregation, one PARTITIONED
+# row_number — work O(edges) per round. The edge list is materialized
+# once (three consumers; Spark inlines CTEs).
+
+
+def _lp_round(edges: str, labels: str, out: str) -> str:
+    return f"""
+{out}_vote AS (
+    SELECT e.src AS node, l.lab, CAST(sum(e.w) AS BIGINT) AS wsum
+    FROM {edges} e JOIN {labels} l ON l.node = e.dst
+    GROUP BY e.src, l.lab
+),
+{out} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY wsum DESC, lab) AS rk
+        FROM {out}_vote
+    ) r WHERE rk = 1
+)"""
+
+
+def _lp_tail(edges: str) -> str:
+    return f"""
+labels0 AS (SELECT DISTINCT src AS node, src AS lab FROM {edges}),
+{_lp_round(edges, "labels0", "labels1").lstrip()},
+{_lp_round(edges, "labels1", "labels2").lstrip()}
+SELECT l2.node AS brand,
+       l1.lab AS label_round1,
+       l2.lab AS label_round2
+FROM labels2 l2 JOIN labels1 l1 ON l1.node = l2.node
+ORDER BY brand
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle="WITH edges AS (" + _EDGES_SQL + "),\n"
+    + _lp_tail("edges").lstrip(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous weighted label-propagation rounds on the brand
+    co-purchase graph: per-node adopted label after each round
+    (argmax incident weight, lexicographic tiebreak)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "lp_edges"
+    )
+    return spark.sql("WITH " + _lp_tail("lp_edges").lstrip())

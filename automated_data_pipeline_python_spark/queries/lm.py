@@ -1194,3 +1194,122 @@ def lm_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative inverse-CDF boundaries — the skip-gram/contrastive
     trainer's sampling distribution, built exactly."""
     return _docs_sql(spark, sf_dir, _NEG_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi (DP) minimum-cost segmentation — the bounded E-step form
+# ---------------------------------------------------------------------------
+# The same argmin the exhaustive recursive E-step above computes, as a
+# position-indexed dynamic program: best(p) = min over piece lengths
+# l=1..4 of best(p-l) + cost(piece ending at p). Work per word is
+# O(L x 4) instead of O(2^(L-1)) paths — the form that stays bounded
+# on ANY token length (each extra character adds one DP level, not a
+# doubling). The SQL unrolls the 12 levels explicitly (matching the
+# words CTE's length cap, so the two E-steps are directly comparable);
+# supporting longer words is appending levels, linear growth.
+#
+# Determinism: every candidate cost snaps to the 1e-9 grid before the
+# per-level min — identical monotone left-to-right accumulation as the
+# exhaustive enumeration, so the per-word minimum MATCHES it exactly
+# (pinned in tests/test_lm_bounds.py).
+#
+# Scale note (Spark): each bp level is referenced by up to 4 later
+# levels and the final union; Spark inlines CTEs, so each level is
+# materialized via localCheckpoint (12 tiny vocab-bounded relations) —
+# the same discipline as the unrolled k-means/PageRank rounds. DuckDB
+# materializes shared CTEs itself, so the oracle is one statement.
+
+_VIT_MAXLEN = 12
+
+
+def _vit_level_sql(p: int, bp: str, pc: str) -> str:
+    """UNION-ALL branches for DP level p reading bp{p-l} and the piece
+    cost table; returns the level's SELECT body."""
+    branches = []
+    for l in (1, 2, 3, 4):
+        if p - l < 0:
+            continue
+        branches.append(
+            f"""SELECT b.w, b.wf,
+       floor((b.cost + p.cost) * 1e9 + 0.5) / 1e9 AS c
+FROM {bp}{p - l} b JOIN {pc} p
+     ON p.len = {l} AND substr(b.w, {p - l + 1}, {l}) = p.piece
+WHERE length(b.w) >= {p}"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"SELECT w, wf, min(c) AS cost FROM (\n{body}\n) z GROUP BY w, wf"
+
+
+def _vit_done_sql(bp: str) -> str:
+    parts = [
+        f"SELECT w, wf, cost FROM {bp}{p} WHERE length(w) = {p}"
+        for p in range(1, _VIT_MAXLEN + 1)
+    ]
+    return (
+        "SELECT w AS word, CAST(wf AS BIGINT) AS freq, cost AS vit_cost\n"
+        "FROM (\n" + "\nUNION ALL\n".join(parts) + "\n) d\n"
+        "ORDER BY freq DESC, word\nLIMIT 30"
+    )
+
+
+_VIT_PC_TAIL = """
+SELECT v.piece, CAST(v.len AS INT) AS len,
+       floor((ln(CAST(t.pftot AS DOUBLE)) - ln(CAST(v.pf AS DOUBLE)))
+             * 1e9 + 0.5) / 1e9 AS cost
+FROM vocab v CROSS JOIN tot t
+"""
+
+
+def _vit_duck_sql() -> str:
+    # Every bp level is referenced by up to 4 later levels; DuckDB's
+    # inlining would expand the reference tree 4^12-fold (it ran out of
+    # file handles before finishing planning), so the shared CTEs are
+    # pinned AS MATERIALIZED — DuckDB-only syntax, which is exactly what
+    # the Spark side's per-level localCheckpoint does.
+    prefix = _unigram_sql(_UNIGRAM_GEN2_DUCK, "x", "tk").split("\nseg(")[0]
+    prefix = prefix.rstrip().rstrip(",")
+    prefix = prefix.replace("words AS (", "words AS MATERIALIZED (", 1)
+    ctes = [
+        "WITH tok_exploded AS ("
+        f"SELECT unnest({DUCK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),"
+        + prefix.lstrip()
+        + f",\npc AS MATERIALIZED ({_VIT_PC_TAIL}),",
+        "bp0 AS MATERIALIZED (SELECT w, wf, 0e0 AS cost FROM words)",
+    ]
+    for p in range(1, _VIT_MAXLEN + 1):
+        ctes.append(
+            f",\nbp{p} AS MATERIALIZED ({_vit_level_sql(p, 'bp', 'pc')})"
+        )
+    return "".join(ctes) + "\n" + _vit_done_sql("bp")
+
+
+@register("lm_viterbi_segmentation", oracle=_vit_duck_sql())
+def lm_viterbi_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word minimum segmentation cost under the unigram seed vocab,
+    computed by the position-DP (Viterbi) recurrence — O(L x 4) per
+    word vs the exhaustive E-step's O(2^(L-1)); identical minima
+    (pinned against lm_unigram_em_round's enumeration in tests)."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    prefix = _unigram_sql(_UNIGRAM_GEN2_SPARK, "x", "tk").split("\nseg(")[0]
+    prefix = prefix.rstrip().rstrip(",")
+    head = (
+        "WITH tok_exploded AS ("
+        f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),"
+        + prefix.lstrip()
+    )
+    spark.sql(head + "\nSELECT w, wf FROM words").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("vit_words")
+    spark.sql(head + "\n" + _VIT_PC_TAIL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("vit_pc")
+    spark.sql(
+        "SELECT w, wf, 0e0 AS cost FROM vit_words"
+    ).createOrReplaceTempView("vit_bp0")
+    for p in range(1, _VIT_MAXLEN + 1):
+        spark.sql(
+            _vit_level_sql(p, "vit_bp", "vit_pc")
+        ).localCheckpoint(eager=True).createOrReplaceTempView(f"vit_bp{p}")
+    return spark.sql(_vit_done_sql("vit_bp"))

@@ -29,6 +29,9 @@ from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.queries.curation2 import (
     _CALIB_DUCK_SQL,
     _CALIB_SPARK_SQL,
+    _FEATS_DUCK_HEADER,
+    _FEATS_SPARK_HEADER,
+    _flagged_chain,
 )
 from automated_data_pipeline_python_spark.tables import load, load_scaled
 
@@ -572,3 +575,214 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=0.9, log2 agree/disagree weights, top-30 pairs."""
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_FS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between the two independent document annotators
+# ---------------------------------------------------------------------------
+# The inter-annotator-agreement statistic every labeling pipeline
+# reports before trusting a filter ensemble: annotator A = the Gopher
+# rule suite (pass/fail), annotator B = the logistic quality gate
+# thresholded at 0.5. kappa = (p_o - p_e)/(1 - p_e) corrects raw
+# agreement for chance agreement under the two marginals.
+#
+# Float discipline: the 2x2 table is exact integers; margins multiply
+# as DECIMAL(38,0) (BIGINT*BIGINT overflows DuckDB at corpus scale);
+# the three ratios are single snapped divisions of exact integers cast
+# to DOUBLE (IEEE nearest — identical both engines even above 2^53).
+#
+# Scale: one featurize pass (shared _flagged_chain) -> one global
+# 4-counter aggregation. No windows, no joins.
+
+_KAPPA_TAIL = """,
+ct AS (
+    SELECT
+        CAST(sum(CASE WHEN gopher_pass = 1 AND score >= 5e-1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(sum(CASE WHEN gopher_pass = 1 AND score < 5e-1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN gopher_pass = 0 AND score >= 5e-1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN gopher_pass = 0 AND score < 5e-1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+    FROM flagged
+),
+m AS (
+    SELECT n11, n10, n01, n00,
+           n11 + n10 + n01 + n00 AS n,
+           CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+           + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00) AS chance
+    FROM ct
+)
+SELECT n11, n10, n01, n00,
+       floor((CAST(n11 + n00 AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS p_obs,
+       floor((CAST(chance AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n)) * 1e6 + 0.5) / 1e6 AS p_chance,
+       floor(((CAST(n AS DOUBLE) * (n11 + n00) - CAST(chance AS DOUBLE))
+              / (CAST(n AS DOUBLE) * n - CAST(chance AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS kappa
+FROM m
+"""
+
+_KAPPA_SPARK_SQL = _FEATS_SPARK_HEADER + "," + _flagged_chain() + _KAPPA_TAIL
+_KAPPA_DUCK_SQL = _FEATS_DUCK_HEADER + "," + _flagged_chain() + _KAPPA_TAIL
+
+
+@register("quality_cohens_kappa", oracle=_KAPPA_DUCK_SQL)
+def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher rule suite and the 0.5-
+    thresholded logistic quality gate: 2x2 agreement table, observed
+    and chance agreement, chance-corrected kappa."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_KAPPA_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error over the reliability bins
+# ---------------------------------------------------------------------------
+# The one-number rollup of quality_calibration_bins (Naeini et al.
+# 2015): ECE = sum_b (n_b/N)|acc_b - conf_b|, MCE = max_b |...| — the
+# headline calibration metrics a model card quotes. Computed directly
+# ON the decile-bin relation (<= 10 rows; its construction is the
+# corpus-sized part and is shared text with quality_calibration_bins),
+# with the weighted sum order-independent via sql_exact_sum.
+
+_ECE_TAIL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_total,
+       {sql_stable_round(
+           sql_exact_sum(
+               "CAST(n_docs AS DOUBLE)"
+               " * abs(gopher_pass_rate - mean_score)", 6)
+           + " / sum(n_docs)", 6)} AS ece,
+       {sql_stable_round("max(abs(gopher_pass_rate - mean_score))", 6)}
+           AS mce
+FROM bins
+"""
+
+
+@register(
+    "quality_ece_from_bins",
+    oracle="WITH bins AS (" + _CALIB_DUCK_SQL + ")\n" + _ECE_TAIL,
+)
+def quality_ece_from_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error of the logistic gate vs the
+    Gopher verdicts, rolled up from the decile reliability bins."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("WITH bins AS (" + _CALIB_SPARK_SQL + ")\n" + _ECE_TAIL)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter EM round: re-estimate (m, u, lambda) from the data
+# ---------------------------------------------------------------------------
+# The estimation step the fixed-prior scorer above (er_fellegi_sunter)
+# skips — and what Splink actually runs: treat match status as latent,
+# E-step = posterior match probability per candidate pair under the
+# current (m=0.9, u=data-estimate, lambda=0.5) parameters, M-step =
+# re-estimate each field's m and u as posterior-weighted agreement
+# rates, plus the new class prior lambda. One full round, closed form.
+#
+# Float discipline: the E-step posterior g is ONE arithmetic
+# expression over the four snapped u's (fixed multiplication order,
+# IEEE-deterministic) snapped to 1e-6; every M-step numerator/
+# denominator is an sql_exact_sum of on-grid values or an exact
+# integer; each output is one snapped division.
+#
+# Scale: candidates are the O(n*w) sorted-neighborhood set; the E-step
+# is map-only; the M-step is ONE global aggregation producing a single
+# row, from which the 4 field rows project (the agg row is
+# materialized in Spark — a CTE re-reference would re-run the whole
+# candidate pipeline per field).
+
+_EM_AGREE = [
+    ("brand", "a.p_brand = b.p_brand", "ub"),
+    ("fword", "split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)", "uc"),
+    ("psize", "a.p_size = b.p_size", "us"),
+    ("ptype", "a.p_type = b.p_type", "ut"),
+]
+
+
+def _em_head() -> str:
+    m_prod = " * ".join(
+        f"(CASE WHEN {cond} THEN 9e-1 ELSE 1e-1 END)"
+        for _, cond, _ in _EM_AGREE
+    )
+    u_prod = " * ".join(
+        f"(CASE WHEN {cond} THEN {al}.u ELSE 1e0 - {al}.u END)"
+        for _, cond, al in _EM_AGREE
+    )
+    agrees = ",\n           ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS a_{f}"
+        for f, cond, _ in _EM_AGREE
+    )
+    es = lambda e: sql_exact_sum(e, 6)  # noqa: E731
+    sums = ",\n        ".join(
+        f"CAST(sum(a_{f}) AS BIGINT) AS s_{f}, {es(f'g * a_{f}')} AS sg_{f}"
+        for f, _, _ in _EM_AGREE
+    )
+    return (
+        "WITH cand AS (SELECT key_a, key_b FROM ("
+        + _SNM_SQL.replace(
+            "SELECT blk, key_a, key_b, name_a, name_b, lev",
+            "SELECT key_a, key_b, lev",
+            1,
+        )
+        + ") c),\n"
+        + ",\n".join(f"{al} AS ({_fs_u(col)})" for _, col, al in _FS_FIELDS)
+        + f""",
+post AS (
+    SELECT {agrees},
+           floor((({m_prod})
+                  / (({m_prod}) + ({u_prod}))) * 1e6 + 0.5) / 1e6 AS g
+    FROM cand c
+    JOIN part a ON a.p_partkey = c.key_a
+    JOIN part b ON b.p_partkey = c.key_b
+    CROSS JOIN ub CROSS JOIN uc CROSS JOIN us CROSS JOIN ut
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+        {es('g')} AS sg,
+        {sums}
+    FROM post
+)
+SELECT * FROM agg"""
+    )
+
+
+def _em_tail(agg: str) -> str:
+    r = sql_stable_round
+    rows = []
+    for f, _, _ in _EM_AGREE:
+        rows.append(
+            f"""SELECT '{f}' AS field,
+       {r(f'sg_{f} / sg', 6)} AS m_new,
+       {r(f'(s_{f} - sg_{f}) / (CAST(n AS DOUBLE) - sg)', 6)} AS u_new,
+       {r('sg / n', 6)} AS lambda_new
+FROM {agg}"""
+        )
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY field"
+
+
+_EM_DUCK_SQL = (
+    _em_head().replace("SELECT * FROM agg", "")
+    + _em_tail("agg").replace("FROM agg", "FROM agg", 1)
+)
+
+
+@register("er_em_mu_round", oracle=_EM_DUCK_SQL)
+def er_em_mu_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Fellegi–Sunter EM round over the sorted-neighborhood
+    candidates: posterior match probabilities under (m=0.9,
+    u=data-estimated, lambda=0.5), then re-estimated per-field m/u and
+    class prior.
+
+    The fword row re-estimates to m=u=1.0 by construction — the
+    sorted-neighborhood block keys on the first word, so every
+    candidate agrees on it; the classic linkage caveat that a blocking
+    field carries no discriminating weight, surfaced rather than
+    hidden."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_em_head()).localCheckpoint(eager=True).createOrReplaceTempView(
+        "em_agg"
+    )
+    return spark.sql(_em_tail("em_agg"))

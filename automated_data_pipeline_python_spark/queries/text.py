@@ -790,3 +790,72 @@ def corpus_good_turing_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency-of-frequencies table — the corpus coverage
     diagnostics an LM-data pipeline reads before committing a crawl."""
     return _docs_sql(spark, sf_dir, _GT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty: how much of each document is first-seen text?
+# ---------------------------------------------------------------------------
+# The curation-ordering diagnostic: attribute every distinct token
+# trigram to the LOWEST doc_id containing it; a document's novelty is
+# the fraction of its distinct trigrams it introduces. Streaming-crawl
+# pipelines read this curve to see marginal new content decaying as
+# the crawl saturates — the aggregate twin of the pairwise dedup
+# family (dedup_ngram_*), attributing overlap to an origin instead of
+# enumerating pairs.
+#
+# Scale: trigrams collapse to (doc, hash) DISTINCT rows map-side; the
+# first-occurrence table is one min() aggregation keyed by the 60-bit
+# gram hash; the join back is hash-partitioned on the same key. No
+# pair enumeration anywhere — cost is O(total distinct grams), not
+# O(pairs). The gram relation feeds both sides; Spark inlines CTEs,
+# so it is materialized.
+
+
+def _novelty_grams_sql(shingles: str, hash60, unnest_tpl: str) -> str:
+    return f"""
+SELECT DISTINCT doc_id, {hash60("s")} AS g
+FROM (SELECT doc_id, {shingles} AS sh FROM documents){unnest_tpl}
+"""
+
+
+def _novelty_tail(grams: str) -> str:
+    return f"""
+WITH first_seen AS (
+    SELECT g, min(doc_id) AS first_doc FROM {grams} GROUP BY g
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       {_snap(
+           "CAST(sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / count(*)", 6)} AS novelty
+FROM {grams} w JOIN first_seen f ON f.g = w.g
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+_NOVELTY_DUCK_SQL = (
+    "WITH grams AS ("
+    + _novelty_grams_sql(
+        duck_word_shingles(_D_TOK, 3), duck_hash60, ", UNNEST(sh) AS t(s)"
+    )
+    + ")\n"
+    + _novelty_tail("grams").replace("WITH first_seen", ", first_seen", 1)
+)
+
+
+@register("corpus_trigram_novelty", oracle=_NOVELTY_DUCK_SQL)
+def corpus_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-seen trigram fraction (novelty by doc_id
+    order) — the crawl-saturation curve, computed by origin
+    attribution instead of pair enumeration."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        _novelty_grams_sql(
+            spark_word_shingles(_S_TOK, 3), spark_hash60,
+            " LATERAL VIEW explode(sh) t AS s",
+        )
+    ).localCheckpoint(eager=True).createOrReplaceTempView("nov_grams")
+    return spark.sql(_novelty_tail("nov_grams"))

@@ -1511,3 +1511,77 @@ def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _BURST_BODY.replace("{fmt_day}", "date_format(idx.d, 'yyyy-MM-dd')")
     )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram: DFT power over candidate periods of the daily series
+# ---------------------------------------------------------------------------
+# Seasonality DETECTION, where events_seasonality_profile assumes the
+# weekly period: evaluate the discrete Fourier power of the (mean-
+# centered) daily purchase count at every candidate period 2..14 days,
+# and report each period's share of the scanned spectrum. The weekly
+# peak (k=7, plus its k=3/k=4 harmonic leakage) is the data-driven
+# justification for every "dow" feature elsewhere in the catalog.
+#
+# Float discipline: the day index i and count n are exact integers;
+# each projection term (n - mu)*cos/sin(2*pi*i/k) snaps to 1e-6 the
+# moment it is computed (libm cos/sin can drift an ulp cross-engine;
+# the snapped product absorbs it), then accumulates order-
+# independently via sql_exact_sum; powers and shares are single
+# snapped expressions of those sums.
+#
+# Scale: ONE corpus-sized pass (the daily count aggregation); the
+# day-index window and the 13-period cross join run on the calendar-
+# bounded daily relation (allowlisted global window).
+
+_PGRAM_BODY = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT n, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i
+    FROM daily
+),
+mu AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS m FROM idx),
+terms AS (
+    SELECT p.k,
+           {sql_exact_sum(
+               "floor(((idx.n - mu.m)"
+               " * cos(2e0 * pi() * idx.i / p.k)) * 1e6 + 0.5) / 1e6", 6)}
+               AS sc,
+           {sql_exact_sum(
+               "floor(((idx.n - mu.m)"
+               " * sin(2e0 * pi() * idx.i / p.k)) * 1e6 + 0.5) / 1e6", 6)}
+               AS ss
+    FROM idx CROSS JOIN ({{periods}}) p CROSS JOIN mu
+    GROUP BY p.k
+),
+pw AS (
+    SELECT k, floor((sc * sc + ss * ss) * 1e3 + 0.5) / 1e3 AS power
+    FROM terms
+),
+tot AS (SELECT {sql_exact_sum("power", 3)} AS s FROM pw)
+SELECT CAST(pw.k AS BIGINT) AS period_days,
+       pw.power,
+       {sql_stable_round("pw.power / tot.s", 6)} AS spectrum_share
+FROM pw CROSS JOIN tot
+ORDER BY period_days
+"""
+
+_PGRAM_SPARK_SQL = _PGRAM_BODY.replace(
+    "{periods}", "SELECT explode(sequence(2, 14)) AS k"
+)
+_PGRAM_DUCK_SQL = _PGRAM_BODY.replace(
+    "{periods}", "SELECT unnest(generate_series(2, 14)) AS k"
+)
+
+
+@register("events_periodogram_periods", oracle=_PGRAM_DUCK_SQL)
+def events_periodogram_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power of the mean-centered daily purchase series at candidate
+    periods 2..14 days, with each period's spectrum share — data-driven
+    seasonality detection."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PGRAM_SPARK_SQL)

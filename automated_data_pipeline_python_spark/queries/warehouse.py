@@ -497,7 +497,10 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feeding ln(0). Output snaps to the 1e-6 grid.
 
 
-def _km_sql(days_diff: str) -> str:
+def _risk_head(days_diff: str) -> str:
+    """per-customer gap observations -> duration histogram -> at-risk
+    counts: the shared front of the Kaplan-Meier and Nelson-Aalen
+    estimators (both read the same bounded duration histogram)."""
     return f"""
 WITH per AS (
     SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
@@ -528,7 +531,11 @@ at_risk AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS n_risk
     FROM hist h CROSS JOIN tot t
-),
+)"""
+
+
+def _km_sql(days_diff: str) -> str:
+    return f"""{_risk_head(days_diff)},
 km AS (
     SELECT dur, d_t, n_risk,
            CASE WHEN max(CASE WHEN d_t >= n_risk THEN 1 ELSE 0 END)
@@ -1285,3 +1292,112 @@ def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE (insert/update/delete) applied copy-on-write, rolled up."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MERGE_SQL.format(total=sql_exact_sum("tp", 2)))
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (the KM estimator's dual)
+# ---------------------------------------------------------------------------
+# Same censored inter-purchase data, the other canonical estimator:
+# H(t) = sum_{t_i <= t} d_i / n_i accumulates instantaneous repurchase
+# hazard, and exp(-H) is the Fleming–Harrington survival variant —
+# numerically better than KM in small risk sets and the quantity
+# hazard-ratio models are built on. Shares the _risk_head relations
+# (gap observations -> duration histogram -> at-risk counts), so both
+# estimators read the same bounded histogram.
+#
+# Float discipline: each d/n term is one double division of exact
+# integers; the cumulative sum runs under an ORDERED window (sequential
+# accumulation in duration order — the same order on both engines, so
+# the running doubles are bit-identical); outputs snap to 1e-6.
+#
+# Scale: identical to the KM query — two window passes over the
+# per-customer relation, then everything on the duration histogram
+# (bounded by the gap-day domain, allowlisted global window).
+
+
+def _na_sql(days_diff: str) -> str:
+    return f"""{_risk_head(days_diff)},
+na AS (
+    SELECT dur, d_t, n_risk,
+           sum(CAST(d_t AS DOUBLE) / n_risk)
+               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS h
+    FROM at_risk
+    WHERE d_t > 0
+)
+SELECT CAST(dur AS BIGINT) AS gap_days,
+       CAST(d_t AS BIGINT) AS n_repurchases,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       floor((h) * 1e6 + 0.5) / 1e6 AS cum_hazard,
+       floor((exp(-h)) * 1e6 + 0.5) / 1e6 AS fh_survival
+FROM na
+ORDER BY gap_days
+"""
+
+
+@register(
+    "orders_nelson_aalen_hazard",
+    oracle=_na_sql("date_diff('day', {a}, {b})"),
+)
+def orders_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of customer inter-purchase gaps
+    (censored tails handled as in the KM twin) with the
+    Fleming–Harrington survival exp(-H)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_na_sql("datediff({b}, {a})"))
+
+
+# ---------------------------------------------------------------------------
+# Theil / Atkinson revenue-inequality indices
+# ---------------------------------------------------------------------------
+# The decomposable inequality measures (Theil T; Atkinson epsilon=1)
+# over per-customer revenue — what a marketplace-health dashboard
+# reports next to the Lorenz/Gini query (orders_pareto_concentration),
+# and the only common indices that split exactly into within-group +
+# between-group terms for drill-down.
+#
+# Float discipline: per-customer revenue is an exact_sum on the cent
+# grid; each ln-term (x/mu·ln(x/mu), ln x) snaps to 1e-6 the moment it
+# is computed (libm ulp drift), then accumulates via sql_exact_sum;
+# final indices are single snapped expressions.
+#
+# Scale: one shuffle to per-customer revenue, one global 1-row
+# aggregation over it, a scalar cross join. Nothing else.
+
+_THEIL_SQL = f"""
+WITH per AS (
+    SELECT o_custkey, {sql_exact_sum("o_totalprice", 2)} AS rev
+    FROM orders GROUP BY o_custkey
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {sql_exact_sum("rev", 2)} AS s
+    FROM per
+),
+terms AS (
+    SELECT
+        {sql_exact_sum(
+            "floor(((per.rev / (t.s / t.n))"
+            " * ln(per.rev / (t.s / t.n))) * 1e6 + 0.5) / 1e6", 6)}
+            AS t_sum,
+        {sql_exact_sum("floor((ln(per.rev)) * 1e6 + 0.5) / 1e6", 6)}
+            AS lnsum
+    FROM per CROSS JOIN tot t
+)
+SELECT t.n AS n_customers,
+       {sql_stable_round("t.s / t.n", 2)} AS mean_rev,
+       {sql_stable_round("terms.t_sum / t.n", 6)} AS theil_t,
+       {sql_stable_round(
+           "1e0 - exp(terms.lnsum / t.n) / (t.s / t.n)", 6)} AS atkinson_1
+FROM terms CROSS JOIN tot t
+"""
+
+
+@register("orders_theil_atkinson_inequality", oracle=_THEIL_SQL)
+def orders_theil_atkinson_inequality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T and Atkinson(1) inequality of per-customer revenue — the
+    decomposable complements to the Lorenz/Gini concentration query."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_THEIL_SQL)

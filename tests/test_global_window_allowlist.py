@@ -30,6 +30,7 @@ ALLOWED = {
     "er_fellegi_sunter": "u-estimate totals over per-field value histograms (brand/size/type/fword domains)",
     "events_bh_fdr_screen": "BH rank over 24 hour-of-day test rows",
     "events_cem_matching": "CDFs over n_events/n_days value histograms (bounded domains)",
+    "events_periodogram_periods": "day-index window over calendar-bounded daily relation",
     "events_kleinberg_bursts": "state DP over day-granularity relation (calendar-bounded)",
     "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
     "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",
@@ -38,10 +39,12 @@ ALLOWED = {
     "lineitem_abc_classification": "cumulative revenue share over brand-level aggregate (bounded brand domain)",
     "lm_negative_sampling_table": "cumulative boundaries over top-40 rank-capped vocab",
     "orders_interpurchase_survival": "KM curve over day-gap histogram (gap domain)",
+    "orders_nelson_aalen_hazard": "cumulative hazard over day-gap histogram (gap domain)",
     "orders_pareto_concentration": "cumulative share over percentile-bucket relation (100 buckets)",
     "quality_auc_rank": "rank-sum AUC off snapped-score histogram",
     "quality_calibration_bins": "CDF over distinct-score histogram (snapped grid)",
     "quality_conformal_interval": "quantile read off residual histogram (bounded residual domain)",
+    "quality_ece_from_bins": "rollup of the decile-bin chain (snapped-score histogram CDF)",
     "sample_importance_dsir": "rank over ORDER BY + LIMIT 50 picked relation",
     "sketch_heavy_hitter_terms": "rank over approx_top_k output (k=25 rows)",
     "sketch_histogram_quantiles": "CDF over fixed-width bin histogram",

@@ -59,3 +59,48 @@ def test_unigram_em_restores_recursion_confs(spark, hostile_corpus_dir):
     after = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     assert after == before
     assert after != "100000000"
+
+
+def test_viterbi_minima_match_exhaustive_enumeration():
+    """The DP (Viterbi) segmentation cost equals the exhaustive
+    recursive enumeration's minimum for EVERY word — same snapped
+    left-to-right accumulation, so the minima are identical, while the
+    DP does O(L x 4) work instead of O(2^(L-1)). Both sides run in
+    DuckDB on the same corpus (the Spark sides are hash-pinned to
+    these by oracle parity)."""
+    import duckdb
+
+    from automated_data_pipeline_python_spark.queries import QUERIES, lm
+
+    full = lm._unigram_sql(
+        lm._UNIGRAM_GEN2_DUCK, "unnest(string_split(path, ' '))", "tk"
+    )
+    prefix_seg = full.split("\nbest AS (")[0].rstrip().rstrip(",")
+    exhaustive = (
+        "WITH RECURSIVE tok_exploded AS ("
+        f"SELECT unnest({lm.DUCK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),\n"
+        + prefix_seg.lstrip()
+        + "\nSELECT w, wf, min(cost) AS cost FROM seg"
+        " WHERE pos = length(w) GROUP BY w, wf"
+    )
+    vit_all = QUERIES["lm_viterbi_segmentation"].oracle.rsplit("LIMIT 30", 1)[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    diff = con.execute(
+        f"""
+        WITH e AS ({exhaustive}), v AS ({vit_all})
+        SELECT e.w, e.cost AS exh, v.vit_cost AS vit
+        FROM e JOIN v ON v.word = e.w
+        WHERE floor(e.cost * 1e6 + 0.5) <> floor(v.vit_cost * 1e6 + 0.5)
+        """
+    ).fetchall()
+    n_e = con.execute(f"SELECT count(*) FROM ({exhaustive})").fetchone()[0]
+    n_v = con.execute(f"SELECT count(*) FROM ({vit_all})").fetchone()[0]
+    con.close()
+    assert n_e == n_v and n_e > 0
+    assert diff == [], diff[:10]

@@ -40,6 +40,19 @@ ROUND6_TOUCHED = [
     "lm_unigram_em_round",  # length<=12 E-step bound, conf restore
 ]
 
+# New in round 6.
+ROUND6_NEW = [
+    "quality_cohens_kappa",
+    "quality_ece_from_bins",
+    "er_em_mu_round",
+    "orders_nelson_aalen_hazard",
+    "orders_theil_atkinson_inequality",
+    "events_periodogram_periods",
+    "graph_label_propagation",
+    "corpus_trigram_novelty",
+    "lm_viterbi_segmentation",
+]
+
 
 def test_priority_list_is_first_50():
     assert len(_PRIORITY) == 50
@@ -48,7 +61,7 @@ def test_priority_list_is_first_50():
 
 def test_window_covers_new_and_touched():
     window = set(_PRIORITY)
-    for required in [*ROUND6_FIRST_EVIDENCE, *ROUND6_TOUCHED]:
+    for required in [*ROUND6_FIRST_EVIDENCE, *ROUND6_TOUCHED, *ROUND6_NEW]:
         assert required in window, required
 
 

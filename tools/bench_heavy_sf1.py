@@ -1,0 +1,91 @@
+"""Scaling datapoints for the round-5 heavy additions (VERDICT r5 #7).
+
+Times lm_unigram_em_round, bpe_train_merge_rounds,
+events_kleinberg_bursts, reco_item_item_cosine at sf0.1 and at the
+10x density-honest derived corpus (gen_benchdata.py --fresh-docs),
+printing one JSON line with both timing sets and the ratio — the
+evidence that each query's scaling is sublinear or bounded-relation-
+dominated.
+
+Usage: python tools/bench_heavy_sf1.py [sf01_dir] [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from automated_data_pipeline_python_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "lm_unigram_em_round",
+    "bpe_train_merge_rounds",
+    "events_kleinberg_bursts",
+    "reco_item_item_cosine",
+]
+
+
+def time_set(spark, sf_dir: str) -> dict[str, float]:
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in HEAVY:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    return out
+
+
+def main() -> None:
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, ".benchdata", "sf1_fresh"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    spark = get_spark(
+        app_name="bench-heavy-sf1",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm scans once per corpus
+    from automated_data_pipeline_python_spark.tables import load
+
+    for d in (sf01, sf1):
+        for t in ("events", "documents", "orders", "lineitem"):
+            load(spark, d, t).write.format("noop").mode("overwrite").save()
+
+    t01 = time_set(spark, sf01)
+    t1 = time_set(spark, sf1)
+    print(
+        json.dumps(
+            {
+                "metric": "heavy_additions_scaling",
+                "unit": "sec",
+                "sf0.1": t01,
+                "sf1_fresh": t1,
+                "ratio_10x_data": {
+                    k: round(t1[k] / t01[k], 2) if t01[k] else None for k in HEAVY
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
