@@ -24,6 +24,7 @@ from automated_data_pipeline_python_spark.functions.numeric import (
     sql_stable_round,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.session import recursion_limits
 from automated_data_pipeline_python_spark.tables import load
 
 # Distinct (order, brand) pairs → symmetric weighted edge list. The
@@ -222,14 +223,15 @@ ORDER BY hops, brand
 )
 def graph_brand_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop reachability from the first brand, depth <= 3."""
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
         "reach_edges"
     )
-    return spark.sql("WITH RECURSIVE " + _reach_tail("reach_edges").lstrip())
+    with recursion_limits(spark):
+        return spark.sql(
+            "WITH RECURSIVE " + _reach_tail("reach_edges").lstrip()
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,7 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_word_shingles,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.session import recursion_limits
 from automated_data_pipeline_python_spark.tables import load_scaled
 
 def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -1106,13 +1107,7 @@ def lm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     session is never left with a 1e8 row limit.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    prev = {
-        k: spark.conf.get(k, None)
-        for k in ("spark.sql.cteRecursionLevelLimit", "spark.sql.cteRecursionRowLimit")
-    }
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    try:
+    with recursion_limits(spark):
         return spark.sql(
             "WITH RECURSIVE tok_exploded AS ("
             f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
@@ -1123,12 +1118,6 @@ def lm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tk",
             ).lstrip()
         ).localCheckpoint(eager=True)
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 # ---------------------------------------------------------------------------

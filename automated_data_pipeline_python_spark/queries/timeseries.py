@@ -25,6 +25,7 @@ from automated_data_pipeline_python_spark.functions.numeric import (
     sql_stable_round,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
+from automated_data_pipeline_python_spark.session import recursion_limits
 from automated_data_pipeline_python_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -74,13 +75,11 @@ FROM ewma
 """
 
 
-def _raise_recursion_limits(spark: SparkSession) -> None:
-    """Recursion depth == days in the series; Spark's default level
-    limit (100) would reject a ~4-month corpus. The operator owns this
-    runtime conf (set at build, read at execution) — it must not rely
-    on the session being pre-configured (vanilla driver session)."""
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+# Recursion depth == days in the series; Spark's default level limit
+# (100) would reject a ~4-month corpus. Each recursive query raises the
+# limits ONLY around an eager materialization (the recursive output is
+# a bounded daily relation) and restores them — see
+# session.recursion_limits.
 
 
 @register(
@@ -89,9 +88,11 @@ def _raise_recursion_limits(spark: SparkSession) -> None:
 )
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily event counts with an EWMA(0.2) smoothing column."""
-    _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ewma_sql("date_format(d, 'yyyy-MM-dd')"))
+    with recursion_limits(spark):
+        return spark.sql(
+            _ewma_sql("date_format(d, 'yyyy-MM-dd')")
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -376,11 +377,11 @@ FROM cusum
 )
 def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM level-shift detection on per-type daily counts."""
-    _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        _CUSUM_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
-    )
+    with recursion_limits(spark):
+        return spark.sql(
+            _CUSUM_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -605,9 +606,11 @@ FROM holt
 )
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend smoothing of daily counts with 1/7-day forecasts."""
-    _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_HOLT_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')"))
+    with recursion_limits(spark):
+        return spark.sql(
+            _HOLT_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -660,11 +663,11 @@ def _backtest_sql(sum_abs: str, sum_ape: str) -> str:
 )
 def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step walk-forward MAE/MAPE of the Holt forecaster, per type."""
-    _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        _backtest_sql(sql_exact_sum("abs_err", 6), sql_exact_sum("ape", 6))
-    )
+    with recursion_limits(spark):
+        return spark.sql(
+            _backtest_sql(sql_exact_sum("abs_err", 6), sql_exact_sum("ape", 6))
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1416,9 +1419,11 @@ ORDER BY event_type, day
 )
 def events_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive smoothing of daily counts, weekly season."""
-    _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_HW_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')"))
+    with recursion_limits(spark):
+        return spark.sql(
+            _HW_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1506,11 +1511,11 @@ ORDER BY day
 )
 def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost 2-state burst labeling of the daily purchase series."""
-    _raise_recursion_limits(spark)
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        _BURST_BODY.replace("{fmt_day}", "date_format(idx.d, 'yyyy-MM-dd')")
-    )
+    with recursion_limits(spark):
+        return spark.sql(
+            _BURST_BODY.replace("{fmt_day}", "date_format(idx.d, 'yyyy-MM-dd')")
+        ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ threshold left at Spark's default so dimension tables broadcast.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -51,3 +52,35 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextmanager
+def recursion_limits(
+    spark: SparkSession,
+    level_limit: str = "100000",
+    row_limit: str = "100000000",
+):
+    """Temporarily raise the recursive-CTE limits on a shared session.
+
+    Spark's defaults (level 100, rows 1e6) would reject legitimate
+    bounded recursions (a year-long daily series, a 2^11-path word
+    segmentation), but leaving a 1e8 row limit installed weakens the
+    runaway-recursion safety valve for every later query on the same
+    session. Callers therefore materialize the recursive result
+    EAGERLY inside this block (``.localCheckpoint(eager=True)``) so
+    the previous limits can be restored immediately — all users
+    recurse over provably bounded relations (calendar days, vocab),
+    so the eager result is always small.
+    """
+    keys = ("spark.sql.cteRecursionLevelLimit", "spark.sql.cteRecursionRowLimit")
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    spark.conf.set(keys[0], level_limit)
+    spark.conf.set(keys[1], row_limit)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

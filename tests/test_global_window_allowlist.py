@@ -14,6 +14,13 @@ Every allowlisted query below was audited (tools/audit_global_windows.py)
 and falls in one of those classes — the justification is the comment.
 A new query that plans a single-partition window without being added
 here (with a bounded-input justification) fails this test.
+
+Caveat: queries that eagerly materialize (localCheckpoint) at build
+time hide any window inside the materialized stage from the returned
+plan (e.g. the recursive-CTE family under session.recursion_limits) —
+those windows execute over the same bounded histogram/vocab/daily
+relations and are audited at the source in
+tools/audit_global_windows.py.
 """
 
 from __future__ import annotations
@@ -31,7 +38,6 @@ ALLOWED = {
     "events_bh_fdr_screen": "BH rank over 24 hour-of-day test rows",
     "events_cem_matching": "CDFs over n_events/n_days value histograms (bounded domains)",
     "events_periodogram_periods": "day-index window over calendar-bounded daily relation",
-    "events_kleinberg_bursts": "state DP over day-granularity relation (calendar-bounded)",
     "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
     "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",
     "events_sprt_ab_trajectory": "cumulative LLR over day-granularity trajectory",

@@ -104,3 +104,20 @@ def test_viterbi_minima_match_exhaustive_enumeration():
     con.close()
     assert n_e == n_v and n_e > 0
     assert diff == [], diff[:10]
+
+
+def test_no_unscoped_recursion_limit_raises():
+    """Every raise of the recursive-CTE limits must go through
+    session.recursion_limits (scoped + restored around an eager
+    materialization) — a bare conf.set leaves a 1e8 row limit on the
+    shared session for every later query."""
+    import pathlib
+
+    pkg = pathlib.Path("automated_data_pipeline_python_spark")
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        if f.name == "session.py":
+            continue
+        if 'conf.set("spark.sql.cteRecursion' in f.read_text():
+            offenders.append(str(f))
+    assert offenders == []
