@@ -90,29 +90,32 @@ _PRIORITY = [
     "graph_label_propagation",
     "corpus_trigram_novelty",
     "lm_viterbi_segmentation",
+    "quality_krippendorff_alpha",
+    "orders_rfm_migration_matrix",
+    "reco_copurchase_hitrate_eval",
+    "events_shapley_attribution",
+    "graph_degree_assortativity",
+    "dq_functional_dependencies",
+    "events_anova_f_oneway",
+    "events_kruskal_wallis_h",
     # (d) green sentinels — one per query module not already covered by
     # (a)/(b), so a regression anywhere can surface in the driver
     # window; all r1-r5 hash-green and unchanged this round.
+    # (dq is covered by dq_functional_dependencies in (c); the
+    # relational2/4/5 and sketches batteries ceded their slots to the
+    # session-2 additions — they stay proven by the full replay.)
     "corpus_curation_funnel",        # curation
     "quality_gopher_rules",          # curation2
     "dedup_minhash_lsh",             # dedup (headline)
-    "dq_star_schema_report",         # dq
     "events_sessionization",         # events
     "events_ab_test_lift",           # experiments
-    "events_ucb_bandit_replay",      # experiments2
     "gapfill_monthly_orders",        # modern_sql
     "multimodal_media_metadata",     # multimodal
     "chunk_documents_overlap",       # rag
     "q1_pricing_summary",            # relational
-    "pivot_status_by_priority",      # relational2
     "q2_cheapest_supplier_per_part", # relational3
-    "agg_corr_regression",           # relational4
-    "fuzzy_levenshtein_pairs",       # relational5
     "text_bm25_ranking",             # retrieval
     "ann_lsh_topk",                  # similarity
-    "sketch_kmv_distinct",           # sketches
-    "events_cusum_changepoints",     # timeseries
-    "warehouse_merge_upsert",        # warehouse
     "window_rank_battery",           # windows2
     # (e) heavy/headline green sentinel filling the window to 50
     # (q16: the planner-forced NAAJ broadcast exemption stays pinned).

@@ -832,3 +832,125 @@ def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the 10-bin rollup is scalar."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BRIER_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Average precision (PR-AUC) + best-F1 operating point
+# ---------------------------------------------------------------------------
+# The imbalanced-data companion to quality_auc_rank: the ROC AUC above
+# is insensitive to the positive-class share, while average precision
+# AP = Σ_k (R_k − R_{k−1})·P_k (summed per distinct score, descending
+# — exactly scikit-learn's tie handling) degrades honestly when
+# positives are rare. Same model-vs-rules pairing: logistic score vs
+# Gopher-rule labels. The F1 sweep uses the identity
+# F1(k) = 2·cumPos_k / (cumTot_k + n_pos), so the best threshold is an
+# ORDER BY + LIMIT over the score histogram (TakeOrdered, no global
+# rank).
+#
+# All cumulative quantities are exact integers off the bounded
+# score-histogram (snapped 1e-6 score grid); precision snaps to the
+# 1e-9 grid before the per-bucket AP contribution, which exact-sums.
+
+_PR_TAIL = f"""
+ratios AS (
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT r.doc_id, {_SCORE_EXPR},
+           CASE WHEN f.n_tok >= 20 AND f.n_tok <= 100000
+                 AND floor((CAST(f.sum_len AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 BETWEEN 3e0 AND 10e0
+                 AND floor((CAST(f.n_stop AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 >= 5e-2
+                 AND floor((CAST(f.n_uniq AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 > 2e-1
+                THEN 1 ELSE 0 END AS pos
+    FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
+),
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(sum(pos) AS BIGINT) AS c_pos
+    FROM scored GROUP BY score
+),
+cum AS (
+    SELECT score, c_all, c_pos,
+           CAST(sum(c_all) OVER (ORDER BY score DESC) AS BIGINT)
+               AS cum_tot,
+           CAST(sum(c_pos) OVER (ORDER BY score DESC) AS BIGINT)
+               AS cum_pos
+    FROM hist
+),
+tots AS (
+    SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(c_all - c_pos) AS BIGINT) AS n_neg
+    FROM hist
+),
+contrib AS (
+    SELECT c.c_pos,
+           floor(CAST(c.cum_pos AS DOUBLE) / c.cum_tot * 1e9 + 0.5) / 1e9
+               AS prec
+    FROM cum c
+),
+ap AS (
+    SELECT floor(({{apsum}}) / t.n_pos * 1e6 + 0.5) / 1e6 AS pr_auc
+    FROM contrib CROSS JOIN tots t
+    GROUP BY t.n_pos
+),
+best AS (
+    SELECT score AS best_f1_threshold,
+           floor(2e0 * c.cum_pos / (c.cum_tot + t.n_pos) * 1e6 + 0.5) / 1e6
+               AS best_f1
+    FROM cum c CROSS JOIN tots t
+    ORDER BY floor(2e0 * c.cum_pos / (c.cum_tot + t.n_pos) * 1e6 + 0.5)
+                 / 1e6 DESC,
+             score
+    LIMIT 1
+)
+SELECT t.n_pos, t.n_neg, a.pr_auc, b.best_f1, b.best_f1_threshold
+FROM tots t CROSS JOIN ap a CROSS JOIN best b
+"""
+
+
+def _pr_sql(feats: str) -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_exact_sum,
+    )
+
+    tail = _PR_TAIL.format(
+        apsum=sql_exact_sum("CAST(c_pos AS DOUBLE) * prec", 6)
+    )
+    return f"WITH feats AS ({feats}),\n{tail}"
+
+
+_PR_SPARK_SQL = _pr_sql(
+    f"""
+    SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
+    FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
+"""
+)
+
+_PR_DUCK_SQL = _pr_sql(
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len
+    FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
+"""
+)
+
+
+@register("quality_pr_auc", oracle=_PR_DUCK_SQL)
+def quality_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) and best-F1 operating point of the
+    logistic score against Gopher-rule labels — per-distinct-score PR
+    steps off the bounded score histogram, no per-row global rank."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_PR_SPARK_SQL)

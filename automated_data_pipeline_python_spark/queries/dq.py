@@ -413,3 +413,68 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _freshness_sql("timestampdiff(MICROSECOND, p.last_ts, w.w)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency discovery (Deequ/Metanome-style)
+# ---------------------------------------------------------------------------
+# For each candidate FD X → Y, the g3 error (Kivinen & Mannila 1995):
+# the minimum fraction of rows to delete for the FD to hold exactly,
+# computed as 1 − Σ_x max_y count(x,y) / N. Candidates mix structural
+# truths of the schema (p_partkey → p_brand — a key determines every
+# attribute) with plausible-but-false rules, so the report shows both
+# holding FDs (0 violations) and graded violation rates.
+#
+# Scale: each candidate is two shuffled aggregations of one table —
+# (X, Y) counts, then per-X max/sum — with the final per-candidate
+# rollup a scalar. Everything is an exact BIGINT until the one
+# snapped division per row. No joins, no windows.
+
+
+def _fd_candidate(name: str, table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(grp_rows) AS BIGINT) AS n_rows,
+       CAST(sum(grp_rows - grp_max) AS BIGINT) AS n_violations,
+       floor(CAST(sum(grp_rows - grp_max) AS DOUBLE) / sum(grp_rows)
+             * 1e6 + 0.5) / 1e6 AS g3_error,
+       (sum(grp_rows - grp_max) = 0) AS holds
+FROM (
+    SELECT det, CAST(sum(cnt) AS BIGINT) AS grp_rows,
+           CAST(max(cnt) AS BIGINT) AS grp_max
+    FROM (
+        SELECT {det} AS det, {dep} AS dep, CAST(count(*) AS BIGINT) AS cnt
+        FROM {table}
+        WHERE {det} IS NOT NULL
+        GROUP BY {det}, {dep}
+    ) pairs
+    GROUP BY det
+) grps
+"""
+
+
+_FD_SQL = "\nUNION ALL\n".join(
+    _fd_candidate(name, table, det, dep)
+    for name, table, det, dep in [
+        ("part_partkey_to_brand", "part", "p_partkey", "p_brand"),
+        ("part_name_to_brand", "part", "p_name", "p_brand"),
+        ("part_size_to_brand", "part", "p_size", "p_brand"),
+        ("orders_custkey_to_priority", "orders", "o_custkey",
+         "o_orderpriority"),
+        ("customer_nation_to_segment", "customer", "c_nationkey",
+         "c_mktsegment"),
+        ("lineitem_partkey_to_suppkey", "lineitem", "l_partkey",
+         "l_suppkey"),
+    ]
+) + "\nORDER BY fd"
+
+
+@register("dq_functional_dependencies", oracle=_FD_SQL)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3-error profile of six candidate functional dependencies across
+    part/orders/customer/lineitem: group counts, violation counts and
+    rate, and whether the FD holds exactly."""
+    for t in ("part", "orders", "customer", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_FD_SQL)

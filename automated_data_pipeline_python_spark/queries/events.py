@@ -1039,3 +1039,90 @@ def events_three_way_interval_join(
             "{us_lat}", "timestampdiff(MICROSECOND, v.vts, p.pts)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain
+# ---------------------------------------------------------------------------
+# Where does the behavioral chain above settle? Three synchronous
+# power-iteration rounds π_{k+1}(j) = Σ_i π_k(i)·P(i,j) from the
+# uniform start — the long-run occupancy forecast next to the one-step
+# matrix of events_markov_transitions. Three rounds is enough to show
+# convergence on a 5-state ergodic chain (the pi2→pi3 delta column IS
+# the convergence gauge).
+#
+# Determinism (the PageRank discipline): P snaps to the 1e-9 grid
+# once; each round's contributions snap at 1e-12 and exact-sum, and π
+# re-snaps to 1e-9 — both engines iterate on identical doubles.
+#
+# Scale: the corpus-sized work is the one lead() pass building the
+# |types|² matrix (materialized once — three consumers, Spark inlines
+# CTEs); the iterations are joins over ≤25 rows.
+
+_MKV_MAT_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type
+    FROM events
+),
+counts AS (
+    SELECT event_type AS f, next_type AS t2, count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+totals AS (SELECT f, sum(n) AS tot FROM counts GROUP BY f)
+SELECT c.f, c.t2,
+       floor((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1e9 + 0.5)
+           / 1e9 AS p
+FROM counts c JOIN totals t ON c.f = t.f
+"""
+
+
+def _mkv_round(mat: str, prev: str, out: str) -> str:
+    contrib = sql_exact_sum(f"{prev}.pi * m.p", 12)
+    return f"""
+{out} AS (
+    SELECT m.t2 AS s,
+           floor(({contrib}) * 1e9 + 0.5) / 1e9 AS pi
+    FROM {mat} m JOIN {prev} ON {prev}.s = m.f
+    GROUP BY m.t2
+)"""
+
+
+def _mkv_tail(mat: str) -> str:
+    return f"""
+states AS (SELECT DISTINCT f AS s FROM {mat}),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+pi0 AS (
+    SELECT s, floor(1e9 / ns.n + 0.5) / 1e9 AS pi
+    FROM states CROSS JOIN ns
+),
+{_mkv_round(mat, "pi0", "pi1").lstrip()},
+{_mkv_round(mat, "pi1", "pi2").lstrip()},
+{_mkv_round(mat, "pi2", "pi3").lstrip()}
+SELECT p3.s AS event_type,
+       p1.pi AS pi_round1, p2.pi AS pi_round2, p3.pi AS pi_round3,
+       floor(abs(p3.pi - p2.pi) * 1e9 + 0.5) / 1e9 AS delta_23
+FROM pi3 p3
+JOIN pi2 p2 ON p2.s = p3.s
+JOIN pi1 p1 ON p1.s = p3.s
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle="WITH mkv_mat AS (" + _MKV_MAT_SQL + "),\n"
+    + _mkv_tail("mkv_mat").lstrip(),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power-iteration rounds toward the stationary distribution
+    of the event-type Markov chain (uniform start, snapped-grid
+    iterates, pi2→pi3 delta as the convergence gauge)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(_MKV_MAT_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "mkv_mat"
+    )
+    return spark.sql("WITH " + _mkv_tail("mkv_mat").lstrip())

@@ -415,6 +415,7 @@ def events_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-trivial yet expressed relationally.
 
 from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_exact_sum,
     sql_normal_two_sided_p,
 )
 
@@ -488,3 +489,124 @@ def events_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-up cutoff, and the reject decision."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_BH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (revenue coalitions)
+# ---------------------------------------------------------------------------
+# The data-driven attribution model (Shapley 1953 applied to MTA):
+# each user's exposure set over the four non-purchase channels forms a
+# coalition (exposure = channels seen BEFORE the user's first
+# purchase; lifetime exposure is degenerate here — every user
+# eventually sees every channel); v(S) is the mean total purchase
+# revenue of users exposed to exactly S (the revenue variant — every
+# user in this corpus converts, so a conversion-rate v is degenerate;
+# a coalition never observed contributes v=0, documented standard
+# practice); a channel's
+# credit is the exact Shapley sum
+# Σ_{S∌i} |S|!(n−|S|−1)!/n!·(v(S∪{i})−v(S)), whose efficiency
+# property Σ_i φ_i = v(N)−v(∅) ties total credit to the revenue gap
+# between fully-exposed and unexposed users.
+#
+# Determinism discipline: per-user revenue is an exact cent-grid sum;
+# coalition values snap to BIGINT micro-units (v6 = round(mean·1e6))
+# so the Shapley accumulation is an INTEGER sum — immune to float
+# summation order; weights enter as the exact 24× integers {6,2,2,6}
+# (n=4), and the final ÷24e6 is the one snapped division per row. The
+# channel bit map is a fixed literal (click=1, error=2, signup=4,
+# view=8), so masks need no vocabulary rank.
+#
+# Scale: one user-keyed join + group-by collapses the corpus to ≤16
+# coalition rows;
+# everything after is literal-sized (16 masks × 4 bits). No windows,
+# no corpus-sized broadcast.
+
+_SHAPLEY_SQL = """
+WITH firstp AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+    FROM events GROUP BY user_id
+),
+expo AS (
+    SELECT e.user_id,
+           coalesce(CAST(sum(DISTINCT
+                CASE WHEN f.p_ts IS NULL OR e.ts < f.p_ts THEN
+                     CASE e.event_type
+                          WHEN 'click'  THEN 1 WHEN 'error' THEN 2
+                          WHEN 'signup' THEN 4 WHEN 'view'  THEN 8 END
+                END) AS INT), 0) AS mask,
+           {rev} AS revenue
+    FROM events e JOIN firstp f ON f.user_id = e.user_id
+    GROUP BY e.user_id
+),
+co AS (
+    SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+           {revsum} AS rev_sum
+    FROM expo GROUP BY mask
+),
+masks AS (
+    {masks}
+),
+vals AS (
+    SELECT m.mask,
+           coalesce(CAST(floor(c.rev_sum / c.n_users * 1e6 + 0.5)
+                         AS BIGINT),
+                    CAST(0 AS BIGINT)) AS v6
+    FROM masks m LEFT JOIN co c ON c.mask = m.mask
+),
+bits AS (
+    SELECT 1 AS bit, 'click' AS channel
+    UNION ALL SELECT 2, 'error'
+    UNION ALL SELECT 4, 'signup'
+    UNION ALL SELECT 8, 'view'
+),
+terms AS (
+    SELECT b.channel,
+           CAST(CASE WHEN wo.mask = 0 THEN 6
+                     WHEN wo.mask IN (1, 2, 4, 8) THEN 2
+                     WHEN wo.mask IN (3, 5, 6, 9, 10, 12) THEN 2
+                     ELSE 6 END AS BIGINT) * (w.v6 - wo.v6) AS t6
+    FROM bits b
+    JOIN vals wo ON (wo.mask & b.bit) = 0
+    JOIN vals w  ON w.mask = wo.mask + b.bit
+),
+shap AS (
+    SELECT channel, CAST(sum(t6) AS BIGINT) AS s6
+    FROM terms GROUP BY channel
+),
+tot AS (SELECT CAST(sum(s6) AS BIGINT) AS s FROM shap)
+SELECT p.channel,
+       floor(CAST(p.s6 AS DOUBLE) / 24 + 0.5) / 1e6 AS shapley_value,
+       CASE WHEN t.s = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor(CAST(p.s6 AS DOUBLE) / t.s * 1e6 + 0.5) / 1e6
+       END AS credit_share
+FROM shap p CROSS JOIN tot t
+ORDER BY channel
+"""
+
+_SHAPLEY_MASKS = "\n    UNION ALL ".join(
+    f"SELECT CAST({m} AS INT) AS mask" if m == 0 else f"SELECT {m}"
+    for m in range(16)
+)
+
+_SHAPLEY_REV = sql_exact_sum(
+    "CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0 END", 2
+)
+
+
+def _shapley_sql() -> str:
+    return _SHAPLEY_SQL.format(
+        masks=_SHAPLEY_MASKS,
+        rev=_SHAPLEY_REV,
+        revsum=sql_exact_sum("revenue", 2),
+    )
+
+
+@register("events_shapley_attribution", oracle=_shapley_sql())
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value revenue attribution over the four
+    non-purchase channels: per-channel Shapley credit and normalized
+    share, coalition value = mean total purchase revenue of users
+    exposed to exactly that pre-first-purchase channel set."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_shapley_sql())

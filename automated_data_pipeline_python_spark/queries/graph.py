@@ -745,3 +745,83 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lp_edges"
     )
     return spark.sql("WITH " + _lp_tail("lp_edges").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002)
+# ---------------------------------------------------------------------------
+# The one-number mixing diagnostic: do high-degree brands co-purchase
+# with other high-degree brands (r > 0, assortative) or with niche
+# brands (r < 0, disassortative — the hub-and-spoke shape most retail
+# graphs show)? r is the Pearson correlation of the (unweighted)
+# endpoint degrees over all DIRECTED edges of the symmetric list,
+# which is exactly Newman's undirected formula (the symmetric double
+# count implements the ½(j+k) symmetrization).
+#
+# All five moment sums are exact BIGINTs (degree <= |brands|, edges
+# <= brands² — products far below BIGINT range at any scale factor
+# since the brand vocabulary is bounded); r is ONE snapped expression
+# over them, NULL if a degree variance is zero.
+
+
+def _assort_tail(edges: str) -> str:
+    r_num = "(mom.n * mom.sxy - mom.sx * mom.sy)"
+    r_den = (
+        "sqrt(CAST(mom.n * mom.sxx - mom.sx * mom.sx AS DOUBLE)"
+        " * CAST(mom.n * mom.syy - mom.sy * mom.sy AS DOUBLE))"
+    )
+    return f"""
+deg AS (
+    SELECT src AS brand, CAST(count(*) AS BIGINT) AS d
+    FROM {edges} GROUP BY src
+),
+ej AS (
+    SELECT d1.d AS dx, d2.d AS dy
+    FROM {edges} e
+    JOIN deg d1 ON d1.brand = e.src
+    JOIN deg d2 ON d2.brand = e.dst
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dx) AS BIGINT) AS sx,
+           CAST(sum(dy) AS BIGINT) AS sy,
+           CAST(sum(dx * dy) AS BIGINT) AS sxy,
+           CAST(sum(dx * dx) AS BIGINT) AS sxx,
+           CAST(sum(dy * dy) AS BIGINT) AS syy
+    FROM ej
+),
+degstats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           CAST(sum(d) AS BIGINT) AS sum_degree
+    FROM deg
+)
+SELECT s.n_nodes, CAST(floor(CAST(mom.n AS DOUBLE) / 2) AS BIGINT) AS n_edges,
+       s.min_degree, s.max_degree,
+       floor(CAST(s.sum_degree AS DOUBLE) / s.n_nodes * 1e6 + 0.5) / 1e6
+           AS mean_degree,
+       CASE WHEN mom.n * mom.sxx = mom.sx * mom.sx
+              OR mom.n * mom.syy = mom.sy * mom.sy
+            THEN CAST(NULL AS DOUBLE)
+            ELSE floor(CAST({r_num} AS DOUBLE) / {r_den} * 1e6 + 0.5) / 1e6
+       END AS assortativity
+FROM mom CROSS JOIN degstats s
+"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="WITH edges AS (" + _EDGES_SQL + "),\n"
+    + _assort_tail("edges").lstrip(),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree-assortativity coefficient of the brand
+    co-purchase graph, plus degree summary stats — exact integer
+    moment sums, one snapped Pearson expression."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "assort_edges"
+    )
+    return spark.sql("WITH " + _assort_tail("assort_edges").lstrip())

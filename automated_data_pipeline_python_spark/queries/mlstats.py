@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from automated_data_pipeline_python_spark.functions.numeric import (
     sql_exact_sum,
+    sql_normal_two_sided_p,
     sql_stable_round,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
@@ -786,3 +787,241 @@ def er_em_mu_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "em_agg"
     )
     return spark.sql(_em_tail("em_agg"))
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha over three annotators
+# ---------------------------------------------------------------------------
+# The generalization of Cohen's kappa the labeling literature actually
+# recommends (any number of annotators, chance model from the pooled
+# value distribution): three independent binary "annotators" per
+# document — the Gopher rule suite, the 0.5-thresholded logistic gate,
+# and a lexical-diversity rule (uniq_ratio > 0.25) — scored off the
+# same shared featurize pass. For nominal binary data with m=3 ratings
+# per unit: D_o = sum_u c1_u*c0_u / (3N) (observed pair disagreement),
+# D_e = 2*n1*n0 / (3N*(3N-1)) (chance), alpha = 1 - D_o/D_e
+# = 1 - sum_u(c1_u*c0_u)*(3N-1) / (2*n1*n0) — exact integers up to ONE
+# snapped division (DECIMAL(38,0) products; BIGINT would overflow at
+# corpus scale).
+#
+# Scale: one featurize pass -> per-doc vote counts (map-only) -> one
+# global aggregation. No windows, no joins.
+
+_ALPHA_TAIL = """,
+votes AS (
+    SELECT CAST(gopher_pass AS BIGINT)
+           + CAST(CASE WHEN score >= 5e-1 THEN 1 ELSE 0 END AS BIGINT)
+           + CAST(CASE WHEN dist_r > 25e-2 THEN 1 ELSE 0 END AS BIGINT)
+               AS c1
+    FROM flagged_k
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(3 * count(*) - sum(c1) AS BIGINT) AS n0,
+           CAST(sum(c1 * (3 - c1)) AS BIGINT) AS pairdis
+    FROM votes
+)
+SELECT n_units, n1, n0,
+       floor((CAST(pairdis AS DOUBLE) / (3e0 * n_units)) * 1e6 + 0.5)
+           / 1e6 AS d_obs,
+       floor((2e0 * CAST(CAST(n1 AS DECIMAL(38,0)) * n0 AS DOUBLE)
+              / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)))
+             * 1e6 + 0.5) / 1e6 AS d_exp,
+       floor((1e0 - CAST(CAST(pairdis AS DECIMAL(38,0))
+                         * (3 * n_units - 1) AS DOUBLE)
+                    / (2e0 * CAST(CAST(n1 AS DECIMAL(38,0)) * n0
+                                  AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS alpha
+FROM agg
+"""
+
+# flagged (score, gopher_pass) lacks dist_r; rebuild the flagged CTE
+# with dist_r carried through (same expressions, one extra column).
+_FLAGGED_K = _flagged_chain().replace(
+    """flagged AS (
+    SELECT score,""",
+    """flagged_k AS (
+    SELECT score, dist_r,""",
+    1,
+)
+
+_ALPHA_SPARK_SQL = _FEATS_SPARK_HEADER + "," + _FLAGGED_K + _ALPHA_TAIL
+_ALPHA_DUCK_SQL = _FEATS_DUCK_HEADER + "," + _FLAGGED_K + _ALPHA_TAIL
+
+
+@register("quality_krippendorff_alpha", oracle=_ALPHA_DUCK_SQL)
+def quality_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over three binary annotators (Gopher rules,
+    logistic gate, lexical-diversity rule): observed vs chance pair
+    disagreement from exact vote-count integers."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ALPHA_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across event types
+# ---------------------------------------------------------------------------
+# The parametric k-group location screen (the k>2 sibling of the
+# two-sample z/t machinery elsewhere in the battery): does mean event
+# value differ across the five event types? Every moment is an exact
+# integer on the cents grid (n, Σx, Σx² as DECIMAL(38,0) — x² per row
+# is ≤1e10 on cents, so the sum is exact far past 100 TB); the only
+# floats are the per-group S²/n terms (one IEEE division each, snapped
+# to the 1e-2 cents² grid, then order-independent exact-summed) and
+# the final F/η² expressions, snapped.
+
+_ANOVA_CENTS = "CAST(floor(value * 1e2 + 0.5) AS DECIMAL(38,0))"
+
+_ANOVA_SQL = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_ANOVA_CENTS}) AS DECIMAL(38,0)) AS s,
+           CAST(sum({_ANOVA_CENTS} * {_ANOVA_CENTS}) AS DECIMAL(38,0)) AS ss
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+),
+terms AS (
+    SELECT n, s, ss,
+           floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e2 + 0.5)
+               / 1e2 AS s2_over_n
+    FROM g
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           CAST(sum(s) AS DECIMAL(38,0)) AS s_all,
+           CAST(sum(ss) AS DECIMAL(38,0)) AS ss_all,
+           {sql_exact_sum("s2_over_n", 2)} AS sum_s2n
+    FROM terms
+),
+ssq AS (
+    SELECT k, n_total,
+           sum_s2n - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total
+               AS ss_between,
+           CAST(ss_all AS DOUBLE) - sum_s2n AS ss_within
+    FROM agg
+)
+SELECT k AS n_groups, n_total,
+       floor(ss_between / 1e4 * 1e2 + 0.5) / 1e2 AS ss_between,
+       floor(ss_within / 1e4 * 1e2 + 0.5) / 1e2 AS ss_within,
+       floor((ss_between / (k - 1)) / (ss_within / (n_total - k))
+             * 1e6 + 0.5) / 1e6 AS f_stat,
+       floor(ss_between / (ss_between + ss_within) * 1e6 + 0.5) / 1e6
+           AS eta_squared
+FROM ssq
+"""
+
+
+@register("events_anova_f_oneway", oracle=_ANOVA_SQL)
+def events_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the five event types:
+    between/within sums of squares (re-expressed in currency² units),
+    F statistic and η² — exact integer moments, snapped term sums."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ANOVA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H across event types
+# ---------------------------------------------------------------------------
+# The rank-based complement to the ANOVA above (and the k>2
+# generalization of events_mann_whitney_u): midranks come off the
+# bounded DISTINCT-cents histogram (2·rank = 2·cum_before + t + 1 is
+# an exact integer), so each group's doubled rank sum R2_g is an exact
+# DECIMAL; H uses R2_g cast to DOUBLE only at the squaring (R2_g² can
+# pass DECIMAL(38) at extreme scale), per-group terms snap to the 1e-2
+# grid and exact-sum, and the tie factor Σ(t³−t)/(N³−N) is exact
+# DECIMAL until its one division. The χ²₍ₖ₋₁₎ tail converts through
+# the Wilson–Hilferty cube-root normalization (cbrt is built into both
+# engines) into the shared A&S normal polynomial.
+#
+# The cumulative window runs over the value HISTOGRAM (cents grid) —
+# the allowlisted bounded-relation shape, never a per-row rank.
+
+_KW_SQL = f"""
+WITH vals AS (
+    SELECT event_type,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+cnt AS (
+    SELECT cents, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM vals GROUP BY cents, event_type
+),
+tot AS (
+    SELECT cents, CAST(sum(c) AS BIGINT) AS t,
+           CAST(coalesce(sum(sum(c)) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+    FROM cnt GROUP BY cents
+),
+ranksum AS (
+    SELECT c.event_type,
+           CAST(sum(c.c) AS BIGINT) AS n,
+           CAST(sum(CAST(c.c AS DECIMAL(38,0))
+                    * (2 * t.cum_before + t.t + 1)) AS DECIMAL(38,0))
+               AS r2
+    FROM cnt c JOIN tot t ON t.cents = c.cents
+    GROUP BY c.event_type
+),
+ties AS (
+    SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+                AS DECIMAL(38,0)) AS tie3
+    FROM tot
+),
+terms AS (
+    SELECT event_type, n, r2,
+           floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4e0 * n)
+                 * 1e2 + 0.5) / 1e2 AS rterm
+    FROM ranksum
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           {sql_exact_sum("rterm", 2)} AS sum_rterm
+    FROM terms
+),
+hstat AS (
+    SELECT k, n_total,
+           floor((12e0 / (CAST(n_total AS DOUBLE) * (n_total + 1))
+                  * sum_rterm - 3e0 * (n_total + 1)) * 1e6 + 0.5) / 1e6
+               AS h_raw,
+           floor((1e0 - CAST(t.tie3 AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) * n_total * n_total
+                           - n_total)) * 1e9 + 0.5) / 1e9 AS tie_c
+    FROM agg CROSS JOIN ties t
+),
+zed AS (
+    SELECT k, n_total, h_raw, tie_c,
+           floor((h_raw / tie_c) * 1e6 + 0.5) / 1e6 AS h_corrected,
+           floor(((cbrt(h_raw / tie_c / (k - 1))
+                   - (1e0 - 2e0 / (9e0 * (k - 1))))
+                  / sqrt(2e0 / (9e0 * (k - 1)))) * 1e6 + 0.5) / 1e6
+               AS z_wh
+    FROM hstat
+)
+SELECT r.event_type, r.n,
+       CAST(r.r2 AS DOUBLE) / 2 AS rank_sum,
+       floor(CAST(r.r2 AS DOUBLE) / (2e0 * r.n) * 1e6 + 0.5) / 1e6
+           AS mean_rank,
+       z.h_corrected AS h_stat, z.z_wh,
+       floor({{p}} * 1e6 + 0.5) / 1e6 AS p_value
+FROM ranksum r CROSS JOIN zed z
+ORDER BY r.event_type
+"""
+
+
+def _kw_sql() -> str:
+    return _KW_SQL.format(p=sql_normal_two_sided_p("abs(z.z_wh)"))
+
+
+@register("events_kruskal_wallis_h", oracle=_kw_sql())
+def events_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test of event value across the five event
+    types: per-type n / rank sum / mean rank with the tie-corrected H,
+    Wilson–Hilferty z, and two-sided normal p."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kw_sql())

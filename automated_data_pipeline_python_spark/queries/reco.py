@@ -205,3 +205,200 @@ def reco_als_rank1_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView("als_ufac")
     return spark.sql("WITH " + _als_tail("als_ratings", "als_ufac").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Temporal hit-rate evaluation of the co-purchase recommender
+# ---------------------------------------------------------------------------
+# The offline eval a recommender ships with: train top-3 "customers
+# also bought" brand recommendations on the FIRST half of the order
+# history, score them against co-purchases that actually happened in
+# the SECOND half. Per source brand: how many held-out co-purchase
+# partners existed, how many were in the top-3 list (hit), and the
+# hit rate. Time-split (not random-split) — the honest protocol for
+# transactional data, no leakage of future baskets into training.
+#
+# All counts are exact integers (co-purchase weights, hits); ranks are
+# PARTITIONED row_number with (weight DESC, brand) total order; one
+# snapped division per output row.
+#
+# Scale: both halves reduce to distinct (order, brand) then brand-pair
+# aggregates — bounded by the brand vocabulary squared, with the
+# corpus-sized work being the two scan+join passes. No global windows.
+
+_RECO_EVAL_SQL = """
+WITH mid AS (
+    SELECT CAST(min(o_orderdate) AS DATE)
+           + CAST(floor({div}) AS INT) AS cut
+    FROM orders
+),
+ob AS (
+    SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand,
+           CASE WHEN CAST(o.o_orderdate AS DATE) < m.cut
+                THEN 0 ELSE 1 END AS half
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    CROSS JOIN mid m
+),
+train_edges AS (
+    SELECT a.brand AS src, b.brand AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+    WHERE a.half = 0 AND b.half = 0
+    GROUP BY a.brand, b.brand
+),
+recs AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM train_edges
+    ) r WHERE rk <= 3
+),
+test_pairs AS (
+    SELECT DISTINCT a.brand AS src, b.brand AS dst
+    FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+    WHERE a.half = 1 AND b.half = 1
+)
+SELECT t.src AS brand,
+       CAST(count(*) AS BIGINT) AS n_test_partners,
+       CAST(sum(CASE WHEN r.dst IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       floor((CAST(sum(CASE WHEN r.dst IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS hit_rate
+FROM test_pairs t
+LEFT JOIN recs r ON r.src = t.src AND r.dst = t.dst
+GROUP BY t.src
+ORDER BY brand
+"""
+
+_RECO_EVAL_DIV = (
+    "CAST(CAST(max(o_orderdate) AS DATE)"
+    " - CAST(min(o_orderdate) AS DATE) AS BIGINT) {op} 2"
+)
+
+
+@register(
+    "reco_copurchase_hitrate_eval",
+    oracle=_RECO_EVAL_SQL.format(div=_RECO_EVAL_DIV.format(op="//")),
+)
+def reco_copurchase_hitrate_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-split offline eval of the top-3 co-purchase recommender:
+    per-brand held-out partner count, hits, and hit rate (train on the
+    first half of the order history, test on the second)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        _RECO_EVAL_SQL.format(div=_RECO_EVAL_DIV.format(op="DIV"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recommendation-list coverage & diversity metrics
+# ---------------------------------------------------------------------------
+# The beyond-accuracy eval suite (Castells et al.): the hit-rate eval
+# above asks "are the recommendations right"; this asks "are they
+# varied" — the metrics that catch a recommender collapsing onto
+# popular items. Over the top-3 co-purchase lists:
+#   * catalog coverage — share of the brand catalog that appears in
+#     ANY list;
+#   * intra-list diversity — per list, 1 − (same-family pair share)
+#     using the Brand#XY family digit, averaged over lists;
+#   * recommendation entropy — Shannon entropy of how often each
+#     brand is recommended (max = ln(n_recommended) under perfect
+#     balance).
+#
+# Counts are exact integers; per-list diversity and per-brand entropy
+# terms snap (1e-6 / 1e-9) before order-independent exact sums; three
+# final snapped divisions.
+#
+# Scale: one corpus pass builds the brand-pair edge list (basket-
+# bounded self-join); recs = partitioned top-3 over it (brand-sized,
+# materialized once — three consumers); all metrics run on recs.
+
+_RECO_EDGES_SQL = """
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.brand AS src, b.brand AS dst, CAST(count(*) AS BIGINT) AS w
+FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+GROUP BY a.brand, b.brand
+"""
+
+
+def _reco_div_tail(edges: str) -> str:
+    ild = sql_exact_sum("ild", 6)
+    ent = sql_exact_sum("ent_term", 9)
+    return f"""
+recs AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM {edges}
+    ) r WHERE rk <= 3
+),
+catalog AS (SELECT CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+            FROM part),
+cover AS (SELECT CAST(count(DISTINCT dst) AS BIGINT) AS n_recommended
+          FROM recs),
+pairs AS (
+    SELECT a.src,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN substr(a.dst, 7, 1) = substr(b.dst, 7, 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+    FROM recs a JOIN recs b ON a.src = b.src AND a.dst < b.dst
+    GROUP BY a.src
+),
+perlist AS (
+    SELECT src,
+           floor((1e0 - CAST(n_same AS DOUBLE) / n_pairs) * 1e6 + 0.5)
+               / 1e6 AS ild
+    FROM pairs
+),
+ildagg AS (
+    SELECT floor({ild} / count(*) * 1e6 + 0.5) / 1e6
+               AS mean_intralist_diversity
+    FROM perlist
+),
+dstc AS (
+    SELECT dst, CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY dst
+),
+dstt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM dstc),
+entterms AS (
+    SELECT floor((-1e0 * (CAST(c AS DOUBLE) / t.t)
+                  * ln(CAST(c AS DOUBLE) / t.t)) * 1e9 + 0.5) / 1e9
+               AS ent_term
+    FROM dstc CROSS JOIN dstt t
+),
+entagg AS (SELECT floor(({ent}) * 1e6 + 0.5) / 1e6 AS rec_entropy
+           FROM entterms)
+SELECT cat.n_brands, cov.n_recommended,
+       floor(CAST(cov.n_recommended AS DOUBLE) / cat.n_brands
+             * 1e6 + 0.5) / 1e6 AS catalog_coverage,
+       i.mean_intralist_diversity,
+       e.rec_entropy
+FROM catalog cat CROSS JOIN cover cov
+CROSS JOIN ildagg i CROSS JOIN entagg e
+"""
+
+
+@register(
+    "reco_coverage_diversity",
+    oracle="WITH reco_edges AS (" + _RECO_EDGES_SQL + "),\n"
+    + _reco_div_tail("reco_edges").lstrip(),
+)
+def reco_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy metrics of the top-3 co-purchase recommender:
+    catalog coverage, mean intra-list (brand-family) diversity, and
+    recommendation-frequency entropy."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql(_RECO_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "reco_edges"
+    )
+    return spark.sql("WITH " + _reco_div_tail("reco_edges").lstrip())

@@ -1590,3 +1590,110 @@ def events_periodogram_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonality detection."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_PGRAM_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# STL-style seasonal-trend decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+# The classical additive decomposition (the moving-average core of
+# STL, Cleveland et al. 1990, without the loess robustness loop):
+# trend = centered 7-day moving average (complete windows only — the
+# RANGE frame runs over integer day numbers so calendar gaps shrink
+# the window and the count()=7 guard nulls the edge), seasonal =
+# day-of-week mean of the detrended series, remainder = what's left.
+# The decomposition identity obs = trend + seasonal + remainder holds
+# exactly on the snapped grid by construction.
+#
+# Determinism: daily totals are exact cent integers; the trend MA is
+# an integer window sum with ONE snapped division; the seasonal means
+# exact-sum the snapped detrended values. Engines disagree on
+# dayofweek numbering — each side remaps to Monday=0 explicitly.
+#
+# Scale: one corpus aggregation → calendar-bounded daily relation
+# (allowlisted global-window class); windows and joins all run on it.
+
+_STL_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS d,
+       CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS obs_c
+FROM events WHERE value IS NOT NULL
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+def _stl_tail(daynum: str, dow0: str, fmt_day: str, daily: str) -> str:
+    return f"""
+ma AS (
+    SELECT d, obs_c,
+           CASE WHEN count(*) OVER w = 7
+                THEN floor(CAST(sum(obs_c) OVER w AS DOUBLE) / 7e2
+                           * 1e6 + 0.5) / 1e6
+           END AS trend
+    FROM (SELECT d, obs_c, {daynum} AS dn FROM {daily}) t
+    WINDOW w AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT d, obs_c, trend,
+           CASE WHEN trend IS NOT NULL
+                THEN floor((CAST(obs_c AS DOUBLE) / 1e2 - trend)
+                           * 1e6 + 0.5) / 1e6
+           END AS detrended
+    FROM ma
+),
+seas AS (
+    SELECT CAST({dow0} AS INT) AS dow,
+           floor({{dmean}} / count(detrended) * 1e6 + 0.5) / 1e6
+               AS seasonal
+    FROM detr WHERE detrended IS NOT NULL
+    GROUP BY CAST({dow0} AS INT)
+)
+SELECT {fmt_day} AS day,
+       CAST(m.obs_c AS DOUBLE) / 1e2 AS observed,
+       m.trend,
+       s.seasonal,
+       CASE WHEN m.detrended IS NOT NULL
+            THEN floor((m.detrended - s.seasonal) * 1e6 + 0.5) / 1e6
+       END AS remainder
+FROM detr m
+JOIN seas s ON s.dow = CAST({{dow0_m}} AS INT)
+ORDER BY day
+"""
+
+
+def _stl_sql(daynum: str, dow0: str, fmt_day: str, daily: str) -> str:
+    tail = (
+        _stl_tail(daynum, dow0, fmt_day, daily)
+        .replace("{dmean}", sql_exact_sum("detrended", 6))
+        .replace("{dow0_m}", dow0.replace("(d)", "(m.d)"))
+    )
+    return tail
+
+
+@register(
+    "events_stl_decomposition",
+    oracle="WITH stl_daily AS (" + _STL_DAILY_SQL + "),\n"
+    + _stl_sql(
+        "CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)",
+        "(dayofweek(d) + 6) % 7",
+        "strftime(d, '%Y-%m-%d')",
+        "stl_daily",
+    ).lstrip(),
+)
+def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-style decomposition of daily revenue: centered
+    7-day MA trend, day-of-week seasonal means of the detrended
+    series, and the remainder (obs = trend + seasonal + remainder on
+    the snapped grid)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(_STL_DAILY_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "stl_daily"
+    )
+    return spark.sql(
+        "WITH "
+        + _stl_sql(
+            "CAST(datediff(d, DATE '1970-01-01') AS BIGINT)",
+            "(dayofweek(d) + 5) % 7",
+            "date_format(d, 'yyyy-MM-dd')",
+            "stl_daily",
+        ).lstrip()
+    )

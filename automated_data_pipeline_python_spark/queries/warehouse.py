@@ -1401,3 +1401,99 @@ def orders_theil_atkinson_inequality(
     decomposable complements to the Lorenz/Gini concentration query."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_THEIL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-tercile migration matrix (first half vs second half)
+# ---------------------------------------------------------------------------
+# The lifecycle-movement view every retention team maintains on top of
+# a static RFM snapshot (rfm_customer_segments): segment customers by
+# spend tercile in each HALF of the time range and count every
+# (before, after) transition, including births (no first-half orders,
+# tercile 0) and churns (no second-half orders). Diagonal mass =
+# stability; below-diagonal = decay.
+#
+# Terciles come from TWO snapped percentile cutoffs per half computed
+# in one aggregation and broadcast-compared — the same
+# quantile-cutoff discipline as rfm_customer_segments, deliberately
+# NOT a per-customer CDF window (the distinct-spend relation grows
+# with the customer dimension, so a cumulative window over it is a
+# single-partition sort at scale). Spend is an exact_sum on the cent
+# grid and cutoffs snap to the 1e-6 grid before comparison (the
+# float-threshold invariant), so segmentation is deterministic
+# cross-engine. The midpoint split is data-derived (min/max order
+# dates), scale-invariant.
+#
+# Scale: two per-customer aggregations (one shuffle each), two
+# 2-scalar cutoff aggregates broadcast back, one full-outer join on
+# custkey, one 16-cell rollup. No windows.
+
+
+def _rfm_mig_sql(q: str, idiv) -> str:
+    d = idiv
+    half = """
+SELECT o_custkey, {es} AS spend
+FROM orders CROSS JOIN mid
+WHERE {cond}
+GROUP BY o_custkey
+"""
+    es = sql_exact_sum("o_totalprice", 2)
+
+    def cuts(rel: str) -> str:
+        c1 = sql_stable_round(f"{q}(spend, CAST(1 AS DOUBLE) / 3)", 6)
+        c2 = sql_stable_round(f"{q}(spend, CAST(2 AS DOUBLE) / 3)", 6)
+        return f"SELECT {c1} AS cut1, {c2} AS cut2 FROM {rel}"
+
+    def seg(rel: str, cutrel: str) -> str:
+        return f"""
+SELECT r.o_custkey,
+       CASE WHEN r.spend <= c.cut1 THEN 1
+            WHEN r.spend <= c.cut2 THEN 2
+            ELSE 3 END AS seg
+FROM {rel} r CROSS JOIN {cutrel} c
+"""
+
+    return f"""
+WITH mid AS (
+    SELECT CAST(min(o_orderdate) AS DATE)
+           + CAST(floor({d("CAST(CAST(max(o_orderdate) AS DATE)"
+                           " - CAST(min(o_orderdate) AS DATE) AS BIGINT)",
+                           "2")}) AS INT) AS cut
+    FROM orders
+),
+h1 AS ({half.format(es=es, cond="CAST(o_orderdate AS DATE) < mid.cut")}),
+h2 AS ({half.format(es=es, cond="CAST(o_orderdate AS DATE) >= mid.cut")}),
+c1 AS ({cuts("h1")}),
+c2 AS ({cuts("h2")}),
+s1 AS ({seg("h1", "c1")}),
+s2 AS ({seg("h2", "c2")}),
+mig AS (
+    SELECT coalesce(s1.seg, 0) AS seg_before,
+           coalesce(s2.seg, 0) AS seg_after,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS n FROM mig)
+SELECT m.seg_before, m.seg_after, m.n_customers,
+       {sql_stable_round("CAST(m.n_customers AS DOUBLE) / t.n", 6)}
+           AS share
+FROM mig m CROSS JOIN tot t
+ORDER BY seg_before, seg_after
+"""
+
+
+@register(
+    "orders_rfm_migration_matrix",
+    oracle=_rfm_mig_sql("quantile_cont", lambda a, b: f"({a}) // ({b})"),
+)
+def orders_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-tercile migration matrix between the first and second half
+    of the order history (0 = inactive in that half): transition counts
+    and shares."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _rfm_mig_sql(
+            "percentile", lambda a, b: f"CAST(({a}) DIV ({b}) AS BIGINT)"
+        )
+    )

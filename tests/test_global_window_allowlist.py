@@ -39,8 +39,10 @@ ALLOWED = {
     "events_cem_matching": "CDFs over n_events/n_days value histograms (bounded domains)",
     "events_periodogram_periods": "day-index window over calendar-bounded daily relation",
     "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
+    "events_kruskal_wallis_h": "rank-sum read off value histogram (cents grid), never per-row ranks",
     "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",
     "events_sprt_ab_trajectory": "cumulative LLR over day-granularity trajectory",
+    "events_stl_decomposition": "7-day MA window over calendar-bounded daily relation",
     "feature_quantile_normalize": "CDF over distinct-value histogram (snapped grid)",
     "lineitem_abc_classification": "cumulative revenue share over brand-level aggregate (bounded brand domain)",
     "lm_negative_sampling_table": "cumulative boundaries over top-40 rank-capped vocab",
@@ -49,13 +51,10 @@ ALLOWED = {
     "orders_pareto_concentration": "cumulative share over percentile-bucket relation (100 buckets)",
     "quality_auc_rank": "rank-sum AUC off snapped-score histogram",
     "quality_calibration_bins": "CDF over distinct-score histogram (snapped grid)",
+    "quality_pr_auc": "PR-curve steps off snapped-score histogram (bounded grid)",
     "quality_conformal_interval": "quantile read off residual histogram (bounded residual domain)",
     "quality_ece_from_bins": "rollup of the decile-bin chain (snapped-score histogram CDF)",
-    "sample_importance_dsir": "rank over ORDER BY + LIMIT 50 picked relation",
-    "sketch_heavy_hitter_terms": "rank over approx_top_k output (k=25 rows)",
     "sketch_histogram_quantiles": "CDF over fixed-width bin histogram",
-    "text_bm25_ranking": "rank over ORDER BY + LIMIT 20 picked relation",
-    "text_tfidf_top_terms": "rank over per-term aggregate capped by rank filter (vocab-bounded)",
     "vocab_coverage_oov_curve": "cumulative coverage over rank-capped vocab",
     "warehouse_compaction_plan": "window over single-day partition relation (bounded by audit day)",
     "warehouse_zone_map_skipping": "global share over file-zone aggregate (file-count relation)",
@@ -68,17 +67,38 @@ def _indent(line: str) -> int:
 
 
 def _has_single_partition_window(plan_text: str) -> bool:
+    """True if a Window node's own input spine is single-partitioned.
+
+    The window's required distribution is installed by the FIRST
+    Exchange on its unary input chain (through Sort/WindowGroupLimit/
+    codegen wrappers). A SinglePartition exchange elsewhere in the
+    subtree (e.g. a scalar aggregate cross-joined below) is some other
+    operator's requirement, not the window's — walking the whole
+    subtree false-positives on those.
+    """
+    unary = re.compile(
+        r"^(\*\(\d+\)\s*)?(Sort|WindowGroupLimit|InputAdapter|"
+        r"WholeStageCodegen|Project|Filter|ColumnarToRow)\b"
+    )
     lines = plan_text.splitlines()
     for i, line in enumerate(lines):
         s = line.strip()
         if not (s.startswith("Window") or " Window " in line):
             continue
         depth = _indent(line)
+        spine_ok = True
         for nxt in lines[i + 1 :]:
             if nxt.strip() and _indent(nxt) <= depth:
                 break
-            if "Exchange SinglePartition" in nxt:
-                return True
+            body = nxt.strip().lstrip(":+- ")
+            if not body:
+                continue
+            if "Exchange" in body:
+                if spine_ok and "Exchange SinglePartition" in body:
+                    return True
+                break
+            if not unary.match(body):
+                spine_ok = False
     return False
 
 
