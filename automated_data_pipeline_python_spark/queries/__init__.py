@@ -44,6 +44,7 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
     warehouse,
     rag,
     mlstats,
+    curation3,
 )
 
 # ---------------------------------------------------------------------------
@@ -98,25 +99,25 @@ _PRIORITY = [
     "dq_functional_dependencies",
     "events_anova_f_oneway",
     "events_kruskal_wallis_h",
-    # (d) green sentinels — one per query module not already covered by
-    # (a)/(b), so a regression anywhere can surface in the driver
-    # window; all r1-r5 hash-green and unchanged this round.
-    # (dq is covered by dq_functional_dependencies in (c); the
-    # relational2/4/5 and sketches batteries ceded their slots to the
-    # session-2 additions — they stay proven by the full replay.)
-    "corpus_curation_funnel",        # curation
-    "quality_gopher_rules",          # curation2
+    "corpus_boilerplate_ngrams",
+    "quality_naive_bayes_gate",
+    "text_lexical_diversity",
+    "corpus_source_resemblance_kmv",
+    "dq_l_diversity",
+    "dq_dp_noisy_counts",
+    "events_brown_forsythe_levene",
+    "mlstats_decision_stump",
+    "events_mcnemar_paired",
+    "graph_closeness_centrality",
+    # (d) green sentinels. Most module sentinels ceded their slots to
+    # the session-2/3 additions above (first driver evidence for NEW
+    # queries outranks a redundant sentinel — the ceded modules stay
+    # proven by the committed full replay VERIFY_FULL_r06* and the
+    # pytest oracle-parity sweep); the three kept are the headline
+    # dedup path, the flagship TPC-H query, and the ANN headline.
     "dedup_minhash_lsh",             # dedup (headline)
-    "events_sessionization",         # events
-    "events_ab_test_lift",           # experiments
-    "gapfill_monthly_orders",        # modern_sql
-    "multimodal_media_metadata",     # multimodal
-    "chunk_documents_overlap",       # rag
-    "q1_pricing_summary",            # relational
-    "q2_cheapest_supplier_per_part", # relational3
-    "text_bm25_ranking",             # retrieval
-    "ann_lsh_topk",                  # similarity
-    "window_rank_battery",           # windows2
+    "q1_pricing_summary",            # relational (flagship)
+    "ann_lsh_topk",                  # similarity (headline)
     # (e) heavy/headline green sentinel filling the window to 50
     # (q16: the planner-forced NAAJ broadcast exemption stays pinned).
     "q16_part_supplier_relation",    # planner-forced NAAJ broadcast exemption

@@ -610,3 +610,90 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exposed to exactly that pre-first-purchase channel set."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_shapley_sql())
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test: weekday vs weekend conversion per user
+# ---------------------------------------------------------------------------
+# The paired complement of events_ab_test_lift: each user is their own
+# control. Condition pair = did the user purchase on a weekday /
+# on a weekend (users active on both kinds of day form the pairs).
+# Day-of-week is epoch-day arithmetic ((days since 1970-01-01 + 3) % 7,
+# Monday = 0) — portable, immune to the engines' dayofweek origin
+# disagreement. chi² uses the Edwards continuity correction
+# (|b−c|−1)²/(b+c); p comes through z = sqrt(chi²) and the shared
+# normal polynomial.
+
+
+def _mcnemar_sql(epoch_day: str) -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_normal_two_sided_p,
+    )
+
+    return f"""
+WITH days AS (
+    SELECT user_id, event_type,
+           ((({epoch_day}) + 3) % 7 >= 5) AS is_weekend
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           CAST(max(CASE WHEN NOT is_weekend THEN 1 ELSE 0 END)
+                AS INT) AS active_wd,
+           CAST(max(CASE WHEN is_weekend THEN 1 ELSE 0 END)
+                AS INT) AS active_we,
+           CAST(max(CASE WHEN NOT is_weekend
+                         AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS INT) AS conv_wd,
+           CAST(max(CASE WHEN is_weekend
+                         AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS INT) AS conv_we
+    FROM days GROUP BY user_id
+),
+paired AS (
+    SELECT conv_wd, conv_we FROM per_user
+    WHERE active_wd = 1 AND active_we = 1
+),
+counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conv_wd * conv_we) AS BIGINT) AS n_both,
+           CAST(sum(conv_wd * (1 - conv_we)) AS BIGINT) AS n_wd_only,
+           CAST(sum((1 - conv_wd) * conv_we) AS BIGINT) AS n_we_only,
+           CAST(sum((1 - conv_wd) * (1 - conv_we)) AS BIGINT) AS n_neither
+    FROM paired
+),
+stat AS (
+    SELECT n_pairs, n_both, n_wd_only, n_we_only, n_neither,
+           floor((CAST((abs(n_wd_only - n_we_only) - 1) AS DOUBLE)
+                  * (abs(n_wd_only - n_we_only) - 1)
+                  / (n_wd_only + n_we_only)) * 1e6 + 0.5) / 1e6 AS chi2
+    FROM counts
+),
+zed AS (
+    SELECT *, floor(sqrt(chi2) * 1e6 + 0.5) / 1e6 AS z FROM stat
+)
+SELECT n_pairs, n_both, n_wd_only, n_we_only, n_neither, chi2, z,
+       floor({sql_normal_two_sided_p("z")} * 1e6 + 0.5) / 1e6 AS p_value
+FROM zed
+"""
+
+
+@register(
+    "events_mcnemar_paired",
+    oracle=_mcnemar_sql(
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+    ),
+)
+def events_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test of weekday-vs-weekend purchase conversion
+    over users active on both day kinds: the 2×2 discordant-pair table,
+    continuity-corrected chi², z and two-sided p.
+
+    Scale: one per-user group-by over events (map-side combinable
+    max-flags), then a single bounded aggregate — no windows, no
+    self-joins.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _mcnemar_sql("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+    )

@@ -825,3 +825,76 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "assort_edges"
     )
     return spark.sql("WITH " + _assort_tail("assort_edges").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Harmonic + closeness centrality via unrolled BFS (depth ≤ 3)
+# ---------------------------------------------------------------------------
+# Exact shortest-path distances on the brand graph by three unrolled
+# BFS frontiers (the co-purchase graph's diameter is ~2; depth-3 pairs
+# are counted so a sparser corpus still resolves). Harmonic centrality
+# Σ 1/d handles disconnection without a convention; classic closeness
+# (reached / Σd) rides along. All set algebra is joins on the
+# vocabulary-sized edge relation — the corpus-sized work remains the
+# single edge-list build.
+
+_CLOSE_TAIL = """
+d1 AS (SELECT DISTINCT src, dst FROM e),
+d2 AS (
+    SELECT DISTINCT a.src, b.dst
+    FROM d1 a JOIN d1 b ON a.dst = b.src AND a.src <> b.dst
+    LEFT JOIN d1 x ON x.src = a.src AND x.dst = b.dst
+    WHERE x.src IS NULL
+),
+d3 AS (
+    SELECT DISTINCT a.src, b.dst
+    FROM d2 a JOIN d1 b ON a.dst = b.src AND a.src <> b.dst
+    LEFT JOIN d1 x ON x.src = a.src AND x.dst = b.dst
+    LEFT JOIN d2 y ON y.src = a.src AND y.dst = b.dst
+    WHERE x.src IS NULL AND y.src IS NULL
+),
+dist AS (
+    SELECT src, dst, 1 AS d FROM d1
+    UNION ALL SELECT src, dst, 2 AS d FROM d2
+    UNION ALL SELECT src, dst, 3 AS d FROM d3
+),
+nodes AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM d1),
+agg AS (
+    SELECT src AS brand,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+           CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+           CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(d) AS BIGINT) AS sum_d
+    FROM dist GROUP BY src
+)
+SELECT a.brand, a.n_d1, a.n_d2, a.n_d3, a.n_reached,
+       floor((CAST(a.n_d1 AS DOUBLE) + CAST(a.n_d2 AS DOUBLE) / 2e0
+              + CAST(a.n_d3 AS DOUBLE) / 3e0) * 1e6 + 0.5) / 1e6
+           AS harmonic,
+       floor((CAST(a.n_reached AS DOUBLE) / a.sum_d) * 1e6 + 0.5) / 1e6
+           AS closeness,
+       floor((CAST(a.n_reached AS DOUBLE) / (nd.n - 1)) * 1e6 + 0.5) / 1e6
+           AS coverage
+FROM agg a CROSS JOIN nodes nd
+ORDER BY a.brand
+"""
+
+_CLOSE_SQL = "WITH e AS (" + _EDGES_SQL + "),\n" + _CLOSE_TAIL.lstrip()
+
+
+@register("graph_closeness_centrality", oracle=_CLOSE_SQL)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand harmonic and classic closeness centrality from exact
+    BFS distances (three unrolled frontiers) on the co-purchase graph,
+    with per-depth reach counts and coverage.
+
+    Scale: the corpus pass is the one edge-list build; every BFS
+    frontier is a join between brand-domain relations (≤ brands² rows).
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "close_edges"
+    )
+    return spark.sql("WITH e AS (SELECT * FROM close_edges),\n" + _CLOSE_TAIL.lstrip())

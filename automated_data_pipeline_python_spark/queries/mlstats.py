@@ -1025,3 +1025,199 @@ def events_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wilson–Hilferty z, and two-sided normal p."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_kw_sql())
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe (median-based Levene) homogeneity of variance
+# ---------------------------------------------------------------------------
+# The assumption check behind events_anova_f_oneway: are the five
+# event-type value variances even comparable? Group medians come off
+# the PARTITIONED cents-histogram CDF (per-type, bounded by the
+# distinct-cents domain — never a per-row rank); the lower-median index
+# ceil(n/2) is the pure-integer compare 2·cum ≥ n + n%2, so no
+# engine-specific integer division. |x − med| deviations are exact
+# cents integers; the one-way F on them follows the ANOVA moment
+# algebra with snapped term sums.
+
+_BF_SQL = """
+WITH vals AS (
+    SELECT event_type,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+hist AS (
+    SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+    FROM vals GROUP BY event_type, cents
+),
+cum AS (
+    SELECT event_type, cents, c,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_incl,
+           CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+    FROM hist
+),
+med AS (
+    SELECT event_type, CAST(min(cents) AS BIGINT) AS med_cents
+    FROM cum WHERE 2 * cum_incl >= n_g + (n_g % 2)
+    GROUP BY event_type
+),
+dev AS (
+    SELECT h.event_type, h.c,
+           abs(h.cents - m.med_cents) AS z
+    FROM hist h JOIN med m ON m.event_type = h.event_type
+),
+grp AS (
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(CAST(c AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS s1,
+           CAST(sum(CAST(c AS DECIMAL(38,0)) * z * z) AS DECIMAL(38,0))
+               AS s2
+    FROM dev GROUP BY event_type
+),
+terms AS (
+    SELECT event_type, n, s1, s2,
+           floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n / 1e4
+                 * 1e2 + 0.5) / 1e2 AS s2n
+    FROM grp
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           CAST(sum(s1) AS DECIMAL(38,0)) AS s_all,
+           CAST(sum(s2) AS DECIMAL(38,0)) AS ss_all,
+           CAST(sum(CAST(floor(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                               / n / 1e4 * 1e2 + 0.5) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1e2 AS sum_s2n
+    FROM terms
+),
+ssq AS (
+    SELECT k, n_total,
+           sum_s2n - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                     / n_total / 1e4 AS ss_between,
+           CAST(ss_all AS DOUBLE) / 1e4 - sum_s2n AS ss_within
+    FROM agg
+)
+SELECT k AS n_groups, n_total,
+       floor(ss_between * 1e2 + 0.5) / 1e2 AS ss_between_z,
+       floor(ss_within * 1e2 + 0.5) / 1e2 AS ss_within_z,
+       floor((ss_between / (k - 1)) / (ss_within / (n_total - k))
+             * 1e6 + 0.5) / 1e6 AS w_stat,
+       floor(ss_between / (ss_between + ss_within) * 1e6 + 0.5) / 1e6
+           AS eta_squared
+FROM ssq
+"""
+
+
+@register("events_brown_forsythe_levene", oracle=_BF_SQL)
+def events_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) test of variance
+    homogeneity across the five event types: the one-way F statistic on
+    |value − group median| deviations, with its between/within sums of
+    squares and η².
+
+    Scale: one histogram group-by, a PARTITIONED bounded-CDF median
+    read, one more group-by of exact integer moments — no per-row
+    ranks, no single-partition exchange.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: best single split by Gini gain
+# ---------------------------------------------------------------------------
+# The 1-level CART round over lineitem: label = (l_returnflag = 'R'),
+# candidate features quantity (integer 1..50) and discount (integer
+# percent 0..10) — BOUNDED value domains, so every candidate threshold
+# comes off a tiny per-feature histogram and its PARTITIONED cumulative
+# CDF; the best split per feature is a partitioned row_number over
+# ≤ 51 candidate rows. The corpus-sized work is exactly one group-by.
+
+_STUMP_SQL = """
+WITH rows_in AS (
+    SELECT CAST(l_quantity AS BIGINT) AS qty,
+           CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT) AS disc_pct,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab
+    FROM lineitem
+),
+feats AS (
+    SELECT 'quantity' AS feature, qty AS v, lab FROM rows_in
+    UNION ALL
+    SELECT 'discount_pct' AS feature, disc_pct AS v, lab FROM rows_in
+),
+hist AS (
+    SELECT feature, v,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(lab) AS BIGINT) AS pos
+    FROM feats GROUP BY feature, v
+),
+cum AS (
+    SELECT feature, v,
+           CAST(sum(n) OVER (PARTITION BY feature ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS nl,
+           CAST(sum(pos) OVER (PARTITION BY feature ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS posl,
+           CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS n_tot,
+           CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pos_tot
+    FROM hist
+),
+splits AS (
+    SELECT feature, v AS threshold, nl, n_tot - nl AS nr,
+           posl, pos_tot - posl AS posr, n_tot, pos_tot,
+           floor(((CAST(nl AS DOUBLE) / n_tot)
+                  * (1e0 - (CAST(posl AS DOUBLE) / nl)
+                          * (CAST(posl AS DOUBLE) / nl)
+                        - (CAST(nl - posl AS DOUBLE) / nl)
+                          * (CAST(nl - posl AS DOUBLE) / nl))
+                  + (CAST(n_tot - nl AS DOUBLE) / n_tot)
+                  * (1e0 - (CAST(pos_tot - posl AS DOUBLE) / (n_tot - nl))
+                          * (CAST(pos_tot - posl AS DOUBLE) / (n_tot - nl))
+                        - (CAST((n_tot - nl) - (pos_tot - posl) AS DOUBLE)
+                           / (n_tot - nl))
+                          * (CAST((n_tot - nl) - (pos_tot - posl) AS DOUBLE)
+                             / (n_tot - nl))))
+                 * 1e6 + 0.5) / 1e6 AS gini_split
+    FROM cum WHERE nl > 0 AND nl < n_tot
+),
+parent AS (
+    SELECT feature,
+           floor((1e0 - (CAST(pos_tot AS DOUBLE) / n_tot)
+                       * (CAST(pos_tot AS DOUBLE) / n_tot)
+                     - (CAST(n_tot - pos_tot AS DOUBLE) / n_tot)
+                       * (CAST(n_tot - pos_tot AS DOUBLE) / n_tot))
+                 * 1e6 + 0.5) / 1e6 AS gini_parent
+    FROM (SELECT DISTINCT feature, n_tot, pos_tot FROM cum)
+),
+best AS (
+    SELECT feature, threshold, nl, nr, posl, posr, gini_split,
+           row_number() OVER (PARTITION BY feature
+                              ORDER BY gini_split, threshold) AS rk
+    FROM splits
+)
+SELECT b.feature, b.threshold,
+       b.nl AS n_left, b.nr AS n_right,
+       b.posl AS pos_left, b.posr AS pos_right,
+       b.gini_split,
+       floor((p.gini_parent - b.gini_split) * 1e6 + 0.5) / 1e6
+           AS gini_gain
+FROM best b JOIN parent p ON p.feature = b.feature
+WHERE b.rk = 1
+ORDER BY b.feature
+"""
+
+
+@register("mlstats_decision_stump", oracle=_STUMP_SQL)
+def mlstats_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-feature Gini split (1-level CART) predicting
+    l_returnflag = 'R' from quantity and integer-percent discount:
+    per-feature winning threshold, child counts, split Gini and gain.
+
+    Scale: one map-side-combinable histogram group-by over lineitem;
+    all split search runs on ≤ 51-row per-feature histograms with
+    PARTITIONED cumulative windows.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_STUMP_SQL)

@@ -59,6 +59,16 @@ ROUND6_NEW = [
     "dq_functional_dependencies",
     "events_anova_f_oneway",
     "events_kruskal_wallis_h",
+    "corpus_boilerplate_ngrams",
+    "quality_naive_bayes_gate",
+    "text_lexical_diversity",
+    "corpus_source_resemblance_kmv",
+    "dq_l_diversity",
+    "dq_dp_noisy_counts",
+    "events_brown_forsythe_levene",
+    "mlstats_decision_stump",
+    "events_mcnemar_paired",
+    "graph_closeness_centrality",
 ]
 
 
@@ -84,6 +94,16 @@ REPLAY_COVERED_MODULES = {
     "relational4",
     "relational5",
     "sketches",
+    "curation",
+    "curation2",
+    "events",
+    "experiments",
+    "modern_sql",
+    "multimodal",
+    "rag",
+    "relational3",
+    "retrieval",
+    "windows2",
 }
 
 
