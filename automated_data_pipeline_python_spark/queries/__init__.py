@@ -76,8 +76,11 @@ _PRIORITY = [
     "events_bh_fdr_screen",
     "lm_negative_sampling_table",
     "text_winnowing_fingerprints",
-    "corpus_good_turing_chao1",
-    "mixture_class_balanced_weights",
+    # (corpus_good_turing_chao1 and mixture_class_balanced_weights
+    # ceded their slots to the session-3 additions below: both are
+    # hash-green in the committed full replays at sf0.01 AND sf0.1
+    # plus the pytest parity sweep — the strongest evidence tier
+    # available outside the window.)
     # (b) semantically touched in round 6 — must re-prove:
     "q15_top_supplier",          # window-max -> scalar agg + broadcast-back
     "lm_unigram_em_round",       # length<=12 E-step bound (both engines)
@@ -109,18 +112,20 @@ _PRIORITY = [
     "mlstats_decision_stump",
     "events_mcnemar_paired",
     "graph_closeness_centrality",
-    # (d) green sentinels. Most module sentinels ceded their slots to
-    # the session-2/3 additions above (first driver evidence for NEW
-    # queries outranks a redundant sentinel — the ceded modules stay
-    # proven by the committed full replay VERIFY_FULL_r06* and the
-    # pytest oracle-parity sweep); the three kept are the headline
-    # dedup path, the flagship TPC-H query, and the ANN headline.
-    "dedup_minhash_lsh",             # dedup (headline)
-    "q1_pricing_summary",            # relational (flagship)
-    "ann_lsh_topk",                  # similarity (headline)
-    # (e) heavy/headline green sentinel filling the window to 50
-    # (q16: the planner-forced NAAJ broadcast exemption stays pinned).
-    "q16_part_supplier_relation",    # planner-forced NAAJ broadcast exemption
+    "events_diff_in_diff",
+    "reco_bradley_terry_round",
+    "graph_brand_ktruss",
+    "events_ar2_yule_walker",
+    "embedding_rocchio_classifier",
+    "events_markov_removal_attribution",
+    # (d) every module sentinel ceded its slot to the session-2/3/4
+    # additions above (first driver evidence for NEW queries outranks
+    # a redundant sentinel — every ceded module stays proven by the
+    # committed full replays VERIFY_FULL_r06* at sf0.01+sf0.1 and the
+    # pytest oracle-parity sweep).
+    # (q16_part_supplier_relation's NAAJ broadcast exemption stays
+    # pinned by tests/test_no_scaling_broadcast_hints.py; it ceded its
+    # window slot — r1-r5 green, replay-covered — like the sentinels.)
     # Everything else still registers and is replayed by
     # tools/verify_driver.py at sf0.01+sf0.1 (VERIFY_FULL_r06).
 ]

@@ -1126,3 +1126,144 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mkv_mat"
     )
     return spark.sql("WITH " + _mkv_tail("mkv_mat").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain conversion model)
+# ---------------------------------------------------------------------------
+# The model-based attribution that completes the suite (last-touch,
+# multi-touch, Shapley): fit a first-order chain over per-user journeys
+# truncated at first purchase (start -> channels -> {purchase, null}),
+# then re-run conversion with each channel REMOVED (its inbound edges
+# redirected to null); removal effect = 1 - conv_removed/conv_base,
+# normalized into attribution shares (Anderl et al.). Absorption is 12
+# unrolled vector-matrix rounds with absorbing self-loops — every
+# quantity lives on the 1e-6 integer grid (p_u, v_u <= 1e6, per-edge
+# products <= 1e12 stay exact in DOUBLE before the snap), so both
+# engines run identical integer algebra; the 12-round truncation is the
+# documented estimator (identical cross-engine).
+
+_MRE_CHANNELS = ("click", "error", "signup", "view")
+_MRE_ROUNDS = 12
+
+
+def _mre_round(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT m.variant, m.to_s AS state,
+           CAST(sum(CAST(floor(CAST(v.v_u AS DOUBLE) * m.p_u / 1e6 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS v_u
+    FROM {prev} v
+    JOIN mat_v m ON m.variant = v.variant AND m.from_s = v.state
+    GROUP BY m.variant, m.to_s
+)"""
+
+
+def _mre_sql(ts: str) -> str:
+    variants = " UNION ALL ".join(
+        f"SELECT '{v}' AS variant" for v in ("base",) + _MRE_CHANNELS
+    )
+    rounds = ",\n".join(
+        _mre_round(f"v{r - 1}", f"v{r}").lstrip()
+        for r in range(1, _MRE_ROUNDS + 1)
+    )
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY {ts}, event_id) AS rn
+    FROM events
+),
+fp AS (
+    SELECT user_id, min(rn) AS prn FROM ordered
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+kept AS (
+    SELECT o.user_id, o.event_type, o.rn
+    FROM ordered o LEFT JOIN fp ON fp.user_id = o.user_id
+    WHERE fp.user_id IS NULL OR o.rn <= fp.prn
+),
+seq AS (
+    SELECT user_id, event_type, rn,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+               AS nxt
+    FROM kept
+),
+trans AS (
+    SELECT 'start' AS from_s, event_type AS to_s FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT event_type, 'null' FROM seq
+    WHERE nxt IS NULL AND event_type <> 'purchase'
+),
+cnt AS (
+    SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n
+    FROM trans GROUP BY from_s, to_s
+),
+tot AS (SELECT from_s, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY from_s),
+mat AS (
+    SELECT c.from_s, c.to_s,
+           CAST(floor(CAST(c.n AS DOUBLE) / t.t * 1e6 + 0.5) AS BIGINT)
+               AS p_u
+    FROM cnt c JOIN tot t ON t.from_s = c.from_s
+    UNION ALL SELECT 'purchase', 'purchase', CAST(1000000 AS BIGINT)
+    UNION ALL SELECT 'null', 'null', CAST(1000000 AS BIGINT)
+),
+variants AS ({variants}),
+mat_v AS (
+    SELECT v.variant, m.from_s,
+           CASE WHEN m.to_s = v.variant THEN 'null' ELSE m.to_s END
+               AS to_s,
+           CAST(sum(m.p_u) AS BIGINT) AS p_u
+    FROM mat m CROSS JOIN variants v
+    GROUP BY v.variant, m.from_s,
+             CASE WHEN m.to_s = v.variant THEN 'null' ELSE m.to_s END
+),
+v0 AS (
+    SELECT variant, 'start' AS state, CAST(1000000 AS BIGINT) AS v_u
+    FROM variants
+),
+{rounds},
+conv AS (
+    SELECT variant, v_u FROM v{_MRE_ROUNDS} WHERE state = 'purchase'
+),
+base AS (SELECT v_u AS base_u FROM conv WHERE variant = 'base'),
+eff AS (
+    SELECT c.variant AS channel,
+           CAST(b.base_u AS DOUBLE) / 1e6 AS conv_base,
+           CAST(c.v_u AS DOUBLE) / 1e6 AS conv_removed,
+           floor((1e0 - CAST(c.v_u AS DOUBLE) / b.base_u) * 1e6 + 0.5)
+               / 1e6 AS removal_effect
+    FROM conv c CROSS JOIN base b WHERE c.variant <> 'base'
+),
+tot_eff AS (
+    SELECT CAST(sum(CAST(floor(removal_effect * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS te
+    FROM eff
+)
+SELECT e.channel, e.conv_base, e.conv_removed, e.removal_effect,
+       floor((e.removal_effect / t.te) * 1e6 + 0.5) / 1e6
+           AS attribution_share
+FROM eff e CROSS JOIN tot_eff t
+ORDER BY e.channel
+"""
+
+
+@register(
+    "events_markov_removal_attribution",
+    oracle=_mre_sql("CAST(ts AS TIMESTAMP)"),
+)
+def events_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect channel attribution: absorbing-chain
+    conversion probability with each channel knocked out (inbound edges
+    to null), removal effects normalized to attribution shares.
+
+    Scale: the corpus passes are the per-user journey window and one
+    transition count; all 5 x 12 absorption rounds run on the bounded
+    states² matrix relation.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mre_sql("ts"))

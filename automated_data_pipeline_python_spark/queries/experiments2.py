@@ -697,3 +697,96 @@ def events_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _mcnemar_sql("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: error-exposed vs clean users, pre/post
+# ---------------------------------------------------------------------------
+# The two-period two-group causal workhorse. Exposure = user ever hit
+# an 'error' event; period split = the corpus midpoint day, written as
+# the pure-integer compare 2·epoch_day > min_day + max_day (no
+# division, no engine-specific DIV). Outcome = purchase value. Cell
+# moments are exact cents integers; DiD, its pooled SE and t are the
+# only doubles, snapped at output.
+
+
+def _did_sql(epoch_day: str) -> str:
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST({epoch_day} AS BIGINT) AS ed,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+span AS (
+    SELECT CAST(min(ed) AS BIGINT) AS d0, CAST(max(ed) AS BIGINT) AS d1
+    FROM ev
+),
+exposed AS (
+    SELECT DISTINCT user_id FROM ev WHERE event_type = 'error'
+),
+cells AS (
+    SELECT (x.user_id IS NOT NULL) AS treated,
+           (2 * e.ed > s.d0 + s.d1) AS post,
+           e.cents
+    FROM ev e CROSS JOIN span s
+    LEFT JOIN exposed x ON x.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+),
+mom AS (
+    SELECT treated, post,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s1,
+           CAST(sum(cents * cents) AS BIGINT) AS s2
+    FROM cells GROUP BY treated, post
+),
+means AS (
+    SELECT treated, post, n,
+           CAST(s1 AS DOUBLE) / n / 1e2 AS m,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+               / (n - 1) / 1e4 / n AS var_of_mean
+    FROM mom
+),
+wide AS (
+    SELECT
+        max(CASE WHEN treated AND post THEN m END) AS m_t1,
+        max(CASE WHEN treated AND NOT post THEN m END) AS m_t0,
+        max(CASE WHEN NOT treated AND post THEN m END) AS m_c1,
+        max(CASE WHEN NOT treated AND NOT post THEN m END) AS m_c0,
+        max(CASE WHEN treated AND post THEN n END) AS n_t1,
+        max(CASE WHEN treated AND NOT post THEN n END) AS n_t0,
+        max(CASE WHEN NOT treated AND post THEN n END) AS n_c1,
+        max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c0,
+        sum(var_of_mean) AS var_did
+    FROM means
+)
+SELECT floor(m_t0 * 1e6 + 0.5) / 1e6 AS mean_treat_pre,
+       floor(m_t1 * 1e6 + 0.5) / 1e6 AS mean_treat_post,
+       floor(m_c0 * 1e6 + 0.5) / 1e6 AS mean_ctrl_pre,
+       floor(m_c1 * 1e6 + 0.5) / 1e6 AS mean_ctrl_post,
+       CAST(n_t0 + n_t1 + n_c0 + n_c1 AS BIGINT) AS n_purchases,
+       floor(((m_t1 - m_t0) - (m_c1 - m_c0)) * 1e6 + 0.5) / 1e6 AS did,
+       floor(sqrt(var_did) * 1e6 + 0.5) / 1e6 AS se_did,
+       floor((((m_t1 - m_t0) - (m_c1 - m_c0)) / sqrt(var_did))
+             * 1e6 + 0.5) / 1e6 AS t_stat
+FROM wide
+"""
+
+
+@register(
+    "events_diff_in_diff",
+    oracle=_did_sql("date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences of purchase value: error-exposed vs
+    clean users before/after the corpus midpoint day — the four cell
+    means, DiD estimate, pooled SE of the mean-difference and t.
+
+    Scale: one group-by into four cells of exact integer moments (the
+    exposure flag joins a user-distinct relation that grows with the
+    corpus, so it stays unhinted for AQE).
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _did_sql("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+    )

@@ -26,6 +26,10 @@ from automated_data_pipeline_python_spark.functions.numeric import (
     sql_normal_two_sided_p,
     sql_stable_round,
 )
+from automated_data_pipeline_python_spark.functions.text import (
+    duck_hash60,
+    spark_hash60,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.queries.curation2 import (
     _CALIB_DUCK_SQL,
@@ -1221,3 +1225,103 @@ def mlstats_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_STUMP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 5-fold cross-validated simple regression (price ~ quantity)
+# ---------------------------------------------------------------------------
+# The CV harness every model eval needs, done distributed-right: fold
+# moments are computed ONCE per fold (one corpus group-by of exact
+# integer sums); each fold's TRAIN moments are total-minus-fold
+# subtractions (exact), the closed-form OLS fit is per-fold constant
+# algebra, and held-out SSE/SST expand from the same fold moments with
+# 1e-6-snapped coefficients — the corpus is never re-scanned per fold.
+
+def _cv_ols_sql(fold_expr: str) -> str:
+    return f"""
+WITH rows_in AS (
+    SELECT {fold_expr} AS fold,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT) AS y
+    FROM lineitem
+),
+fm AS (
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+           CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+    FROM rows_in GROUP BY fold
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(sx) AS BIGINT) AS sx,
+           CAST(sum(sy) AS BIGINT) AS sy,
+           CAST(sum(sxx) AS BIGINT) AS sxx,
+           CAST(sum(sxy) AS DECIMAL(38,0)) AS sxy,
+           CAST(sum(syy) AS DECIMAL(38,0)) AS syy
+    FROM fm
+),
+train AS (
+    SELECT f.fold,
+           t.n - f.n AS n, t.sx - f.sx AS sx, t.sy - f.sy AS sy,
+           t.sxx - f.sxx AS sxx,
+           CAST(t.sxy - f.sxy AS DECIMAL(38,0)) AS sxy,
+           CAST(t.syy - f.syy AS DECIMAL(38,0)) AS syy
+    FROM fm f CROSS JOIN tot t
+),
+fit AS (
+    SELECT fold,
+           floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx)) * 1e6 + 0.5) / 1e6
+               AS b,
+           n, sx, sy
+    FROM train
+),
+coef AS (
+    SELECT fold, b,
+           floor((CAST(sy AS DOUBLE) / n - b * (CAST(sx AS DOUBLE) / n))
+                 * 1e6 + 0.5) / 1e6 AS a
+    FROM fit
+),
+eval_f AS (
+    SELECT f.fold, f.n AS n_test, c.a, c.b,
+           CAST(f.syy AS DOUBLE) - 2e0 * c.a * f.sy
+               - 2e0 * c.b * CAST(f.sxy AS DOUBLE)
+               + 2e0 * c.a * c.b * f.sx
+               + c.a * c.a * f.n + c.b * c.b * f.sxx AS sse,
+           CAST(f.syy AS DOUBLE)
+               - CAST(f.sy AS DOUBLE) * f.sy / f.n AS sst
+    FROM fm f JOIN coef c ON c.fold = f.fold
+)
+SELECT fold, n_test,
+       floor((b / 1e2) * 1e6 + 0.5) / 1e6 AS slope,
+       floor((a / 1e2) * 1e6 + 0.5) / 1e6 AS intercept,
+       floor((1e0 - sse / sst) * 1e6 + 0.5) / 1e6 AS r2_holdout
+FROM eval_f
+ORDER BY fold
+"""
+
+
+_CV_KEY_S = "concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))"
+_CV_KEY_D = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+
+
+@register(
+    "mlstats_cv_ols_r2",
+    oracle=_cv_ols_sql(f"({duck_hash60(_CV_KEY_D)}) % 5"),
+)
+def mlstats_cv_ols_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple OLS (extended price ~ quantity):
+    per-fold train coefficients (fit on the other four folds via exact
+    moment subtraction) and held-out R².
+
+    Scale: exactly ONE corpus group-by (per-fold exact moments); all
+    fold fitting and evaluation is constant-size algebra.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_cv_ols_sql(f"pmod({spark_hash60(_CV_KEY_S)}, 5)"))

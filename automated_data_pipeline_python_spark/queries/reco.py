@@ -402,3 +402,191 @@ def reco_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reco_edges"
     )
     return spark.sql("WITH " + _reco_div_tail("reco_edges").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry strength: two MM iterations over brand "wins"
+# ---------------------------------------------------------------------------
+# The preference-modeling primitive (RLHF reward data, search-result
+# pairwise evals) on this schema: within each order where two brands
+# co-occur, the brand with the strictly larger total extended price
+# "wins" the comparison (ties excluded). Two unrolled
+# Minorize–Maximize updates from s=1 — s_i ← W_i / Σ_j n_ij/(s_i+s_j)
+# — with strengths snapped to the 1e-6 grid between iterations so both
+# engines iterate on identical doubles; output normalizes to mean 1.
+# Wins/games are exact integers; the corpus-sized work is one
+# (order, brand) aggregation + the basket-bounded pair join.
+
+_BT_SQL = """
+WITH ob AS (
+    SELECT l.l_orderkey AS o, p.p_brand AS brand,
+           CAST(sum(CAST(floor(l.l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                AS BIGINT) AS spend_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY l.l_orderkey, p.p_brand
+),
+games AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CASE WHEN a.spend_c > b.spend_c THEN 1
+                WHEN a.spend_c < b.spend_c THEN -1
+                ELSE 0 END AS outcome
+    FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+),
+pairs AS (
+    SELECT brand_a, brand_b,
+           CAST(count(*) AS BIGINT) AS n_games,
+           CAST(sum(CASE WHEN outcome = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_a,
+           CAST(sum(CASE WHEN outcome = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_b
+    FROM games WHERE outcome <> 0 GROUP BY brand_a, brand_b
+),
+sym AS (
+    SELECT brand_a AS i, brand_b AS j,
+           wins_a + wins_b AS n, wins_a AS w FROM pairs
+    UNION ALL
+    SELECT brand_b AS i, brand_a AS j,
+           wins_a + wins_b AS n, wins_b AS w FROM pairs
+),
+tot AS (
+    SELECT i AS brand,
+           CAST(sum(w) AS BIGINT) AS wins,
+           CAST(sum(n) AS BIGINT) AS games
+    FROM sym GROUP BY i
+),
+s1 AS (
+    -- iteration 1 from s=1: denominator Σ_j n_ij / 2
+    SELECT brand, wins, games,
+           floor((CAST(wins AS DOUBLE) / (CAST(games AS DOUBLE) / 2e0))
+                 * 1e6 + 0.5) / 1e6 AS s
+    FROM tot
+),
+den2 AS (
+    SELECT y.i AS brand,
+           sum(CAST(floor(CAST(y.n AS DOUBLE) / (si.s + sj.s)
+                          * 1e6 + 0.5) AS BIGINT)) AS den_u
+    FROM sym y
+    JOIN s1 si ON si.brand = y.i
+    JOIN s1 sj ON sj.brand = y.j
+    GROUP BY y.i
+),
+s2 AS (
+    SELECT t.brand, t.wins, t.games,
+           floor((CAST(t.wins AS DOUBLE)
+                  / (CAST(d.den_u AS DOUBLE) / 1e6)) * 1e6 + 0.5) / 1e6
+               AS s
+    FROM tot t JOIN den2 d ON d.brand = t.brand
+),
+norm AS (
+    SELECT CAST(sum(CAST(floor(s * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 / count(*) AS mean_s
+    FROM s2
+)
+SELECT s2.brand, s2.wins, s2.games,
+       s1.s AS strength_iter1,
+       floor((s2.s / n.mean_s) * 1e6 + 0.5) / 1e6 AS strength
+FROM s2 JOIN s1 ON s1.brand = s2.brand CROSS JOIN norm n
+ORDER BY s2.brand
+"""
+
+
+@register("reco_bradley_terry_round", oracle=_BT_SQL)
+def reco_bradley_terry_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry brand strengths from in-order spend comparisons:
+    per-brand wins/games and two unrolled MM iterations, final
+    strengths normalized to mean 1.
+
+    Scale: one (order, brand) aggregation, a basket-bounded pair join,
+    then all iteration algebra on the brands² relation (bounded).
+    """
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_BT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sequential purchase rules: brand A this order -> brand B next order
+# ---------------------------------------------------------------------------
+# The cross-order complement of orders_association_rules (within one
+# basket): per customer, consecutive-order brand transitions mined for
+# support / confidence / lift. The consequent-side base rate uses the
+# share of transition pairs whose NEXT basket contains B, so lift > 1
+# reads "B follows A more than B follows anything". Top 20 by lift
+# with a full tiebreak chain (TakeOrdered, never a global window).
+
+_SEQ_RULES_SQL = """
+WITH ob AS (
+    SELECT DISTINCT o.o_custkey AS cust, o.o_orderkey AS okey,
+           CAST(o.o_orderdate AS DATE) AS d, p.p_brand AS brand
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+),
+ord_seq AS (
+    SELECT DISTINCT cust, okey, d FROM ob
+),
+nxt AS (
+    SELECT cust, okey,
+           lead(okey) OVER (PARTITION BY cust ORDER BY d, okey)
+               AS next_okey
+    FROM ord_seq
+),
+pairs AS (SELECT okey, next_okey FROM nxt WHERE next_okey IS NOT NULL),
+trans AS (
+    SELECT a.brand AS ante, b.brand AS cons
+    FROM pairs pr
+    JOIN ob a ON a.okey = pr.okey
+    JOIN ob b ON b.okey = pr.next_okey
+),
+n_pairs AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+rule AS (
+    SELECT ante, cons, CAST(count(*) AS BIGINT) AS n_ab
+    FROM trans GROUP BY ante, cons
+),
+ante_tot AS (
+    SELECT ante, CAST(count(*) AS BIGINT) AS n_a FROM trans GROUP BY ante
+),
+cons_pairs AS (
+    SELECT CAST(count(DISTINCT pr.okey) AS BIGINT) AS n_with_next
+    FROM pairs pr
+),
+cons_rate AS (
+    SELECT b.brand AS cons,
+           CAST(count(DISTINCT pr.okey) AS BIGINT) AS n_b_next
+    FROM pairs pr JOIN ob b ON b.okey = pr.next_okey
+    GROUP BY b.brand
+),
+scored AS (
+    SELECT r.ante, r.cons, r.n_ab,
+           floor((CAST(r.n_ab AS DOUBLE) / np.np) * 1e6 + 0.5) / 1e6
+               AS support,
+           floor((CAST(r.n_ab AS DOUBLE) / a.n_a) * 1e6 + 0.5) / 1e6
+               AS confidence,
+           floor(((CAST(r.n_ab AS DOUBLE) / a.n_a)
+                  / (CAST(c.n_b_next AS DOUBLE) / cp.n_with_next))
+                 * 1e6 + 0.5) / 1e6 AS lift
+    FROM rule r
+    JOIN ante_tot a ON a.ante = r.ante
+    JOIN cons_rate c ON c.cons = r.cons
+    CROSS JOIN n_pairs np CROSS JOIN cons_pairs cp
+    WHERE r.n_ab >= 5
+)
+SELECT ante, cons, n_ab, support, confidence, lift
+FROM scored
+ORDER BY lift DESC, n_ab DESC, ante, cons
+LIMIT 20
+"""
+
+
+@register("orders_sequential_rules", oracle=_SEQ_RULES_SQL)
+def orders_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cross-order brand transition rules (A this order -> B
+    next order) by lift, with support and confidence; min count 5,
+    totally ordered.
+
+    Scale: one per-customer order window plus basket-bounded joins of
+    consecutive baskets; rule scoring runs on the brands² relation.
+    """
+    for t in ("orders", "lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SEQ_RULES_SQL)

@@ -1383,3 +1383,111 @@ def ann_multiprobe_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recall(sp, "lsh_single").unionAll(recall(mp, "lsh_multiprobe"))
+
+
+# ---------------------------------------------------------------------------
+# Rocchio nearest-centroid classifier: train fold -> holdout confusion
+# ---------------------------------------------------------------------------
+# The embedding-based label filter a curation pipeline actually ships
+# (classify-by-nearest-class-centroid): centroids from a hash-split
+# train fold, cosine classification of the holdout, full confusion
+# matrix. Components snap to 1e-6 micro-integers at the scan (the
+# class-separability discipline) so centroid sums and dot products are
+# exact integer arithmetic; cosines snap before the argmax and ties
+# break on label — cross-engine identical picks.
+
+_ROC_TAIL = f"""
+centroids AS (
+    SELECT label, pos,
+           CAST(floor(CAST(sum(xi) AS DOUBLE) / count(*) + 0.5)
+                AS BIGINT) AS c_u
+    FROM comp WHERE fold <> 0
+    GROUP BY label, pos
+),
+cnorm AS (
+    SELECT label,
+           sqrt(CAST(sum(c_u * c_u) AS DOUBLE)) / 1e6 AS nrm
+    FROM centroids GROUP BY label
+),
+xnorm AS (
+    SELECT vec_id,
+           sqrt(CAST(sum(xi * xi) AS DOUBLE)) / 1e6 AS nrm
+    FROM comp WHERE fold = 0 GROUP BY vec_id
+),
+dots AS (
+    SELECT t.vec_id, t.label AS true_label, c.label AS cand_label,
+           CAST(sum(CAST(t.xi AS DECIMAL(38,0)) * c.c_u)
+                AS DECIMAL(38,0)) AS dot_u2
+    FROM comp t JOIN centroids c ON c.pos = t.pos
+    WHERE t.fold = 0
+    GROUP BY t.vec_id, t.label, c.label
+),
+cosines AS (
+    SELECT d.vec_id, d.true_label, d.cand_label,
+           floor((CAST(d.dot_u2 AS DOUBLE) / 1e12 / (x.nrm * c.nrm))
+                 * 1e6 + 0.5) / 1e6 AS cos_sim
+    FROM dots d
+    JOIN xnorm x ON x.vec_id = d.vec_id
+    JOIN cnorm c ON c.label = d.cand_label
+),
+picked AS (
+    SELECT vec_id, true_label, cand_label AS pred_label FROM (
+        SELECT vec_id, true_label, cand_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cand_label)
+                   AS rk
+        FROM cosines
+    ) WHERE rk = 1
+),
+truth_sizes AS (
+    SELECT true_label, CAST(count(*) AS BIGINT) AS n_true
+    FROM picked GROUP BY true_label
+)
+SELECT p.true_label, p.pred_label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       floor((CAST(count(*) AS DOUBLE) / max(t.n_true)) * 1e6 + 0.5)
+           / 1e6 AS share_of_true
+FROM picked p JOIN truth_sizes t ON t.true_label = p.true_label
+GROUP BY p.true_label, p.pred_label
+ORDER BY p.true_label, p.pred_label
+"""
+
+
+def _rocchio_spark_sql() -> str:
+    fold = spark_hash60("CAST(vec_id AS STRING)")
+    return f"""
+WITH comp AS (
+    SELECT vec_id, label, pmod({fold}, 5) AS fold, pos,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xi
+    FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+),
+{_ROC_TAIL.lstrip()}
+"""
+
+
+def _rocchio_duck_sql() -> str:
+    fold = duck_hash60("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH comp AS (
+    SELECT vec_id, label, ({fold}) % 5 AS fold, g.d AS pos,
+           CAST(floor(CAST(embedding[g.d + 1] AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS xi
+    FROM embeddings, generate_series(0, {_DIMS - 1}) AS g(d)
+),
+{_ROC_TAIL.lstrip()}
+"""
+
+
+@register("embedding_rocchio_classifier", oracle=_rocchio_duck_sql())
+def embedding_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the hash-holdout
+    fold against train-fold class centroids by snapped cosine: the
+    holdout confusion matrix with per-true-label shares.
+
+    Scale: centroid fit is one (label, dim) aggregation; scoring joins
+    the holdout component stream to the labels x dims centroid relation
+    (bounded) and reduces per (vector, label) — no pairwise vector
+    joins anywhere.
+    """
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_rocchio_spark_sql())

@@ -1697,3 +1697,174 @@ def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stl_daily",
         ).lstrip()
     )
+
+
+# ---------------------------------------------------------------------------
+# AR(2) fit by Yule-Walker from the daily-count autocorrelations
+# ---------------------------------------------------------------------------
+# The closed-form 2x2 Yule-Walker solve on top of the lag-1/lag-2
+# Pearson autocorrelations (the events_daily_acf moment discipline:
+# exact BIGINT pair moments, one final float expression per output):
+# phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2), and the
+# innovation-variance ratio sigma2/c0 = 1 - phi1*r1 - phi2*r2. r1/r2
+# snap to the 1e-6 grid BEFORE the solve so both engines run identical
+# algebra.
+
+_AR2_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i,
+           n
+    FROM daily
+),
+pairs AS (
+    SELECT a.event_type, lag.k, a.n AS x, b.n AS y
+    FROM idx a
+    JOIN (SELECT 1 AS k UNION ALL SELECT 2 AS k) lag ON true
+    JOIN idx b ON b.event_type = a.event_type AND b.i = a.i + lag.k
+),
+stats AS (
+    SELECT event_type, k,
+           CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs GROUP BY event_type, k
+),
+acf AS (
+    SELECT event_type, k,
+           floor(CAST(np * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(np * syy - sy * sy AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS r
+    FROM stats
+),
+rr AS (
+    SELECT event_type,
+           max(CASE WHEN k = 1 THEN r END) AS r1,
+           max(CASE WHEN k = 2 THEN r END) AS r2
+    FROM acf GROUP BY event_type
+),
+days AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY event_type
+)
+SELECT rr.event_type, d.n_days, rr.r1, rr.r2,
+       floor((rr.r1 * (1e0 - rr.r2) / (1e0 - rr.r1 * rr.r1))
+             * 1e6 + 0.5) / 1e6 AS phi1,
+       floor(((rr.r2 - rr.r1 * rr.r1) / (1e0 - rr.r1 * rr.r1))
+             * 1e6 + 0.5) / 1e6 AS phi2,
+       floor((1e0
+              - (floor((rr.r1 * (1e0 - rr.r2) / (1e0 - rr.r1 * rr.r1))
+                       * 1e6 + 0.5) / 1e6) * rr.r1
+              - (floor(((rr.r2 - rr.r1 * rr.r1) / (1e0 - rr.r1 * rr.r1))
+                       * 1e6 + 0.5) / 1e6) * rr.r2)
+             * 1e6 + 0.5) / 1e6 AS innovation_var_ratio
+FROM rr JOIN days d ON d.event_type = rr.event_type
+ORDER BY rr.event_type
+"""
+
+
+@register("events_ar2_yule_walker", oracle=_AR2_SQL)
+def events_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) coefficients per event type by the closed-form Yule-Walker
+    solve over lag-1/2 daily-count autocorrelations, plus the
+    innovation-variance ratio.
+
+    Scale: the corpus pass is the daily-count aggregation; the lag
+    self-join and solve run on the (types x days) relation.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_AR2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+# Multi-resolution complement of the periodogram/STL views: three Haar
+# levels over the day-indexed total-value series (series truncated to
+# a multiple of 8 so every level pairs exactly). Details/approximations
+# are exact cents INTEGERS (unnormalized Haar: d = x_odd - x_even,
+# a = x_odd + x_even); per-level energy applies the 1/2^level
+# normalization once, in the final expression. The day-index window
+# runs over the calendar-bounded daily relation (the allowlisted
+# bounded-window shape).
+
+
+def _haar_level(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT CAST(floor((i - 1) / 2e0) AS BIGINT) + 1 AS i,
+           CAST(sum(x) AS DECIMAL(38,0)) AS x,
+           CAST(sum(CASE WHEN i % 2 = 1 THEN x ELSE -x END)
+                AS DECIMAL(38,0)) AS d
+    FROM {prev} GROUP BY CAST(floor((i - 1) / 2e0) AS BIGINT) + 1
+)"""
+
+
+_HAAR_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+           cents AS x
+    FROM daily
+),
+n8 AS (SELECT CAST(count(*) - (count(*) % 8) AS BIGINT) AS n FROM idx),
+lvl0 AS (
+    SELECT i, CAST(x AS DECIMAL(38,0)) AS x,
+           CAST(0 AS DECIMAL(38,0)) AS d
+    FROM idx CROSS JOIN n8 WHERE i <= n8.n
+),
+{_haar_level("lvl0", "lvl1").lstrip()},
+{_haar_level("lvl1", "lvl2").lstrip()},
+{_haar_level("lvl2", "lvl3").lstrip()},
+energies AS (
+    SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+           CAST(sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS DOUBLE)
+               / 2e0 AS e
+    FROM lvl1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS DOUBLE)
+               / 4e0
+    FROM lvl2
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS DOUBLE)
+               / 8e0
+    FROM lvl3
+),
+tot AS (SELECT sum(e) AS te FROM energies)
+SELECT e.level, e.n_coeffs,
+       floor(e.e / 1e4 * 1e2 + 0.5) / 1e2 AS energy,
+       floor((e.e / t.te) * 1e6 + 0.5) / 1e6 AS energy_share
+FROM energies e CROSS JOIN tot t
+ORDER BY e.level
+"""
+
+
+@register("events_haar_wavelet_energy", oracle=_HAAR_SQL)
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail energy (levels 1-3, normalized) of the
+    daily total-value series with per-level shares — which timescale
+    carries the variance.
+
+    Scale: the corpus pass is the daily aggregation; all wavelet
+    algebra runs on the calendar-bounded day-index relation.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HAAR_SQL)

@@ -1497,3 +1497,127 @@ def orders_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile", lambda a, b: f"CAST(({a}) DIV ({b}) AS BIGINT)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: inter-purchase survival, high- vs low-balance cohorts
+# ---------------------------------------------------------------------------
+# The two-sample complement of the KM/Nelson-Aalen estimators above:
+# does repurchase timing differ between acctbal >= 4500 and < 4500
+# customers? O-E and variance accumulate over the BOUNDED duration
+# histogram (per-group risk sets via a grp-partitioned cumulative
+# window over the combined duration grid); per-duration E/V terms snap
+# to 1e-6 and exact-sum. chi2(1) converts to p through z = sqrt(chi2)
+# and the shared normal polynomial.
+
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_normal_two_sided_p,
+)
+
+
+def _logrank_sql(days_diff: str) -> str:
+    return f"""
+WITH per AS (
+    SELECT o.o_custkey,
+           CASE WHEN c.c_acctbal >= 4500 THEN 'high' ELSE 'low' END AS grp,
+           CAST(o.o_orderdate AS DATE) AS d
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+seq AS (
+    SELECT o_custkey, grp, d,
+           lag(d) OVER (PARTITION BY o_custkey ORDER BY d) AS prev_d
+    FROM per
+),
+horizon AS (SELECT max(d) AS maxd FROM per),
+obs AS (
+    SELECT grp, CAST({days_diff.format(a="prev_d", b="d")} AS BIGINT)
+               AS dur, 1 AS ev
+    FROM seq WHERE prev_d IS NOT NULL
+    UNION ALL
+    SELECT grp, CAST({days_diff.format(a="last_d", b="maxd")} AS BIGINT)
+               AS dur, 0 AS ev
+    FROM (SELECT o_custkey, grp, max(d) AS last_d FROM per
+          GROUP BY o_custkey, grp)
+    CROSS JOIN horizon
+),
+hist AS (
+    SELECT grp, dur,
+           CAST(sum(ev) AS BIGINT) AS d_t,
+           CAST(count(*) AS BIGINT) AS c_t
+    FROM obs GROUP BY grp, dur
+),
+grid AS (SELECT DISTINCT dur FROM hist),
+grps AS (SELECT grp, CAST(sum(c_t) AS BIGINT) AS n_tot
+         FROM hist GROUP BY grp),
+cells AS (
+    SELECT g.dur, p.grp, p.n_tot,
+           coalesce(h.d_t, 0) AS d_t, coalesce(h.c_t, 0) AS c_t
+    FROM grid g CROSS JOIN grps p
+    LEFT JOIN hist h ON h.grp = p.grp AND h.dur = g.dur
+),
+risk AS (
+    SELECT dur, grp, d_t,
+           n_tot - CAST(coalesce(sum(c_t) OVER (PARTITION BY grp
+                        ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+    FROM cells
+),
+wide AS (
+    SELECT dur,
+           max(CASE WHEN grp = 'high' THEN d_t END) AS d1,
+           max(CASE WHEN grp = 'high' THEN n_risk END) AS n1,
+           max(CASE WHEN grp = 'low' THEN d_t END) AS d0,
+           max(CASE WHEN grp = 'low' THEN n_risk END) AS n0
+    FROM risk GROUP BY dur
+),
+terms AS (
+    SELECT dur, d1,
+           floor((CAST(n1 AS DOUBLE) * (d1 + d0) / (n1 + n0))
+                 * 1e6 + 0.5) / 1e6 AS e1,
+           CASE WHEN n1 + n0 > 1 THEN
+               floor((CAST(d1 + d0 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / (n1 + n0))
+                      * (CAST(n0 AS DOUBLE) / (n1 + n0))
+                      * (n1 + n0 - d1 - d0) / (n1 + n0 - 1))
+                     * 1e6 + 0.5) / 1e6
+           ELSE 0e0 END AS v
+    FROM wide WHERE d1 + d0 > 0 AND n1 > 0 AND n0 > 0
+),
+agg AS (
+    SELECT CAST(sum(d1) AS BIGINT) AS o1,
+           CAST(sum(CAST(floor(e1 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS e1,
+           CAST(sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS v
+    FROM terms
+),
+stat AS (
+    SELECT o1, floor(e1 * 1e6 + 0.5) / 1e6 AS e1,
+           floor((CAST(o1 - e1 AS DOUBLE) * (o1 - e1) / v)
+                 * 1e6 + 0.5) / 1e6 AS chi2
+    FROM agg
+),
+zed AS (SELECT *, floor(sqrt(chi2) * 1e6 + 0.5) / 1e6 AS z FROM stat)
+SELECT o1 AS observed_high, e1 AS expected_high, chi2, z,
+       floor(({sql_normal_two_sided_p("z")}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM zed
+"""
+
+
+@register(
+    "orders_logrank_survival_test",
+    oracle=_logrank_sql("date_diff('day', {a}, {b})"),
+)
+def orders_logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of inter-purchase survival between high- and
+    low-balance customer cohorts: observed/expected repurchases in the
+    high cohort, chi2(1), z and two-sided p.
+
+    Scale: the corpus passes are the per-customer gap window and one
+    histogram group-by; all O-E accumulation runs on the bounded
+    duration-grid relation with grp-partitioned cumulative windows.
+    """
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_logrank_sql("datediff({b}, {a})"))

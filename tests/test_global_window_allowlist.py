@@ -42,6 +42,7 @@ ALLOWED = {
     "events_kruskal_wallis_h": "rank-sum read off value histogram (cents grid), never per-row ranks",
     "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",
     "events_sprt_ab_trajectory": "cumulative LLR over day-granularity trajectory",
+    "events_haar_wavelet_energy": "day-index window over calendar-bounded daily relation",
     "events_stl_decomposition": "7-day MA window over calendar-bounded daily relation",
     "feature_quantile_normalize": "CDF over distinct-value histogram (snapped grid)",
     "lineitem_abc_classification": "cumulative revenue share over brand-level aggregate (bounded brand domain)",

@@ -30,8 +30,10 @@ ROUND6_FIRST_EVIDENCE = [
     "events_bh_fdr_screen",
     "lm_negative_sampling_table",
     "text_winnowing_fingerprints",
-    "corpus_good_turing_chao1",
-    "mixture_class_balanced_weights",
+    # corpus_good_turing_chao1 and mixture_class_balanced_weights
+    # ceded their window slots to session-4 additions: both are
+    # hash-green in the committed full replays at sf0.01 AND sf0.1
+    # plus the pytest parity sweep.
 ]
 
 # Semantics or plan touched in round 6; must re-prove on the driver.
@@ -69,6 +71,12 @@ ROUND6_NEW = [
     "mlstats_decision_stump",
     "events_mcnemar_paired",
     "graph_closeness_centrality",
+    "events_diff_in_diff",
+    "reco_bradley_terry_round",
+    "graph_brand_ktruss",
+    "events_ar2_yule_walker",
+    "embedding_rocchio_classifier",
+    "events_markov_removal_attribution",
 ]
 
 
@@ -96,6 +104,9 @@ REPLAY_COVERED_MODULES = {
     "sketches",
     "curation",
     "curation2",
+    "dedup",
+    "relational",
+    "training",
     "events",
     "experiments",
     "modern_sql",
