@@ -614,3 +614,95 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_kmv_setops_sql(spark_hash60))
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 second-frequency-moment sketch
+# ---------------------------------------------------------------------------
+# The tug-of-war sketch: k=16 hash-seeded ±1 counters, each summing
+# sign_j(token) over the token STREAM; (counter)² is an unbiased F2
+# estimate, the median of the 16 tames the variance. Signs come from
+# the estimator-salted sha-derived hash (no engine RNG — the repo
+# sampling discipline); both the sketch pass and the exact Σ freq²
+# answer reduce off the same (token, freq) aggregation. F2 is the
+# self-join size / skew indicator a planner consults before a
+# token-keyed join at 100 TB.
+
+_AMS_K = 16
+
+
+def _ams_sql(h60) -> str:
+    return f"""
+freq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token
+),
+exact AS (
+    SELECT CAST(sum(c * c) AS DECIMAL(38,0)) AS f2_exact,
+           CAST(sum(c) AS BIGINT) AS n_tokens
+    FROM freq
+),
+estimators AS (
+    SELECT j.j,
+           CAST(sum(c * (({h60("concat(CAST(j.j AS STRING), '|', token)")})
+                         % 2 * 2 - 1)) AS BIGINT) AS s
+    FROM freq CROSS JOIN (
+        SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2
+        UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+        UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
+        UNION ALL SELECT 9 UNION ALL SELECT 10 UNION ALL SELECT 11
+        UNION ALL SELECT 12 UNION ALL SELECT 13 UNION ALL SELECT 14
+        UNION ALL SELECT 15
+    ) j
+    GROUP BY j.j
+),
+sq AS (
+    SELECT j, CAST(s AS DECIMAL(38,0)) * s AS est,
+           row_number() OVER (ORDER BY CAST(s AS DECIMAL(38,0)) * s, j)
+               AS rk
+    FROM estimators
+),
+med AS (
+    SELECT CAST(sum(CAST(est AS DOUBLE)) / 2e0 AS DOUBLE) AS f2_est
+    FROM sq WHERE rk IN ({_AMS_K // 2}, {_AMS_K // 2 + 1})
+)
+SELECT e.n_tokens,
+       CAST(e.f2_exact AS DOUBLE) AS f2_exact,
+       m.f2_est,
+       floor(abs(m.f2_est - CAST(e.f2_exact AS DOUBLE))
+             / CAST(e.f2_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS rel_error
+FROM exact e CROSS JOIN med m
+"""
+
+
+_AMS_SPARK_TOK = (
+    "SELECT token FROM (SELECT split(trim(text), '\\\\s+') AS toks"
+    " FROM documents) LATERAL VIEW explode(toks) t AS token"
+)
+_AMS_DUCK_TOK = (
+    "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token"
+    " FROM documents"
+)
+
+
+@register(
+    "sketch_ams_f2_moment",
+    oracle="WITH tok AS (" + _AMS_DUCK_TOK + "),\n"
+    + _ams_sql(lambda e: f"CAST('0x' || substr(sha256({e}), 1, 7) AS BIGINT)").lstrip(),
+)
+def sketch_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war estimate of the token-frequency second moment F2
+    (16 hash-signed counters, median-of-squares) against the exact
+    Σ freq², with the realized relative error.
+
+    Scale: ONE (token, freq) aggregation feeds both the sketch and the
+    truth; the estimator fan-out is 16× over the vocabulary-sized freq
+    relation, and everything downstream is 16 rows.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "WITH tok AS (" + _AMS_SPARK_TOK + "),\n"
+        + _ams_sql(
+            lambda e: f"CAST(conv(substr(sha2({e}, 256), 1, 7), 16, 10) AS BIGINT)"
+        ).lstrip()
+    )

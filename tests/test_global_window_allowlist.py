@@ -55,6 +55,7 @@ ALLOWED = {
     "quality_pr_auc": "PR-curve steps off snapped-score histogram (bounded grid)",
     "quality_conformal_interval": "quantile read off residual histogram (bounded residual domain)",
     "quality_ece_from_bins": "rollup of the decile-bin chain (snapped-score histogram CDF)",
+    "sketch_ams_f2_moment": "median rank over the 16 estimator rows (constant k)",
     "sketch_histogram_quantiles": "CDF over fixed-width bin histogram",
     "vocab_coverage_oov_curve": "cumulative coverage over rank-capped vocab",
     "warehouse_compaction_plan": "window over single-day partition relation (bounded by audit day)",
