@@ -164,16 +164,6 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the decision boundary compare is ulp-safe cross-engine.
 
 _NB_TAIL = """
-split AS (
-    SELECT doc_id, toks,
-           (fold = 0) AS is_test,
-           (n_slow > n_fast) AS label
-    FROM folded
-),
-tok AS (
-    SELECT s.doc_id, s.is_test, s.label, t.token
-    FROM split s, exploded t WHERE t.doc_id = s.doc_id
-),
 class_tot AS (
     SELECT CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
            CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS n0
@@ -246,9 +236,13 @@ folded AS (
            size(filter(toks, x -> x = 'fast')) AS n_fast
     FROM toks
 ),
-exploded AS (
-    SELECT doc_id, token
-    FROM toks LATERAL VIEW explode(toks) t AS token
+split AS (
+    SELECT doc_id, toks, (fold = 0) AS is_test, (n_slow > n_fast) AS label
+    FROM folded
+),
+tok AS (
+    SELECT doc_id, is_test, label, token
+    FROM split LATERAL VIEW explode(toks) t AS token
 ),
 {_NB_TAIL}
 """
@@ -264,8 +258,12 @@ folded AS (
            len(list_filter(toks, x -> x = 'fast')) AS n_fast
     FROM toks
 ),
-exploded AS (
-    SELECT doc_id, unnest(toks) AS token FROM toks
+split AS (
+    SELECT doc_id, toks, (fold = 0) AS is_test, (n_slow > n_fast) AS label
+    FROM folded
+),
+tok AS (
+    SELECT doc_id, is_test, label, unnest(toks) AS token FROM split
 ),
 {_NB_TAIL}
 """
@@ -276,11 +274,13 @@ def quality_naive_bayes_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes trained on a hash-split fold and scored
     on the holdout: confusion counts, accuracy, base rate.
 
-    Scale: training is two group-bys over the token stream (map-side
-    combinable); scoring is one token-keyed join of the LLR table to
-    the holdout stream plus one per-doc sum of exact scaled integers.
-    The LLR table is vocabulary-sized (grows sublinearly) but carries
-    no broadcast hint — AQE broadcasts it while small.
+    Scale: the label/fold flags ride the explode, so the token stream
+    is never joined back to a per-doc relation; training is two
+    group-bys over the flagged stream (map-side combinable), scoring is
+    one token-keyed join of the LLR table to the holdout stream plus
+    one per-doc sum of exact scaled integers. The LLR table is
+    vocabulary-sized (grows sublinearly) but carries no broadcast hint
+    — AQE broadcasts it while small.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_nb_spark_sql())
