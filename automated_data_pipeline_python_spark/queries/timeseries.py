@@ -599,18 +599,83 @@ SELECT event_type, {fmt_day} AS day, CAST(n AS BIGINT) AS n_events,
 FROM holt
 """
 
+# Spark-side fold twin of the Holt recursion (the Kleinberg trick): a
+# Spark recursive CTE schedules one job per step (~100+ micro-jobs of
+# pure overhead on a calendar-bounded series); one aggregate() lambda
+# replays the IDENTICAL snapped recurrence — the repeated level
+# expression inside 'b'/'out' is textually the same arithmetic, so the
+# doubles match the recursive DuckDB oracle bit-for-bit. The fold
+# accumulates the per-day (l, b) trajectory in the accumulator array;
+# posexplode rejoins it to days by integer position.
+_HOLT_L = "floor((3e-1 * v + 7e-1 * (a.l + a.b)) * 1e6 + 0.5) / 1e6"
+_HOLT_B = (
+    "floor((1e-1 * ((3e-1 * v + 7e-1 * (a.l + a.b)) - a.l)"
+    " + 9e-1 * a.b) * 1e6 + 0.5) / 1e6"
+)
+
+_HOLT_SPARK_CTES = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, d, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i
+    FROM daily
+),
+xs AS (
+    SELECT event_type,
+           transform(array_sort(collect_list(named_struct('i', i, 'n', n))),
+                     s -> CAST(s.n AS DOUBLE)) AS arr
+    FROM idx WHERE i >= 2 GROUP BY event_type
+),
+hinit AS (
+    SELECT event_type, CAST(n AS DOUBLE) AS l0 FROM idx WHERE i = 1
+),
+folded AS (
+    SELECT hi.event_type, hi.l0,
+           aggregate(
+               coalesce(x.arr, CAST(array() AS array<double>)),
+               named_struct('l', hi.l0, 'b', CAST(0e0 AS DOUBLE),
+                            'out', CAST(array()
+                                AS array<struct<l: double, b: double>>)),
+               (a, v) -> named_struct(
+                   'l', {_HOLT_L},
+                   'b', {_HOLT_B},
+                   'out', concat(a.out, array(named_struct(
+                       'l', {_HOLT_L}, 'b', {_HOLT_B})))),
+               a -> a.out) AS out
+    FROM hinit hi LEFT JOIN xs x ON x.event_type = hi.event_type
+),
+hrows AS (
+    SELECT event_type, CAST(pos + 2 AS BIGINT) AS i, o.l AS l, o.b AS b
+    FROM folded LATERAL VIEW posexplode(out) t AS pos, o
+    UNION ALL
+    SELECT event_type, CAST(1 AS BIGINT), l0, 0e0 FROM folded
+),
+holt AS (
+    SELECT idx.event_type, idx.i, idx.d, idx.n, h.l, h.b
+    FROM hrows h
+    JOIN idx ON idx.event_type = h.event_type AND idx.i = h.i
+)
+"""
+
 
 @register(
     "events_holt_forecast",
     oracle=_HOLT_BODY.replace("{fmt_day}", "strftime(d, '%Y-%m-%d')"),
 )
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt linear-trend smoothing of daily counts with 1/7-day forecasts."""
+    """Holt linear-trend smoothing of daily counts with 1/7-day
+    forecasts. Spark executes the single-fold twin of the recursive
+    oracle (one aggregate() lambda per type, not one job per day)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    with recursion_limits(spark):
-        return spark.sql(
-            _HOLT_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
-        ).localCheckpoint(eager=True)
+    return spark.sql(
+        (_HOLT_SPARK_CTES + _HOLT_BODY[len(_HOLT_CTES):])
+        .replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -662,12 +727,16 @@ def _backtest_sql(sum_abs: str, sum_ape: str) -> str:
     ),
 )
 def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-step walk-forward MAE/MAPE of the Holt forecaster, per type."""
+    """One-step walk-forward MAE/MAPE of the Holt forecaster, per type.
+    Spark replays the fold twin of the Holt recursion (no per-day
+    jobs); the oracle keeps the recursive form."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    with recursion_limits(spark):
-        return spark.sql(
-            _backtest_sql(sql_exact_sum("abs_err", 6), sql_exact_sum("ape", 6))
-        ).localCheckpoint(eager=True)
+    return spark.sql(
+        _HOLT_SPARK_CTES.rstrip()
+        + _BACKTEST_TAIL
+        .replace("{sum_abs}", sql_exact_sum("abs_err", 6))
+        .replace("{sum_ape}", sql_exact_sum("ape", 6))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1418,12 +1487,110 @@ ORDER BY event_type, day
     oracle=_HW_BODY.replace("{fmt_day}", "strftime(d, '%Y-%m-%d')"),
 )
 def events_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt-Winters additive smoothing of daily counts, weekly season."""
+    """Holt-Winters additive smoothing of daily counts, weekly season.
+    Spark executes the single-fold twin of the recursive oracle (one
+    aggregate() lambda per type carrying the (l, b, s1..s7) state and
+    the per-day output trajectory — identical snapped recurrence, no
+    per-day Spark jobs)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    with recursion_limits(spark):
-        return spark.sql(
-            _HW_BODY.replace("{fmt_day}", "date_format(d, 'yyyy-MM-dd')")
-        ).localCheckpoint(eager=True)
+    return spark.sql(_HW_SPARK_FOLD)
+
+
+# Fold-twin recurrence pieces (textually identical arithmetic to the
+# recursive branch of _HW_BODY, with h.* -> a.* and idx.n -> v).
+_HW_L = "floor((2e-1 * (v - a.s1) + 8e-1 * (a.l + a.b)) * 1e6 + 0.5) / 1e6"
+_HW_B = (
+    "floor((1e-1 * ((2e-1 * (v - a.s1) + 8e-1 * (a.l + a.b)) - a.l)"
+    " + 9e-1 * a.b) * 1e6 + 0.5) / 1e6"
+)
+_HW_S7 = (
+    "floor((1e-1 * (v - (2e-1 * (v - a.s1) + 8e-1 * (a.l + a.b)))"
+    " + 9e-1 * a.s1) * 1e6 + 0.5) / 1e6"
+)
+# forecast_next of a step = l' + b' + s1' where s1' = a.s2 (post-shift)
+_HW_F = f"floor((({_HW_L}) + ({_HW_B}) + a.s2) * 1e6 + 0.5) / 1e6"
+
+_HW_SPARK_FOLD = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, d, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i
+    FROM daily
+),
+wk1 AS (
+    SELECT event_type,
+           CAST(sum(n) AS DOUBLE) / 7e0 AS l0,
+           max(CASE WHEN i = 1 THEN CAST(n AS DOUBLE) END) AS x1,
+           max(CASE WHEN i = 2 THEN CAST(n AS DOUBLE) END) AS x2,
+           max(CASE WHEN i = 3 THEN CAST(n AS DOUBLE) END) AS x3,
+           max(CASE WHEN i = 4 THEN CAST(n AS DOUBLE) END) AS x4,
+           max(CASE WHEN i = 5 THEN CAST(n AS DOUBLE) END) AS x5,
+           max(CASE WHEN i = 6 THEN CAST(n AS DOUBLE) END) AS x6,
+           max(CASE WHEN i = 7 THEN CAST(n AS DOUBLE) END) AS x7
+    FROM idx WHERE i <= 7 GROUP BY event_type
+),
+hwinit AS (
+    SELECT event_type,
+           floor(l0 * 1e6 + 0.5) / 1e6 AS l, 0e0 AS b,
+           floor((x1 - l0) * 1e6 + 0.5) / 1e6 AS s1,
+           floor((x2 - l0) * 1e6 + 0.5) / 1e6 AS s2,
+           floor((x3 - l0) * 1e6 + 0.5) / 1e6 AS s3,
+           floor((x4 - l0) * 1e6 + 0.5) / 1e6 AS s4,
+           floor((x5 - l0) * 1e6 + 0.5) / 1e6 AS s5,
+           floor((x6 - l0) * 1e6 + 0.5) / 1e6 AS s6,
+           floor((x7 - l0) * 1e6 + 0.5) / 1e6 AS s7
+    FROM wk1
+),
+xs AS (
+    SELECT event_type,
+           transform(array_sort(collect_list(named_struct('i', i, 'n', n))),
+                     s -> CAST(s.n AS DOUBLE)) AS arr
+    FROM idx WHERE i >= 8 GROUP BY event_type
+),
+folded AS (
+    SELECT hi.event_type, hi.l AS l7, hi.b AS b7, hi.s1 AS s1_7,
+           hi.s7 AS s7_7,
+           aggregate(
+               coalesce(x.arr, CAST(array() AS array<double>)),
+               named_struct('l', hi.l, 'b', hi.b,
+                            's1', hi.s1, 's2', hi.s2, 's3', hi.s3,
+                            's4', hi.s4, 's5', hi.s5, 's6', hi.s6,
+                            's7', hi.s7,
+                            'out', CAST(array() AS array<struct<
+                                l: double, b: double, s7: double,
+                                f: double>>)),
+               (a, v) -> named_struct(
+                   'l', {_HW_L}, 'b', {_HW_B},
+                   's1', a.s2, 's2', a.s3, 's3', a.s4, 's4', a.s5,
+                   's5', a.s6, 's6', a.s7, 's7', {_HW_S7},
+                   'out', concat(a.out, array(named_struct(
+                       'l', {_HW_L}, 'b', {_HW_B}, 's7', {_HW_S7},
+                       'f', {_HW_F})))),
+               a -> a.out) AS out
+    FROM hwinit hi LEFT JOIN xs x ON x.event_type = hi.event_type
+),
+hwrows AS (
+    SELECT event_type, CAST(pos + 8 AS BIGINT) AS i,
+           o.l AS l, o.b AS b, o.s7 AS s7, o.f AS f
+    FROM folded LATERAL VIEW posexplode(out) t AS pos, o
+    UNION ALL
+    SELECT event_type, CAST(7 AS BIGINT), l7, b7, s7_7,
+           floor((l7 + b7 + s1_7) * 1e6 + 0.5) / 1e6
+    FROM folded
+)
+SELECT idx.event_type, date_format(idx.d, 'yyyy-MM-dd') AS day,
+       CAST(idx.n AS BIGINT) AS n_events,
+       r.l AS level, r.b AS trend, r.s7 AS seasonal,
+       r.f AS forecast_next
+FROM hwrows r
+JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i
+ORDER BY event_type, day
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1505,17 +1672,82 @@ ORDER BY day
 """
 
 
+# Spark-side twin of the recursive Viterbi: ONE aggregate() lambda fold
+# over the (calendar-bounded) daily array. A Spark recursive CTE runs
+# one job per recursion step — ~120 micro-jobs whose fixed scheduling
+# overhead dominated the query (~40 s at sf0.1 for <200 rows of real
+# work); the fold is the identical snapped algebra (same ln/floor/
+# tie-break expressions, so results hash-match the recursive DuckDB
+# oracle) executed inside a single whole-stage-codegen expression.
+_BURST_SPARK_FOLD = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT d, n,
+           CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+    FROM daily
+),
+mu AS (
+    SELECT CAST(sum(n) AS DOUBLE) / count(*) AS l0,
+           11e-1 * (CAST(sum(n) AS DOUBLE) / count(*)) AS l1
+    FROM idx
+),
+arr AS (
+    SELECT transform(array_sort(collect_list(named_struct('i', i, 'n', n))),
+                     s -> s.n) AS ns
+    FROM idx
+),
+folded AS (
+    SELECT aggregate(
+        arr.ns,
+        named_struct('started', false,
+                     'c0', CAST(0 AS DOUBLE), 'p0', '',
+                     'c1', CAST(0 AS DOUBLE), 'p1', ''),
+        (a, x) -> CASE WHEN NOT a.started THEN named_struct(
+            'started', true,
+            'c0', floor((mu.l0 - x * ln(mu.l0)) * 1e6 + 0.5) / 1e6,
+            'p0', '0',
+            'c1', floor((mu.l1 - x * ln(mu.l1) + 1e0) * 1e6 + 0.5) / 1e6,
+            'p1', '1')
+        ELSE named_struct(
+            'started', true,
+            'c0', floor((mu.l0 - x * ln(mu.l0)
+                         + CASE WHEN a.c0 <= a.c1 THEN a.c0 ELSE a.c1 END)
+                        * 1e6 + 0.5) / 1e6,
+            'p0', CASE WHEN a.c0 <= a.c1 THEN a.p0 ELSE a.p1 END || '0',
+            'c1', floor((mu.l1 - x * ln(mu.l1)
+                         + CASE WHEN a.c0 + 1e0 <= a.c1 THEN a.c0 + 1e0
+                                ELSE a.c1 END)
+                        * 1e6 + 0.5) / 1e6,
+            'p1', CASE WHEN a.c0 + 1e0 <= a.c1 THEN a.p0 ELSE a.p1 END
+                  || '1') END,
+        a -> CASE WHEN a.c0 <= a.c1 THEN a.p0 ELSE a.p1 END) AS path
+    FROM arr CROSS JOIN mu
+)
+SELECT date_format(idx.d, 'yyyy-MM-dd') AS day, idx.n AS n_events,
+       CASE WHEN substr(folded.path, CAST(idx.i AS INT), 1) = '1'
+            THEN 'burst' ELSE 'normal' END AS state
+FROM idx CROSS JOIN folded
+ORDER BY day
+"""
+
+
 @register(
     "events_kleinberg_bursts",
     oracle=_BURST_BODY.replace("{fmt_day}", "strftime(idx.d, '%Y-%m-%d')"),
 )
 def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimum-cost 2-state burst labeling of the daily purchase series."""
+    """Minimum-cost 2-state burst labeling of the daily purchase series.
+
+    Spark executes the single-fold formulation (see _BURST_SPARK_FOLD:
+    one aggregate() lambda over the calendar-bounded daily array —
+    identical snapped algebra to the recursive-CTE oracle, without one
+    Spark job per recursion step)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    with recursion_limits(spark):
-        return spark.sql(
-            _BURST_BODY.replace("{fmt_day}", "date_format(idx.d, 'yyyy-MM-dd')")
-        ).localCheckpoint(eager=True)
+    return spark.sql(_BURST_SPARK_FOLD)
 
 
 # ---------------------------------------------------------------------------
