@@ -28,6 +28,12 @@ cleaning and dedup that rounds 1-5 didn't yet cover:
   ``dq_k_anonymity``).
 - ``dq_dp_noisy_counts``: epsilon-DP Laplace counts over sources with
   hash-seeded noise (no engine RNG) and the mechanism's realized error.
+- ``mixture_doremi_round``: one DoReMi (Xie et al. 2023)
+  multiplicative-weights mixture update over sources with a
+  unigram-surprisal excess-loss proxy.
+- ``corpus_source_ablation_loo``: closed-form leave-one-source-out
+  deltas of corpus mean quality from per-source moments — the cheap
+  source-influence table.
 
 All pure Spark SQL with value-identical DuckDB oracles; dialects
 differ only in tokenize/explode idioms. Float discipline per repo
@@ -561,3 +567,172 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_dp_sql(spark_hash60("concat('dp-', source)")))
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting round (multiplicative weights)
+# ---------------------------------------------------------------------------
+# One round of the Xie et al. (2023) domain-mixture update with a
+# unigram-surprisal proxy for per-domain excess loss: starting from
+# token-share weights, each source's weight multiplies by
+# exp(eta * max(0, excess loss)) (eta = 0.5), then renormalizes — data
+# the proxy model finds hard gains mixture share. Per-token surprisal
+# -ln(cnt/N) comes off the corpus unigram distribution; per-source
+# mean loss uses snapped exact sums; exp is the one libm call and the
+# updated weights snap before the renormalizing division.
+
+_DOREMI_ETA = "5e-1"
+
+_DOREMI_TAIL = f"""
+vocab AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+per_source AS (
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CAST(floor(ln(CAST(x.n AS DOUBLE) / v.cnt)
+                               * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS loss_u
+    FROM tok t JOIN vocab v ON v.token = t.token CROSS JOIN tot x
+    GROUP BY t.source
+),
+means AS (
+    SELECT source, n_tok,
+           floor(CAST(loss_u AS DOUBLE) / n_tok + 0.5) / 1e6 AS mean_loss
+    FROM per_source
+),
+gstat AS (
+    SELECT CAST(sum(CAST(floor(mean_loss * n_tok * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6
+           / sum(n_tok) AS global_loss,
+           CAST(sum(n_tok) AS BIGINT) AS n_all
+    FROM means
+),
+updated AS (
+    SELECT m.source, m.n_tok, m.mean_loss,
+           floor((CAST(m.n_tok AS DOUBLE) / g.n_all) * 1e9 + 0.5) / 1e9
+               AS w0,
+           floor(greatest(0e0, m.mean_loss
+                          - floor(g.global_loss * 1e6 + 0.5) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS excess,
+           floor(((CAST(m.n_tok AS DOUBLE) / g.n_all)
+                  * exp({_DOREMI_ETA}
+                        * (floor(greatest(0e0, m.mean_loss
+                             - floor(g.global_loss * 1e6 + 0.5) / 1e6)
+                             * 1e6 + 0.5) / 1e6)))
+                 * 1e9 + 0.5) / 1e9 AS w_raw
+    FROM means m CROSS JOIN gstat g
+),
+norm AS (
+    SELECT CAST(sum(CAST(floor(w_raw * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS z
+    FROM updated
+)
+SELECT u.source, u.n_tok, u.mean_loss, u.excess,
+       u.w0 AS weight_before,
+       floor((u.w_raw / n.z) * 1e6 + 0.5) / 1e6 AS weight_after
+FROM updated u CROSS JOIN norm n
+ORDER BY u.source
+"""
+
+_DOREMI_SPARK_SQL = f"""
+WITH tok AS (
+    SELECT source, token
+    FROM (SELECT source, {_S_TOK} AS toks FROM documents)
+    LATERAL VIEW explode(toks) t AS token
+),
+{_DOREMI_TAIL}
+"""
+
+_DOREMI_DUCK_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest({_D_TOK}) AS token FROM documents
+),
+{_DOREMI_TAIL}
+"""
+
+
+@register("mixture_doremi_round", oracle=_DOREMI_DUCK_SQL)
+def mixture_doremi_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi multiplicative-weights round over sources: per-source
+    token share, unigram-proxy mean loss, positive excess over the
+    global mean, and the renormalized post-update mixture weight.
+
+    Scale: one token group-by (vocab) + one vocab-keyed join back to
+    the stream (AQE-broadcast while small) + bounded source-level
+    algebra — the same plan family as doc_unigram_surprisal.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_DOREMI_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out ablation of corpus-level quality metrics
+# ---------------------------------------------------------------------------
+# The cheap influence measure before any training run: for each
+# source, the closed-form delta of the corpus mean (quality-proxy
+# ratios) when that source is removed — Δ_d = (S − s_d)/(N − n_d) −
+# S/N from per-source exact moments, no second corpus pass.
+
+_ABLATION_TAIL = """
+per_doc AS (
+    SELECT source,
+           size_toks AS n_tok,
+           CAST(floor(CAST(n_uniq AS DOUBLE) / size_toks * 1e6 + 0.5)
+                AS BIGINT) AS uniq_u
+    FROM feats
+),
+per_source AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(uniq_u) AS BIGINT) AS s_uniq
+    FROM per_doc GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+           CAST(sum(s_uniq) AS BIGINT) AS s_all
+    FROM per_source
+)
+SELECT p.source, p.n_docs,
+       floor(CAST(p.s_uniq AS DOUBLE) / p.n_docs + 0.5) / 1e6
+           AS source_mean_uniq,
+       floor(CAST(t.s_all AS DOUBLE) / t.n_all + 0.5) / 1e6
+           AS corpus_mean_uniq,
+       floor((CAST(t.s_all - p.s_uniq AS DOUBLE) / (t.n_all - p.n_docs)
+              - CAST(t.s_all AS DOUBLE) / t.n_all) * 1e6 + 0.5) / 1e6
+           AS loo_delta
+FROM per_source p CROSS JOIN tot t
+ORDER BY p.source
+"""
+
+_ABLATION_SPARK_SQL = f"""
+WITH feats AS (
+    SELECT source, size(toks) AS size_toks,
+           size(array_distinct(toks)) AS n_uniq
+    FROM (SELECT source, {_S_TOK} AS toks FROM documents)
+),
+{_ABLATION_TAIL}
+"""
+
+_ABLATION_DUCK_SQL = f"""
+WITH feats AS (
+    SELECT source, len(toks) AS size_toks,
+           len(list_distinct(toks)) AS n_uniq
+    FROM (SELECT source, {_D_TOK} AS toks FROM documents)
+),
+{_ABLATION_TAIL}
+"""
+
+
+@register("corpus_source_ablation_loo", oracle=_ABLATION_DUCK_SQL)
+def corpus_source_ablation_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out deltas of the corpus mean type/token ratio
+    — the closed-form source-influence table (positive delta = corpus
+    quality rises without this source).
+
+    Scale: one map-only featurize pass + one source group-by; every
+    delta is moment subtraction, never a per-source re-scan.
+    """
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ABLATION_SPARK_SQL)
