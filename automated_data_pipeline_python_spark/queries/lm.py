@@ -38,7 +38,6 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_word_shingles,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
-from automated_data_pipeline_python_spark.session import recursion_limits
 from automated_data_pipeline_python_spark.tables import load_scaled
 
 def _docs_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -969,15 +968,36 @@ def text_token_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after runs on bounded relations. The seed vocab is the top-40
 # multi-char substrings by frequency (RANK-based, so the vocab is
 # scale-invariant where an absolute cutoff breaks) plus every single
-# char (segmentability guarantee). The E-step enumerates ALL
-# segmentations per word via a recursive CTE — the words CTE caps
-# length(w) <= 12, so ≤ 2^(len−1) ≤ 2048 paths per word no matter
-# what the corpus contains, exact rather than heuristic — carrying
-# (pos, cost, path); cost adds −ln p(piece) per step and snaps to the
-# 1e-9 grid each extension (the recursion discipline), so both
-# engines walk identical doubles; argmin per word tiebreaks on the
-# path string. The M-step is one weighted explode of the winning
-# paths. Output: top-30 pieces by re-estimated probability.
+# char (segmentability guarantee). The E-step finds each word's
+# minimum-cost segmentation (cost = −ln p(piece) per step). The M-step
+# is one weighted explode of the winning paths. Output: top-30 pieces
+# by re-estimated probability.
+#
+# E-step execution (round-7 rewrite, VERDICT r6 task 2): the Spark
+# side runs the position-DP (Viterbi) as ONE ``aggregate()`` fold per
+# distinct word — a left-to-right scan over positions 1..length(w)
+# keeping, per position, the (cost, path)-minimal struct among the ≤ 4
+# piece lengths that can end there. One Spark job instead of one job
+# per recursion level (the per-step recursive CTE ran 12.9 s at sf0.1;
+# the fold runs the same corpus pass once and the DP JVM-side). The
+# DuckDB oracle keeps the exhaustive recursive-CTE enumeration.
+#
+# Why the DP and the enumeration agree EXACTLY (not just on minima):
+# both sides pre-snap each piece cost to the 1e-9 grid in the shared
+# ``vc`` CTE, then accumulate with the identical left-to-right
+# ``floor((cost + piece_cost) * 1e9 + 0.5) / 1e9`` step, so every
+# partial cost is the same double in both engines. On that grid, two
+# distinct prefix costs can never collapse into a tie after extension
+# (the re-snap shifts both by the same fraction), so (a) a strictly
+# cheaper prefix always yields a strictly cheaper completion — the DP's
+# per-position argmin is safe — and (b) among equal-cost prefixes the
+# lexicographically smaller path string stays smaller under any shared
+# continuation (segmentations of the same chars are never string-
+# prefixes of each other), so the DP's (cost, path) struct-min equals
+# the enumeration's global ORDER BY cost, path per word. The old
+# enumeration bound (length(w) <= 12 in the words CTE) is kept: it
+# still caps the oracle's path count at 2^11 per word, and keeps the
+# two engines' word sets identical.
 
 
 def _unigram_sql(
@@ -1081,43 +1101,157 @@ _UNIGRAM_GEN2_DUCK = """
 """
 
 
-@register(
-    "lm_unigram_em_round",
-    oracle=(
+# Snapped per-piece cost table, shared verbatim by both engines (and by
+# the DP/enumeration pair): every downstream cost arithmetic starts from
+# these 1e-9-grid doubles, so the engines walk identical numbers.
+_UNIGRAM_VC = """
+SELECT v.piece, CAST(v.len AS INT) AS len, v.pf, t.pftot,
+       floor((ln(CAST(t.pftot AS DOUBLE)) - ln(CAST(v.pf AS DOUBLE)))
+             * 1e9 + 0.5) / 1e9 AS cost
+FROM vocab v CROSS JOIN tot t
+"""
+
+# DuckDB E-step: exhaustive enumeration (recursive CTE), joined against
+# the snapped cost table so its accumulation grid matches the Spark DP.
+_UNIGRAM_EM_DUCK_BEST = """
+seg(w, wf, pos, cost, path) AS (
+    SELECT w, wf, CAST(0 AS BIGINT), 0e0, '' FROM words
+    UNION ALL
+    SELECT s.w, s.wf, s.pos + p.len,
+           floor((s.cost + p.cost) * 1e9 + 0.5) / 1e9,
+           CASE WHEN s.path = '' THEN p.piece
+                ELSE s.path || ' ' || p.piece END
+    FROM seg s
+    JOIN vc p ON substr(s.w, CAST(s.pos + 1 AS INT), p.len) = p.piece
+    WHERE s.pos + p.len <= length(s.w)
+),
+best AS (
+    SELECT w, wf, path
+    FROM (
+        SELECT w, wf, path,
+               CAST(row_number() OVER (
+                   PARTITION BY w ORDER BY cost, path) AS BIGINT) AS rk
+        FROM seg WHERE pos = length(w)
+    ) z WHERE rk = 1
+)"""
+
+
+def _uem_cand(length: int) -> str:
+    """One DP candidate: the piece of ``length`` chars ending at fold
+    position ``i``. Nested CASE (not AND) so the acc index is only
+    evaluated when i >= length — ANSI element_at rejects index <= 0."""
+    prev = f"element_at(acc, i - {length} + 1)"
+    piece = f"substr(w, i - {length} + 1, {length})"
+    return (
+        f"CASE WHEN i >= {length} THEN "
+        f"CASE WHEN {prev}.c IS NOT NULL "
+        f"AND try_element_at(m, {piece}) IS NOT NULL THEN "
+        f"named_struct("
+        f"'c', floor(({prev}.c + try_element_at(m, {piece})) * 1e9 + 0.5)"
+        f" / 1e9, "
+        f"'p', CASE WHEN {prev}.p = '' THEN {piece} "
+        f"ELSE {prev}.p || ' ' || {piece} END"
+        f") END END"
+    )
+
+
+def _unigram_em_spark_best(words: str, vc: str) -> str:
+    """Spark E-step: one aggregate() fold per word. acc[j] = the
+    (cost, path)-minimal struct reaching position j-1 (struct-min
+    orders by field — cost, then path)."""
+    return f"""
+vmap AS (
+    SELECT map_from_entries(collect_list(struct(piece, cost))) AS m
+    FROM {vc}
+),
+best AS (
+    SELECT w, wf,
+           aggregate(
+               sequence(1, length(w)),
+               array(named_struct('c', CAST(0 AS DOUBLE), 'p', '')),
+               (acc, i) -> concat(acc, array(array_min(filter(array(
+                   {_uem_cand(1)},
+                   {_uem_cand(2)},
+                   {_uem_cand(3)},
+                   {_uem_cand(4)}
+               ), x -> x IS NOT NULL)))),
+               acc -> element_at(acc, -1).p
+           ) AS path
+    FROM {words} CROSS JOIN vmap
+)"""
+
+
+def _unigram_em_tail(unnest_path: str, vc: str = "vc") -> str:
+    """M-step + report, shared modulo the explode/unnest spelling."""
+    return f"""
+mstep AS (
+    SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt_new
+    FROM (SELECT wf, {unnest_path} AS piece FROM best) u
+    GROUP BY piece
+),
+newtot AS (SELECT CAST(sum(cnt_new) AS BIGINT) AS ntot FROM mstep)
+SELECT v.piece, CAST(v.len AS BIGINT) AS piece_len,
+       floor((CAST(v.pf AS DOUBLE) / v.pftot) * 1e6 + 0.5) / 1e6 AS p_seed,
+       coalesce(m.cnt_new, CAST(0 AS BIGINT)) AS count_em,
+       floor((CAST(coalesce(m.cnt_new, 0) AS DOUBLE) / nt.ntot)
+             * 1e6 + 0.5) / 1e6 AS p_em
+FROM {vc} v
+LEFT JOIN mstep m ON m.piece = v.piece
+CROSS JOIN newtot nt
+ORDER BY p_em DESC, v.piece
+LIMIT 30
+"""
+
+
+def _unigram_em_duck_sql() -> str:
+    prefix = _unigram_sql(_UNIGRAM_GEN2_DUCK, "x", "tk").split("\nseg(")[0]
+    prefix = prefix.rstrip().rstrip(",")
+    return (
         "WITH RECURSIVE tok_exploded AS ("
         f"SELECT unnest({DUCK_TOKENS.format(col='text')}) AS tk "
         "FROM documents),\n"
-        + _unigram_sql(
-            _UNIGRAM_GEN2_DUCK,
-            "unnest(string_split(path, ' '))",
-            "tk",
-        ).lstrip()
-    ),
-)
+        + prefix.lstrip()
+        + f",\nvc AS ({_UNIGRAM_VC}),\n"
+        + _UNIGRAM_EM_DUCK_BEST.lstrip()
+        + ","
+        + _unigram_em_tail("unnest(string_split(path, ' '))")
+    )
+
+
+@register("lm_unigram_em_round", oracle=_unigram_em_duck_sql())
 def lm_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One EM round of a unigram-LM (SentencePiece-style) tokenizer:
     rank-seeded subword vocab → exact minimum-cost segmentation per
-    distinct word (exhaustive recursive enumeration, bounded by the
-    length(w) <= 12 guard in the words CTE) → re-estimated piece
-    probabilities.
+    distinct word → re-estimated piece probabilities.
 
-    The recursion-limit confs are raised only for the duration of this
-    call: the 30-row result is materialized eagerly (localCheckpoint)
-    and the previous limits restored in a ``finally`` — the shared
-    session is never left with a 1e8 row limit.
+    The Spark E-step is a single ``aggregate()`` position-DP fold per
+    word (see the module comment for the exact-equality argument vs the
+    oracle's exhaustive recursive enumeration). The corpus-pass outputs
+    (distinct words, snapped-cost vocab) are each referenced twice, so
+    they are materialized once via localCheckpoint; everything after
+    runs on vocabulary-bounded relations in one job.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    with recursion_limits(spark):
-        return spark.sql(
-            "WITH RECURSIVE tok_exploded AS ("
-            f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
-            "FROM documents),\n"
-            + _unigram_sql(
-                _UNIGRAM_GEN2_SPARK,
-                "explode(split(path, ' '))",
-                "tk",
-            ).lstrip()
-        ).localCheckpoint(eager=True)
+    prefix = _unigram_sql(_UNIGRAM_GEN2_SPARK, "x", "tk").split("\nseg(")[0]
+    prefix = prefix.rstrip().rstrip(",")
+    head = (
+        "WITH tok_exploded AS ("
+        f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),"
+        + prefix.lstrip()
+    )
+    spark.sql(head + "\nSELECT w, wf FROM words").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("uem_words")
+    spark.sql(head + f",\nvc AS ({_UNIGRAM_VC})\nSELECT * FROM vc"
+              ).localCheckpoint(eager=True).createOrReplaceTempView("uem_vc")
+    body = (
+        "WITH "
+        + _unigram_em_spark_best("uem_words", "uem_vc").lstrip()
+        + ","
+        + _unigram_em_tail("explode(split(path, ' '))", vc="uem_vc")
+    )
+    return spark.sql(body)
 
 
 # ---------------------------------------------------------------------------
