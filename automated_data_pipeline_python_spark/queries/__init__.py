@@ -54,80 +54,74 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # registered queries. After round 4 every catalog query has a driver row
 # in the r1-r4 union, so from round 5 the window's job is REGRESSION
 # DETECTION: (a) everything added or semantically touched this round
-# must (re-)prove, (b) the rest are green sentinels spread so every
-# query module is represented. Everything else still registers and is
-# verified by tools/verify_driver.py + CI at sf0.001/sf0.01.
+# must (re-)prove, (b) remaining slots go to queries with no driver row
+# in ANY prior round (the r1-r6 union covers 223 of 332 — this window
+# chips away at the 109 whose evidence is replay+pytest only).
+# Everything else still registers and is verified by
+# tools/verify_driver.py + CI at sf0.001/sf0.01.
 _PRIORITY = [
-    # (a) the 17 round-5 additions that postdate VERIFY_FULL_r05 — their
-    # only prior oracle evidence was pytest parity at sf0.001; this
-    # window converts them into hard driver rows (VERDICT r5 task 1).
-    "lm_kneser_ney_bigram",
-    "reco_als_rank1_round",
-    "selection_kcenter_greedy",
-    "agg_spearman_rank_corr",
-    "quality_isotonic_calibration",
-    "quality_conformal_interval",
-    "dq_mahalanobis_outliers",
-    "er_sorted_neighborhood",
-    "er_fellegi_sunter",
-    "graph_brand_hits",
-    "graph_brand_modularity",
-    "events_mann_whitney_u",
-    "events_bh_fdr_screen",
-    "lm_negative_sampling_table",
-    "text_winnowing_fingerprints",
-    # (corpus_good_turing_chao1 and mixture_class_balanced_weights
-    # ceded their slots to the session-3 additions below: both are
-    # hash-green in the committed full replays at sf0.01 AND sf0.1
-    # plus the pytest parity sweep — the strongest evidence tier
-    # available outside the window.)
-    # (b) semantically touched in round 6 — must re-prove:
-    "q15_top_supplier",          # window-max -> scalar agg + broadcast-back
-    "lm_unigram_em_round",       # length<=12 E-step bound (both engines)
-    # (c) new in round 6 (first driver evidence):
-    "quality_cohens_kappa",
-    "quality_ece_from_bins",
-    "er_em_mu_round",
-    "orders_nelson_aalen_hazard",
-    "orders_theil_atkinson_inequality",
-    "events_periodogram_periods",
-    "graph_label_propagation",
-    "corpus_trigram_novelty",
-    "lm_viterbi_segmentation",
-    "quality_krippendorff_alpha",
-    "orders_rfm_migration_matrix",
-    "reco_copurchase_hitrate_eval",
-    "events_shapley_attribution",
-    "graph_degree_assortativity",
-    "dq_functional_dependencies",
-    "events_anova_f_oneway",
-    "events_kruskal_wallis_h",
-    "corpus_boilerplate_ngrams",
-    "quality_naive_bayes_gate",
-    "text_lexical_diversity",
-    "corpus_source_resemblance_kmv",
-    "dq_l_diversity",
-    "dq_dp_noisy_counts",
-    "events_brown_forsythe_levene",
-    "mlstats_decision_stump",
-    "events_mcnemar_paired",
-    "graph_closeness_centrality",
-    "events_diff_in_diff",
-    "reco_bradley_terry_round",
-    "graph_brand_ktruss",
-    "events_ar2_yule_walker",
-    "embedding_rocchio_classifier",
-    "events_markov_removal_attribution",
-    # (d) every module sentinel ceded its slot to the session-2/3/4
-    # additions above (first driver evidence for NEW queries outranks
-    # a redundant sentinel — every ceded module stays proven by the
-    # committed full replays VERIFY_FULL_r06* at sf0.01+sf0.1 and the
-    # pytest oracle-parity sweep).
-    # (q16_part_supplier_relation's NAAJ broadcast exemption stays
-    # pinned by tests/test_no_scaling_broadcast_hints.py; it ceded its
-    # window slot — r1-r5 green, replay-covered — like the sentinels.)
-    # Everything else still registers and is replayed by
-    # tools/verify_driver.py at sf0.01+sf0.1 (VERIFY_FULL_r06).
+    # (a) semantically touched in round 7 — must re-prove:
+    "lm_unigram_em_round",   # E-step: recursive CTE -> aggregate() DP fold
+    # (b) rewritten in round 6 (per-step recursion -> single fold,
+    # commit 5dcefcb) but never driver-rowed since:
+    "events_kleinberg_bursts",
+    "events_holt_forecast",
+    "events_holt_winters_weekly",
+    # (c) round-6 additions with no driver row in the r1-r6 union
+    # (VERDICT r6 task 1):
+    "mixture_doremi_round",
+    "corpus_source_ablation_loo",
+    "mlstats_cv_ols_r2",
+    "quality_pr_auc",
+    "orders_logrank_survival_test",
+    "orders_sequential_rules",
+    "sketch_ams_f2_moment",
+    "events_stl_decomposition",
+    "events_haar_wavelet_energy",
+    # (d) never driver-rowed in r1-r6 (replay+pytest evidence only),
+    # chosen for plan complexity and module spread — first hard rows:
+    "join_asof_nearest",
+    "scd2_as_of_snapshot",
+    "warehouse_merge_upsert",
+    "warehouse_deletion_vectors",
+    "warehouse_zorder_clustering",
+    "warehouse_zone_map_skipping",
+    "warehouse_compaction_plan",
+    "graph_weighted_sssp",
+    "graph_link_prediction",
+    "graph_brand_reachability",
+    "graph_brand_kcore",
+    "text_textrank_keywords",
+    "events_cep_absence_pattern",
+    "events_trajectory_similarity",
+    "events_three_way_interval_join",
+    "events_markov_stationary",
+    "events_bitmap_retention",
+    "events_forecast_backtest",
+    "events_multi_touch_attribution",
+    "events_cuped_adjustment",
+    "events_cem_matching",
+    "events_ucb_bandit_replay",
+    "events_sprt_ab_trajectory",
+    "ann_lsh_multiprobe_topk",
+    "ann_multiprobe_recall_eval",
+    "ann_dim_truncation_recall",
+    "embedding_hard_negatives",
+    "rag_reciprocal_rank_fusion",
+    "retrieval_maxsim_colbert",
+    "dedup_prefix_filter_join",
+    "dedup_cdc_chunks",
+    "bpe_train_merge_rounds",
+    "bpe_compression_curve",
+    "lm_heldout_perplexity",
+    "mixture_class_balanced_weights",
+    "corpus_good_turing_chao1",
+    "multimodal_frame_sample_plan",
+    # Everything else (including all 223 r1-r6 driver-rowed queries —
+    # among them every round-6 addition that got its row in
+    # CORRECTNESS_r06) still registers and is replayed by
+    # tools/verify_driver.py at sf0.01+sf0.1 per round
+    # (VERIFY_FULL_r07*), plus the pytest oracle-parity sweep.
 ]
 
 

@@ -1,82 +1,43 @@
 """Registry-order contract: the grading driver only records correctness
 rows for the first 50 registered queries, so the window must be spent
-where it buys new evidence. Round-6 rotation (VERDICT r5 task 1): the
-17 round-5 additions that postdate the VERIFY_FULL_r05 replay get their
-first hard driver rows, the two queries semantically touched in round 6
-(q15 window-max rewrite, unigram-EM E-step bound) re-prove, and the
-remaining slots are green sentinels chosen so every query module is
-represented — the r1-r5 union already gave every catalog query a driver
-row, so the window's job is regression detection now.
+where it buys new evidence. Round-7 rotation (VERDICT r6 task 1): the
+r1-r6 union already driver-rowed 223 of 332 queries; this window spends
+every slot on (a) the query semantically touched in round 7 (the
+unigram-EM fold rewrite), (b) the three round-6 fold rewrites that never
+got a driver row, and (c)/(d) queries with NO driver row in any prior
+round — converting replay-only evidence into hard rows. Everything
+rotated out stays proven by the committed full-catalog replays
+(VERIFY_FULL_r06*/r07*) and the pytest oracle-parity sweep.
 """
 
 from __future__ import annotations
 
 from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, oracle_sql
 
-# Post-VERIFY_FULL_r05 additions: first driver-grade evidence this round.
-ROUND6_FIRST_EVIDENCE = [
-    "lm_kneser_ney_bigram",
-    "reco_als_rank1_round",
-    "selection_kcenter_greedy",
-    "agg_spearman_rank_corr",
-    "quality_isotonic_calibration",
-    "quality_conformal_interval",
-    "dq_mahalanobis_outliers",
-    "er_sorted_neighborhood",
-    "er_fellegi_sunter",
-    "graph_brand_hits",
-    "graph_brand_modularity",
-    "events_mann_whitney_u",
-    "events_bh_fdr_screen",
-    "lm_negative_sampling_table",
-    "text_winnowing_fingerprints",
-    # corpus_good_turing_chao1 and mixture_class_balanced_weights
-    # ceded their window slots to session-4 additions: both are
-    # hash-green in the committed full replays at sf0.01 AND sf0.1
-    # plus the pytest parity sweep.
+# Touched in round 7; must re-prove on the driver.
+ROUND7_TOUCHED = [
+    "lm_unigram_em_round",  # E-step: recursive CTE -> aggregate() DP fold
 ]
 
-# Semantics or plan touched in round 6; must re-prove on the driver.
-ROUND6_TOUCHED = [
-    "q15_top_supplier",     # global-window max -> scalar agg + broadcast-back
-    "lm_unigram_em_round",  # length<=12 E-step bound, conf restore
+# Rewritten in round 6 (recursion -> fold, commit 5dcefcb) but never
+# driver-rowed since the rewrite.
+ROUND7_FOLD_REWRITES = [
+    "events_kleinberg_bursts",
+    "events_holt_forecast",
+    "events_holt_winters_weekly",
 ]
 
-# New in round 6.
-ROUND6_NEW = [
-    "quality_cohens_kappa",
-    "quality_ece_from_bins",
-    "er_em_mu_round",
-    "orders_nelson_aalen_hazard",
-    "orders_theil_atkinson_inequality",
-    "events_periodogram_periods",
-    "graph_label_propagation",
-    "corpus_trigram_novelty",
-    "lm_viterbi_segmentation",
-    "quality_krippendorff_alpha",
-    "orders_rfm_migration_matrix",
-    "reco_copurchase_hitrate_eval",
-    "events_shapley_attribution",
-    "graph_degree_assortativity",
-    "dq_functional_dependencies",
-    "events_anova_f_oneway",
-    "events_kruskal_wallis_h",
-    "corpus_boilerplate_ngrams",
-    "quality_naive_bayes_gate",
-    "text_lexical_diversity",
-    "corpus_source_resemblance_kmv",
-    "dq_l_diversity",
-    "dq_dp_noisy_counts",
-    "events_brown_forsythe_levene",
-    "mlstats_decision_stump",
-    "events_mcnemar_paired",
-    "graph_closeness_centrality",
-    "events_diff_in_diff",
-    "reco_bradley_terry_round",
-    "graph_brand_ktruss",
-    "events_ar2_yule_walker",
-    "embedding_rocchio_classifier",
-    "events_markov_removal_attribution",
+# Round-6 additions that missed the round-6 window (VERDICT r6 task 1).
+ROUND7_R6_BACKFILL = [
+    "mixture_doremi_round",
+    "corpus_source_ablation_loo",
+    "mlstats_cv_ols_r2",
+    "quality_pr_auc",
+    "orders_logrank_survival_test",
+    "orders_sequential_rules",
+    "sketch_ams_f2_moment",
+    "events_stl_decomposition",
+    "events_haar_wavelet_energy",
 ]
 
 
@@ -85,35 +46,30 @@ def test_priority_list_is_first_50():
     assert list(QUERIES)[:50] == _PRIORITY
 
 
-def test_window_covers_new_and_touched():
+def test_window_covers_touched_and_backfill():
     window = set(_PRIORITY)
-    for required in [*ROUND6_FIRST_EVIDENCE, *ROUND6_TOUCHED, *ROUND6_NEW]:
+    for required in [*ROUND7_TOUCHED, *ROUND7_FOLD_REWRITES,
+                     *ROUND7_R6_BACKFILL]:
         assert required in window, required
 
 
-# Modules whose window sentinel ceded its slot to a round-6
-# first-evidence query: long-stable scalar/relational batteries
-# (unchanged since r1/r2, every member hash-green in the r1-r5 driver
-# union) whose regressions are still caught by the committed
-# full-catalog replay (VERIFY_FULL_r06*) and the pytest oracle-parity
-# sweep. Evidence for NEW queries outranks a redundant sentinel.
+# Modules with no round-7 window sentinel: long-stable batteries whose
+# every member already has a hash-green driver row in the r1-r6 union
+# AND stays covered by the committed full-catalog replays + the pytest
+# oracle-parity sweep. First driver evidence for never-rowed queries
+# outranks a redundant sentinel.
 REPLAY_COVERED_MODULES = {
+    "clustering",
+    "curation",
+    "dq",
+    "drift",
+    "modern_sql",
+    "rag",
     "relational2",
+    "relational3",
     "relational4",
     "relational5",
-    "sketches",
-    "curation",
-    "curation2",
-    "dedup",
-    "relational",
-    "training",
-    "events",
-    "experiments",
-    "modern_sql",
-    "multimodal",
-    "rag",
-    "relational3",
-    "retrieval",
+    "tpch2",
     "windows2",
 }
 
@@ -133,7 +89,7 @@ def test_window_represents_every_module():
 
 def test_window_is_oracle_dense():
     """Every window slot hash-checks (the by-design rows-only queries
-    are out of the window — their rows exist in the r1-r5 union)."""
+    are out of the window — their rows exist in the r1-r6 union)."""
     oracles = oracle_sql()
     missing = [n for n in _PRIORITY if n not in oracles]
     assert missing == []
@@ -175,7 +131,7 @@ def test_query_build_drops_its_temp_views(spark):
     try:
         before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
         for name in ("dedup_minhash_lsh", "text_tfidf_top_terms",
-                     "embedding_power_iteration"):
+                     "embedding_power_iteration", "lm_unigram_em_round"):
             QUERIES[name].fn(spark, SF_SMOKE)
         after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
         assert after == before
