@@ -427,7 +427,15 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contributes at its FIRST document (min doc_id — one agg over the
 # token relation); the cumulative distinct-vocabulary curve is then a
 # running sum over the per-doc first-occurrence counts — no running
-# DISTINCT state. The Heaps exponent β fits log-log least squares
+# DISTINCT state. The running sum itself is a TWO-LEVEL prefix sum
+# (round-7 fix: the naive ORDER BY doc_id window single-partitioned a
+# corpus-sized per-document relation): docs map onto 4096 constant
+# doc-id-range buckets ((doc_id*4096) div (max+1) — scalar max, the
+# q15 broadcast-back pattern), per-bucket cumulative windows run
+# PARTITIONED (4096-way parallel), and only the constant-4096 bucket
+# aggregate pays a global window for the inter-bucket offsets. All
+# integer arithmetic — identical results to the single-window form at
+# any bucketing. The Heaps exponent β fits log-log least squares
 # FROM EXACT INTEGER MOMENTS: each (ln N, ln V) point — identical
 # doubles on both engines, being ln of exact integers — snaps to the
 # 1e-6 grid and scales to BIGINT, and β/ln k derive from the closed-
@@ -448,14 +456,32 @@ first_seen AS (
 new_terms AS (
     SELECT first_doc AS doc_id, count(*) AS v_new
     FROM first_seen GROUP BY first_doc
+),
+mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS m FROM doc_tokens),
+base AS (
+    SELECT d.doc_id, d.n_tok, coalesce(nt.v_new, 0) AS v_new,
+           (d.doc_id * 4096) {div} x.m AS b
+    FROM doc_tokens d
+    LEFT JOIN new_terms nt ON nt.doc_id = d.doc_id
+    CROSS JOIN mx x
+),
+bsum AS (
+    SELECT b, sum(n_tok) AS sn, sum(v_new) AS sv FROM base GROUP BY b
+),
+boff AS (
+    SELECT b,
+           (sum(sn) OVER wo) - sn AS n_off,
+           (sum(sv) OVER wo) - sv AS v_off
+    FROM bsum
+    WINDOW wo AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)
 )
-SELECT d.doc_id,
-       sum(d.n_tok) OVER w AS n_cum,
-       sum(coalesce(nt.v_new, 0)) OVER w AS v_cum
-FROM doc_tokens d
-LEFT JOIN new_terms nt ON nt.doc_id = d.doc_id
-WINDOW w AS (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-             AND CURRENT ROW)
+SELECT base.doc_id,
+       o.n_off + sum(base.n_tok) OVER wp AS n_cum,
+       o.v_off + sum(base.v_new) OVER wp AS v_cum
+FROM base JOIN boff o ON o.b = base.b
+WINDOW wp AS (PARTITION BY base.b ORDER BY base.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 _HEAPS_TAIL = """
@@ -494,7 +520,7 @@ _HEAPS_DUCK_SQL = (
     f"SELECT doc_id, tok AS term FROM "
     f"(SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents)"
     "),\ncurve AS (WITH "
-    + _HEAPS_CURVE.replace("{tok}", "tok")
+    + _HEAPS_CURVE.replace("{tok}", "tok").replace("{div}", "//")
     + "),\n"
     + _HEAPS_TAIL.replace("{curve}", "curve").lstrip()
 )
@@ -516,7 +542,12 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "heaps_tok",
     )
     _materialize_view(
-        spark.sql("WITH " + _HEAPS_CURVE.replace("{tok}", "heaps_tok").lstrip()),
+        spark.sql(
+            "WITH "
+            + _HEAPS_CURVE.replace("{tok}", "heaps_tok")
+                          .replace("{div}", "DIV")
+                          .lstrip()
+        ),
         "heaps_curve",
     )
     return spark.sql(

@@ -15,12 +15,11 @@ and falls in one of those classes — the justification is the comment.
 A new query that plans a single-partition window without being added
 here (with a bounded-input justification) fails this test.
 
-Caveat: queries that eagerly materialize (localCheckpoint) at build
-time hide any window inside the materialized stage from the returned
-plan (e.g. the recursive-CTE family under session.recursion_limits) —
-those windows execute over the same bounded histogram/vocab/daily
-relations and are audited at the source in
-tools/audit_global_windows.py.
+Queries that eagerly materialize (localCheckpoint) at build time hide
+any window inside the materialized stage from the returned plan — the
+checkpoint spy test below closes that blind spot by intercepting
+DataFrame.localCheckpoint during build and running the same detector
+on every checkpointed stage's plan (VERDICT r6 task 4).
 """
 
 from __future__ import annotations
@@ -115,6 +114,81 @@ def test_no_unlisted_single_partition_windows(spark):
     assert offenders == [], (
         "single-partition WindowExec without a bounded-input entry in "
         f"ALLOWED: {offenders}"
+    )
+
+
+# query -> bounded-input justification for single-partition windows that
+# execute INSIDE an eagerly-materialized (localCheckpoint) stage and so
+# never appear in the returned plan (audited round 7).
+CHECKPOINT_ALLOWED = {
+    "er_em_mu_round": (
+        "agreement-weight totals over per-field value histograms "
+        "(brand/size/type/fword domains)"
+    ),
+    "quality_isotonic_calibration": (
+        "decile-bin build — snapped-score histogram CDF (the same "
+        "bounded stage quality_calibration_bins allowlists)"
+    ),
+    "text_heaps_vocab_growth": (
+        "inter-bucket offsets over the constant-4096 bucket aggregate "
+        "(two-level prefix sum; per-doc cumsum runs partitioned)"
+    ),
+}
+
+
+def test_no_unlisted_windows_inside_checkpointed_stages(spark, monkeypatch):
+    """localCheckpoint(eager=True) during build hides the materialized
+    stage from the returned plan — spy on it and run the same
+    single-partition-window detector on every checkpointed stage."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    captured: list[str] = []
+    orig = ClassicDF.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", spy)
+    offenders = []
+    for name in sorted(QUERIES):
+        captured.clear()
+        QUERIES[name].fn(spark, SF_SMOKE)
+        if name in CHECKPOINT_ALLOWED:
+            continue
+        if any(_has_single_partition_window(t) for t in captured):
+            offenders.append(name)
+    assert offenders == [], (
+        "single-partition WindowExec inside a checkpointed stage without "
+        f"a bounded-input entry in CHECKPOINT_ALLOWED: {offenders}"
+    )
+
+
+def test_checkpoint_allowlist_has_no_stale_entries(spark, monkeypatch):
+    """Every CHECKPOINT_ALLOWED entry still checkpoints a stage with a
+    global window — keeps the allowlist honest across redesigns."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    captured: list[str] = []
+    orig = ClassicDF.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", spy)
+    stale = []
+    for name in sorted(CHECKPOINT_ALLOWED):
+        captured.clear()
+        QUERIES[name].fn(spark, SF_SMOKE)
+        if not any(_has_single_partition_window(t) for t in captured):
+            stale.append(name)
+    assert stale == [], (
+        f"CHECKPOINT_ALLOWED entries with no checkpointed global window: {stale}"
     )
 
 
