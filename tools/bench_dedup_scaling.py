@@ -1,0 +1,95 @@
+"""Scaling slope for the dedup/ANN headline path (VERDICT r6 task 6).
+
+Times the blocked/bucketed dedup and ANN queries at sf0.1, the 10x
+density-honest derived corpus (sf1_fresh), and the 100x one
+(sf10_fresh; both from gen_benchdata.py --fresh-docs, which rewrites
+every replica generation's tokens so cross-generation similarity is
+zero — the within-generation dup structure replicates exactly, so work
+should scale ~linearly in documents, never quadratically in pairs).
+Embeddings replicate as-is (no fresh rewrite exists for vectors), so
+the ANN numbers are a SKEW-ADVERSARIAL upper bound: every IVF cell
+holds N identical copies of its sf0.1 contents.
+
+Prints one JSON line with per-SF timings and the 10x->100x slope;
+committed as BENCH_DEDUP_SCALING.json.
+
+Usage: python tools/bench_dedup_scaling.py [sf01] [sf1] [sf10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from automated_data_pipeline_python_spark.session import get_spark  # noqa: E402
+
+QUERIES_TIMED = [
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash_pairs",
+    "ann_ivf_topk",
+]
+
+
+def time_set(spark, sf_dir: str) -> dict[str, float]:
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in QUERIES_TIMED:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    return out
+
+
+def main() -> None:
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, ".benchdata", "sf1_fresh"
+    )
+    sf10 = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        REPO, ".benchdata", "sf10_fresh"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    spark = get_spark(
+        app_name="bench-dedup-scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t01 = time_set(spark, sf01)
+    t1 = time_set(spark, sf1)
+    t10 = time_set(spark, sf10)
+    ratios_10x = {k: round(t1[k] / t01[k], 2) for k in t01}
+    ratios_100x = {k: round(t10[k] / t01[k], 2) for k in t01}
+    print(json.dumps({
+        "metric": "dedup_ann_scaling",
+        "unit": "sec",
+        "sf0.1": t01,
+        "sf1_fresh_10x": t1,
+        "sf10_fresh_100x": t10,
+        "ratio_10x_over_1x": ratios_10x,
+        "ratio_100x_over_1x": ratios_100x,
+        "note": ("fresh-docs derived corpora: zero cross-generation "
+                 "similarity, within-generation dup structure exact; "
+                 "embeddings replicate verbatim (ANN = skew-adversarial "
+                 "upper bound)"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,10 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     fresh_docs = "--fresh-docs" in sys.argv
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            only = set(a.split("=", 1)[1].split(","))
     factor = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     dst = args[2] if len(args) > 2 else os.path.join(REPO, ".benchdata", "sf1")
@@ -51,7 +55,11 @@ def main() -> None:
     t0 = time.time()
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 4}")
-    for t in DIMS:
+    fact_keys = {
+        t: k for t, k in FACT_KEYS.items() if only is None or t in only
+    }
+    dims = [t for t in DIMS if only is None or t in only]
+    for t in dims:
         con.execute(
             f"COPY (SELECT * FROM '{src}/{t}.parquet')"
             f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
@@ -63,10 +71,12 @@ def main() -> None:
     # give every tail order a lineitem; a corpus where the max orderkey
     # had no lineitems would silently change replicated join
     # cardinalities.
-    orderkey_span = con.execute(
-        f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'"
-    ).fetchone()[0]
-    for table, key in FACT_KEYS.items():
+    orderkey_span = None
+    if "orders" in fact_keys or "lineitem" in fact_keys:
+        orderkey_span = con.execute(
+            f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'"
+        ).fetchone()[0]
+    for table, key in fact_keys.items():
         cols = [
             d[0]
             for d in con.execute(
