@@ -1,0 +1,165 @@
+"""Streaming drift & mixture monitors — frozen-baseline twins of the
+batch catalog queries ``events_psi_value_drift`` (queries/drift.py) and
+``mixture_doremi_round`` (queries/curation3.py).
+
+Monitor shape (the ``mad_alarm`` discipline extended from map-only
+scoring to aggregating monitors): the baseline is frozen batch-side as
+bounded relations (a one-row cutoff frame, a <=10-row early histogram,
+a vocab-sized surprisal table), the stream pays a stateless map plus
+ONE bounded grouped aggregate (complete mode — 10 bucket rows /
+|sources| rows of state, corpus-independent), and the report step is
+O(bounded) algebra over the completed counts. Both report steps reuse
+the catalog queries' tail SQL VERBATIM, so stream==batch parity is a
+structural guarantee rather than a re-derivation — pinned by
+tests/test_streaming.py against the catalog queries themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from automated_data_pipeline_python_spark.functions.text import SPARK_TOKENS
+
+_TOKENS = SPARK_TOKENS.format(col="text")
+
+# Identical snapping to queries/drift.py _PSI_VALUED/_PSI_BUCKET: the
+# value snaps to the 1e-6 grid BEFORE comparing against the snapped
+# cutoffs, so a value equal to a cutoff lands identically everywhere.
+_SNAP_V = "floor(value * 1e6 + 0.5) / 1e6"
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_SNAP_V} > c{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+)
+_IS_LATE = (
+    "2 * timestampdiff(MICROSECOND, t0, ts)"
+    " >= timestampdiff(MICROSECOND, t0, t1)"
+)
+
+
+def psi_baseline(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Frozen PSI baseline from a reference batch: the one-row cutoff
+    frame (snapped full-period decile cutoffs c1..c9 plus the period
+    bounds t0/t1 that define the early/late split) and the early-half
+    per-bucket counts (<=10 rows).
+
+    Production refreshes these on a schedule; the stream scores
+    against the FROZEN values — what keeps the streaming side down to
+    one bounded grouped count. Callers freeze via localCheckpoint.
+    """
+    bounds = events.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    valued = events.where("value IS NOT NULL").crossJoin(F.broadcast(bounds))
+    cuts = valued.select(F.expr(_SNAP_V).alias("v"), "t0", "t1").agg(
+        *[
+            F.expr(
+                f"floor(percentile(v, {i} / 10e0) * 1e6 + 0.5) / 1e6"
+            ).alias(f"c{i}")
+            for i in range(1, 10)
+        ],
+        F.min("t0").alias("t0"),
+        F.min("t1").alias("t1"),
+    )
+    early = (
+        valued.where(f"NOT ({_IS_LATE})")
+        .crossJoin(F.broadcast(cuts.drop("t0", "t1")))
+        .select(F.expr(f"CAST({_BUCKET} AS INT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return cuts, early
+
+
+def psi_late_counts(stream: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Streamable late-half bucket counts: broadcast the one-row frozen
+    cutoff frame (stream-static join, map-only), assign each row's
+    decile bucket by indicator sum against the snapped cutoffs — no
+    sort, no ntile — then ONE grouped count with 10 state rows
+    (complete mode). Works identically on a batch frame."""
+    return (
+        stream.where("value IS NOT NULL")
+        .crossJoin(F.broadcast(cuts))
+        .where(_IS_LATE)
+        .select(F.expr(f"CAST({_BUCKET} AS INT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def psi_report(late_counts: DataFrame, early_counts: DataFrame) -> DataFrame:
+    """PSI per bucket from the completed counts — the catalog query's
+    tail SQL (queries/drift.py _PSI_TAIL) applied verbatim to the
+    monitor's (half, bucket, n) cells, so the streamed report equals
+    events_psi_value_drift row-for-row."""
+    from automated_data_pipeline_python_spark.queries.drift import _PSI_TAIL
+
+    spark = late_counts.sparkSession
+    cells = early_counts.select(
+        F.lit("early").alias("half"), "bucket", "n"
+    ).unionByName(
+        late_counts.select(F.lit("late").alias("half"), "bucket", "n")
+    )
+    cells.createOrReplaceTempView("psi_mon_cells")
+    return spark.sql(
+        _PSI_TAIL.format(
+            spine="SELECT explode(sequence(0, 9)) AS bucket",
+            cells="psi_mon_cells",
+        )
+    )
+
+
+def doremi_reference(documents: DataFrame) -> DataFrame:
+    """Frozen per-token surprisal table from the reference corpus:
+    loss_mu = floor(ln(N / cnt) * 1e6 + 0.5) micro-units — identical
+    snapping to queries/curation3.py mixture_doremi_round's per_source
+    CTE. Vocab-sized (Zipf-bounded), the one corpus-sized pass."""
+    tok = documents.select(F.expr(f"explode({_TOKENS})").alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("n"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.expr(
+            "CAST(floor(ln(CAST(n AS DOUBLE) / cnt) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("loss_mu"),
+    )
+
+
+def doremi_source_stats(
+    stream_docs: DataFrame, reference: DataFrame
+) -> DataFrame:
+    """Per-source running (n_tok, loss_u) over a document stream:
+    tokenize + explode map-side, equi-join the frozen surprisal table
+    (NO broadcast hint — the vocab grows with the reference corpus;
+    tokens absent from the reference drop, the standard frozen-vocab
+    OOV policy), then one grouped aggregate with |sources| state rows
+    (complete mode). Works identically on a batch frame."""
+    tok = stream_docs.select(
+        "source", F.expr(f"explode({_TOKENS})").alias("token")
+    )
+    return (
+        tok.join(reference, "token")
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_tok"),
+            F.expr("CAST(sum(loss_mu) AS BIGINT)").alias("loss_u"),
+        )
+    )
+
+
+def doremi_report(per_source: DataFrame) -> DataFrame:
+    """One DoReMi multiplicative-weights update from the completed
+    per-source stats — the catalog query's tail SQL
+    (queries/curation3.py _DOREMI_TAIL from ``means`` onward) applied
+    verbatim, so the streamed report equals mixture_doremi_round
+    row-for-row."""
+    from automated_data_pipeline_python_spark.queries.curation3 import (
+        _DOREMI_TAIL,
+    )
+
+    spark = per_source.sparkSession
+    per_source.createOrReplaceTempView("doremi_mon_per_source")
+    tail = "means AS (" + _DOREMI_TAIL.split("means AS (", 1)[1]
+    return spark.sql(
+        "WITH per_source AS (SELECT * FROM doremi_mon_per_source),\n"
+        + tail
+    )

@@ -631,3 +631,79 @@ def test_three_way_stream_join_equals_batch(spark, events_dir):
     got = {(r.view_id, r.click_id, r.purchase_id) for r in out.collect()}
     assert got == batch
     assert batch, "vacuous fixture: no triples"
+
+
+@pytest.fixture(scope="module")
+def documents_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("documents_stream")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_psi_monitor_stream_equals_catalog(spark, events_dir):
+    """Frozen-baseline PSI drift monitor: cutoffs + early histogram
+    frozen batch-side, the stream pays one bounded grouped count, and
+    the report (the catalog tail SQL verbatim) must equal
+    events_psi_value_drift row-for-row."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        psi_baseline,
+        psi_late_counts,
+        psi_report,
+    )
+
+    batch = load(spark, SF_DIR, "events")
+    cuts, early = psi_baseline(batch)
+    cuts = cuts.localCheckpoint(eager=True)
+    early = early.localCheckpoint(eager=True)
+
+    stream = read_events_stream(spark, events_dir)
+    got_counts = run_to_memory(
+        psi_late_counts(stream, cuts), "t_psi_late", output_mode="complete"
+    )
+    got = psi_report(got_counts, early)
+    want = QUERIES["events_psi_value_drift"].fn(spark, SF_DIR)
+    cols = ["bucket", "p_early", "p_late", "psi_term"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # And the monitor's own batch run matches its stream run (counts
+    # path is engine-identical batch vs stream).
+    batch_counts = psi_late_counts(batch, cuts)
+    assert _sorted_rows(got_counts, ["bucket", "n"]) == _sorted_rows(
+        batch_counts, ["bucket", "n"]
+    )
+
+
+def test_doremi_monitor_stream_equals_catalog(spark, documents_dir):
+    """Frozen-vocab DoReMi mixture monitor: the surprisal table is
+    frozen from the reference corpus, the stream maintains per-source
+    (n_tok, loss_u) with |sources| state rows, and the report (the
+    catalog tail SQL verbatim) must equal mixture_doremi_round
+    row-for-row."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.documents import (
+        read_documents_stream,
+    )
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        doremi_reference,
+        doremi_report,
+        doremi_source_stats,
+    )
+    from automated_data_pipeline_python_spark.tables import load_scaled
+
+    batch_docs = load_scaled(spark, SF_DIR, "documents")
+    ref = doremi_reference(batch_docs).localCheckpoint(eager=True)
+
+    stream = read_documents_stream(spark, documents_dir)
+    got_stats = run_to_memory(
+        doremi_source_stats(stream, ref), "t_doremi", output_mode="complete"
+    )
+    got = doremi_report(got_stats)
+    want = QUERIES["mixture_doremi_round"].fn(spark, SF_DIR)
+    cols = ["source", "n_tok", "mean_loss", "excess",
+            "weight_before", "weight_after"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    batch_stats = doremi_source_stats(batch_docs, ref)
+    assert _sorted_rows(got_stats, ["source", "n_tok", "loss_u"]) == \
+        _sorted_rows(batch_stats, ["source", "n_tok", "loss_u"])
