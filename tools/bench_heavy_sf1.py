@@ -27,6 +27,11 @@ HEAVY = [
     "bpe_train_merge_rounds",
     "events_kleinberg_bursts",
     "reco_item_item_cosine",
+    # round-6/7 heavy additions (VERDICT r6 task 5):
+    "er_em_mu_round",
+    "mixture_doremi_round",
+    "graph_closeness_centrality",
+    "events_stl_decomposition",
 ]
 
 
