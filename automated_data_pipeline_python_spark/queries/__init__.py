@@ -67,7 +67,14 @@ _PRIORITY = [
     "events_kleinberg_bursts",
     "events_holt_forecast",
     "events_holt_winters_weekly",
-    # (c) round-6 additions with no driver row in the r1-r6 union
+    # (c) NEW in round 7 (first driver evidence):
+    "events_cusum_changepoint",
+    "events_linear_interpolation",
+    "dq_t_closeness",
+    "er_levenshtein_blocked",
+    "reco_map_mrr_eval",
+    "lm_wordpiece_greedy",
+    # (d) round-6 additions with no driver row in the r1-r6 union
     # (VERDICT r6 task 1):
     "mixture_doremi_round",
     "corpus_source_ablation_loo",
@@ -78,34 +85,30 @@ _PRIORITY = [
     "sketch_ams_f2_moment",
     "events_stl_decomposition",
     "events_haar_wavelet_energy",
-    # (d) never driver-rowed in r1-r6 (replay+pytest evidence only),
-    # chosen for plan complexity and module spread — first hard rows:
+    # (e) never driver-rowed in r1-r6 (replay+pytest evidence only),
+    # chosen for plan complexity and module spread — first hard rows
+    # (six of these ceded their slots to the round-7 additions above;
+    # they remain replay+pytest covered):
     "join_asof_nearest",
     "scd2_as_of_snapshot",
     "warehouse_merge_upsert",
     "warehouse_deletion_vectors",
     "warehouse_zorder_clustering",
-    "warehouse_zone_map_skipping",
-    "warehouse_compaction_plan",
     "graph_weighted_sssp",
     "graph_link_prediction",
     "graph_brand_reachability",
-    "graph_brand_kcore",
     "text_textrank_keywords",
     "events_cep_absence_pattern",
     "events_trajectory_similarity",
     "events_three_way_interval_join",
-    "events_markov_stationary",
+    "events_sprt_ab_trajectory",
     "events_bitmap_retention",
     "events_forecast_backtest",
     "events_multi_touch_attribution",
     "events_cuped_adjustment",
     "events_cem_matching",
-    "events_ucb_bandit_replay",
-    "events_sprt_ab_trajectory",
     "ann_lsh_multiprobe_topk",
     "ann_multiprobe_recall_eval",
-    "ann_dim_truncation_recall",
     "embedding_hard_negatives",
     "rag_reciprocal_rank_fusion",
     "retrieval_maxsim_colbert",

@@ -478,3 +478,81 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("part", "orders", "customer", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_FD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completing the k-anonymity / l-diversity gate)
+# ---------------------------------------------------------------------------
+# l-diversity counts distinct sensitive values but misses SKEW: a group
+# can hold 3 distinct priorities at 98/1/1 frequency and still leak.
+# t-closeness bounds, per quasi-identifier group, the distance between
+# the group's sensitive-attribute distribution and the global one — for
+# a categorical attribute the variational distance
+# t_g = ½ Σ_p |n_gp/n_g − N_p/N|. Groups with t above the threshold
+# need generalizing before release.
+#
+# Scale: the corpus-sized work is one custkey join plus one aggregation
+# to the (QI group × priority) cells — bounded by QI domain × 5.
+# Everything after runs on that bounded relation (the group × priority
+# spine is a bounded cross join, the sanctioned grid class). Float
+# discipline: each |p_g − p| term snaps to the 1e-9 grid and sums
+# EXACTLY (order-independent), then t snaps to 1e-6 — no raw double
+# accumulation crosses an engine boundary.
+
+from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E402
+    sql_exact_sum,
+    sql_stable_round,
+)
+
+_TCLOSE_BODY = f"""
+WITH qi AS (
+    SELECT c_custkey,
+           c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000e0) AS BIGINT) AS bal_band
+    FROM customer
+),
+cell AS (
+    SELECT q.c_nationkey, q.c_mktsegment, q.bal_band,
+           o.o_orderpriority AS pr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+    GROUP BY q.c_nationkey, q.c_mktsegment, q.bal_band, o.o_orderpriority
+),
+gsz AS (
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(sum(n) AS BIGINT) AS ng
+    FROM cell GROUP BY c_nationkey, c_mktsegment, bal_band
+),
+gpr AS (SELECT pr, CAST(sum(n) AS BIGINT) AS np FROM cell GROUP BY pr),
+gtot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell),
+terms AS (
+    SELECT s.c_nationkey, s.c_mktsegment, s.bal_band, s.ng,
+           abs(CAST(coalesce(c.n, 0) AS DOUBLE) / s.ng
+               - CAST(s.np AS DOUBLE) / s.nn) AS term
+    FROM (SELECT g.*, p.pr, p.np, t.nn
+          FROM gsz g CROSS JOIN gpr p CROSS JOIN gtot t) s
+    LEFT JOIN cell c
+      ON c.c_nationkey = s.c_nationkey AND c.c_mktsegment = s.c_mktsegment
+     AND c.bal_band = s.bal_band AND c.pr = s.pr
+)
+SELECT c_nationkey, c_mktsegment, bal_band,
+       ng AS group_orders,
+       {sql_stable_round(sql_exact_sum("term", 9) + " / 2e0", 6)}
+           AS t_distance,
+       ({sql_exact_sum("term", 9)} / 2e0 <= 2e-1 + 1e-9) AS t02_close
+FROM terms
+GROUP BY c_nationkey, c_mktsegment, bal_band, ng
+ORDER BY c_nationkey, c_mktsegment, bal_band
+"""
+
+
+@register("dq_t_closeness", oracle=_TCLOSE_BODY)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness per quasi-identifier group (nation, segment, balance
+    band; sensitive = order priority): variational distance between the
+    group's priority distribution and the global one, with the t<=0.2
+    release gate."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_TCLOSE_BODY)

@@ -1436,3 +1436,129 @@ def lm_viterbi_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             _vit_level_sql(p, "vit_bp", "vit_pc")
         ).localCheckpoint(eager=True).createOrReplaceTempView(f"vit_bp{p}")
     return spark.sql(_vit_done_sql("vit_bp"))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match segmentation
+# ---------------------------------------------------------------------------
+# The THIRD tokenizer-inference algorithm (after BPE merges and the
+# unigram-EM/Viterbi pair above): WordPiece inference segments each
+# word by repeatedly taking the LONGEST vocab piece that matches at the
+# cursor (Devlin et al. 2019 — greedy, not optimal; its fertility
+# (pieces/word) is the standard comparison against the Viterbi optimum
+# computed from the same seed vocab). Deterministic: at a given cursor
+# at most one vocab piece of each length matches (same substring), so
+# the greedy path is unique — no tiebreak needed.
+#
+# Spark side: ONE aggregate() fold per distinct word (the unigram-EM
+# rewrite's execution shape) carrying struct(pos, path); membership
+# tests are try_element_at lookups into the broadcast piece map; every
+# step advances the cursor by the longest match (single chars always
+# present, so always >= 1 — length(w) iterations suffice). DuckDB
+# oracle: the same greedy walk as a recursive CTE where a NOT EXISTS
+# anti-join enforces "no longer piece matches here".
+
+
+def _wp_member(length: int) -> str:
+    return (
+        f"(acc.pos + {length} <= length(w) AND try_element_at(m,"
+        f" substr(w, acc.pos + 1, {length})) IS NOT NULL)"
+    )
+
+
+_WP_ADV = (
+    f"CASE WHEN {_wp_member(4)} THEN 4 WHEN {_wp_member(3)} THEN 3"
+    f" WHEN {_wp_member(2)} THEN 2 ELSE 1 END"
+)
+
+_WP_SPARK_TAIL = f"""
+vm AS (
+    SELECT map_from_entries(collect_list(struct(piece, len))) AS m
+    FROM wp_vocab
+),
+seg AS (
+    SELECT w, wf,
+           aggregate(
+               sequence(1, length(w)),
+               named_struct('pos', 0, 'p', ''),
+               (acc, i) -> CASE WHEN acc.pos >= length(w) THEN acc ELSE
+                   named_struct(
+                       'pos', acc.pos + {_WP_ADV},
+                       'p', CASE WHEN acc.p = ''
+                                 THEN substr(w, acc.pos + 1, {_WP_ADV})
+                                 ELSE acc.p || ' '
+                                      || substr(w, acc.pos + 1, {_WP_ADV})
+                            END)
+                   END,
+               acc -> acc.p
+           ) AS path
+    FROM wp_words CROSS JOIN vm
+)
+SELECT w AS word, wf AS freq,
+       CAST(size(split(path, ' ')) AS BIGINT) AS n_pieces,
+       path AS wp_path
+FROM seg
+ORDER BY freq DESC, word
+LIMIT 30
+"""
+
+
+def _wp_duck_sql() -> str:
+    prefix = _unigram_sql(_UNIGRAM_GEN2_DUCK, "x", "tk").split("\nseg(")[0]
+    prefix = prefix.rstrip().rstrip(",")
+    return (
+        "WITH RECURSIVE tok_exploded AS ("
+        f"SELECT unnest({DUCK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),\n"
+        + prefix.lstrip()
+        + """,
+seg(w, wf, pos, path) AS (
+    SELECT w, wf, CAST(0 AS BIGINT), '' FROM words
+    UNION ALL
+    SELECT s.w, s.wf, s.pos + v.len,
+           CASE WHEN s.path = '' THEN v.piece
+                ELSE s.path || ' ' || v.piece END
+    FROM seg s
+    JOIN vocab v
+      ON substr(s.w, CAST(s.pos + 1 AS INT), CAST(v.len AS INT)) = v.piece
+     AND s.pos + v.len <= length(s.w)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM vocab v2
+        WHERE v2.len > v.len
+          AND s.pos + v2.len <= length(s.w)
+          AND substr(s.w, CAST(s.pos + 1 AS INT), CAST(v2.len AS INT))
+              = v2.piece
+    )
+)
+SELECT w AS word, wf AS freq,
+       CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces,
+       path AS wp_path
+FROM seg WHERE pos = length(w)
+ORDER BY freq DESC, word
+LIMIT 30
+"""
+    )
+
+
+@register("lm_wordpiece_greedy", oracle=_wp_duck_sql())
+def lm_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match (WordPiece-inference) segmentation of the
+    top-30 words under the unigram seed vocab: pieces-per-word
+    fertility and the greedy path — one aggregate() fold per distinct
+    word, corpus passes materialized once."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    prefix = _unigram_sql(_UNIGRAM_GEN2_SPARK, "x", "tk").split("\nseg(")[0]
+    prefix = prefix.rstrip().rstrip(",")
+    head = (
+        "WITH tok_exploded AS ("
+        f"SELECT explode({SPARK_TOKENS.format(col='text')}) AS tk "
+        "FROM documents),"
+        + prefix.lstrip()
+    )
+    spark.sql(head + "\nSELECT w, wf FROM words").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("wp_words")
+    spark.sql(
+        head + "\nSELECT piece, CAST(len AS INT) AS len FROM vocab"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("wp_vocab")
+    return spark.sql("WITH " + _WP_SPARK_TAIL.lstrip())

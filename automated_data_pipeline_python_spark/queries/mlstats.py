@@ -1325,3 +1325,64 @@ def mlstats_cv_ols_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_cv_ols_sql(f"pmod({spark_hash60(_CV_KEY_S)}, 5)"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance similarity join (ER candidate verification)
+# ---------------------------------------------------------------------------
+# The string-similarity member of the ER battery: the sorted-
+# neighborhood / Fellegi-Sunter stages above compare FIELD EQUALITY;
+# this one scores lexical near-matches with Levenshtein distance —
+# the operator behind typo-tolerant record linkage. Never all-pairs:
+# candidates come from (first word, length-band) blocks, each block
+# rank-capped at 40 rows (the dedup bucket-cap discipline — a
+# hot block degrades to a documented sample instead of a quadratic
+# blowup), and only in-block pairs pay the edit-distance evaluation.
+# levenshtein() is unit-cost edit distance in BOTH engines; the
+# similarity 1 − d/max_len is a single-division rational snapped to
+# the 1e-6 grid BEFORE the threshold compare (repo invariant).
+
+_LEV_SQL = """
+WITH np AS (
+    SELECT p_partkey AS k, p_name AS nm,
+           split_part(p_name, ' ', 1) AS w0,
+           CAST(floor(length(p_name) / 4e0) AS BIGINT) AS lb
+    FROM part
+),
+capped AS (
+    SELECT k, nm, w0, lb FROM (
+        SELECT np.*,
+               row_number() OVER (PARTITION BY w0, lb ORDER BY k) AS rk
+        FROM np) z
+    WHERE rk <= 40
+),
+pairs AS (
+    SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+           greatest(length(a.nm), length(b.nm)) AS mx
+    FROM capped a
+    JOIN capped b ON a.w0 = b.w0 AND a.lb = b.lb AND a.k < b.k
+),
+scored AS (
+    SELECT key_a, key_b, name_a, name_b, dist,
+           floor((1e0 - CAST(dist AS DOUBLE) / mx) * 1e6 + 0.5) / 1e6
+               AS name_similarity
+    FROM pairs
+)
+SELECT key_a, key_b, name_a, name_b, dist AS edit_distance,
+       name_similarity
+FROM scored
+WHERE name_similarity >= 6e-1
+ORDER BY name_similarity DESC, key_a, key_b
+LIMIT 50
+"""
+
+
+@register("er_levenshtein_blocked", oracle=_LEV_SQL)
+def er_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant candidate pairs over part names: (first word,
+    length band) blocking with a 40-row block cap, in-block Levenshtein
+    scoring, snapped 1 − d/max_len similarity >= 0.6, top-50 totally
+    ordered."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_LEV_SQL)

@@ -590,3 +590,109 @@ def orders_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem", "part"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SEQ_RULES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MAP@10 / MRR@10 ranking evaluation of the co-purchase recommender
+# ---------------------------------------------------------------------------
+# The rank-sensitive companion to the hit-rate eval above: hit rate
+# only asks IF a held-out partner appeared in the list; MAP and MRR ask
+# WHERE. Same honest time split (train = first half of the order
+# history, test = second half), top-10 ranked lists. Per source brand:
+# reciprocal rank of the first hit and average precision
+# AP@10 = Σ_hits prec(rank) / min(n_test, 10).
+#
+# Float discipline: every precision term prec(r) = hits_at_or_before(r)/r
+# is an exact rational; terms snap to 1e-9 and sum EXACTLY
+# (order-independent) before the one snapped division per row. Ranks
+# are PARTITIONED row_number with (weight DESC, brand) total order.
+# Scale: identical plan family to the hit-rate eval — brand-vocabulary-
+# bounded relations after the two scan+join passes; the per-src hit
+# window holds <= 10 rows per partition.
+
+_MAP_SQL = """
+WITH mid AS (
+    SELECT CAST(min(o_orderdate) AS DATE)
+           + CAST(floor({div}) AS INT) AS cut
+    FROM orders
+),
+ob AS (
+    SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand,
+           CASE WHEN CAST(o.o_orderdate AS DATE) < m.cut
+                THEN 0 ELSE 1 END AS half
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    CROSS JOIN mid m
+),
+train_edges AS (
+    SELECT a.brand AS src, b.brand AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+    WHERE a.half = 0 AND b.half = 0
+    GROUP BY a.brand, b.brand
+),
+recs AS (
+    SELECT src, dst, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM train_edges
+    ) r WHERE rk <= 10
+),
+test_pairs AS (
+    SELECT DISTINCT a.brand AS src, b.brand AS dst
+    FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+    WHERE a.half = 1 AND b.half = 1
+),
+tstat AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS n_test
+    FROM test_pairs GROUP BY src
+),
+hits AS (
+    SELECT t.src, r.rk
+    FROM test_pairs t JOIN recs r ON r.src = t.src AND r.dst = t.dst
+),
+hprec AS (
+    SELECT src, rk,
+           CAST(count(*) OVER (PARTITION BY src ORDER BY rk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / rk AS prec
+    FROM hits
+),
+ap AS (
+    SELECT src,
+           {sum_prec} AS sum_prec,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(rk) AS BIGINT) AS first_rk
+    FROM hprec GROUP BY src
+)
+SELECT t.src AS brand,
+       t.n_test,
+       coalesce(a.n_hits, CAST(0 AS BIGINT)) AS n_hits10,
+       CASE WHEN a.first_rk IS NULL THEN 0e0
+            ELSE floor((1e0 / a.first_rk) * 1e6 + 0.5) / 1e6 END AS rr_at10,
+       CASE WHEN a.sum_prec IS NULL THEN 0e0
+            ELSE floor((a.sum_prec / least(t.n_test, 10)) * 1e6 + 0.5) / 1e6
+            END AS ap_at10
+FROM tstat t
+LEFT JOIN ap a ON a.src = t.src
+ORDER BY brand
+"""
+
+
+def _map_sql(op: str) -> str:
+    return _MAP_SQL.format(
+        div=_RECO_EVAL_DIV.format(op=op),
+        sum_prec=sql_exact_sum("prec", 9),
+    )
+
+
+@register("reco_map_mrr_eval", oracle=_map_sql("//"))
+def reco_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive offline eval of the top-10 co-purchase
+    recommender: per-brand reciprocal rank of the first held-out hit
+    and AP@10 under the same time split as the hit-rate eval."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_map_sql("DIV"))

@@ -2100,3 +2100,169 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_HAAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the daily count series
+# ---------------------------------------------------------------------------
+# Page's cumulative-sum scan per event type: S_k = Σ_{t<=k}(x_t − x̄);
+# the changepoint estimate is argmax_k |S_k| (earliest day on ties) and
+# the scale-free statistic is max|S_k| / (σ̂·√D). Everything before the
+# final expression stays EXACT INTEGERS via scaling: S_k·D =
+# D·prefix_k − k·N (D days, N total events of the type), so both
+# engines pick the identical argmax with no float compare; σ̂ comes
+# from integer moments and the one float expression snaps to 1e-6.
+# Scale: the corpus pass is the daily count aggregation; the CUSUM scan
+# runs on the calendar-bounded (type × day) relation with PARTITIONED
+# windows (never a single-partition exchange).
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+    SELECT event_type, d, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS k,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS pre
+    FROM daily
+),
+tot AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(n) AS BIGINT) AS ntot,
+           CAST(sum(n * n) AS BIGINT) AS n2tot
+    FROM daily GROUP BY event_type
+),
+scaled AS (
+    -- k = nd is excluded: S_D == 0 by construction (the trivial
+    -- endpoint would win ties in a constant series).
+    SELECT i.event_type, i.d, i.k,
+           i.pre * t.nd - i.k * t.ntot AS s_scaled,
+           t.nd, t.ntot, t.n2tot
+    FROM idx i JOIN tot t ON t.event_type = i.event_type
+    WHERE i.k < t.nd
+),
+best AS (
+    SELECT event_type, d, k, s_scaled, nd, ntot, n2tot
+    FROM (
+        SELECT s.*,
+               CAST(row_number() OVER (PARTITION BY s.event_type
+                    ORDER BY abs(s.s_scaled) DESC, s.k) AS BIGINT) AS rk
+        FROM scaled s
+    ) z WHERE rk = 1
+)
+SELECT event_type,
+       CAST(d AS STRING) AS changepoint_date,
+       k AS changepoint_index,
+       CASE WHEN n2tot * nd = ntot * ntot THEN 0e0
+            ELSE floor((CAST(abs(s_scaled) AS DOUBLE) / nd
+                 / sqrt((CAST(n2tot AS DOUBLE)
+                         - CAST(ntot AS DOUBLE) * ntot / nd) / (nd - 1))
+                 / sqrt(CAST(nd AS DOUBLE))) * 1e6 + 0.5) / 1e6 END
+           AS cusum_stat
+FROM best
+ORDER BY event_type
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_SQL)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over the daily count series:
+    argmax |S_k| day (earliest on ties) and the σ̂√D-normalized
+    statistic — the classic level-shift detector a metrics pipeline
+    runs before alerting on a regime change."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CUSUM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation gap-fill on per-user daily series
+# ---------------------------------------------------------------------------
+# The feature-engineering companion to LOCF (windows2): missing days
+# inside a user's activity span are filled by the straight line between
+# the neighboring observed days. The per-day observation is
+# max(cents(value)) — max of snapped integers, order-independent, so no
+# cross-engine float-sum hazard — and the interpolation weight is the
+# exact integer day-offset ratio, snapped at 1e-4 cents precision.
+# Scale: the spine explodes each user's OWN span (≤ calendar days per
+# user, partition-parallel); prev/next lookups are IGNORE NULLS frame
+# scans PARTITIONED by user. Output is a totally-ordered LIMIT 50.
+
+
+def _interp_sql(spine: str, lv: str, fv_y: str, fv_d: str,
+                dd_prev: str, dd_span: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(max(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+span AS (
+    SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+),
+spine AS ({spine}),
+joined AS (
+    SELECT s.user_id, s.d, dl.y
+    FROM spine s
+    LEFT JOIN daily dl ON dl.user_id = s.user_id AND dl.d = s.d
+),
+ctx AS (
+    SELECT user_id, d, y,
+           {lv} OVER wprev AS y_prev,
+           {fv_y} OVER wnext AS y_next,
+           {fv_d} OVER wnext AS d_next,
+           max(CASE WHEN y IS NOT NULL THEN d END) OVER wprev AS d_prev
+    FROM joined
+    WINDOW wprev AS (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wnext AS (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(d AS STRING) AS day,
+       y_prev AS y_prev_cents,
+       y_next AS y_next_cents,
+       CAST({dd_prev} AS BIGINT) AS gap_pos,
+       CAST({dd_span} AS BIGINT) AS gap_span,
+       floor((CAST(y_prev AS DOUBLE)
+              + CAST(y_next - y_prev AS DOUBLE)
+                * ({dd_prev}) / ({dd_span}))
+             * 1e4 + 0.5) / 1e4 AS y_interp_cents
+FROM ctx
+WHERE y IS NULL AND y_prev IS NOT NULL AND y_next IS NOT NULL
+ORDER BY user_id, d
+LIMIT 50
+"""
+
+
+_INTERP_SPARK = _interp_sql(
+    "SELECT user_id, explode(sequence(d0, d1, interval 1 day)) AS d FROM span",
+    "last_value(y) IGNORE NULLS",
+    "first_value(y) IGNORE NULLS",
+    "first_value(CASE WHEN y IS NOT NULL THEN d END) IGNORE NULLS",
+    "datediff(d, d_prev)",
+    "datediff(d_next, d_prev)",
+)
+
+_INTERP_DUCK = _interp_sql(
+    "SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))"
+    " AS DATE) AS d FROM span",
+    "last_value(y IGNORE NULLS)",
+    "first_value(y IGNORE NULLS)",
+    "first_value(CASE WHEN y IS NOT NULL THEN d END IGNORE NULLS)",
+    "date_diff('day', d_prev, d)",
+    "date_diff('day', d_prev, d_next)",
+)
+
+
+@register("events_linear_interpolation", oracle=_INTERP_DUCK)
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straight-line gap-fill of each user's per-day max-value series
+    over the days missing inside their activity span — prev/next
+    neighbor scan plus the exact day-offset ratio, first 50 filled
+    rows in (user, day) order."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_INTERP_SPARK)

@@ -28,6 +28,16 @@ ROUND7_FOLD_REWRITES = [
 ]
 
 # Round-6 additions that missed the round-6 window (VERDICT r6 task 1).
+# New in round 7.
+ROUND7_NEW = [
+    "events_cusum_changepoint",
+    "events_linear_interpolation",
+    "dq_t_closeness",
+    "er_levenshtein_blocked",
+    "reco_map_mrr_eval",
+    "lm_wordpiece_greedy",
+]
+
 ROUND7_R6_BACKFILL = [
     "mixture_doremi_round",
     "corpus_source_ablation_loo",
@@ -49,7 +59,7 @@ def test_priority_list_is_first_50():
 def test_window_covers_touched_and_backfill():
     window = set(_PRIORITY)
     for required in [*ROUND7_TOUCHED, *ROUND7_FOLD_REWRITES,
-                     *ROUND7_R6_BACKFILL]:
+                     *ROUND7_NEW, *ROUND7_R6_BACKFILL]:
         assert required in window, required
 
 
