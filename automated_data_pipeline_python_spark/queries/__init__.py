@@ -74,6 +74,8 @@ _PRIORITY = [
     "er_levenshtein_blocked",
     "reco_map_mrr_eval",
     "lm_wordpiece_greedy",
+    "graph_personalized_pagerank",
+    "events_cramer_von_mises",
     # (d) round-6 additions with no driver row in the r1-r6 union
     # (VERDICT r6 task 1):
     "mixture_doremi_round",
@@ -103,8 +105,6 @@ _PRIORITY = [
     "events_three_way_interval_join",
     "events_sprt_ab_trajectory",
     "events_bitmap_retention",
-    "events_forecast_backtest",
-    "events_multi_touch_attribution",
     "events_cuped_adjustment",
     "events_cem_matching",
     "ann_lsh_multiprobe_topk",

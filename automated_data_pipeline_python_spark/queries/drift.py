@@ -707,3 +707,68 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, normal-approximation z, and two-sided p."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_MW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample statistic (click vs purchase values)
+# ---------------------------------------------------------------------------
+# The KS statistic above reads only the single largest eCDF gap; CvM
+# integrates the SQUARED gap over the whole combined sample — sensitive
+# to distributional differences KS under-weights (spread across the
+# range rather than concentrated at one point). Anderson's two-sample
+# form: T = n·m/(n+m)² · Σ_combined (F(x)−G(x))².
+#
+# Same bounded machinery as KS: eCDFs come off the snapped-cents value
+# HISTOGRAM (cumulative window over a grid-bounded relation — the
+# sanctioned class), each gap is the exact integer fx·m − fy·n, terms
+# normalize into [0,1] before snapping to the 1e-12 grid and summing
+# exactly, and the single rescale multiplies at the end.
+
+_CVM_SQL = f"""
+WITH vals AS (
+    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+grid AS (
+    SELECT cents,
+           CAST(sum(is_x) AS BIGINT) AS cx,
+           CAST(sum(1 - is_x) AS BIGINT) AS cy
+    FROM vals GROUP BY cents
+),
+cdf AS (
+    SELECT cents, cx, cy,
+           CAST(sum(cx) OVER (ORDER BY cents) AS BIGINT) AS fx,
+           CAST(sum(cy) OVER (ORDER BY cents) AS BIGINT) AS fy
+    FROM grid
+),
+tot AS (
+    SELECT CAST(sum(cx) AS BIGINT) AS n1, CAST(sum(cy) AS BIGINT) AS n2
+    FROM grid
+),
+terms AS (
+    SELECT (CAST(c.cx + c.cy AS DOUBLE) / (t.n1 + t.n2))
+           * ((CAST(c.fx AS DOUBLE) * t.n2 - CAST(c.fy AS DOUBLE) * t.n1)
+              / (CAST(t.n1 AS DOUBLE) * t.n2))
+           * ((CAST(c.fx AS DOUBLE) * t.n2 - CAST(c.fy AS DOUBLE) * t.n1)
+              / (CAST(t.n1 AS DOUBLE) * t.n2)) AS term,
+           t.n1, t.n2
+    FROM cdf c CROSS JOIN tot t
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       floor(((CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+              * ({sql_exact_sum("term", 12)})) * 1e6 + 0.5) / 1e6
+           AS cvm_t
+FROM terms
+GROUP BY n1, n2
+"""
+
+
+@register("events_cramer_von_mises", oracle=_CVM_SQL)
+def events_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises T for the click vs purchase value
+    distributions — the integrated-squared-gap companion to the KS
+    test, off the same snapped-cents histogram CDFs."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CVM_SQL)

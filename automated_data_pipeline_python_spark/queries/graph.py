@@ -971,3 +971,78 @@ def graph_brand_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH e AS (SELECT * FROM truss_edges),\n" + _TRUSS_TAIL.lstrip()
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from the hottest brand (2 damped rounds)
+# ---------------------------------------------------------------------------
+# Global PageRank (above) scores overall centrality; recommendation
+# and related-item surfaces need proximity TO A SEED — the random walk
+# with restart: r = 0.15·e_seed + 0.85·M r, seeded at the brand with
+# the largest co-purchase weight (deterministic: (out_w DESC, brand)
+# total order). Two unrolled rounds on the same vocabulary-bounded
+# edge relation as the global query — contributions snap to the 1e-9
+# grid and sum exactly; restart mass re-enters as a CASE term. The
+# corpus-sized pass is the shared edge build; everything here is
+# brand-domain work. Top-20 by proximity, totally ordered.
+
+
+def _ppr_tail(edges: str) -> str:
+    es = sql_exact_sum
+    r = sql_stable_round
+    contrib = "r0.r * (CAST(e.w AS DOUBLE) / ow.out_w)"
+
+    def rnd(prev: str, out: str) -> str:
+        return f"""
+c_{out} AS (
+    SELECT e.dst AS brand,
+           {es(contrib.replace("r0.", f"{prev}."), 9)} AS s
+    FROM {edges} e
+    JOIN {prev} ON e.src = {prev}.brand
+    JOIN outw ow ON e.src = ow.src
+    WHERE {prev}.r > 0e0
+    GROUP BY e.dst
+),
+{out} AS (
+    SELECT o.src AS brand,
+           {r("CASE WHEN o.src = s.sb THEN 15e-2 ELSE 0e0 END"
+              f" + 85e-2 * coalesce(c_{out}.s, 0e0)", 9)} AS r
+    FROM outw o CROSS JOIN seed s
+    LEFT JOIN c_{out} ON c_{out}.brand = o.src
+)"""
+
+    return f"""
+WITH outw AS (
+    SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM {edges} GROUP BY src
+),
+seed AS (SELECT src AS sb FROM outw ORDER BY out_w DESC, src LIMIT 1),
+r0 AS (
+    SELECT o.src AS brand,
+           CASE WHEN o.src = s.sb THEN 1e0 ELSE 0e0 END AS r
+    FROM outw o CROSS JOIN seed s
+),{rnd("r0", "r1")},{rnd("r1", "r2")}
+SELECT s.sb AS seed_brand, r2.brand,
+       {r("r2.r", 6)} AS ppr
+FROM r2 CROSS JOIN seed s
+ORDER BY ppr DESC, brand
+LIMIT 20
+"""
+
+
+_PPR_DUCK = (
+    "WITH edges AS (" + _EDGES_SQL + ")\n"
+    + _ppr_tail("edges").replace("\nWITH outw", "\n, outw", 1)
+)
+
+
+@register("graph_personalized_pagerank", oracle=_PPR_DUCK)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart, 2 damped
+    rounds) from the top-co-purchase-weight seed brand: the top-20
+    related brands by walk proximity."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spark.sql(_EDGES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ppr_edges"
+    )
+    return spark.sql(_ppr_tail("ppr_edges"))

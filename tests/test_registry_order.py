@@ -36,6 +36,8 @@ ROUND7_NEW = [
     "er_levenshtein_blocked",
     "reco_map_mrr_eval",
     "lm_wordpiece_greedy",
+    "graph_personalized_pagerank",
+    "events_cramer_von_mises",
 ]
 
 ROUND7_R6_BACKFILL = [
