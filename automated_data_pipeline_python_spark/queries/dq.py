@@ -504,35 +504,38 @@ from automated_data_pipeline_python_spark.functions.numeric import (  # noqa: E4
     sql_stable_round,
 )
 
-_TCLOSE_BODY = f"""
+_TCLOSE_CELL = """
 WITH qi AS (
     SELECT c_custkey,
            c_nationkey,
            c_mktsegment,
            CAST(floor(c_acctbal / 1000e0) AS BIGINT) AS bal_band
     FROM customer
-),
-cell AS (
-    SELECT q.c_nationkey, q.c_mktsegment, q.bal_band,
-           o.o_orderpriority AS pr,
-           CAST(count(*) AS BIGINT) AS n
-    FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
-    GROUP BY q.c_nationkey, q.c_mktsegment, q.bal_band, o.o_orderpriority
-),
+)
+SELECT q.c_nationkey, q.c_mktsegment, q.bal_band,
+       o.o_orderpriority AS pr,
+       CAST(count(*) AS BIGINT) AS n
+FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+GROUP BY q.c_nationkey, q.c_mktsegment, q.bal_band, o.o_orderpriority
+"""
+
+
+def _tclose_tail(cell: str) -> str:
+    return f"""
 gsz AS (
     SELECT c_nationkey, c_mktsegment, bal_band,
            CAST(sum(n) AS BIGINT) AS ng
-    FROM cell GROUP BY c_nationkey, c_mktsegment, bal_band
+    FROM {cell} GROUP BY c_nationkey, c_mktsegment, bal_band
 ),
-gpr AS (SELECT pr, CAST(sum(n) AS BIGINT) AS np FROM cell GROUP BY pr),
-gtot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell),
+gpr AS (SELECT pr, CAST(sum(n) AS BIGINT) AS np FROM {cell} GROUP BY pr),
+gtot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM {cell}),
 terms AS (
     SELECT s.c_nationkey, s.c_mktsegment, s.bal_band, s.ng,
            abs(CAST(coalesce(c.n, 0) AS DOUBLE) / s.ng
                - CAST(s.np AS DOUBLE) / s.nn) AS term
     FROM (SELECT g.*, p.pr, p.np, t.nn
           FROM gsz g CROSS JOIN gpr p CROSS JOIN gtot t) s
-    LEFT JOIN cell c
+    LEFT JOIN {cell} c
       ON c.c_nationkey = s.c_nationkey AND c.c_mktsegment = s.c_mktsegment
      AND c.bal_band = s.bal_band AND c.pr = s.pr
 )
@@ -547,12 +550,28 @@ ORDER BY c_nationkey, c_mktsegment, bal_band
 """
 
 
-@register("dq_t_closeness", oracle=_TCLOSE_BODY)
+_TCLOSE_DUCK = (
+    "WITH cell AS ("
+    + _TCLOSE_CELL.lstrip()
+    + "),\n"
+    + _tclose_tail("cell").lstrip()
+)
+
+
+@register("dq_t_closeness", oracle=_TCLOSE_DUCK)
 def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness per quasi-identifier group (nation, segment, balance
     band; sensitive = order priority): variational distance between the
     group's priority distribution and the global one, with the t<=0.2
-    release gate."""
+    release gate.
+
+    The (QI group x priority) cell relation feeds four consumers; Spark
+    inlines CTEs, so it is materialized once via localCheckpoint
+    (DuckDB materializes shared CTEs itself — single-statement oracle).
+    """
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_TCLOSE_BODY)
+    spark.sql(_TCLOSE_CELL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("tc_cell")
+    return spark.sql("WITH " + _tclose_tail("tc_cell").lstrip())

@@ -610,24 +610,25 @@ def orders_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded relations after the two scan+join passes; the per-src hit
 # window holds <= 10 rows per partition.
 
-_MAP_SQL = """
+_MAP_OB_SQL = """
 WITH mid AS (
     SELECT CAST(min(o_orderdate) AS DATE)
            + CAST(floor({div}) AS INT) AS cut
     FROM orders
-),
-ob AS (
-    SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand,
-           CASE WHEN CAST(o.o_orderdate AS DATE) < m.cut
-                THEN 0 ELSE 1 END AS half
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    CROSS JOIN mid m
-),
+)
+SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand,
+       CASE WHEN CAST(o.o_orderdate AS DATE) < m.cut
+            THEN 0 ELSE 1 END AS half
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+CROSS JOIN mid m
+"""
+
+_MAP_TAIL = """
 train_edges AS (
     SELECT a.brand AS src, b.brand AS dst, CAST(count(*) AS BIGINT) AS w
-    FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+    FROM {ob} a JOIN {ob} b ON a.o = b.o AND a.brand <> b.brand
     WHERE a.half = 0 AND b.half = 0
     GROUP BY a.brand, b.brand
 ),
@@ -641,7 +642,7 @@ recs AS (
 ),
 test_pairs AS (
     SELECT DISTINCT a.brand AS src, b.brand AS dst
-    FROM ob a JOIN ob b ON a.o = b.o AND a.brand <> b.brand
+    FROM {ob} a JOIN {ob} b ON a.o = b.o AND a.brand <> b.brand
     WHERE a.half = 1 AND b.half = 1
 ),
 tstat AS (
@@ -680,19 +681,33 @@ ORDER BY brand
 """
 
 
-def _map_sql(op: str) -> str:
-    return _MAP_SQL.format(
-        div=_RECO_EVAL_DIV.format(op=op),
-        sum_prec=sql_exact_sum("prec", 9),
-    )
+_MAP_DUCK = (
+    "WITH ob AS ("
+    + _MAP_OB_SQL.format(div=_RECO_EVAL_DIV.format(op="//")).lstrip()
+    + "),\n"
+    + _MAP_TAIL.format(ob="ob", sum_prec=sql_exact_sum("prec", 9)).lstrip()
+)
 
 
-@register("reco_map_mrr_eval", oracle=_map_sql("//"))
+@register("reco_map_mrr_eval", oracle=_MAP_DUCK)
 def reco_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-sensitive offline eval of the top-10 co-purchase
     recommender: per-brand reciprocal rank of the first held-out hit
-    and AP@10 under the same time split as the hit-rate eval."""
+    and AP@10 under the same time split as the hit-rate eval.
+
+    The half-labeled (order, brand) relation feeds both self-joined
+    halves (4 references); Spark inlines CTEs, so it is materialized
+    once via localCheckpoint (DuckDB materializes shared CTEs itself —
+    single-statement oracle)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_map_sql("DIV"))
+    spark.sql(
+        _MAP_OB_SQL.format(div=_RECO_EVAL_DIV.format(op="DIV"))
+    ).localCheckpoint(eager=True).createOrReplaceTempView("mm_ob")
+    return spark.sql(
+        "WITH "
+        + _MAP_TAIL.format(
+            ob="mm_ob", sum_prec=sql_exact_sum("prec", 9)
+        ).lstrip()
+    )
