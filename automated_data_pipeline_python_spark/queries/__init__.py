@@ -76,6 +76,7 @@ _PRIORITY = [
     "lm_wordpiece_greedy",
     "graph_personalized_pagerank",
     "events_cramer_von_mises",
+    "lineitem_croston_demand",
     # (d) round-6 additions with no driver row in the r1-r6 union
     # (VERDICT r6 task 1):
     "mixture_doremi_round",
@@ -113,7 +114,6 @@ _PRIORITY = [
     "rag_reciprocal_rank_fusion",
     "retrieval_maxsim_colbert",
     "dedup_prefix_filter_join",
-    "dedup_cdc_chunks",
     "bpe_train_merge_rounds",
     "bpe_compression_curve",
     "lm_heldout_perplexity",

@@ -2266,3 +2266,112 @@ def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows in (user, day) order."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_INTERP_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Croston's method: intermittent-demand forecast per brand
+# ---------------------------------------------------------------------------
+# Retail/parts demand is INTERMITTENT (many zero days); plain EWMA/Holt
+# over the raw series biases toward zero. Croston (1972) smooths two
+# series updated only on demand occurrences — demand SIZE z and
+# inter-demand INTERVAL p (α=0.2 for both) — and forecasts the rate
+# z/p per period. Same reduced-relation discipline as the EWMA/Holt
+# family: the corpus-sized pass is the daily brand-demand aggregation
+# (ship days with demand only — no calendar spine needed, the classic
+# formulation updates on occurrences); the recursion walks
+# (brand × demand-days), every step snapping both states to the 1e-6
+# grid. Spark executes the single-fold twin (one aggregate() lambda
+# per brand); DuckDB replays the IDENTICAL snapped recurrence as a
+# recursive CTE.
+
+_CRO_Z = "floor((2e-1 * v.q + 8e-1 * a.z) * 1e6 + 0.5) / 1e6"
+_CRO_P = "floor((2e-1 * v.tau + 8e-1 * a.p) * 1e6 + 0.5) / 1e6"
+
+
+def _croston_daily_idx(dd: str, recursive: str) -> str:
+    return f"""
+WITH {recursive}daily AS (
+    SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+           CAST(floor(sum(l.l_quantity) + 0.5) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, CAST(l.l_shipdate AS DATE)
+),
+idx AS (
+    SELECT brand, d, q,
+           CAST(row_number() OVER (PARTITION BY brand ORDER BY d)
+                AS BIGINT) AS i,
+           CAST(coalesce({dd}, 1) AS BIGINT) AS tau
+    FROM daily
+)"""
+
+
+_CROSTON_DUCK = (
+    _croston_daily_idx("d - lag(d) OVER (PARTITION BY brand ORDER BY d)",
+                       "RECURSIVE ")
+    + """,
+cro(brand, i, z, p) AS (
+    SELECT brand, i, CAST(q AS DOUBLE), 1e0 FROM idx WHERE i = 1
+    UNION ALL
+    SELECT idx.brand, idx.i,
+           floor((2e-1 * idx.q + 8e-1 * c.z) * 1e6 + 0.5) / 1e6,
+           floor((2e-1 * idx.tau + 8e-1 * c.p) * 1e6 + 0.5) / 1e6
+    FROM cro c JOIN idx ON idx.brand = c.brand AND idx.i = c.i + 1
+),
+lastd AS (SELECT brand, max(i) AS mi FROM idx GROUP BY brand)
+SELECT c.brand, c.i AS n_demand_days,
+       c.z AS size_level, c.p AS interval_level,
+       floor((c.z / c.p) * 1e6 + 0.5) / 1e6 AS croston_rate
+FROM cro c JOIN lastd l ON l.brand = c.brand AND c.i = l.mi
+ORDER BY c.brand
+"""
+)
+
+_CROSTON_SPARK = (
+    _croston_daily_idx(
+        "datediff(d, lag(d) OVER (PARTITION BY brand ORDER BY d))", ""
+    )
+    + f""",
+xs AS (
+    SELECT brand,
+           transform(
+               array_sort(collect_list(named_struct('i', i, 'q', q,
+                                                    'tau', tau))),
+               s -> named_struct('q', CAST(s.q AS DOUBLE),
+                                 'tau', CAST(s.tau AS DOUBLE))) AS arr
+    FROM idx WHERE i >= 2 GROUP BY brand
+),
+cinit AS (
+    SELECT brand, CAST(q AS DOUBLE) AS z0,
+           CAST(1 AS BIGINT) AS base_i
+    FROM idx WHERE i = 1
+),
+folded AS (
+    SELECT ci.brand,
+           CAST(1 + size(coalesce(x.arr,
+               CAST(array() AS array<struct<q: double, tau: double>>)))
+               AS BIGINT) AS n_demand_days,
+           aggregate(
+               coalesce(x.arr,
+                   CAST(array() AS array<struct<q: double, tau: double>>)),
+               named_struct('z', ci.z0, 'p', 1e0),
+               (a, v) -> named_struct('z', {_CRO_Z}, 'p', {_CRO_P}),
+               a -> a) AS st
+    FROM cinit ci LEFT JOIN xs x ON x.brand = ci.brand
+)
+SELECT brand, n_demand_days,
+       st.z AS size_level, st.p AS interval_level,
+       floor((st.z / st.p) * 1e6 + 0.5) / 1e6 AS croston_rate
+FROM folded
+ORDER BY brand
+"""
+)
+
+
+@register("lineitem_croston_demand", oracle=_CROSTON_DUCK)
+def lineitem_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand state per brand (smoothed demand
+    size, smoothed inter-demand interval, forecast rate z/p). Spark
+    runs the single-fold twin of the recursive oracle."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_CROSTON_SPARK)

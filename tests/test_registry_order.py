@@ -38,6 +38,7 @@ ROUND7_NEW = [
     "lm_wordpiece_greedy",
     "graph_personalized_pagerank",
     "events_cramer_von_mises",
+    "lineitem_croston_demand",
 ]
 
 ROUND7_R6_BACKFILL = [
