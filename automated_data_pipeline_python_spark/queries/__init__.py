@@ -77,6 +77,7 @@ _PRIORITY = [
     "graph_personalized_pagerank",
     "events_cramer_von_mises",
     "lineitem_croston_demand",
+    "quality_platt_scaling",
     # (d) round-6 additions with no driver row in the r1-r6 union
     # (VERDICT r6 task 1):
     "mixture_doremi_round",
@@ -105,7 +106,6 @@ _PRIORITY = [
     "events_trajectory_similarity",
     "events_three_way_interval_join",
     "events_sprt_ab_trajectory",
-    "events_bitmap_retention",
     "events_cuped_adjustment",
     "events_cem_matching",
     "ann_lsh_multiprobe_topk",

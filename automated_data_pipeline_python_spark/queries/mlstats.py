@@ -1386,3 +1386,96 @@ def er_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered."""
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_LEV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Platt scaling: parametric recalibration (3 unrolled Newton steps)
+# ---------------------------------------------------------------------------
+# The parametric member of the calibration battery (bins → isotonic →
+# conformal → ECE → Platt): fit p = σ(a·x + b) to the per-decile
+# Gopher-pass rates by document-weighted logistic maximum likelihood,
+# via Newton-Raphson on the 2-parameter system — gradient
+# Σ nᵢ(pᵢ−yᵢ)[xᵢ,1], Hessian Σ nᵢpᵢ(1−pᵢ)[x² x; x 1], closed-form 2×2
+# solve, three unrolled steps from (0,0). Everything runs on the SAME
+# bounded decile-bin relation the isotonic query uses; σ's exp() (the
+# one libm call per bin-step) snaps to the 1e-9 grid the moment it is
+# computed, bin sums are 1e-9-snapped exact sums, and the updated
+# parameters re-snap each step — both engines walk identical doubles.
+
+
+def _platt_sql(bins: str) -> str:
+    es = sql_exact_sum
+
+    def step(k: int) -> str:
+        prev = f"s{k - 1}"
+        return f"""
+g{k} AS (
+    SELECT {es("t.n * (t.pp - t.y) * t.x", 9)} AS ga,
+           {es("t.n * (t.pp - t.y)", 9)} AS gb,
+           {es("t.n * t.pp * (1e0 - t.pp) * t.x * t.x", 9)} AS haa,
+           {es("t.n * t.pp * (1e0 - t.pp) * t.x", 9)} AS hab,
+           {es("t.n * t.pp * (1e0 - t.pp)", 9)} AS hbb
+    FROM (
+        SELECT b.x, b.y, b.n,
+               floor((1e0 / (1e0 + exp(-(p.a * b.x + p.b))))
+                     * 1e9 + 0.5) / 1e9 AS pp
+        FROM pbins b CROSS JOIN {prev} p
+    ) t
+),
+s{k} AS (
+    SELECT floor((p.a - (g.hbb * g.ga - g.hab * g.gb)
+                  / (g.haa * g.hbb - g.hab * g.hab)) * 1e9 + 0.5) / 1e9
+               AS a,
+           floor((p.b - (g.haa * g.gb - g.hab * g.ga)
+                  / (g.haa * g.hbb - g.hab * g.hab)) * 1e9 + 0.5) / 1e9
+               AS b
+    FROM g{k} g CROSS JOIN {prev} p
+)"""
+
+    return f"""
+pbins AS (
+    SELECT CAST(decile AS DOUBLE) AS x,
+           CAST(n_gopher_pass AS DOUBLE) / n_docs AS y,
+           CAST(n_docs AS DOUBLE) AS n
+    FROM {bins}
+),
+s0 AS (SELECT 0e0 AS a, 0e0 AS b),{step(1)},{step(2)},{step(3)}
+SELECT CAST(b.x AS BIGINT) AS decile,
+       CAST(b.n AS BIGINT) AS n_docs,
+       floor(b.y * 1e6 + 0.5) / 1e6 AS raw_rate,
+       floor((1e0 / (1e0 + exp(-(s.a * b.x + s.b)))) * 1e6 + 0.5) / 1e6
+           AS platt_rate,
+       floor(s.a * 1e6 + 0.5) / 1e6 AS platt_a,
+       floor(s.b * 1e6 + 0.5) / 1e6 AS platt_b
+FROM pbins b CROSS JOIN s3 s
+ORDER BY decile
+"""
+
+
+_PLATT_DUCK = (
+    "WITH bins AS (SELECT decile, n_docs, n_gopher_pass FROM ("
+    + _CALIB_DUCK_SQL
+    + ") z),\n"
+    + _platt_sql("bins").lstrip()
+)
+
+
+@register("quality_platt_scaling", oracle=_PLATT_DUCK)
+def quality_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt recalibration of the decile reliability curve: logistic
+    σ(a·decile + b) fitted by three unrolled Newton steps, reported as
+    the per-decile calibrated rate alongside the raw rate and the
+    fitted (a, b).
+
+    The bounded bin relation feeds every Newton step; Spark inlines
+    CTEs, so it is materialized once via localCheckpoint.
+    """
+    from automated_data_pipeline_python_spark.tables import load_scaled
+
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        "SELECT decile, n_docs, n_gopher_pass FROM ("
+        + _CALIB_SPARK_SQL
+        + ") z"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("platt_bins")
+    return spark.sql("WITH " + _platt_sql("platt_bins").lstrip())

@@ -39,6 +39,7 @@ ROUND7_NEW = [
     "graph_personalized_pagerank",
     "events_cramer_von_mises",
     "lineitem_croston_demand",
+    "quality_platt_scaling",
 ]
 
 ROUND7_R6_BACKFILL = [
