@@ -130,6 +130,10 @@ CHECKPOINT_ALLOWED = {
         "decile-bin build — snapped-score histogram CDF (the same "
         "bounded stage quality_calibration_bins allowlists)"
     ),
+    "quality_platt_scaling": (
+        "decile-bin build — snapped-score histogram CDF (identical "
+        "stage to quality_isotonic_calibration)"
+    ),
     "text_heaps_vocab_growth": (
         "inter-bucket offsets over the constant-4096 bucket aggregate "
         "(two-level prefix sum; per-doc cumsum runs partitioned)"
