@@ -2371,7 +2371,20 @@ ORDER BY brand
 def lineitem_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston intermittent-demand state per brand (smoothed demand
     size, smoothed inter-demand interval, forecast rate z/p). Spark
-    runs the single-fold twin of the recursive oracle."""
+    runs the single-fold twin of the recursive oracle.
+
+    The (brand x demand-day) idx relation feeds both the fold input
+    and the init row; Spark inlines CTEs, so it is materialized once
+    via localCheckpoint (the corpus join runs exactly once)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_CROSTON_SPARK)
+    head = _croston_daily_idx(
+        "datediff(d, lag(d) OVER (PARTITION BY brand ORDER BY d))", ""
+    )
+    spark.sql(head + "\nSELECT * FROM idx").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("cro_idx")
+    tail = _CROSTON_SPARK.split(",\nxs AS (", 1)[1]
+    return spark.sql(
+        "WITH xs AS (" + tail.replace("FROM idx", "FROM cro_idx")
+    )
