@@ -1,6 +1,7 @@
-"""Streaming drift & mixture monitors — frozen-baseline twins of the
-batch catalog queries ``events_psi_value_drift`` (queries/drift.py) and
-``mixture_doremi_round`` (queries/curation3.py).
+"""Streaming drift, mixture, and changepoint monitors — twins of the
+batch catalog queries ``events_psi_value_drift`` (queries/drift.py),
+``mixture_doremi_round`` (queries/curation3.py), and
+``events_cusum_changepoint`` (queries/timeseries.py).
 
 Monitor shape (the ``mad_alarm`` discipline extended from map-only
 scoring to aggregating monitors): the baseline is frozen batch-side as
@@ -162,4 +163,33 @@ def doremi_report(per_source: DataFrame) -> DataFrame:
     return spark.sql(
         "WITH per_source AS (SELECT * FROM doremi_mon_per_source),\n"
         + tail
+    )
+
+
+def cusum_daily_counts(stream: DataFrame) -> DataFrame:
+    """Streamable input state for the CUSUM changepoint monitor: the
+    per-(type, day) count grid maintained incrementally (complete
+    mode; state is calendar-bounded — types × retention days, never
+    corpus-sized). Works identically on a batch frame."""
+    return (
+        stream.groupBy(
+            "event_type", F.expr("CAST(ts AS DATE)").alias("d")
+        ).agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+    )
+
+
+def cusum_report(daily_counts: DataFrame) -> DataFrame:
+    """CUSUM changepoint per type from the completed count grid — the
+    catalog query's algebra (queries/timeseries.py _CUSUM_SQL) applied
+    verbatim downstream of the ``daily`` CTE, so the streamed report
+    equals events_cusum_changepoint row-for-row."""
+    from automated_data_pipeline_python_spark.queries.timeseries import (
+        _CUSUM_SQL,
+    )
+
+    spark = daily_counts.sparkSession
+    daily_counts.createOrReplaceTempView("cusum_mon_daily")
+    tail = "idx AS (" + _CUSUM_SQL.split("\nidx AS (", 1)[1]
+    return spark.sql(
+        "WITH " + tail.replace("FROM daily", "FROM cusum_mon_daily")
     )

@@ -707,3 +707,27 @@ def test_doremi_monitor_stream_equals_catalog(spark, documents_dir):
     batch_stats = doremi_source_stats(batch_docs, ref)
     assert _sorted_rows(got_stats, ["source", "n_tok", "loss_u"]) == \
         _sorted_rows(batch_stats, ["source", "n_tok", "loss_u"])
+
+
+def test_cusum_monitor_stream_equals_catalog(spark, events_dir):
+    """Incremental (type, day) counts + the catalog tail verbatim must
+    equal events_cusum_changepoint row-for-row."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        cusum_daily_counts,
+        cusum_report,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got_counts = run_to_memory(
+        cusum_daily_counts(stream), "t_cusum", output_mode="complete"
+    )
+    got = cusum_report(got_counts)
+    want = QUERIES["events_cusum_changepoint"].fn(spark, SF_DIR)
+    cols = ["event_type", "changepoint_date", "changepoint_index",
+            "cusum_stat"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    batch_counts = cusum_daily_counts(load(spark, SF_DIR, "events"))
+    assert _sorted_rows(got_counts, ["event_type", "d", "n"]) == \
+        _sorted_rows(batch_counts, ["event_type", "d", "n"])
