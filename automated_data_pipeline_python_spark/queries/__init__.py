@@ -78,6 +78,9 @@ _PRIORITY = [
     "events_cramer_von_mises",
     "lineitem_croston_demand",
     "quality_platt_scaling",
+    "events_mann_kendall_trend",
+    "events_rolling_7d_active_users",
+    "events_kuiper_two_sample",
     # (d) round-6 additions with no driver row in the r1-r6 union
     # (VERDICT r6 task 1):
     "mixture_doremi_round",
@@ -96,21 +99,18 @@ _PRIORITY = [
     "join_asof_nearest",
     "scd2_as_of_snapshot",
     "warehouse_merge_upsert",
-    "warehouse_deletion_vectors",
     "warehouse_zorder_clustering",
     "graph_weighted_sssp",
     "graph_link_prediction",
     "graph_brand_reachability",
     "text_textrank_keywords",
     "events_cep_absence_pattern",
-    "events_trajectory_similarity",
     "events_three_way_interval_join",
     "events_sprt_ab_trajectory",
     "events_cuped_adjustment",
     "events_cem_matching",
     "ann_lsh_multiprobe_topk",
     "ann_multiprobe_recall_eval",
-    "embedding_hard_negatives",
     "rag_reciprocal_rank_fusion",
     "retrieval_maxsim_colbert",
     "dedup_prefix_filter_join",

@@ -772,3 +772,65 @@ def events_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     test, off the same snapped-cents histogram CDFs."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CVM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Kuiper two-sample statistic (click vs purchase values)
+# ---------------------------------------------------------------------------
+# The third member of the eCDF family: KS reads the single largest
+# |gap|, CvM integrates the squared gap, Kuiper V = D⁺ + D⁻ adds the
+# largest positive and largest negative gaps — equally sensitive at
+# the distribution tails and at the median (the property that makes it
+# the standard for cyclic/shift alternatives). Identical bounded
+# machinery: integer gaps off the snapped-cents histogram CDFs, two
+# extreme scans, one snapped division.
+
+_KUIPER_SQL = """
+WITH vals AS (
+    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+grid AS (
+    SELECT cents,
+           CAST(sum(is_x) AS BIGINT) AS cx,
+           CAST(sum(1 - is_x) AS BIGINT) AS cy
+    FROM vals GROUP BY cents
+),
+cdf AS (
+    SELECT cents,
+           CAST(sum(cx) OVER (ORDER BY cents) AS BIGINT) AS fx,
+           CAST(sum(cy) OVER (ORDER BY cents) AS BIGINT) AS fy
+    FROM grid
+),
+tot AS (
+    SELECT CAST(sum(cx) AS BIGINT) AS n1, CAST(sum(cy) AS BIGINT) AS n2
+    FROM grid
+),
+ext AS (
+    SELECT CAST(max(c.fx * t.n2 - c.fy * t.n1) AS BIGINT) AS dplus,
+           CAST(max(c.fy * t.n1 - c.fx * t.n2) AS BIGINT) AS dminus,
+           CAST(min(t.n1) AS BIGINT) AS n1, CAST(min(t.n2) AS BIGINT) AS n2
+    FROM cdf c CROSS JOIN tot t
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       floor((CAST(greatest(dplus, 0) AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * n2)) * 1e6 + 0.5) / 1e6 AS d_plus,
+       floor((CAST(greatest(dminus, 0) AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * n2)) * 1e6 + 0.5) / 1e6 AS d_minus,
+       floor(((CAST(greatest(dplus, 0) AS DOUBLE)
+               + greatest(dminus, 0))
+              / (CAST(n1 AS DOUBLE) * n2)) * 1e6 + 0.5) / 1e6
+           AS kuiper_v
+FROM ext
+"""
+
+
+@register("events_kuiper_two_sample", oracle=_KUIPER_SQL)
+def events_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper V = D⁺ + D⁻ for the click vs purchase value
+    distributions — the tail-sensitive completion of the KS/CvM eCDF
+    family, off the same snapped-cents histogram CDFs."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_KUIPER_SQL)

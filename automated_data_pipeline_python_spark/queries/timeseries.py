@@ -2388,3 +2388,133 @@ def lineitem_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH xs AS (" + tail.replace("FROM idx", "FROM cro_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test on the daily count series
+# ---------------------------------------------------------------------------
+# The nonparametric companion to events_theil_sen_trend (which gives
+# the slope; this gives the SIGNIFICANCE): S = Σ_{i<j} sign(x_j − x_i)
+# over the daily series, tie-corrected variance
+# Var(S) = [m(m−1)(2m+5) − Σ_t t(t−1)(2t+5)] / 18, and the
+# continuity-corrected z. Everything except the final z is exact
+# integer arithmetic — S from a bounded (days × days per type) pair
+# join, tie groups from a value histogram — so both engines agree
+# bit-for-bit before the one snapped float expression.
+
+_MK_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+s AS (
+    SELECT a.event_type,
+           CAST(sum(CASE WHEN b.n > a.n THEN 1
+                         WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.d > a.d
+    GROUP BY a.event_type
+),
+m AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS m
+    FROM daily GROUP BY event_type
+),
+ties AS (
+    SELECT event_type,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+    FROM (
+        SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, n
+    ) g WHERE t > 1
+    GROUP BY event_type
+),
+vars AS (
+    SELECT m.event_type, s.s, m.m,
+           CAST(m.m * (m.m - 1) * (2 * m.m + 5)
+                - coalesce(t.tie_corr, 0) AS BIGINT) AS var18
+    FROM m
+    JOIN s ON s.event_type = m.event_type
+    LEFT JOIN ties t ON t.event_type = m.event_type
+)
+SELECT event_type, s AS mk_s, m AS n_days,
+       CASE WHEN var18 = 0 THEN 0e0
+            ELSE floor((CASE WHEN s > 0 THEN (s - 1)
+                             WHEN s < 0 THEN (s + 1)
+                             ELSE 0 END
+                        / sqrt(CAST(var18 AS DOUBLE) / 18e0))
+                       * 1e6 + 0.5) / 1e6 END AS mk_z,
+       CASE WHEN s > 0 THEN 'increasing'
+            WHEN s < 0 THEN 'decreasing'
+            ELSE 'no trend' END AS direction
+FROM vars
+ORDER BY event_type
+"""
+
+
+@register("events_mann_kendall_trend", oracle=_MK_SQL)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per event type over the daily
+    count series: exact integer S, tie-corrected variance, and the
+    continuity-corrected z."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (trailing distinct count per day)
+# ---------------------------------------------------------------------------
+# The WAU curve: per calendar day, how many DISTINCT users were active
+# in the trailing 7 days. A rolling DISTINCT cannot use a plain window
+# frame (distinct state doesn't decompose); the scale-honest form
+# explodes each user-day into the <= 7 cover days it contributes to
+# (map-side ×7 fan-out of the ALREADY-DISTINCT user-day relation —
+# corpus-sublinear) and distinct-counts per cover day. Spine-bounded
+# output, partitioned aggregation, no window at all.
+
+
+def _rolling7_sql(expl: str, spine: str, datecast: str) -> str:
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+cover AS (
+    SELECT user_id, {datecast} AS cd
+    FROM ud {expl}
+),
+spine AS ({spine}),
+roll AS (
+    SELECT s.cd, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM spine s JOIN cover c ON c.cd = s.cd
+    GROUP BY s.cd
+)
+SELECT CAST(cd AS STRING) AS day, active_7d
+FROM roll
+ORDER BY cd
+"""
+
+
+_ROLL7_SPARK = _rolling7_sql(
+    "LATERAL VIEW explode(sequence(0, 6)) k AS k",
+    "SELECT explode(sequence(d0, d1, interval 1 day)) AS cd FROM bounds",
+    "date_add(d, k)",
+)
+
+_ROLL7_DUCK = _rolling7_sql(
+    ", (SELECT unnest(generate_series(0, 6)) AS k) k",
+    "SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)"
+    " AS cd FROM bounds",
+    "d + CAST(k.k AS INT)",
+)
+
+
+@register("events_rolling_7d_active_users", oracle=_ROLL7_DUCK)
+def events_rolling_7d_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day distinct active users per calendar day via the
+    cover-day explode (a rolling DISTINCT never fits a window frame;
+    the ×7 fan-out of the distinct user-day relation does the same job
+    shuffle-free of any global sort)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ROLL7_SPARK)

@@ -39,6 +39,7 @@ ALLOWED = {
     "events_periodogram_periods": "day-index window over calendar-bounded daily relation",
     "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
     "events_cramer_von_mises": "eCDF over value histogram (integer cents domain — same stage class as KS)",
+    "events_kuiper_two_sample": "eCDF over value histogram (integer cents domain — same stage class as KS)",
     "events_kleinberg_bursts": "day-index window over calendar-bounded daily relation (was hidden behind the recursive form's checkpoint)",
     "events_kruskal_wallis_h": "rank-sum read off value histogram (cents grid), never per-row ranks",
     "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",

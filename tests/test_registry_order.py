@@ -40,6 +40,9 @@ ROUND7_NEW = [
     "events_cramer_von_mises",
     "lineitem_croston_demand",
     "quality_platt_scaling",
+    "events_mann_kendall_trend",
+    "events_rolling_7d_active_users",
+    "events_kuiper_two_sample",
 ]
 
 ROUND7_R6_BACKFILL = [
