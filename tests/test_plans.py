@@ -662,3 +662,32 @@ def test_q15_no_window_and_python_free(spark):
     assert "Window" not in r.text
     assert r.python_free
     assert r.broadcast_joins >= 1  # the 1-row max joins back broadcast
+
+
+def test_round7_additions_python_free(spark):
+    """CUSUM, interpolation, t-closeness, Levenshtein ER, MAP/MRR,
+    WordPiece, PPR, CvM, Croston, Mann-Kendall, rolling-7d, Kuiper:
+    all pure DataFrame/SQL — a python stage in any of them would mean
+    the operator fell off the JVM fast path; a cartesian product would
+    mean a blocked/keyed join went pairwise."""
+    for name in (
+        "events_cusum_changepoint",
+        "events_linear_interpolation",
+        "dq_t_closeness",
+        "er_levenshtein_blocked",
+        "reco_map_mrr_eval",
+        "lm_wordpiece_greedy",
+        "graph_personalized_pagerank",
+        "events_cramer_von_mises",
+        "lineitem_croston_demand",
+        "events_mann_kendall_trend",
+        "events_rolling_7d_active_users",
+        "events_kuiper_two_sample",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+        if name != "dq_t_closeness":
+            # t-closeness builds its (QI group x priority) spine as a
+            # bounded cross join (gsz x 5 priorities x 1 total row) —
+            # the sanctioned bounded-grid class, not a pairwise blowup.
+            assert "CartesianProduct" not in r.text, name
