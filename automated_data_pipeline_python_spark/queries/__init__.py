@@ -79,8 +79,9 @@ _PRIORITY = [
     "lineitem_croston_demand",
     "quality_platt_scaling",
     "events_mann_kendall_trend",
-    "events_rolling_7d_active_users",
     "events_kuiper_two_sample",
+    "dedup_prefix_filter_join",
+    "events_runs_test",
     # (d) round-6 additions with no driver row in the r1-r6 union
     # (VERDICT r6 task 1):
     "mixture_doremi_round",
@@ -113,7 +114,6 @@ _PRIORITY = [
     "ann_multiprobe_recall_eval",
     "rag_reciprocal_rank_fusion",
     "retrieval_maxsim_colbert",
-    "dedup_prefix_filter_join",
     "bpe_train_merge_rounds",
     "bpe_compression_curve",
     "lm_heldout_perplexity",

@@ -2461,60 +2461,79 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rolling 7-day active users (trailing distinct count per day)
+# Wald–Wolfowitz runs test on the daily count series
 # ---------------------------------------------------------------------------
-# The WAU curve: per calendar day, how many DISTINCT users were active
-# in the trailing 7 days. A rolling DISTINCT cannot use a plain window
-# frame (distinct state doesn't decompose); the scale-honest form
-# explodes each user-day into the <= 7 cover days it contributes to
-# (map-side ×7 fan-out of the ALREADY-DISTINCT user-day relation —
-# corpus-sublinear) and distinct-counts per cover day. Spine-bounded
-# output, partitioned aggregation, no window at all.
+# Randomness check per event type: binarize each day as above/below the
+# type's median daily count (ties -> below, the classic convention),
+# count RUNS of consecutive equal signs, and compare against the
+# expected run count E[R] = 2·n₊·n₋/m + 1 with
+# Var(R) = 2n₊n₋(2n₊n₋ − m) / (m²(m−1)). Everything except the final z
+# is exact integers: the median reads off the distinct-count histogram
+# by cumulative ceil-rank (no per-row rank), sign flips come from a
+# PARTITIONED lag, and n₊/n₋/R are counts. Calendar-bounded relations
+# throughout.
 
-
-def _rolling7_sql(expl: str, spine: str, datecast: str) -> str:
-    return f"""
-WITH ud AS (
-    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+_RUNS_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
 ),
-bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
-cover AS (
-    SELECT user_id, {datecast} AS cd
-    FROM ud {expl}
+hist AS (
+    SELECT event_type, n, CAST(count(*) AS BIGINT) AS c
+    FROM daily GROUP BY event_type, n
 ),
-spine AS ({spine}),
-roll AS (
-    SELECT s.cd, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
-    FROM spine s JOIN cover c ON c.cd = s.cd
-    GROUP BY s.cd
+chist AS (
+    SELECT event_type, n,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY n
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS m
+    FROM hist
+),
+med AS (
+    SELECT event_type, CAST(min(n) AS BIGINT) AS median_n
+    FROM chist WHERE 2 * cum >= m GROUP BY event_type
+),
+signs AS (
+    SELECT dl.event_type, dl.d,
+           CASE WHEN dl.n > md.median_n THEN 1 ELSE 0 END AS s
+    FROM daily dl JOIN med md ON md.event_type = dl.event_type
+),
+flips AS (
+    SELECT event_type, s,
+           CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY d)
+                     IS NULL THEN 1
+                WHEN lag(s) OVER (PARTITION BY event_type ORDER BY d)
+                     <> s THEN 1 ELSE 0 END AS new_run
+    FROM signs
+),
+stats AS (
+    SELECT event_type,
+           CAST(sum(new_run) AS BIGINT) AS r,
+           CAST(sum(s) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(s) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS m
+    FROM flips GROUP BY event_type
 )
-SELECT CAST(cd AS STRING) AS day, active_7d
-FROM roll
-ORDER BY cd
+SELECT event_type, r AS n_runs, n_pos, n_neg,
+       floor((1e0 + 2e0 * n_pos * n_neg / m) * 1e6 + 0.5) / 1e6
+           AS expected_runs,
+       CASE WHEN n_pos = 0 OR n_neg = 0
+            OR 2 * n_pos * n_neg * (2 * n_pos * n_neg - m) = 0 THEN 0e0
+            ELSE floor(((r - (1e0 + 2e0 * n_pos * n_neg / m))
+                 / sqrt(2e0 * n_pos * n_neg
+                        * (2e0 * n_pos * n_neg - m)
+                        / (CAST(m AS DOUBLE) * m * (m - 1))))
+                 * 1e6 + 0.5) / 1e6 END AS runs_z
+FROM stats
+ORDER BY event_type
 """
 
 
-_ROLL7_SPARK = _rolling7_sql(
-    "LATERAL VIEW explode(sequence(0, 6)) k AS k",
-    "SELECT explode(sequence(d0, d1, interval 1 day)) AS cd FROM bounds",
-    "date_add(d, k)",
-)
-
-_ROLL7_DUCK = _rolling7_sql(
-    ", (SELECT unnest(generate_series(0, 6)) AS k) k",
-    "SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)"
-    " AS cd FROM bounds",
-    "d + CAST(k.k AS INT)",
-)
-
-
-@register("events_rolling_7d_active_users", oracle=_ROLL7_DUCK)
-def events_rolling_7d_active_users(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Trailing-7-day distinct active users per calendar day via the
-    cover-day explode (a rolling DISTINCT never fits a window frame;
-    the ×7 fan-out of the distinct user-day relation does the same job
-    shuffle-free of any global sort)."""
+@register("events_runs_test", oracle=_RUNS_SQL)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type on the above/below-
+    median daily count sequence — the randomness member of the
+    nonparametric battery (MW-U, KS, CvM, Kuiper, Mann-Kendall)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ROLL7_SPARK)
+    return spark.sql(_RUNS_SQL)

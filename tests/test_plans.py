@@ -681,8 +681,8 @@ def test_round7_additions_python_free(spark):
         "events_cramer_von_mises",
         "lineitem_croston_demand",
         "events_mann_kendall_trend",
-        "events_rolling_7d_active_users",
         "events_kuiper_two_sample",
+        "events_runs_test",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

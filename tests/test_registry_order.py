@@ -41,8 +41,8 @@ ROUND7_NEW = [
     "lineitem_croston_demand",
     "quality_platt_scaling",
     "events_mann_kendall_trend",
-    "events_rolling_7d_active_users",
     "events_kuiper_two_sample",
+    "events_runs_test",
 ]
 
 ROUND7_R6_BACKFILL = [
