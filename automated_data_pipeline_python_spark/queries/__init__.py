@@ -51,80 +51,84 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # Registry priority order
 # ---------------------------------------------------------------------------
 # The grading driver records correctness rows for (at most) the first 50
-# registered queries. After round 4 every catalog query has a driver row
-# in the r1-r4 union, so from round 5 the window's job is REGRESSION
-# DETECTION: (a) everything added or semantically touched this round
-# must (re-)prove, (b) remaining slots go to queries with no driver row
-# in ANY prior round (the r1-r6 union covers 223 of 332 — this window
-# chips away at the 109 whose evidence is replay+pytest only).
-# Everything else still registers and is verified by
-# tools/verify_driver.py + CI at sf0.001/sf0.01.
+# registered queries. From round 5 onward the window's job is converting
+# replay-only evidence into hard driver rows: after the r1-r7 union,
+# 272 of 345 queries have a driver row; 73 have only the committed
+# full-catalog replays (VERIFY_FULL_r07* — 345/345 green at sf0.01 AND
+# sf0.1) plus the pytest oracle-parity sweep. Per VERDICT r7 task 1,
+# every round-8 slot goes to the never-driver-rowed set (50 of 73,
+# leaving a 23-query tail — the timeseries/warehouse batteries plus
+# three stragglers — for round 9 alongside any round-8 additions, which
+# stay replay+pytest covered until their r9 rows). Everything rotated
+# out stays proven by regenerated round-8 full replays committed at
+# round end.
 _PRIORITY = [
-    # (a) semantically touched in round 7 — must re-prove:
-    "lm_unigram_em_round",   # E-step: recursive CTE -> aggregate() DP fold
-    # (b) rewritten in round 6 (per-step recursion -> single fold,
-    # commit 5dcefcb) but never driver-rowed since:
-    "events_kleinberg_bursts",
-    "events_holt_forecast",
-    "events_holt_winters_weekly",
-    # (c) NEW in round 7 (first driver evidence):
-    "events_cusum_changepoint",
-    "events_linear_interpolation",
-    "dq_t_closeness",
-    "er_levenshtein_blocked",
-    "reco_map_mrr_eval",
-    "lm_wordpiece_greedy",
-    "graph_personalized_pagerank",
-    "events_cramer_von_mises",
-    "lineitem_croston_demand",
-    "quality_platt_scaling",
-    "events_mann_kendall_trend",
-    "events_kuiper_two_sample",
-    "dedup_prefix_filter_join",
-    "events_runs_test",
-    # (d) round-6 additions with no driver row in the r1-r6 union
-    # (VERDICT r6 task 1):
-    "mixture_doremi_round",
-    "corpus_source_ablation_loo",
-    "mlstats_cv_ols_r2",
-    "quality_pr_auc",
-    "orders_logrank_survival_test",
-    "orders_sequential_rules",
-    "sketch_ams_f2_moment",
-    "events_stl_decomposition",
-    "events_haar_wavelet_energy",
-    # (e) never driver-rowed in r1-r6 (replay+pytest evidence only),
-    # chosen for plan complexity and module spread — first hard rows
-    # (six of these ceded their slots to the round-7 additions above;
-    # they remain replay+pytest covered):
-    "join_asof_nearest",
-    "scd2_as_of_snapshot",
-    "warehouse_merge_upsert",
-    "warehouse_zorder_clustering",
-    "graph_weighted_sssp",
-    "graph_link_prediction",
-    "graph_brand_reachability",
-    "text_textrank_keywords",
-    "events_cep_absence_pattern",
-    "events_three_way_interval_join",
-    "events_sprt_ab_trajectory",
-    "events_cuped_adjustment",
-    "events_cem_matching",
-    "ann_lsh_multiprobe_topk",
-    "ann_multiprobe_recall_eval",
-    "rag_reciprocal_rank_fusion",
-    "retrieval_maxsim_colbert",
-    "bpe_train_merge_rounds",
-    "bpe_compression_curve",
-    "lm_heldout_perplexity",
-    "mixture_class_balanced_weights",
-    "corpus_good_turing_chao1",
-    "multimodal_frame_sample_plan",
-    # Everything else (including all 223 r1-r6 driver-rowed queries —
-    # among them every round-6 addition that got its row in
-    # CORRECTNESS_r06) still registers and is replayed by
-    # tools/verify_driver.py at sf0.01+sf0.1 per round
-    # (VERIFY_FULL_r07*), plus the pytest oracle-parity sweep.
+    # Sketch family (VERDICT r7 task 1, named):
+    "sketch_count_min_terms",
+    "sketch_bloom_prefilter",
+    "sketch_kmv_distinct",
+    "sketch_kmv_set_ops",
+    "sketch_linear_counting",
+    "sketch_histogram_quantiles",
+    # Warehouse ops (named):
+    "warehouse_compaction_plan",
+    "warehouse_zone_map_skipping",
+    "warehouse_deletion_vectors",
+    "part_skyline_pareto",
+    # DQ screens (named; dq_chi2_independence lives in drift):
+    "dq_benford_first_digit",
+    "dq_k_anonymity",
+    "dq_chi2_independence",
+    "dq_freshness_sla",
+    # Reco (named):
+    "reco_item_item_cosine",
+    "reco_coverage_diversity",
+    # Audio/image offset plans (named):
+    "multimodal_audio_segments",
+    "multimodal_image_tile_plan",
+    # Events robustness/experiment tail (named families):
+    "events_ks_two_sample",
+    "events_bootstrap_ci_mean",
+    "events_ucb_bandit_replay",
+    "events_bitmap_retention",
+    "events_power_analysis",
+    "events_crosscorr_lead_lag",
+    # Full-module retirement — drift:
+    "corpus_source_kl_divergence",
+    "corpus_source_js_matrix",
+    "corpus_simpson_diversity",
+    "feature_quantile_normalize",
+    # Full-module retirement — curation2 (quality/eval battery):
+    "sample_importance_dsir",
+    "quality_gopher_rules",
+    "vocab_coverage_oov_curve",
+    "quality_calibration_bins",
+    "quality_auc_rank",
+    "quality_brier_decomposition",
+    # Full-module retirement — dedup:
+    "dedup_ngram_containment",
+    "dedup_minhash_estimate_accuracy",
+    "dedup_cdc_chunks",
+    # Full-module retirement — events (engagement battery):
+    "events_dau_mau_stickiness",
+    "events_trajectory_similarity",
+    "events_markov_stationary",
+    # Remaining single-query module gaps:
+    "graph_brand_kcore",
+    "text_token_llr",          # lm module
+    "param_marker_priority_stats",  # modern_sql
+    "lineitem_ols_two_factor",      # relational4
+    "text_inverted_postings",       # retrieval
+    "embedding_hard_negatives",     # retrieval
+    "ann_dim_truncation_recall",    # similarity
+    "embedding_class_separability",  # similarity
+    "lang_id_confusion",            # text
+    "text_rake_phrases",            # text
+    # Everything else (all 272 r1-r7 driver-rowed queries, the 23-query
+    # never-rowed tail deferred to round 9, and any round-8 additions)
+    # still registers and is replayed by tools/verify_driver.py at
+    # sf0.01+sf0.1 per round (VERIFY_FULL_r08*), plus the pytest
+    # oracle-parity sweep.
 ]
 
 

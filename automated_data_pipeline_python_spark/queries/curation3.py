@@ -583,24 +583,14 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOREMI_ETA = "5e-1"
 
-_DOREMI_TAIL = f"""
-vocab AS (
-    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
-),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
-per_source AS (
-    SELECT t.source,
-           CAST(count(*) AS BIGINT) AS n_tok,
-           CAST(sum(CAST(floor(ln(CAST(x.n AS DOUBLE) / v.cnt)
-                               * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
-               AS loss_u
-    FROM tok t JOIN vocab v ON v.token = t.token CROSS JOIN tot x
-    GROUP BY t.source
-),
-means AS (
+# Report tail downstream of the per-source (n_tok, loss_u) stats, as a
+# {per_source}-parameterized template so streaming/monitors.py can apply
+# the identical multiplicative-weights algebra to its incrementally-
+# maintained stats (stream==batch parity by construction).
+_DOREMI_REPORT_TAIL = f"""means AS (
     SELECT source, n_tok,
            floor(CAST(loss_u AS DOUBLE) / n_tok + 0.5) / 1e6 AS mean_loss
-    FROM per_source
+    FROM {{per_source}}
 ),
 gstat AS (
     SELECT CAST(sum(CAST(floor(mean_loss * n_tok * 1e6 + 0.5) AS BIGINT))
@@ -634,6 +624,23 @@ SELECT u.source, u.n_tok, u.mean_loss, u.excess,
        floor((u.w_raw / n.z) * 1e6 + 0.5) / 1e6 AS weight_after
 FROM updated u CROSS JOIN norm n
 ORDER BY u.source
+"""
+
+_DOREMI_TAIL = f"""
+vocab AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+per_source AS (
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CAST(floor(ln(CAST(x.n AS DOUBLE) / v.cnt)
+                               * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS loss_u
+    FROM tok t JOIN vocab v ON v.token = t.token CROSS JOIN tot x
+    GROUP BY t.source
+),
+{_DOREMI_REPORT_TAIL.format(per_source="per_source")}
 """
 
 _DOREMI_SPARK_SQL = f"""

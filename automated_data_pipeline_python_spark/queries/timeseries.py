@@ -2116,25 +2116,24 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs on the calendar-bounded (type × day) relation with PARTITIONED
 # windows (never a single-partition exchange).
 
-_CUSUM_SQL = """
-WITH daily AS (
-    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-    FROM events GROUP BY event_type, CAST(ts AS DATE)
-),
-idx AS (
+# Everything downstream of the per-(type, day) count grid, as a
+# {daily}-parameterized template so streaming/monitors.py can apply the
+# identical algebra to its incrementally-maintained grid (stream==batch
+# parity by construction, no post-hoc string surgery).
+_CUSUM_TAIL = """idx AS (
     SELECT event_type, d, n,
            CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
                 AS BIGINT) AS k,
            CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS pre
-    FROM daily
+    FROM {daily}
 ),
 tot AS (
     SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
            CAST(sum(n) AS BIGINT) AS ntot,
            CAST(sum(n * n) AS BIGINT) AS n2tot
-    FROM daily GROUP BY event_type
+    FROM {daily} GROUP BY event_type
 ),
 scaled AS (
     -- k = nd is excluded: S_D == 0 by construction (the trivial
@@ -2166,6 +2165,14 @@ SELECT event_type,
 FROM best
 ORDER BY event_type
 """
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+""" + _CUSUM_TAIL.format(daily="daily")
 
 
 @register("events_cusum_changepoint", oracle=_CUSUM_SQL)

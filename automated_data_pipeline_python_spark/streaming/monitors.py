@@ -149,20 +149,19 @@ def doremi_source_stats(
 
 def doremi_report(per_source: DataFrame) -> DataFrame:
     """One DoReMi multiplicative-weights update from the completed
-    per-source stats — the catalog query's tail SQL
-    (queries/curation3.py _DOREMI_TAIL from ``means`` onward) applied
+    per-source stats — the catalog query's {per_source}-parameterized
+    report template (queries/curation3.py _DOREMI_REPORT_TAIL) applied
     verbatim, so the streamed report equals mixture_doremi_round
     row-for-row."""
     from automated_data_pipeline_python_spark.queries.curation3 import (
-        _DOREMI_TAIL,
+        _DOREMI_REPORT_TAIL,
     )
 
     spark = per_source.sparkSession
     per_source.createOrReplaceTempView("doremi_mon_per_source")
-    tail = "means AS (" + _DOREMI_TAIL.split("means AS (", 1)[1]
     return spark.sql(
-        "WITH per_source AS (SELECT * FROM doremi_mon_per_source),\n"
-        + tail
+        "WITH "
+        + _DOREMI_REPORT_TAIL.format(per_source="doremi_mon_per_source")
     )
 
 
@@ -180,16 +179,13 @@ def cusum_daily_counts(stream: DataFrame) -> DataFrame:
 
 def cusum_report(daily_counts: DataFrame) -> DataFrame:
     """CUSUM changepoint per type from the completed count grid — the
-    catalog query's algebra (queries/timeseries.py _CUSUM_SQL) applied
-    verbatim downstream of the ``daily`` CTE, so the streamed report
-    equals events_cusum_changepoint row-for-row."""
+    catalog query's {daily}-parameterized algebra template
+    (queries/timeseries.py _CUSUM_TAIL) applied verbatim, so the
+    streamed report equals events_cusum_changepoint row-for-row."""
     from automated_data_pipeline_python_spark.queries.timeseries import (
-        _CUSUM_SQL,
+        _CUSUM_TAIL,
     )
 
     spark = daily_counts.sparkSession
     daily_counts.createOrReplaceTempView("cusum_mon_daily")
-    tail = "idx AS (" + _CUSUM_SQL.split("\nidx AS (", 1)[1]
-    return spark.sql(
-        "WITH " + tail.replace("FROM daily", "FROM cusum_mon_daily")
-    )
+    return spark.sql("WITH " + _CUSUM_TAIL.format(daily="cusum_mon_daily"))

@@ -1,61 +1,86 @@
 """Registry-order contract: the grading driver only records correctness
 rows for the first 50 registered queries, so the window must be spent
-where it buys new evidence. Round-7 rotation (VERDICT r6 task 1): the
-r1-r6 union already driver-rowed 223 of 332 queries; this window spends
-every slot on (a) the query semantically touched in round 7 (the
-unigram-EM fold rewrite), (b) the three round-6 fold rewrites that never
-got a driver row, and (c)/(d) queries with NO driver row in any prior
-round — converting replay-only evidence into hard rows. Everything
-rotated out stays proven by the committed full-catalog replays
-(VERIFY_FULL_r06*/r07*) and the pytest oracle-parity sweep.
+where it buys new evidence. Round-8 rotation (VERDICT r7 task 1): the
+r1-r7 union driver-rowed 272 of 345 queries; this window spends every
+slot on 50 of the 73 never-driver-rowed queries — the sketch family,
+warehouse ops, DQ screens, reco, the audio/image offset plans, the
+events robustness/experiment tail, and full-module retirement of the
+drift/curation2/dedup/events batteries — converting replay-only
+evidence into hard rows. The 23-query remainder (the timeseries and
+warehouse engagement/finance batteries plus three stragglers) and any
+round-8 additions take the round-9 window; everything rotated out stays
+proven by the committed full-catalog replays (VERIFY_FULL_r07*/r08*)
+and the pytest oracle-parity sweep.
 """
 
 from __future__ import annotations
 
 from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, oracle_sql
 
-# Touched in round 7; must re-prove on the driver.
-ROUND7_TOUCHED = [
-    "lm_unigram_em_round",  # E-step: recursive CTE -> aggregate() DP fold
+# VERDICT r7 task 1 names these families explicitly; their first-ever
+# driver rows are the round-8 deliverable.
+ROUND8_VERDICT_NAMED = [
+    "sketch_count_min_terms",
+    "sketch_bloom_prefilter",
+    "sketch_kmv_distinct",
+    "sketch_kmv_set_ops",
+    "sketch_linear_counting",
+    "sketch_histogram_quantiles",
+    "warehouse_compaction_plan",
+    "warehouse_zone_map_skipping",
+    "warehouse_deletion_vectors",
+    "part_skyline_pareto",
+    "dq_benford_first_digit",
+    "dq_k_anonymity",
+    "dq_chi2_independence",
+    "dq_freshness_sla",
+    "reco_item_item_cosine",
+    "reco_coverage_diversity",
+    "multimodal_audio_segments",
+    "multimodal_image_tile_plan",
+    "events_ks_two_sample",
+    "events_bootstrap_ci_mean",
+    "events_ucb_bandit_replay",
+    "events_bitmap_retention",
 ]
 
-# Rewritten in round 6 (recursion -> fold, commit 5dcefcb) but never
-# driver-rowed since the rewrite.
-ROUND7_FOLD_REWRITES = [
-    "events_kleinberg_bursts",
-    "events_holt_forecast",
-    "events_holt_winters_weekly",
+# The rest of the never-driver-rowed set taken this round (module
+# retirement + single-query module gaps).
+ROUND8_NEVER_ROWED = [
+    "events_power_analysis",
+    "events_crosscorr_lead_lag",
+    "corpus_source_kl_divergence",
+    "corpus_source_js_matrix",
+    "corpus_simpson_diversity",
+    "feature_quantile_normalize",
+    "sample_importance_dsir",
+    "quality_gopher_rules",
+    "vocab_coverage_oov_curve",
+    "quality_calibration_bins",
+    "quality_auc_rank",
+    "quality_brier_decomposition",
+    "dedup_ngram_containment",
+    "dedup_minhash_estimate_accuracy",
+    "dedup_cdc_chunks",
+    "events_dau_mau_stickiness",
+    "events_trajectory_similarity",
+    "events_markov_stationary",
+    "graph_brand_kcore",
+    "text_token_llr",
+    "param_marker_priority_stats",
+    "lineitem_ols_two_factor",
+    "text_inverted_postings",
+    "embedding_hard_negatives",
+    "ann_dim_truncation_recall",
+    "embedding_class_separability",
+    "lang_id_confusion",
+    "text_rake_phrases",
 ]
 
-# Round-6 additions that missed the round-6 window (VERDICT r6 task 1).
-# New in round 7.
-ROUND7_NEW = [
-    "events_cusum_changepoint",
-    "events_linear_interpolation",
-    "dq_t_closeness",
-    "er_levenshtein_blocked",
-    "reco_map_mrr_eval",
-    "lm_wordpiece_greedy",
-    "graph_personalized_pagerank",
-    "events_cramer_von_mises",
-    "lineitem_croston_demand",
-    "quality_platt_scaling",
-    "events_mann_kendall_trend",
-    "events_kuiper_two_sample",
-    "events_runs_test",
-]
-
-ROUND7_R6_BACKFILL = [
-    "mixture_doremi_round",
-    "corpus_source_ablation_loo",
-    "mlstats_cv_ols_r2",
-    "quality_pr_auc",
-    "orders_logrank_survival_test",
-    "orders_sequential_rules",
-    "sketch_ams_f2_moment",
-    "events_stl_decomposition",
-    "events_haar_wavelet_energy",
-]
+# New catalog queries added in round 8: replay+pytest evidence this
+# round; they take round-9 window slots (per the VERDICT r7 task-1
+# directive that all 50 r8 slots go to the never-rowed backlog).
+ROUND8_NEW: list[str] = []
 
 
 def test_priority_list_is_first_50():
@@ -65,28 +90,35 @@ def test_priority_list_is_first_50():
 
 def test_window_covers_touched_and_backfill():
     window = set(_PRIORITY)
-    for required in [*ROUND7_TOUCHED, *ROUND7_FOLD_REWRITES,
-                     *ROUND7_NEW, *ROUND7_R6_BACKFILL]:
+    for required in [*ROUND8_VERDICT_NAMED, *ROUND8_NEVER_ROWED]:
         assert required in window, required
 
 
-# Modules with no round-7 window sentinel: long-stable batteries whose
-# every member already has a hash-green driver row in the r1-r6 union
-# AND stays covered by the committed full-catalog replays + the pytest
+def test_round8_additions_registered():
+    for name in ROUND8_NEW:
+        assert name in QUERIES, name
+
+
+# Modules with no round-8 window sentinel: batteries whose every member
+# already has a hash-green driver row in the r1-r7 union AND stays
+# covered by the committed full-catalog replays + the pytest
 # oracle-parity sweep. First driver evidence for never-rowed queries
 # outranks a redundant sentinel.
 REPLAY_COVERED_MODULES = {
     "clustering",
     "curation",
-    "dq",
-    "drift",
-    "modern_sql",
+    "curation3",
+    "experiments",     # events_power_analysis IS windowed; keep for safety
+    "mlstats",
     "rag",
+    "relational",
     "relational2",
     "relational3",
-    "relational4",
     "relational5",
     "tpch2",
+    "timeseries",      # events_bitmap_retention IS windowed; 13-query tail -> r9
+    "training",        # mixture_temperature_weights -> r9
+    "warehouse",       # 4 windowed; 7-query tail -> r9
     "windows2",
 }
 
