@@ -569,28 +569,19 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — integer tiebreak), and the asymptotic p-value
 # 2·exp(−2D²·n1n2/(n1+n2)) are single float expressions, snapped.
 
-_KS_SQL = """
-WITH vals AS (
-    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
-           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
-    FROM events
-    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-grid AS (
-    SELECT cents,
-           CAST(sum(is_x) AS BIGINT) AS cx,
-           CAST(sum(1 - is_x) AS BIGINT) AS cy
-    FROM vals GROUP BY cents
-),
-cdf AS (
+# Everything downstream of the per-cents (cx, cy) count grid, as a
+# {grid}-parameterized template so streaming/monitors.py can apply the
+# identical CDF/sup-gap algebra to its incrementally-maintained grid
+# (stream==batch parity by construction).
+_KS_TAIL = """cdf AS (
     SELECT cents,
            CAST(sum(cx) OVER (ORDER BY cents) AS BIGINT) AS fx,
            CAST(sum(cy) OVER (ORDER BY cents) AS BIGINT) AS fy
-    FROM grid
+    FROM {grid}
 ),
 tot AS (
     SELECT CAST(sum(cx) AS BIGINT) AS n1, CAST(sum(cy) AS BIGINT) AS n2
-    FROM grid
+    FROM {grid}
 ),
 gaps AS (
     SELECT c.cents,
@@ -614,6 +605,20 @@ SELECT n1 AS n_click, n2 AS n_purchase,
 FROM gaps WHERE rk = 1
 """
 
+_KS_SQL = """
+WITH vals AS (
+    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+grid AS (
+    SELECT cents,
+           CAST(sum(is_x) AS BIGINT) AS cx,
+           CAST(sum(1 - is_x) AS BIGINT) AS cy
+    FROM vals GROUP BY cents
+),
+""" + _KS_TAIL.format(grid="grid")
 
 @register("events_ks_two_sample", oracle=_KS_SQL)
 def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

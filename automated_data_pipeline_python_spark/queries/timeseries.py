@@ -376,7 +376,13 @@ FROM cusum
     oracle=_CUSUM_BODY.replace("{fmt_day}", "strftime(d, '%Y-%m-%d')"),
 )
 def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sided CUSUM level-shift detection on per-type daily counts."""
+    """Two-sided CUSUM level-shift detection on per-type daily counts —
+    the SEQUENTIAL Page alarm: per-day running S+/S- statistics with an
+    alarm flag whenever either side crosses h (one output row per
+    type × day). Distinct from ``events_cusum_changepoint`` (singular,
+    this module ~line 2120), which is the RETROSPECTIVE argmax-|S_k|
+    changepoint localizer emitting one row per type; the near-identical
+    names are historical — see COVERAGE.md's CUSUM note."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     with recursion_limits(spark):
         return spark.sql(
@@ -2180,7 +2186,13 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint per event type over the daily count series:
     argmax |S_k| day (earliest on ties) and the σ̂√D-normalized
     statistic — the classic level-shift detector a metrics pipeline
-    runs before alerting on a regime change."""
+    runs before alerting on a regime change.
+
+    This is the RETROSPECTIVE changepoint LOCALIZER (one row per type).
+    Distinct from ``events_cusum_changepoints`` (plural, this module
+    ~line 375), the sequential two-sided Page ALARM emitting per-day
+    S+/S- rows; the near-identical names are historical — see
+    COVERAGE.md's CUSUM note."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CUSUM_SQL)
 

@@ -1,7 +1,8 @@
 """Streaming drift, mixture, and changepoint monitors — twins of the
-batch catalog queries ``events_psi_value_drift`` (queries/drift.py),
-``mixture_doremi_round`` (queries/curation3.py), and
-``events_cusum_changepoint`` (queries/timeseries.py).
+batch catalog queries ``events_psi_value_drift`` and
+``events_ks_two_sample`` (queries/drift.py), ``mixture_doremi_round``
+(queries/curation3.py), and ``events_cusum_changepoint``
+(queries/timeseries.py).
 
 Monitor shape (the ``mad_alarm`` discipline extended from map-only
 scoring to aggregating monitors): the baseline is frozen batch-side as
@@ -163,6 +164,70 @@ def doremi_report(per_source: DataFrame) -> DataFrame:
         "WITH "
         + _DOREMI_REPORT_TAIL.format(per_source="doremi_mon_per_source")
     )
+
+
+def ks_reference(events: DataFrame, side: str = "purchase") -> DataFrame:
+    """Frozen KS reference histogram from a reference batch: per-cents
+    counts of the reference side's ``value`` distribution. Bounded (the
+    distinct-cents grid — the same distinct-value-CDF discipline the
+    catalog query pins); callers freeze via localCheckpoint, production
+    refreshes on a schedule."""
+    return (
+        events.where(F.col("value").isNotNull())
+        .where(F.col("event_type") == side)
+        .select(
+            F.expr("CAST(floor(value * 1e2 + 0.5) AS BIGINT)").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+    )
+
+
+def ks_live_counts(stream: DataFrame, side: str = "click") -> DataFrame:
+    """Streamable live-side histogram: stateless cents mapping then ONE
+    grouped count whose state is the bounded distinct-cents grid
+    (complete mode — price-domain-sized, corpus-independent). Works
+    identically on a batch frame."""
+    return (
+        stream.where(F.col("value").isNotNull())
+        .where(F.col("event_type") == side)
+        .select(
+            F.expr("CAST(floor(value * 1e2 + 0.5) AS BIGINT)").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+    )
+
+
+def ks_report(live_counts: DataFrame, reference: DataFrame) -> DataFrame:
+    """Two-sample KS statistic/location/p-value from the completed
+    histograms — the catalog query's {grid}-parameterized CDF/sup-gap
+    template (queries/drift.py _KS_TAIL) applied verbatim to the
+    union-merged (cents, cx, cy) grid, so with the catalog framing
+    (live=click, reference=purchase) the streamed report equals
+    events_ks_two_sample row-for-row."""
+    from automated_data_pipeline_python_spark.queries.drift import _KS_TAIL
+
+    spark = live_counts.sparkSession
+    grid = (
+        live_counts.select(
+            "cents", F.col("n").alias("cx"), F.expr("CAST(0 AS BIGINT)").alias("cy")
+        )
+        .unionByName(
+            reference.select(
+                "cents",
+                F.expr("CAST(0 AS BIGINT)").alias("cx"),
+                F.col("n").alias("cy"),
+            )
+        )
+        .groupBy("cents")
+        .agg(
+            F.expr("CAST(sum(cx) AS BIGINT)").alias("cx"),
+            F.expr("CAST(sum(cy) AS BIGINT)").alias("cy"),
+        )
+    )
+    grid.createOrReplaceTempView("ks_mon_grid")
+    return spark.sql("WITH " + _KS_TAIL.format(grid="ks_mon_grid"))
 
 
 def cusum_daily_counts(stream: DataFrame) -> DataFrame:

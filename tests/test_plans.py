@@ -666,10 +666,14 @@ def test_q15_no_window_and_python_free(spark):
 
 def test_round7_additions_python_free(spark):
     """CUSUM, interpolation, t-closeness, Levenshtein ER, MAP/MRR,
-    WordPiece, PPR, CvM, Croston, Mann-Kendall, rolling-7d, Kuiper:
-    all pure DataFrame/SQL — a python stage in any of them would mean
-    the operator fell off the JVM fast path; a cartesian product would
-    mean a blocked/keyed join went pairwise."""
+    WordPiece, PPR, CvM, Croston, Platt, Mann-Kendall, runs test,
+    Kuiper: all pure DataFrame/SQL — a python stage in any of them
+    would mean the operator fell off the JVM fast path; a cartesian
+    product would mean a blocked/keyed join went pairwise.
+    (quality_platt_scaling's returned plan is assertable even though
+    its calibration-bin build is an eagerly-materialized checkpoint —
+    the checkpointed stage itself is walked by the window-allowlist
+    spy, tests/test_global_window_allowlist.py.)"""
     for name in (
         "events_cusum_changepoint",
         "events_linear_interpolation",
@@ -680,6 +684,7 @@ def test_round7_additions_python_free(spark):
         "graph_personalized_pagerank",
         "events_cramer_von_mises",
         "lineitem_croston_demand",
+        "quality_platt_scaling",
         "events_mann_kendall_trend",
         "events_kuiper_two_sample",
         "events_runs_test",

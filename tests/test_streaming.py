@@ -709,6 +709,37 @@ def test_doremi_monitor_stream_equals_catalog(spark, documents_dir):
         _sorted_rows(batch_stats, ["source", "n_tok", "loss_u"])
 
 
+def test_ks_monitor_stream_equals_catalog(spark, events_dir):
+    """Frozen-reference KS drift monitor: the reference (purchase)
+    histogram is frozen batch-side, the stream maintains the live
+    (click) distinct-cents histogram as bounded state, and the report
+    (the catalog {grid} template verbatim) must equal
+    events_ks_two_sample row-for-row."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        ks_live_counts,
+        ks_reference,
+        ks_report,
+    )
+
+    batch = load(spark, SF_DIR, "events")
+    ref = ks_reference(batch).localCheckpoint(eager=True)
+
+    stream = read_events_stream(spark, events_dir)
+    got_counts = run_to_memory(
+        ks_live_counts(stream), "t_ks_live", output_mode="complete"
+    )
+    got = ks_report(got_counts, ref)
+    want = QUERIES["events_ks_two_sample"].fn(spark, SF_DIR)
+    cols = ["n_click", "n_purchase", "ks_stat", "ks_location", "p_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    batch_counts = ks_live_counts(batch)
+    assert _sorted_rows(got_counts, ["cents", "n"]) == _sorted_rows(
+        batch_counts, ["cents", "n"]
+    )
+
+
 def test_cusum_monitor_stream_equals_catalog(spark, events_dir):
     """Incremental (type, day) counts + the catalog tail verbatim must
     equal events_cusum_changepoint row-for-row."""
