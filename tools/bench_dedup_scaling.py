@@ -1,7 +1,11 @@
-"""Scaling slope for the dedup/ANN headline path (VERDICT r6 task 6).
+"""Scaling slope for the dedup/ANN headline path plus one heavy
+representative per family (VERDICT r6 task 6, r7 tasks 3 + 7).
 
-Times the blocked/bucketed dedup and ANN queries at sf0.1, the 10x
-density-honest derived corpus (sf1_fresh), and the 100x one
+Times the blocked/bucketed dedup and ANN queries — and, when the
+needed tables exist in the derived corpora, BPE merge training
+(documents), item-item CF cosine (orders/lineitem), and closeness
+centrality on the co-purchase graph (lineitem/part) — at sf0.1, the
+10x density-honest derived corpus (sf1_fresh), and the 100x one
 (sf10_fresh; both from gen_benchdata.py --fresh-docs, which rewrites
 every replica generation's tokens so cross-generation similarity is
 zero — the within-generation dup structure replicates exactly, so work
@@ -10,7 +14,12 @@ Embeddings replicate as-is (no fresh rewrite exists for vectors), so
 the ANN numbers are a SKEW-ADVERSARIAL upper bound: every IVF cell
 holds N identical copies of its sf0.1 contents.
 
-Prints one JSON line with per-SF timings and the 10x->100x slope;
+Repeat study: each (query, SF) point is the MINIMUM of REPEATS runs
+(default 3, env BENCH_SCALING_REPEATS) — single runs on the
+skew-adversarial corpora showed multi-second run-to-run noise that
+made interior points non-monotone (VERDICT r7 task 3).
+
+Prints one JSON line with per-SF timings and the 10x/100x slopes;
 committed as BENCH_DEDUP_SCALING.json.
 
 Usage: python tools/bench_dedup_scaling.py [sf01] [sf1] [sf10]
@@ -28,30 +37,42 @@ sys.path.insert(0, REPO)
 
 from automated_data_pipeline_python_spark.session import get_spark  # noqa: E402
 
-QUERIES_TIMED = [
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_simhash_pairs",
-    "ann_ivf_topk",
-]
+REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+
+# query -> parquet tables it needs in the corpus dir (skipped with a
+# note when a derived corpus lacks one, e.g. a facts-free sf10 dir).
+QUERIES_TIMED = {
+    "dedup_minhash_lsh": ["documents"],
+    "dedup_minhash_lsh_capped": ["documents"],
+    "dedup_simhash_pairs": ["documents"],
+    "ann_ivf_topk": ["embeddings"],
+    "bpe_train_merge_rounds": ["documents"],
+    "reco_item_item_cosine": ["orders", "lineitem"],
+    "graph_closeness_centrality": ["lineitem", "part"],
+}
 
 
 def time_set(spark, sf_dir: str) -> dict[str, float]:
     from automated_data_pipeline_python_spark.queries import QUERIES
 
     out: dict[str, float] = {}
-    for name in QUERIES_TIMED:
+    for name, tables in QUERIES_TIMED.items():
+        if not all(
+            os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in tables
+        ):
+            continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             best = min(best, time.perf_counter() - t0)
+            for t in spark.catalog.listTables():
+                if t.isTemporary:
+                    spark.catalog.dropTempView(t.name)
         out[name] = round(best, 3)
-        for t in spark.catalog.listTables():
-            if t.isTemporary:
-                spark.catalog.dropTempView(t.name)
     return out
 
 
@@ -73,11 +94,12 @@ def main() -> None:
     t01 = time_set(spark, sf01)
     t1 = time_set(spark, sf1)
     t10 = time_set(spark, sf10)
-    ratios_10x = {k: round(t1[k] / t01[k], 2) for k in t01}
-    ratios_100x = {k: round(t10[k] / t01[k], 2) for k in t01}
+    ratios_10x = {k: round(t1[k] / t01[k], 2) for k in t1 if k in t01}
+    ratios_100x = {k: round(t10[k] / t01[k], 2) for k in t10 if k in t01}
     print(json.dumps({
         "metric": "dedup_ann_scaling",
         "unit": "sec",
+        "repeats_per_point_min_of": REPEATS,
         "sf0.1": t01,
         "sf1_fresh_10x": t1,
         "sf10_fresh_100x": t10,
@@ -86,7 +108,8 @@ def main() -> None:
         "note": ("fresh-docs derived corpora: zero cross-generation "
                  "similarity, within-generation dup structure exact; "
                  "embeddings replicate verbatim (ANN = skew-adversarial "
-                 "upper bound)"),
+                 "upper bound); each point = min of "
+                 f"{REPEATS} runs"),
     }))
     spark.stop()
 
