@@ -743,3 +743,111 @@ def corpus_source_ablation_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_ABLATION_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (epoch-capped water-filling over sources)
+# ---------------------------------------------------------------------------
+# The mixture family's budget closer (Chung et al. 2023, "UniMax"):
+# token-share weights (mixture_domain_weights) overtrain tiny sources
+# and temperature weights still oversample them; UniMax instead gives
+# every source an EQUAL share of the training budget unless that would
+# exceed its epoch cap (E = 3 epochs here), redistributing the slack —
+# the standard anti-overfit allocation for multilingual/multi-domain
+# pretraining. Budget B = 2.9x total corpus tokens — strictly below the
+# 3-epoch cap total and inside the cap spread of this corpus's sources,
+# so BOTH branches execute (small sources cap at 3.0 epochs, large ones
+# fair-share ~2.5-2.9).
+#
+# The greedy "fill smallest caps first" loop has a closed form over the
+# cap-sorted source relation: source j is capped iff
+# cap_j * (g - j + 1) <= B - prefix_{j-1} (exact integers), the capped
+# prefix is the cumulative min of that flag (monotone by construction,
+# enforced explicitly), and the uncapped share is ONE division at the
+# end. Scale: one corpus tokenize pass to per-source counts; every
+# window runs over the bounded (~20-row) source relation.
+
+_UNIMAX_EPOCHS = 3
+_UNIMAX_TAIL = f"""
+per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n
+    FROM um_tok GROUP BY source
+),
+caps AS (
+    SELECT source, n, CAST({_UNIMAX_EPOCHS} * n AS BIGINT) AS cap
+    FROM per
+),
+ord AS (
+    SELECT source, n, cap,
+           CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS j,
+           CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS pre
+    FROM caps
+),
+binfo AS (
+    SELECT CAST(count(*) AS BIGINT) AS g,
+           CAST(floor(29e0 * sum(n) / 10) AS BIGINT) AS b
+    FROM per
+),
+flags AS (
+    SELECT o.source, o.n, o.cap, o.j, o.pre, i.g, i.b,
+           CASE WHEN o.cap * (i.g - o.j + 1) <= i.b - o.pre
+                THEN 1 ELSE 0 END AS f
+    FROM ord o CROSS JOIN binfo i
+),
+cum AS (
+    SELECT source, n, cap, j, g, b,
+           CAST(min(f) OVER (ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INT) AS capped
+    FROM flags
+),
+fill AS (
+    SELECT CAST(sum(capped) AS BIGINT) AS jj,
+           CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0)
+                AS BIGINT) AS pj,
+           CAST(min(g) AS BIGINT) AS g,
+           CAST(min(b) AS BIGINT) AS b
+    FROM cum
+)
+SELECT c.source, c.n AS n_tokens, c.cap AS cap_tokens,
+       CAST(c.capped AS INT) AS capped,
+       CASE WHEN c.capped = 1 THEN c.cap
+            ELSE CAST(floor(CAST(f.b - f.pj AS DOUBLE) / (f.g - f.jj))
+                      AS BIGINT) END AS alloc_tokens,
+       floor((CAST(CASE WHEN c.capped = 1 THEN c.cap
+                        ELSE CAST(floor(CAST(f.b - f.pj AS DOUBLE)
+                                        / (f.g - f.jj)) AS BIGINT)
+                   END AS DOUBLE) / c.n) * 1e6 + 0.5) / 1e6 AS epochs_used
+FROM cum c CROSS JOIN fill f
+ORDER BY c.source
+"""
+
+_UNIMAX_SPARK_SQL = f"""
+WITH um_tok AS (
+    SELECT source, token
+    FROM (SELECT source, {_S_TOK} AS toks FROM documents)
+    LATERAL VIEW explode(toks) t AS token
+),
+{_UNIMAX_TAIL.lstrip()}
+"""
+
+_UNIMAX_DUCK_SQL = f"""
+WITH um_tok AS (
+    SELECT source, unnest({_D_TOK}) AS token FROM documents
+),
+{_UNIMAX_TAIL.lstrip()}
+"""
+
+
+@register("mixture_unimax_budget", oracle=_UNIMAX_DUCK_SQL)
+def mixture_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped water-filling: per-source token counts, the
+    3-epoch cap, the capped flag, the allocated tokens under a 2.9x-total
+    budget, and realized epochs — equal shares with slack
+    redistribution in one closed-form pass."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_UNIMAX_SPARK_SQL)

@@ -839,3 +839,73 @@ def events_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, off the same snapped-cents histogram CDFs."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_KUIPER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover's) distance between value distributions
+# ---------------------------------------------------------------------------
+# The transport member of the eCDF family: KS/Kuiper read extreme CDF
+# gaps, CvM integrates the squared gap over the combined SAMPLE, W1
+# integrates |F1 - F2| over the VALUE axis — the only one of the four
+# with the distribution's own units (dollars here), which is what makes
+# it the standard drift magnitude for score/price monitoring ("the
+# distributions are 0.42 $ apart" is actionable; a KS of 0.07 is not).
+#
+# For step eCDFs on the distinct-cents grid, W1 = Σ_i |F1(v_i) - F2(v_i)|
+# · (v_{i+1} - v_i) over consecutive grid points. Everything is exact
+# integers until ONE final division: per-segment mass is the
+# cross-multiplied |fx·n2 - fy·n1| times the integer cents gap, summed
+# in DECIMAL(38,0) (DuckDB sums into HUGEINT on its own), and the
+# statistic divides by n1·n2·100 once, snapped. Scale: the corpus pass
+# is the snapped-cents histogram; the cumulative CDF and the lead()
+# segment width are windows over the bounded distinct-cents grid — the
+# sanctioned class (same shape the KS/CvM/Kuiper queries pin).
+
+_WASSERSTEIN_SQL = """
+WITH vals AS (
+    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+grid AS (
+    SELECT cents,
+           CAST(sum(is_x) AS BIGINT) AS cx,
+           CAST(sum(1 - is_x) AS BIGINT) AS cy
+    FROM vals GROUP BY cents
+),
+cdf AS (
+    SELECT cents,
+           CAST(sum(cx) OVER (ORDER BY cents) AS BIGINT) AS fx,
+           CAST(sum(cy) OVER (ORDER BY cents) AS BIGINT) AS fy,
+           lead(cents) OVER (ORDER BY cents) AS next_cents
+    FROM grid
+),
+tot AS (
+    SELECT CAST(sum(cx) AS BIGINT) AS n1, CAST(sum(cy) AS BIGINT) AS n2
+    FROM grid
+),
+mass AS (
+    -- the last grid point has no segment (both CDFs are 1 beyond it)
+    SELECT CAST(sum(CAST(abs(c.fx * t.n2 - c.fy * t.n1) AS DECIMAL(38,0))
+                    * (c.next_cents - c.cents)) AS DECIMAL(38,0)) AS m,
+           CAST(min(t.n1) AS BIGINT) AS n1,
+           CAST(min(t.n2) AS BIGINT) AS n2
+    FROM cdf c CROSS JOIN tot t
+    WHERE c.next_cents IS NOT NULL
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       floor((CAST(m AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * n2 * 100)) * 1e6 + 0.5) / 1e6
+           AS w1_distance
+FROM mass
+"""
+
+
+@register("events_wasserstein_distance", oracle=_WASSERSTEIN_SQL)
+def events_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance in dollars between the
+    click and purchase value distributions — exact integer transport
+    mass off the snapped-cents histogram CDFs, one final division."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_WASSERSTEIN_SQL)

@@ -1479,3 +1479,79 @@ def quality_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") z"
     ).localCheckpoint(eager=True).createOrReplaceTempView("platt_bins")
     return spark.sql("WITH " + _platt_sql("platt_bins").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes Beta-Binomial shrinkage of per-brand return rates
+# ---------------------------------------------------------------------------
+# The James-Stein move every metrics pipeline eventually needs: a brand
+# with 40 lineitems and a 30 % return rate is NOISE, one with 40,000 is
+# SIGNAL — raw rates rank them identically. Method-of-moments fits a
+# Beta(alpha, beta) prior across brands (m, v of the per-brand rates),
+# and each brand reports its posterior mean (k + alpha)/(n + alpha+beta)
+# — small-n brands shrink hard toward the prior mean, big-n brands
+# barely move.
+#
+# Float discipline: each raw rate is ONE exact-integer double division
+# snapped to micro-units; the cross-brand moments are exact BIGINT sums
+# of those micro-units (order-independent); m, v, alpha+beta, and each
+# posterior are single float expressions, snapped (v on the 1e-12 grid
+# — it is a second moment of micro-snapped values). Scale: one
+# lineitem-part equi-join (no broadcast hint — part grows with the
+# corpus, AQE decides), partial-aggregated to the bounded brand
+# relation; everything after is 25-row algebra.
+
+_EB_SHRINK_SQL = """
+WITH per AS (
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+),
+rates AS (
+    SELECT brand, n, k,
+           CAST(floor((CAST(k AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT)
+               AS p_u
+    FROM per
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS g,
+           CAST(sum(p_u) AS BIGINT) AS sp,
+           CAST(sum(p_u * p_u) AS BIGINT) AS sp2
+    FROM rates
+),
+prior AS (
+    SELECT
+        floor((CAST(sp AS DOUBLE) / g / 1e6) * 1e6 + 0.5) / 1e6 AS m,
+        floor(((CAST(sp2 AS DOUBLE) / g
+                - (CAST(sp AS DOUBLE) / g) * (CAST(sp AS DOUBLE) / g))
+               / 1e12) * 1e12 + 0.5) / 1e12 AS v
+    FROM mom
+),
+ab AS (
+    SELECT m,
+           CASE WHEN v > 0e0 AND m > 0e0 AND m < 1e0
+                THEN floor(greatest(0e0, m * (1e0 - m) / v - 1e0)
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0e0 END AS s
+    FROM prior
+)
+SELECT r.brand, r.n, r.k,
+       floor((CAST(r.k AS DOUBLE) / r.n) * 1e6 + 0.5) / 1e6 AS raw_rate,
+       floor(((r.k + a.m * a.s) / (r.n + a.s)) * 1e6 + 0.5) / 1e6
+           AS shrunk_rate
+FROM rates r CROSS JOIN ab a
+ORDER BY r.brand
+"""
+
+
+@register("mlstats_eb_beta_shrinkage", oracle=_EB_SHRINK_SQL)
+def mlstats_eb_beta_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes Beta-Binomial shrinkage of per-brand return
+    rates: method-of-moments prior across brands, posterior-mean rate
+    per brand next to the raw rate."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_EB_SHRINK_SQL)

@@ -227,3 +227,125 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded to scalar rows; double-promoted arithmetic keeps both
     engines bit-identical. Map-only."""
     return _emb_sql(spark, sf_dir, _QUANT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) re-ranking of a retrieval candidate set
+# ---------------------------------------------------------------------------
+# The diversity pass every RAG stack runs between retrieval and the
+# context window: plain top-k hands the LLM five near-copies of the
+# same passage; MMR greedily picks argmax lambda*rel(d) -
+# (1-lambda)*max_{s in S} sim(d, s), trading relevance against
+# redundancy with what is already selected (Carbonell & Goldstein 1998).
+#
+# Shape: ONE corpus pass scores cosine-to-query and TakeOrders the
+# top-12 candidate set (never a global window); the 12x12 pairwise sim
+# grid and the 5 unrolled greedy steps are bounded algebra — each step
+# is a <=12-row argmax with snapped-micro scores and vec_id tiebreak,
+# and membership tests are NOT-IN against the <=5-row selected set
+# (planner-forced tiny broadcasts, the q16 exemption class). Relevance
+# and sims snap to the 1e-6 grid BEFORE any compare, so greedy picks
+# are identical cross-engine. Spark materializes the candidate set via
+# localCheckpoint (12 rows) because every step re-references it and
+# Spark inlines CTEs.
+
+_MMR_LAMBDA = "7e-1"
+_MMR_K = 12   # candidate pool (top by relevance)
+_MMR_PICK = 5  # selected set size
+
+_MMR_NORM_SPARK = (
+    "emb_n AS (SELECT vec_id, embedding,"
+    " sqrt(aggregate(transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm FROM embeddings)"
+)
+_MMR_NORM_DUCK = (
+    "emb_n AS (SELECT vec_id, embedding,"
+    " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    " AS nrm FROM embeddings)"
+)
+_MMR_DOT_SPARK = (
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_MMR_DOT_DUCK = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+_MMR_CANDS = """cands AS (
+    SELECT b.vec_id, b.embedding, b.nrm,
+           floor(({dot} / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS rel
+    FROM (SELECT embedding, nrm FROM emb_n WHERE vec_id = 0) a
+    CROSS JOIN emb_n b
+    WHERE b.vec_id != 0
+    ORDER BY rel DESC, b.vec_id
+    LIMIT {k}
+)"""
+
+
+def _mmr_steps(cands: str) -> str:
+    lam = _MMR_LAMBDA
+    parts = [f"""s1 AS (
+    SELECT vec_id, rel, 0e0 AS maxsim,
+           floor(({lam} * rel) * 1e6 + 0.5) / 1e6 AS mmr_score
+    FROM {cands} ORDER BY rel DESC, vec_id LIMIT 1
+),
+sel1 AS (SELECT vec_id FROM s1)"""]
+    for i in range(2, _MMR_PICK + 1):
+        parts.append(f"""s{i} AS (
+    SELECT c.vec_id, c.rel, m.maxsim,
+           floor(({lam} * c.rel - (1e0 - {lam}) * m.maxsim) * 1e6 + 0.5)
+               / 1e6 AS mmr_score
+    FROM {cands} c
+    JOIN (SELECT p.a_id AS vec_id, max(p.sim) AS maxsim
+          FROM sims p
+          WHERE p.b_id IN (SELECT vec_id FROM sel{i - 1})
+          GROUP BY p.a_id) m ON m.vec_id = c.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+    ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+),
+sel{i} AS (SELECT vec_id FROM sel{i - 1}
+           UNION ALL SELECT vec_id FROM s{i})""")
+    return ",\n".join(parts)
+
+
+def _mmr_tail(cands: str, dot: str) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS mmr_rank, vec_id, rel, maxsim,"
+        f" mmr_score FROM s{i}"
+        for i in range(1, _MMR_PICK + 1)
+    )
+    return f"""sims AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           floor(({dot} / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS sim
+    FROM {cands} a JOIN {cands} b ON a.vec_id != b.vec_id
+),
+{_mmr_steps(cands)}
+{union}
+ORDER BY mmr_rank"""
+
+
+_MMR_DUCK_SQL = (
+    f"WITH {_MMR_NORM_DUCK},\n"
+    + _MMR_CANDS.format(dot=_MMR_DOT_DUCK, k=_MMR_K)
+    + ",\n"
+    + _mmr_tail("cands", _MMR_DOT_DUCK)
+)
+
+
+@register("rag_mmr_rerank", oracle=_MMR_DUCK_SQL)
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 from the top-12 cosine candidates of query
+    vec 0: greedy lambda*rel - (1-lambda)*redundancy selection with
+    snapped scores and vec_id tiebreaks."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    cands = spark.sql(
+        f"WITH {_MMR_NORM_SPARK},\n"
+        + _MMR_CANDS.format(dot=_MMR_DOT_SPARK, k=_MMR_K)
+        + "\nSELECT * FROM cands"
+    )
+    cands.localCheckpoint(eager=True).createOrReplaceTempView("mmr_cands")
+    out = spark.sql("WITH " + _mmr_tail("mmr_cands", _MMR_DOT_SPARK))
+    spark.catalog.dropTempView("mmr_cands")
+    return out

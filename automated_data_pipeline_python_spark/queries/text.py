@@ -890,3 +890,119 @@ def corpus_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=True).createOrReplaceTempView("nov_grams")
     return spark.sql(_novelty_tail("nov_grams"))
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient / Lorenz shares of the token frequency distribution
+# ---------------------------------------------------------------------------
+# The corpus-concentration diagnostic next to text_zipf_slope: Zipf
+# fits the SHAPE of the rank-frequency law, Gini summarizes its
+# INEQUALITY in one number (0 = uniform vocabulary use, ->1 = a few
+# tokens dominate), and the top-1% / top-10% Lorenz shares are the
+# numbers a data-curation review actually quotes. Rising Gini between
+# corpus snapshots = diversity collapse (e.g. boilerplate flooding).
+#
+# Never ranks per token: with tokens sorted by count ascending, a tied
+# block (count c, t_c tokens, R_c tokens before it) contributes
+# c * (t_c * R_c + t_c(t_c+1)/2) to the rank-weighted sum, so the whole
+# computation reads off the DISTINCT-COUNT histogram — the same
+# bounded-grid discipline as the cents-grid eCDF family (distinct
+# count values grow ~sqrt(corpus) under Zipf, and the cumulative
+# windows run over that grid only). All sums are exact DECIMAL(38,0);
+# the Gini and shares are single divisions, snapped. Top-k% cuts use
+# floor((v+99)/100e0) ceil-division (exact-integer double arithmetic,
+# identical cross-engine).
+
+_GINI_SQL = """
+WITH tok AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM gini_tok
+    GROUP BY token
+),
+hist AS (
+    SELECT cnt AS c, CAST(count(*) AS BIGINT) AS t
+    FROM tok GROUP BY cnt
+),
+blocks AS (
+    SELECT c, t,
+           CAST(coalesce(sum(t) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS r_before,
+           CAST(coalesce(sum(c * t) OVER (ORDER BY c DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS mass_above,
+           CAST(coalesce(sum(t) OVER (ORDER BY c DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS toks_above
+    FROM hist
+),
+tots AS (
+    SELECT CAST(sum(t) AS BIGINT) AS n,
+           CAST(sum(CAST(c AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS tt,
+           CAST(sum(CAST(c AS DECIMAL(38,0))
+                    * (CAST(t AS DECIMAL(38,0)) * r_before
+                       + CAST(t AS DECIMAL(38,0)) * (t + 1) / 2))
+                AS DECIMAL(38,0)) AS s1
+    FROM blocks
+),
+cuts AS (
+    SELECT n, tt, s1,
+           CAST(floor((n + 99) / 100e0) AS BIGINT) AS k1,
+           CAST(floor((n + 9) / 10e0) AS BIGINT) AS k10
+    FROM tots
+),
+shares AS (
+    -- top-k tokens = full blocks above the cut + a partial tied block
+    -- (interchangeable tokens, count c each); exactly one block
+    -- straddles each cut, picked by conditional aggregation over the
+    -- bounded grid x the single cuts row
+    SELECT q.n, q.tt, q.s1, q.k1, q.k10,
+           CAST(min(CASE WHEN b.toks_above < q.k1
+                          AND b.toks_above + b.t >= q.k1
+                         THEN b.mass_above + (q.k1 - b.toks_above) * b.c
+                    END) AS DECIMAL(38,0)) AS mass1,
+           CAST(min(CASE WHEN b.toks_above < q.k10
+                          AND b.toks_above + b.t >= q.k10
+                         THEN b.mass_above + (q.k10 - b.toks_above) * b.c
+                    END) AS DECIMAL(38,0)) AS mass10
+    FROM cuts q CROSS JOIN blocks b
+    GROUP BY q.n, q.tt, q.s1, q.k1, q.k10
+)
+SELECT n AS n_vocab, CAST(tt AS BIGINT) AS n_tokens,
+       floor((2e0 * CAST(s1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(tt AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1) / n) * 1e6 + 0.5) / 1e6 AS gini,
+       floor((CAST(mass1 AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6 + 0.5)
+           / 1e6 AS top1pct_share,
+       floor((CAST(mass10 AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6 + 0.5)
+           / 1e6 AS top10pct_share
+FROM shares
+"""
+
+_GINI_SPARK_SQL = f"""
+WITH gini_tok AS (
+    SELECT token
+    FROM (SELECT {_S_TOK} AS toks FROM documents)
+    LATERAL VIEW explode(toks) t AS token
+),
+{_GINI_SQL[len("WITH "):]}
+"""
+
+_GINI_DUCK_SQL = f"""
+WITH gini_tok AS (
+    SELECT unnest({_D_TOK}) AS token FROM documents
+),
+{_GINI_SQL[len("WITH "):]}
+"""
+
+
+@register("text_gini_token_concentration", oracle=_GINI_DUCK_SQL)
+def text_gini_token_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient and top-1%/top-10% Lorenz shares of the token
+    frequency distribution — exact tied-block arithmetic off the
+    distinct-count histogram, never a per-token rank."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_GINI_SPARK_SQL)

@@ -2556,3 +2556,101 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonparametric battery (MW-U, KS, CvM, Kuiper, Mann-Kendall)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RUNS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift alarm on per-type daily counts
+# ---------------------------------------------------------------------------
+# The sequential mean-drift companion to the CUSUM pair: CUSUM tracks
+# deviations from a FIXED baseline mean, Page-Hinkley tracks deviations
+# from the RUNNING mean (x̄_t recomputed every step), which is the
+# standard formulation in streaming-ML drift detection (Gama et al.) —
+# it needs no training period. m_t = Σ_{i<=t}(x_i − x̄_i − δ), and the
+# alarm fires when m_t − min_{i<=t} m_i exceeds λ.
+#
+# Float discipline: x_i and the prefix sums are exact integers, so
+# x̄_i = pre_i / i is ONE correctly-rounded double division; each term
+# snaps to 1e-6 micro-units (BIGINT) immediately, and everything after
+# — the cumulative m_t, the running min, the PH statistic, and the
+# λ compare — is EXACT integer arithmetic, so no float ever
+# accumulates. δ = 5 % of the type's mean and λ = 3σ̂ (integer-moment
+# σ̂), both snapped once per type: scale-free constants that survive
+# any SF. Scale: one corpus pass to the (type × day) grid; all windows
+# partitioned per type over the calendar-bounded relation.
+
+
+def _ph_sql(fmt_day: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stat AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(n) AS BIGINT) AS ntot,
+           CAST(sum(n * n) AS BIGINT) AS n2tot
+    FROM daily GROUP BY event_type
+),
+params AS (
+    SELECT event_type,
+           -- delta = 5 % of the mean, lambda = 3 * sigma-hat, both in
+           -- 1e-6 micro-units (exact integers from here on)
+           CAST(floor((CAST(ntot AS DOUBLE) / nd) * 5e-2 * 1e6 + 0.5)
+                AS BIGINT) AS delta_u,
+           CAST(floor(3e0 * sqrt(greatest(0e0,
+                    (CAST(n2tot AS DOUBLE)
+                     - CAST(ntot AS DOUBLE) * ntot / nd)
+                    / greatest(nd - 1, 1))) * 1e6 + 0.5)
+                AS BIGINT) AS lambda_u
+    FROM stat
+),
+idx AS (
+    SELECT event_type, d, n,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS i,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS pre
+    FROM daily
+),
+terms AS (
+    SELECT i.event_type, i.d, i.n, i.i,
+           CAST(floor((i.n - CAST(i.pre AS DOUBLE) / i.i) * 1e6 + 0.5)
+                AS BIGINT) - p.delta_u AS term_u,
+           p.lambda_u
+    FROM idx i JOIN params p ON p.event_type = i.event_type
+),
+m AS (
+    SELECT event_type, d, n, i, lambda_u,
+           CAST(sum(term_u) OVER (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS m_u
+    FROM terms
+),
+ph AS (
+    SELECT event_type, d, n, i, lambda_u, m_u,
+           m_u - CAST(min(m_u) OVER (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS ph_u
+    FROM m
+)
+SELECT event_type, {fmt_day} AS day, n AS n_events,
+       CAST(ph_u AS DOUBLE) / 1e6 AS ph_stat,
+       CAST(CASE WHEN ph_u > lambda_u THEN 1 ELSE 0 END AS INT) AS alarm
+FROM ph
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "events_page_hinkley_drift",
+    oracle=_ph_sql("strftime(d, '%Y-%m-%d')"),
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector per event type: running-mean
+    deviations accumulated in exact micro-units, PH statistic vs a
+    3-sigma lambda, one (type, day) row each with the alarm flag."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ph_sql("date_format(d, 'yyyy-MM-dd')"))

@@ -38,6 +38,8 @@ ALLOWED = {
     "events_cem_matching": "CDFs over n_events/n_days value histograms (bounded domains)",
     "events_periodogram_periods": "day-index window over calendar-bounded daily relation",
     "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
+    "events_wasserstein_distance": "eCDF + segment width over value histogram (integer cents domain — same stage class as KS)",
+    "text_gini_token_concentration": "cumulative tied-blocks over the distinct-count histogram (Zipf-bounded grid, never per-token ranks)",
     "events_cramer_von_mises": "eCDF over value histogram (integer cents domain — same stage class as KS)",
     "events_kuiper_two_sample": "eCDF over value histogram (integer cents domain — same stage class as KS)",
     "events_kleinberg_bursts": "day-index window over calendar-bounded daily relation (was hidden behind the recursive form's checkpoint)",
@@ -49,6 +51,7 @@ ALLOWED = {
     "feature_quantile_normalize": "CDF over distinct-value histogram (snapped grid)",
     "lineitem_abc_classification": "cumulative revenue share over brand-level aggregate (bounded brand domain)",
     "lm_negative_sampling_table": "cumulative boundaries over top-40 rank-capped vocab",
+    "mixture_unimax_budget": "water-filling prefix over the bounded source relation (~20 rows)",
     "orders_interpurchase_survival": "KM curve over day-gap histogram (gap domain)",
     "orders_nelson_aalen_hazard": "cumulative hazard over day-gap histogram (gap domain)",
     "orders_pareto_concentration": "cumulative share over percentile-bucket relation (100 buckets)",

@@ -696,3 +696,23 @@ def test_round7_additions_python_free(spark):
             # bounded cross join (gsz x 5 priorities x 1 total row) —
             # the sanctioned bounded-grid class, not a pairwise blowup.
             assert "CartesianProduct" not in r.text, name
+
+
+def test_round8_additions_python_free(spark):
+    """Wasserstein, Page-Hinkley, Gini, EB shrinkage, MMR, UniMax: all
+    pure DataFrame/SQL. MMR's bounded selection steps and the
+    one-row-frame joins (EB prior, UniMax fill level, W1 totals) are
+    planner-chosen tiny joins, not F.broadcast hints; a cartesian
+    product is allowed only for rag_mmr_rerank's 12x12 candidate sim
+    grid and the one-row total/prior frames (the sanctioned
+    bounded-grid class)."""
+    for name in (
+        "events_wasserstein_distance",
+        "events_page_hinkley_drift",
+        "text_gini_token_concentration",
+        "mlstats_eb_beta_shrinkage",
+        "rag_mmr_rerank",
+        "mixture_unimax_budget",
+    ):
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name

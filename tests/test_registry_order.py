@@ -80,7 +80,14 @@ ROUND8_NEVER_ROWED = [
 # New catalog queries added in round 8: replay+pytest evidence this
 # round; they take round-9 window slots (per the VERDICT r7 task-1
 # directive that all 50 r8 slots go to the never-rowed backlog).
-ROUND8_NEW: list[str] = []
+ROUND8_NEW: list[str] = [
+    "events_wasserstein_distance",
+    "events_page_hinkley_drift",
+    "text_gini_token_concentration",
+    "mlstats_eb_beta_shrinkage",
+    "rag_mmr_rerank",
+    "mixture_unimax_budget",
+]
 
 
 def test_priority_list_is_first_50():

@@ -72,6 +72,10 @@ def time_set(spark, sf_dir: str) -> dict[str, float]:
             for t in spark.catalog.listTables():
                 if t.isTemporary:
                     spark.catalog.dropTempView(t.name)
+            # unpinned localCheckpoint blocks are only reclaimed by the
+            # ContextCleaner after a driver GC; back-to-back 100x runs
+            # otherwise OOM the single JVM before cleanup catches up
+            spark.sparkContext._jvm.System.gc()
         out[name] = round(best, 3)
     return out
 
@@ -85,15 +89,24 @@ def main() -> None:
         REPO, ".benchdata", "sf10_fresh"
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
-    spark = get_spark(
-        app_name="bench-dedup-scaling",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    t01 = time_set(spark, sf01)
-    t1 = time_set(spark, sf1)
-    t10 = time_set(spark, sf10)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
+    def fresh_session():
+        # one JVM per SF point: block-manager state from a smaller SF
+        # must not pressure (or subsidize) the next point's timings
+        return get_spark(
+            app_name="bench-dedup-scaling",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
+
+    timings = []
+    for d in (sf01, sf1, sf10):
+        spark = fresh_session()
+        spark.sparkContext.setLogLevel("ERROR")
+        timings.append(time_set(spark, d))
+        spark.stop()
+    t01, t1, t10 = timings
     ratios_10x = {k: round(t1[k] / t01[k], 2) for k in t1 if k in t01}
     ratios_100x = {k: round(t10[k] / t01[k], 2) for k in t10 if k in t01}
     print(json.dumps({
@@ -111,7 +124,6 @@ def main() -> None:
                  "upper bound); each point = min of "
                  f"{REPEATS} runs"),
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":
