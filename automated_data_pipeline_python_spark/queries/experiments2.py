@@ -32,6 +32,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from automated_data_pipeline_python_spark.functions.text import (
+    duck_hash28,
+    spark_hash28,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
@@ -790,3 +794,191 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _did_sql("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE (observational lift, stratified e-hat)
+# ---------------------------------------------------------------------------
+# events_ab_test_lift assumes randomized arms; real logs are
+# OBSERVATIONAL -- exposure correlates with who the user is before any
+# treatment effect. The standard correction reweights each user by
+# 1/e(x) (treated) or 1/(1-e(x)) (control), with the propensity e(x) =
+# P(treated | confounder) estimated per confounder stratum; the
+# confounder is the user's activity level (total event count,
+# coarsened into width-10 buckets for positivity), the classic "active
+# users do more of EVERYTHING" backdoor. Treatment = click-leaning
+# session mix (more clicks than views); outcome = purchase-leaning
+# conversion (more purchases than errors) -- intensity contrasts that
+# stay two-armed at every SF (presence flags degenerate: every user of
+# this corpus has every type).
+#
+# Strata are bounded activity buckets, so the per-user weights collapse
+# to per-stratum algebra: sum_t w*y over a stratum = yt_v / e_v. e_v
+# snaps at 1e-6 BEFORE the divisions; cross-stratum sums go through the
+# order-independent exact-sum (1e-6 grid); strata with e in {0, 1} fail
+# positivity and are excluded (counted in the output). Naive diff is
+# reported next to the IPW estimate -- the gap IS the measured
+# confounding.
+
+_IPW_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(floor(count(*) / 10e0) AS BIGINT) AS bucket,
+           CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS treated,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS y
+    FROM events GROUP BY user_id
+),
+grid AS (
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS tot_v,
+           CAST(sum(treated) AS BIGINT) AS t_v,
+           CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS yt_v,
+           CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS yc_v
+    FROM per_user GROUP BY bucket
+),
+prop AS (
+    SELECT bucket, tot_v, t_v, yt_v, yc_v,
+           floor((CAST(t_v AS DOUBLE) / tot_v) * 1e6 + 0.5) / 1e6 AS e
+    FROM grid
+),
+ok AS (SELECT * FROM prop WHERE e > 0e0 AND e < 1e0),
+sums AS (
+    SELECT
+        {sql_exact_sum("yt_v / e", 6)} AS swy_t,
+        {sql_exact_sum("t_v / e", 6)} AS sw_t,
+        {sql_exact_sum("yc_v / (1e0 - e)", 6)} AS swy_c,
+        {sql_exact_sum("(tot_v - t_v) / (1e0 - e)", 6)} AS sw_c,
+        CAST(count(*) AS BIGINT) AS n_strata_used
+    FROM ok
+),
+naive AS (
+    SELECT CAST(sum(t_v) AS BIGINT) AS nt,
+           CAST(sum(tot_v - t_v) AS BIGINT) AS nc,
+           CAST(sum(yt_v) AS BIGINT) AS yt,
+           CAST(sum(yc_v) AS BIGINT) AS yc,
+           CAST(count(*) AS BIGINT) AS n_strata
+    FROM prop
+)
+SELECT n.nt AS n_treated, n.nc AS n_control,
+       s.n_strata_used, n.n_strata,
+       CASE WHEN n.nt = 0 OR n.nc = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor((CAST(n.yt AS DOUBLE) / n.nt
+                        - CAST(n.yc AS DOUBLE) / n.nc) * 1e6 + 0.5) / 1e6
+       END AS naive_diff,
+       CASE WHEN s.n_strata_used = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor((s.swy_t / s.sw_t - s.swy_c / s.sw_c)
+                       * 1e6 + 0.5) / 1e6
+       END AS ipw_ate
+FROM naive n CROSS JOIN sums s
+"""
+
+
+@register("events_ipw_ate", oracle=_IPW_SQL)
+def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational click-mix -> conversion-mix lift, confounding-
+    corrected: activity-bucket propensities, per-stratum IPW algebra,
+    the naive difference next to the IPW ATE, and the positivity
+    census."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_IPW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (incremental-impact evaluation by targeting decile)
+# ---------------------------------------------------------------------------
+# The uplift-modeling companion to the IPW estimator above: IPW asks
+# "what is the average effect", the Qini curve asks "WHO should we
+# target" — rank users by a model score, and at each decile compare
+# cumulative treated conversions against the control conversions scaled
+# to the treated volume: Qini(k) = Yt_cum - Yc_cum * Nt_cum / Nc_cum
+# (Radcliffe 2007). A curve hugging zero means the score does not find
+# incremental responders (exactly what a hash-randomized arm with no
+# real effect should produce — the honest null baseline).
+#
+# Arms are portable-hash randomized (the events_ab_test_lift idiom);
+# the score is the user's activity count (proxy model); deciles come
+# off the DISTINCT-score CDF with integer ceil-division — never a
+# per-user rank window; all counts are exact integers and the one
+# float ratio per decile row snaps.
+
+
+def _qini_sql(idiv: str, hash28: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS score,
+           CASE WHEN {hash28} % 2 = 1 THEN 1 ELSE 0 END AS treated,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END)
+                     > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                           END)
+                THEN 1 ELSE 0 END AS y
+    FROM events GROUP BY user_id
+),
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(sum(treated) AS BIGINT) AS c_t,
+           CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS c_yt,
+           CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS c_yc
+    FROM per_user GROUP BY score
+),
+chist AS (
+    SELECT c_all, c_t, c_yt, c_yc,
+           CAST(sum(c_all) OVER (ORDER BY score DESC) AS BIGINT) AS cum
+    FROM hist
+),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n FROM hist),
+dec AS (
+    SELECT CAST({d('10 * c.cum + t.n - 1', 't.n')} AS INT) AS decile,
+           CAST(sum(c.c_t) AS BIGINT) AS n_t,
+           CAST(sum(c.c_all - c.c_t) AS BIGINT) AS n_c,
+           CAST(sum(c.c_yt) AS BIGINT) AS y_t,
+           CAST(sum(c.c_yc) AS BIGINT) AS y_c
+    FROM chist c CROSS JOIN tot t
+    GROUP BY 1
+),
+cum2 AS (
+    SELECT decile, n_t, n_c, y_t, y_c,
+           CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT) AS cnt,
+           CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT) AS cnc,
+           CAST(sum(y_t) OVER (ORDER BY decile) AS BIGINT) AS cyt,
+           CAST(sum(y_c) OVER (ORDER BY decile) AS BIGINT) AS cyc
+    FROM dec
+)
+SELECT decile, n_t, n_c, y_t, y_c,
+       CASE WHEN cnc = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor((cyt - cyc * (CAST(cnt AS DOUBLE) / cnc))
+                       * 1e6 + 0.5) / 1e6
+       END AS qini
+FROM cum2
+ORDER BY decile
+"""
+
+
+_QINI_SPARK_SQL = _qini_sql(
+    "CAST(({a}) DIV ({b}) AS BIGINT)",
+    spark_hash28("concat('qini', CAST(user_id AS STRING))"),
+)
+_QINI_DUCK_SQL = _qini_sql(
+    "CAST(({a}) // ({b}) AS BIGINT)",
+    duck_hash28("concat('qini', CAST(user_id AS VARCHAR))"),
+)
+
+
+@register("events_qini_uplift_curve", oracle=_QINI_DUCK_SQL)
+def events_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve over activity-score deciles with a
+    hash-randomized arm: per-decile arm counts/conversions and the
+    cumulative incremental-responder statistic."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_QINI_SPARK_SQL)

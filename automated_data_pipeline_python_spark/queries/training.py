@@ -800,3 +800,65 @@ def mixture_class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFram
     frequency) nor ignores them (proportional)."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_cb_weights_sql())
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-controlled categorical features)
+# ---------------------------------------------------------------------------
+# The feature-engineering staple the naive version silently breaks: a
+# per-category target mean computed over ALL rows leaks each row's own
+# label into its feature (training metrics inflate, deployment drops).
+# The K-fold fix encodes every row with the mean of the OTHER folds:
+# oof_mean(brand, fold) = (sum_brand - sum_fold) / (n_brand - n_fold) —
+# total-minus-fold moment subtraction, the same exact-arithmetic trick
+# as mlstats_cv_ols_r2, so the whole encoding costs ONE group-by at any
+# scale (never a per-fold rescan). Folds are hash-seeded on the order
+# key (deterministic, engine-portable); the target is the lineitem
+# extended price in exact cents.
+
+_TE_FOLDS = 5
+
+
+def _te_sql(hash28, str_t: str, modfn: str) -> str:
+    key = hash28(f"concat('te', CAST(l_orderkey AS {str_t}))")
+    return f"""
+WITH rows_f AS (
+    SELECT p.p_brand AS brand,
+           {modfn}({key}, {_TE_FOLDS}) AS fold,
+           CAST(floor(l.l_extendedprice * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_fold AS (
+    SELECT brand, fold,
+           CAST(count(*) AS BIGINT) AS n_f,
+           CAST(sum(cents) AS BIGINT) AS s_f
+    FROM rows_f GROUP BY brand, fold
+),
+per_brand AS (
+    SELECT brand,
+           CAST(sum(n_f) AS BIGINT) AS n,
+           CAST(sum(s_f) AS BIGINT) AS s
+    FROM per_fold GROUP BY brand
+)
+SELECT f.brand, CAST(f.fold AS INT) AS fold, f.n_f AS n_fold,
+       floor((CAST(b.s - f.s_f AS DOUBLE) / (b.n - f.n_f) / 1e2)
+             * 1e4 + 0.5) / 1e4 AS oof_mean,
+       floor((CAST(b.s AS DOUBLE) / b.n / 1e2) * 1e4 + 0.5) / 1e4
+           AS naive_mean
+FROM per_fold f JOIN per_brand b ON b.brand = f.brand
+ORDER BY f.brand, f.fold
+"""
+
+
+@register(
+    "feature_target_encode_oof",
+    oracle=_te_sql(duck_hash28, "VARCHAR", "mod"),
+)
+def feature_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding of brand against lineitem
+    price: per (brand, fold) the leakage-free encoding value from
+    total-minus-fold exact moment subtraction, next to the naive
+    (leaky) all-rows mean."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_te_sql(spark_hash28, "STRING", "pmod"))

@@ -44,6 +44,7 @@ ALLOWED = {
     "events_kuiper_two_sample": "eCDF over value histogram (integer cents domain — same stage class as KS)",
     "events_kleinberg_bursts": "day-index window over calendar-bounded daily relation (was hidden behind the recursive form's checkpoint)",
     "events_kruskal_wallis_h": "rank-sum read off value histogram (cents grid), never per-row ranks",
+    "events_qini_uplift_curve": "decile CDF over the distinct activity-score histogram + 10-row cumulative",
     "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",
     "events_sprt_ab_trajectory": "cumulative LLR over day-granularity trajectory",
     "events_haar_wavelet_energy": "day-index window over calendar-bounded daily relation",

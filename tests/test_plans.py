@@ -713,6 +713,9 @@ def test_round8_additions_python_free(spark):
         "mlstats_eb_beta_shrinkage",
         "rag_mmr_rerank",
         "mixture_unimax_budget",
+        "feature_target_encode_oof",
+        "events_ipw_ate",
+        "events_qini_uplift_curve",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

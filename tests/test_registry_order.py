@@ -87,6 +87,9 @@ ROUND8_NEW: list[str] = [
     "mlstats_eb_beta_shrinkage",
     "rag_mmr_rerank",
     "mixture_unimax_budget",
+    "feature_target_encode_oof",
+    "events_ipw_ate",
+    "events_qini_uplift_curve",
 ]
 
 
