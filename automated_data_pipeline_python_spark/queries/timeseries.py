@@ -2579,19 +2579,17 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitioned per type over the calendar-bounded relation.
 
 
-def _ph_sql(fmt_day: str) -> str:
-    return f"""
-WITH daily AS (
-    SELECT event_type, CAST(ts AS DATE) AS d,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events GROUP BY event_type, CAST(ts AS DATE)
-),
-stat AS (
+def _ph_tail(fmt_day: str) -> str:
+    """Everything downstream of the per-(type, day) count grid, with a
+    {daily} placeholder so streaming/monitors.py can apply the identical
+    algebra to its incrementally-maintained grid (the same template
+    discipline as _CUSUM_TAIL — stream==batch parity by construction)."""
+    return f"""stat AS (
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS nd,
            CAST(sum(n) AS BIGINT) AS ntot,
            CAST(sum(n * n) AS BIGINT) AS n2tot
-    FROM daily GROUP BY event_type
+    FROM {{daily}} GROUP BY event_type
 ),
 params AS (
     SELECT event_type,
@@ -2613,7 +2611,7 @@ idx AS (
            CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS pre
-    FROM daily
+    FROM {{daily}}
 ),
 terms AS (
     SELECT i.event_type, i.d, i.n, i.i,
@@ -2642,6 +2640,18 @@ SELECT event_type, {fmt_day} AS day, n AS n_events,
 FROM ph
 ORDER BY event_type, day
 """
+
+
+
+
+def _ph_sql(fmt_day: str) -> str:
+    return """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+""" + _ph_tail(fmt_day).format(daily="daily")
 
 
 @register(

@@ -1,8 +1,9 @@
 """Streaming drift, mixture, and changepoint monitors — twins of the
 batch catalog queries ``events_psi_value_drift`` and
 ``events_ks_two_sample`` (queries/drift.py), ``mixture_doremi_round``
-(queries/curation3.py), and ``events_cusum_changepoint``
-(queries/timeseries.py).
+(queries/curation3.py), and ``events_cusum_changepoint`` /
+``events_page_hinkley_drift`` (queries/timeseries.py — the two
+detectors share one incrementally-maintained count grid).
 
 Monitor shape (the ``mad_alarm`` discipline extended from map-only
 scoring to aggregating monitors): the baseline is frozen batch-side as
@@ -239,6 +240,27 @@ def cusum_daily_counts(stream: DataFrame) -> DataFrame:
         stream.groupBy(
             "event_type", F.expr("CAST(ts AS DATE)").alias("d")
         ).agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"))
+    )
+
+
+def page_hinkley_report(daily_counts: DataFrame) -> DataFrame:
+    """Page-Hinkley running-mean drift report from the completed count
+    grid — the catalog query's {daily}-parameterized algebra template
+    (queries/timeseries.py _ph_tail) applied verbatim to the SAME
+    incrementally-maintained state as the CUSUM monitor, so the
+    streamed report equals events_page_hinkley_drift row-for-row (one
+    state relation feeds both detectors)."""
+    from automated_data_pipeline_python_spark.queries.timeseries import (
+        _ph_tail,
+    )
+
+    spark = daily_counts.sparkSession
+    daily_counts.createOrReplaceTempView("ph_mon_daily")
+    return spark.sql(
+        "WITH "
+        + _ph_tail("date_format(d, 'yyyy-MM-dd')").format(
+            daily="ph_mon_daily"
+        )
     )
 
 

@@ -762,3 +762,23 @@ def test_cusum_monitor_stream_equals_catalog(spark, events_dir):
     batch_counts = cusum_daily_counts(load(spark, SF_DIR, "events"))
     assert _sorted_rows(got_counts, ["event_type", "d", "n"]) == \
         _sorted_rows(batch_counts, ["event_type", "d", "n"])
+
+
+def test_page_hinkley_monitor_stream_equals_catalog(spark, events_dir):
+    """The CUSUM monitor's incremental (type, day) state + the PH
+    template verbatim must equal events_page_hinkley_drift
+    row-for-row — one state relation feeds both detectors."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        cusum_daily_counts,
+        page_hinkley_report,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got_counts = run_to_memory(
+        cusum_daily_counts(stream), "t_ph", output_mode="complete"
+    )
+    got = page_hinkley_report(got_counts)
+    want = QUERIES["events_page_hinkley_drift"].fn(spark, SF_DIR)
+    cols = ["event_type", "day", "n_events", "ph_stat", "alarm"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
