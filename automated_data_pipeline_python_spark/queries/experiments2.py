@@ -982,3 +982,107 @@ def events_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative incremental-responder statistic."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_QINI_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences with a parallel-trends placebo
+# ---------------------------------------------------------------------------
+# The panel-data member of the causal family: IPW corrects selection on
+# OBSERVED confounders; DiD removes any TIME-INVARIANT group difference
+# by differencing each group against its own pre-period —
+# (T_post − T_pre) − (C_post − C_pre). Groups are hash-randomized, the
+# intervention point is the period midpoint (the PSI early/late split
+# idiom), and the required parallel-trends assumption gets the standard
+# falsification: the same estimator run INSIDE the pre-period (its two
+# quarters) must be ~0 — reported as placebo_did.
+#
+# One corpus scan buckets purchase cents into the 4 (group x period)
+# cells + 4 placebo cells; each mean is one exact-integer division
+# snapped at 1e-6, and the DiD contrasts are algebra over those snapped
+# means. No windows at all.
+
+_DID_SQL_T = """
+WITH b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+scored AS (
+    SELECT CASE WHEN {arm} % 2 = 1 THEN 1 ELSE 0 END AS g,
+           CASE WHEN 2 * ({us_since_t0}) < ({us_span})
+                THEN 0 ELSE 1 END AS post,
+           CASE WHEN 4 * ({us_since_t0}) < ({us_span})
+                THEN 0 ELSE 1 END AS q2,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events CROSS JOIN b
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+cells AS (
+    SELECT g, post,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s
+    FROM scored GROUP BY g, post
+),
+pre_cells AS (
+    SELECT g, q2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s
+    FROM scored WHERE post = 0 GROUP BY g, q2
+),
+m AS (
+    SELECT
+        floor((CAST(min(CASE WHEN g = 1 AND post = 0 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 1 AND post = 0 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS t_pre,
+        floor((CAST(min(CASE WHEN g = 1 AND post = 1 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 1 AND post = 1 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS t_post,
+        floor((CAST(min(CASE WHEN g = 0 AND post = 0 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 0 AND post = 0 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS c_pre,
+        floor((CAST(min(CASE WHEN g = 0 AND post = 1 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 0 AND post = 1 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS c_post
+    FROM cells
+),
+p AS (
+    SELECT
+        floor((CAST(min(CASE WHEN g = 1 AND q2 = 0 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 1 AND q2 = 0 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS pt1,
+        floor((CAST(min(CASE WHEN g = 1 AND q2 = 1 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 1 AND q2 = 1 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS pt2,
+        floor((CAST(min(CASE WHEN g = 0 AND q2 = 0 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 0 AND q2 = 0 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS pc1,
+        floor((CAST(min(CASE WHEN g = 0 AND q2 = 1 THEN s END) AS DOUBLE)
+               / min(CASE WHEN g = 0 AND q2 = 1 THEN n END) / 1e2)
+              * 1e6 + 0.5) / 1e6 AS pc2
+    FROM pre_cells
+)
+SELECT m.t_pre, m.t_post, m.c_pre, m.c_post,
+       floor(((m.t_post - m.t_pre) - (m.c_post - m.c_pre)) * 1e6 + 0.5)
+           / 1e6 AS did,
+       floor(((p.pt2 - p.pt1) - (p.pc2 - p.pc1)) * 1e6 + 0.5) / 1e6
+           AS placebo_did
+FROM m CROSS JOIN p
+"""
+
+_DID_SPARK_SQL = (
+    _DID_SQL_T
+    .replace("{arm}", spark_hash28("concat('did', CAST(user_id AS STRING))"))
+    .replace("{us_since_t0}", "timestampdiff(MICROSECOND, b.t0, ts)")
+    .replace("{us_span}", "timestampdiff(MICROSECOND, b.t0, b.t1)")
+)
+_DID_DUCK_SQL = (
+    _DID_SQL_T
+    .replace("{arm}", duck_hash28("concat('did', CAST(user_id AS VARCHAR))"))
+    .replace("{us_since_t0}", "date_diff('microsecond', b.t0, ts)")
+    .replace("{us_span}", "date_diff('microsecond', b.t0, b.t1)")
+)
+
+
+@register("events_did_estimator", oracle=_DID_DUCK_SQL)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value around the period
+    midpoint with hash-randomized groups, plus the pre-period placebo
+    contrast that falsifies parallel trends."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_DID_SPARK_SQL)

@@ -1491,3 +1491,97 @@ def embedding_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_rocchio_spark_sql())
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift (snapshot-half comparison per label)
+# ---------------------------------------------------------------------------
+# The embedding-space member of the drift family: PSI/KS/W1 watch
+# SCALAR distributions; when the monitored artifact is a vector column
+# (a re-embedded corpus, a retrained encoder), the first-order check is
+# whether each class's CENTROID moved — cosine between the early-half
+# and late-half mean vectors, plus the norm ratio (a shrinking norm
+# with stable cosine = the classic "embedding collapse" smell).
+# Halves split on vec_id parity (the deterministic stand-in for two
+# snapshots).
+#
+# Float discipline (the clustering.py centroid rules): per-dim means
+# are exact 1e-9-grid sums divided once and re-snapped; the cosine's
+# cross-dim sums are exact 1e-12-grid sums of snapped products; the two
+# final ratios snap at 1e-6 behind a zero-norm guard. Scale: one
+# posexplode pass to (label, half, dim) partial aggregates — dims are
+# bounded (64), labels bounded, so everything after the first group-by
+# is tiny.
+
+
+def _centroid_drift_sql(explode, cast_vec: str) -> str:
+    return f"""
+WITH halves AS (
+    SELECT label, vec_id % 2 AS late, {cast_vec} AS v FROM embeddings
+),
+dims AS (
+    {explode("halves")}
+),
+means AS (
+    SELECT label, late, d,
+           floor(({sql_exact_sum("x", 9)} / count(*)) * 1e9 + 0.5) / 1e9
+               AS m
+    FROM dims GROUP BY label, late, d
+),
+pairs AS (
+    SELECT e.label, e.m AS me, l.m AS ml
+    FROM means e JOIN means l ON l.label = e.label AND l.d = e.d
+    WHERE e.late = 0 AND l.late = 1
+),
+stats AS (
+    SELECT label,
+           {sql_exact_sum("me * ml", 12)} AS dt,
+           {sql_exact_sum("me * me", 12)} AS ne2,
+           {sql_exact_sum("ml * ml", 12)} AS nl2
+    FROM pairs GROUP BY label
+),
+counts AS (
+    SELECT label,
+           CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_early,
+           CAST(sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late
+    FROM halves GROUP BY label
+)
+SELECT c.label, c.n_early, c.n_late,
+       CASE WHEN s.ne2 <= 0e0 OR s.nl2 <= 0e0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor((s.dt / sqrt(s.ne2) / sqrt(s.nl2)) * 1e6 + 0.5)
+                 / 1e6 END AS centroid_cosine,
+       CASE WHEN s.ne2 <= 0e0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor(sqrt(s.nl2 / s.ne2) * 1e6 + 0.5) / 1e6
+       END AS norm_ratio
+FROM counts c JOIN stats s ON s.label = c.label
+ORDER BY c.label
+"""
+
+
+_CENTROID_DRIFT_SPARK_SQL = _centroid_drift_sql(
+    explode=lambda m: (
+        f"SELECT label, late, d, x FROM {m}"
+        f" LATERAL VIEW posexplode(v) t AS d, x"
+    ),
+    cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
+)
+_CENTROID_DRIFT_DUCK_SQL = _centroid_drift_sql(
+    explode=lambda m: (
+        f"SELECT label, late, unnest(generate_series(1, len(v))) AS d,"
+        f" unnest(v) AS x FROM {m}"
+    ),
+    cast_vec="embedding::DOUBLE[]",
+)
+
+
+@register("embedding_centroid_drift", oracle=_CENTROID_DRIFT_DUCK_SQL)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine and norm ratio between the two
+    vec_id-parity halves of the embedding corpus — the vector-space
+    drift screen next to the scalar PSI/KS/W1 family."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_CENTROID_DRIFT_SPARK_SQL)

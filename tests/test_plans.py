@@ -716,6 +716,8 @@ def test_round8_additions_python_free(spark):
         "feature_target_encode_oof",
         "events_ipw_ate",
         "events_qini_uplift_curve",
+        "events_did_estimator",
+        "embedding_centroid_drift",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

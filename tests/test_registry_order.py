@@ -90,6 +90,8 @@ ROUND8_NEW: list[str] = [
     "feature_target_encode_oof",
     "events_ipw_ate",
     "events_qini_uplift_curve",
+    "events_did_estimator",
+    "embedding_centroid_drift",
 ]
 
 
