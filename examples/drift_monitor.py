@@ -5,10 +5,13 @@ new batch, at test scale:
 
 1. VOCAB DRIFT   per-source KL divergence vs the corpus distribution
 2. VALUE DRIFT   PSI of the metric distribution, early vs late window
-3. OUTLIERS      median/MAD robust z-scores on the daily event series
-4. INTEGRITY     Benford first-digit conformance of order amounts
-5. DEPENDENCY    categorical mutual-information matrix
-6. FILTER HEALTH Gopher-rule pass/fail census on the document corpus
+3. SHAPE DRIFT   two-sample KS + Wasserstein-1 magnitude (in dollars)
+4. MEAN DRIFT    Page-Hinkley running-mean alarm on daily counts
+5. VECTOR DRIFT  per-label embedding centroid cosine between halves
+6. OUTLIERS      median/MAD robust z-scores on the daily event series
+7. INTEGRITY     Benford first-digit conformance of order amounts
+8. DEPENDENCY    categorical mutual-information matrix
+9. FILTER HEALTH Gopher-rule pass/fail census on the document corpus
 
 Every section is a catalog operator with a DuckDB oracle; this script
 chains them over the same testdata tables and prints a one-line alarm
@@ -29,6 +32,10 @@ from automated_data_pipeline_python_spark.session import get_spark
 SECTIONS = [
     ("vocab_drift", "corpus_source_kl_divergence", "kl_nats > 0.05"),
     ("value_drift", "events_psi_value_drift", "psi_term > 0.02"),
+    ("shape_drift", "events_ks_two_sample", "p_value < 0.05"),
+    ("shape_drift_w1", "events_wasserstein_distance", "w1_distance > 1.0"),
+    ("mean_drift", "events_page_hinkley_drift", "alarm = 1"),
+    ("vector_drift", "embedding_centroid_drift", "centroid_cosine < 0.9"),
     ("outliers", "events_mad_outliers", "is_outlier = 1"),
     ("integrity", "dq_benford_first_digit", "abs_dev > 0.05"),
     ("dependency", "dq_mutual_information", "nmi > 0.5"),
