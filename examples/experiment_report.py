@@ -1,0 +1,68 @@
+"""Experiment-analysis review: the engine's causal/testing family
+composed the way a growth team reads an A/B program.
+
+1. RANDOMIZED LIFT   hash-arm conversion lift + two-proportion z
+2. POWER             per-arm sample size needed at 2/5/10 % MDE
+3. SEQUENTIAL        SPRT accept/continue trajectory (early stopping)
+4. MULTIPLICITY      Benjamini-Hochberg screen over hourly tests
+5. OBSERVATIONAL     IPW ATE vs the naive diff (confounding measured)
+6. PANEL             difference-in-differences + parallel-trends placebo
+7. TARGETING         Qini uplift curve over score deciles
+
+Every section is a catalog operator with a DuckDB oracle; this script
+chains them over the same testdata and prints a one-line verdict per
+section. Run: ``python examples/experiment_report.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from automated_data_pipeline_python_spark.queries import QUERIES
+from automated_data_pipeline_python_spark.session import get_spark
+
+
+def run(spark, sf_dir: str) -> None:
+    def rows(name: str):
+        return QUERIES[name].fn(spark, sf_dir).collect()
+
+    lift = rows("events_ab_test_lift")[0].asDict()
+    print(f"[lift     ] abs lift {lift.get('lift_abs')} "
+          f"(z = {lift.get('z_score')})")
+
+    for r in rows("events_power_analysis"):
+        d = r.asDict()
+        print(f"[power    ] {d}")
+
+    sprt = rows("events_sprt_ab_trajectory")
+    last = sprt[-1].asDict() if sprt else {}
+    print(f"[sprt     ] {len(sprt)} trajectory rows; final state {last}")
+
+    fdr = rows("events_bh_fdr_screen")
+    sig = [r for r in fdr if r.asDict().get("significant") in (1, True)]
+    print(f"[fdr      ] {len(sig)}/{len(fdr)} hourly tests survive BH")
+
+    ipw = rows("events_ipw_ate")[0].asDict()
+    print(f"[ipw      ] naive {ipw['naive_diff']} vs ATE {ipw['ipw_ate']} "
+          f"({ipw['n_strata_used']}/{ipw['n_strata']} strata pass "
+          f"positivity) — the gap is the confounding")
+
+    did = rows("events_did_estimator")[0].asDict()
+    print(f"[did      ] DiD {did['did']}; placebo {did['placebo_did']} "
+          f"(should be ~0 if trends are parallel)")
+
+    qini = rows("events_qini_uplift_curve")
+    final = qini[-1].asDict() if qini else {}
+    print(f"[qini     ] {len(qini)} deciles; cumulative Qini at 100% "
+          f"targeting = {final.get('qini')}")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    session = get_spark(app_name="experiment-report")
+    try:
+        run(session, sf)
+    finally:
+        session.stop()
