@@ -861,29 +861,20 @@ def events_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # segment width are windows over the bounded distinct-cents grid — the
 # sanctioned class (same shape the KS/CvM/Kuiper queries pin).
 
-_WASSERSTEIN_SQL = """
-WITH vals AS (
-    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
-           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
-    FROM events
-    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-grid AS (
-    SELECT cents,
-           CAST(sum(is_x) AS BIGINT) AS cx,
-           CAST(sum(1 - is_x) AS BIGINT) AS cy
-    FROM vals GROUP BY cents
-),
-cdf AS (
+# Everything downstream of the per-cents (cx, cy) count grid, as a
+# {grid}-parameterized template: streaming/monitors.py applies it to
+# the SAME merged histogram state the KS monitor keeps (one state
+# relation, two drift reports).
+_W1_TAIL = """cdf AS (
     SELECT cents,
            CAST(sum(cx) OVER (ORDER BY cents) AS BIGINT) AS fx,
            CAST(sum(cy) OVER (ORDER BY cents) AS BIGINT) AS fy,
            lead(cents) OVER (ORDER BY cents) AS next_cents
-    FROM grid
+    FROM {grid}
 ),
 tot AS (
     SELECT CAST(sum(cx) AS BIGINT) AS n1, CAST(sum(cy) AS BIGINT) AS n2
-    FROM grid
+    FROM {grid}
 ),
 mass AS (
     -- the last grid point has no segment (both CDFs are 1 beyond it)
@@ -901,6 +892,20 @@ SELECT n1 AS n_click, n2 AS n_purchase,
 FROM mass
 """
 
+_WASSERSTEIN_SQL = """
+WITH vals AS (
+    SELECT CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+grid AS (
+    SELECT cents,
+           CAST(sum(is_x) AS BIGINT) AS cx,
+           CAST(sum(1 - is_x) AS BIGINT) AS cy
+    FROM vals GROUP BY cents
+),
+""" + _W1_TAIL.format(grid="grid")
 
 @register("events_wasserstein_distance", oracle=_WASSERSTEIN_SQL)
 def events_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:

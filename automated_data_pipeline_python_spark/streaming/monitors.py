@@ -200,16 +200,12 @@ def ks_live_counts(stream: DataFrame, side: str = "click") -> DataFrame:
     )
 
 
-def ks_report(live_counts: DataFrame, reference: DataFrame) -> DataFrame:
-    """Two-sample KS statistic/location/p-value from the completed
-    histograms — the catalog query's {grid}-parameterized CDF/sup-gap
-    template (queries/drift.py _KS_TAIL) applied verbatim to the
-    union-merged (cents, cx, cy) grid, so with the catalog framing
-    (live=click, reference=purchase) the streamed report equals
-    events_ks_two_sample row-for-row."""
-    from automated_data_pipeline_python_spark.queries.drift import _KS_TAIL
-
-    spark = live_counts.sparkSession
+def _merged_value_grid(
+    live_counts: DataFrame, reference: DataFrame, view: str
+) -> DataFrame:
+    """Union-merge the live (cx) and frozen reference (cy) histograms
+    into the (cents, cx, cy) grid both eCDF reports read, and register
+    it under ``view``."""
     grid = (
         live_counts.select(
             "cents", F.col("n").alias("cx"), F.expr("CAST(0 AS BIGINT)").alias("cy")
@@ -227,8 +223,36 @@ def ks_report(live_counts: DataFrame, reference: DataFrame) -> DataFrame:
             F.expr("CAST(sum(cy) AS BIGINT)").alias("cy"),
         )
     )
-    grid.createOrReplaceTempView("ks_mon_grid")
+    grid.createOrReplaceTempView(view)
+    return grid
+
+
+def ks_report(live_counts: DataFrame, reference: DataFrame) -> DataFrame:
+    """Two-sample KS statistic/location/p-value from the completed
+    histograms — the catalog query's {grid}-parameterized CDF/sup-gap
+    template (queries/drift.py _KS_TAIL) applied verbatim to the
+    union-merged (cents, cx, cy) grid, so with the catalog framing
+    (live=click, reference=purchase) the streamed report equals
+    events_ks_two_sample row-for-row."""
+    from automated_data_pipeline_python_spark.queries.drift import _KS_TAIL
+
+    spark = live_counts.sparkSession
+    _merged_value_grid(live_counts, reference, "ks_mon_grid")
     return spark.sql("WITH " + _KS_TAIL.format(grid="ks_mon_grid"))
+
+
+def w1_report(live_counts: DataFrame, reference: DataFrame) -> DataFrame:
+    """Wasserstein-1 drift magnitude (in the value's own units) from
+    the SAME histogram state the KS monitor keeps — the catalog query's
+    {grid} template (queries/drift.py _W1_TAIL) applied verbatim, so
+    with the catalog framing the streamed report equals
+    events_wasserstein_distance row-for-row. One state relation, two
+    drift reports (the CUSUM/Page-Hinkley pairing, for eCDFs)."""
+    from automated_data_pipeline_python_spark.queries.drift import _W1_TAIL
+
+    spark = live_counts.sparkSession
+    _merged_value_grid(live_counts, reference, "w1_mon_grid")
+    return spark.sql("WITH " + _W1_TAIL.format(grid="w1_mon_grid"))
 
 
 def cusum_daily_counts(stream: DataFrame) -> DataFrame:

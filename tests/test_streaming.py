@@ -739,6 +739,16 @@ def test_ks_monitor_stream_equals_catalog(spark, events_dir):
         batch_counts, ["cents", "n"]
     )
 
+    # The W1 report reads the SAME state — one grid, two drift reports.
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        w1_report,
+    )
+
+    got_w1 = w1_report(got_counts, ref)
+    want_w1 = QUERIES["events_wasserstein_distance"].fn(spark, SF_DIR)
+    cols_w1 = ["n_click", "n_purchase", "w1_distance"]
+    assert _sorted_rows(got_w1, cols_w1) == _sorted_rows(want_w1, cols_w1)
+
 
 def test_cusum_monitor_stream_equals_catalog(spark, events_dir):
     """Incremental (type, day) counts + the catalog tail verbatim must
