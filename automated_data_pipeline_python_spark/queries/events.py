@@ -1267,3 +1267,57 @@ def events_markov_removal_attribution(
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_mre_sql("ts"))
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain
+# ---------------------------------------------------------------------------
+# The predictability number on top of the chain the two queries above
+# build: H = -sum_i pi_i sum_j P(i,j) ln P(i,j) nats/step — how many
+# nats the NEXT action carries once you know the current one. Falling
+# entropy rate between corpus snapshots = user journeys becoming more
+# scripted (or a tracking bug collapsing variety); it is the
+# single-number drift gauge for behavioral logs. Reuses the snapped
+# transition matrix (_MKV_MAT_SQL) and the three stationary
+# power-iteration rounds verbatim; per-row entropies exact-sum snapped
+# p*ln(p) terms on the 1e-12 grid, and pi weights come from round 3.
+# Everything after the one lead() pass is <=25-row algebra.
+
+
+def _entropy_rate_tail(mat: str) -> str:
+    rowsum = sql_exact_sum("p * ln(p)", 12)
+    return f"""
+rowh AS (
+    SELECT f,
+           floor((-1e0 * ({rowsum})) * 1e6 + 0.5) / 1e6 AS h_row
+    FROM {mat} GROUP BY f
+)
+SELECT p3.s AS event_type,
+       p3.pi AS pi_stationary,
+       r.h_row AS row_entropy_nats,
+       floor((p3.pi * r.h_row) * 1e6 + 0.5) / 1e6 AS contribution_nats
+FROM pi3 p3 JOIN rowh r ON r.f = p3.s
+ORDER BY event_type
+"""
+
+
+def _entropy_rate_sql(mat: str) -> str:
+    pis = _mkv_tail(mat)
+    pis = pis[: pis.index("\nSELECT")]  # keep states/ns/pi0..pi3 CTEs
+    return pis + "," + _entropy_rate_tail(mat)
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle="WITH mkv_mat AS (" + _MKV_MAT_SQL + "),\n"
+    + _entropy_rate_sql("mkv_mat").lstrip(),
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type chain: per-state conditional
+    entropy (nats) and its stationary-weighted contribution — the
+    journey-predictability drift gauge."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(_MKV_MAT_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "mkv_mat"
+    )
+    return spark.sql("WITH " + _entropy_rate_sql("mkv_mat").lstrip())

@@ -29,6 +29,9 @@ from automated_data_pipeline_python_spark.functions.text import (
     DUCK_TOKENS,
     SPARK_TOKENS,
 )
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_sum,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load_scaled
 
@@ -454,3 +457,107 @@ def retrieval_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
             xor="q.qh ^ d.th",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood ranking (Dirichlet-smoothed language model)
+# ---------------------------------------------------------------------------
+# The LM-retrieval counterpart to text_bm25_ranking (Zhai & Lafferty
+# 2001): score(d) = sum_t ln((tf + mu*P(t|C)) / (dl + mu)), mu = 2000.
+# BM25 rewards rarity via idf; QL-Dirichlet rewards it via the
+# collection LM, and the Dirichlet prior makes long documents pay for
+# their length — the two standard-but-different rankings worth
+# cross-checking (a doc ranked high by both is a robust hit).
+#
+# Decomposed so NO dense doc x term relation ever exists:
+# score = [S - |Q|*ln(dl + mu)] + adj(d), where S = sum_t ln(mu*P_t)
+# is ONE broadcast scalar, the bracket is a map-only expression per
+# document, and adj sums ln(tf + mu*P_t) - ln(mu*P_t) over the HIT
+# (doc, term) rows only. Per-term logs snap at 1e-9 and exact-sum;
+# the final score snaps at 1e-6; top-20 totally ordered.
+
+_QL_MU = "2e3"
+_QL_TOP = 20
+
+_QL_BODY = """
+WITH doclen AS (
+    SELECT doc_id, {size_toks} AS dl FROM documents
+),
+ctot AS (
+    SELECT CAST({sum_dl} AS DOUBLE) AS c FROM doclen
+),
+tf AS (
+    SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM ({explode_toks})
+    WHERE tok IN ({terms_in})
+    GROUP BY doc_id, tok
+),
+cf AS (
+    SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+),
+p AS (
+    SELECT term,
+           floor(({mu} * cf / t.c) * 1e9 + 0.5) / 1e9 AS mup
+    FROM cf CROSS JOIN ctot t
+),
+sbase AS (
+    SELECT {s_sum} AS s, CAST(count(*) AS INT) AS nt FROM p
+),
+adj AS (
+    SELECT tf.doc_id,
+           {adj_sum} AS a,
+           CAST(count(*) AS INT) AS n_terms_hit
+    FROM tf JOIN p ON p.term = tf.term
+    GROUP BY tf.doc_id
+),
+scored AS (
+    SELECT d.doc_id,
+           floor((b.s - b.nt * ln(d.dl + {mu}) + coalesce(a.a, 0e0))
+                 * 1e6 + 0.5) / 1e6 AS ql_score,
+           CAST(coalesce(a.n_terms_hit, 0) AS INT) AS n_terms_hit
+    FROM doclen d CROSS JOIN sbase b
+    LEFT JOIN adj a ON a.doc_id = d.doc_id
+),
+picked AS (
+    SELECT doc_id, ql_score, n_terms_hit
+    FROM scored ORDER BY ql_score DESC, doc_id LIMIT {top}
+)
+SELECT doc_id, ql_score, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY ql_score DESC, doc_id) AS INT)
+           AS rnk
+FROM picked
+ORDER BY rnk
+"""
+
+
+def _ql_sql(size_toks: str, sum_dl: str, explode_toks: str) -> str:
+    return _QL_BODY.format(
+        size_toks=size_toks,
+        sum_dl=sum_dl,
+        explode_toks=explode_toks,
+        terms_in=_TERMS_IN,
+        mu=_QL_MU,
+        top=_QL_TOP,
+        s_sum=sql_exact_sum("ln(mup)", 9),
+        adj_sum=sql_exact_sum("ln(tf.tf + p.mup) - ln(p.mup)", 9),
+    )
+
+
+_QL_SPARK_SQL = _ql_sql(
+    f"size({_S_TOK})",
+    "sum(dl)",
+    f"SELECT doc_id, explode({_S_TOK}) AS tok FROM documents",
+)
+_QL_DUCK_SQL = _ql_sql(
+    f"CAST(len({_D_TOK}) AS INT)",
+    "CAST(sum(dl) AS DOUBLE)",
+    f"SELECT doc_id, unnest({_D_TOK}) AS tok FROM documents",
+)
+
+
+@register("text_ql_dirichlet_ranking", oracle=_QL_DUCK_SQL)
+def text_ql_dirichlet_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-20 for the shared fixed
+    query-term set (mu=2000) — the LM ranking next to BM25, with a
+    map-only base term and a hits-only adjustment join."""
+    return _docs_sql(spark, sf_dir, _QL_SPARK_SQL)

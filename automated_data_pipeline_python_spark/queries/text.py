@@ -24,6 +24,9 @@ from automated_data_pipeline_python_spark.functions.text import (
     spark_stopword_hits,
     spark_word_shingles,
 )
+from automated_data_pipeline_python_spark.functions.numeric import (
+    sql_exact_sum,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load, load_scaled
 
@@ -1006,3 +1009,110 @@ def text_gini_token_concentration(
         "documents"
     )
     return spark.sql(_GINI_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+# The authorship-attribution classic (Burrows 2002), repurposed as the
+# corpus-curation "same pen?" screen: two nominally-different sources
+# with a tiny Delta are one writer/generator/template wearing two
+# labels (scraper mirrors, SEO farms, synthetic-data leaks). Method:
+# z-score each source's relative frequency of the corpus's top-30
+# tokens against the cross-source mean/sd, Delta(a,b) = mean_t
+# |z_a(t) - z_b(t)| — function-word profiles, not topic words, which
+# is why it survives subject-matter changes.
+#
+# Float discipline: relative frequencies snap to 1e-9 micro-units
+# (BIGINT) off exact counts; cross-source moments are exact integer
+# sums of those micro-units; each z and each Delta is a single float
+# expression over them, snapped at 1e-6 (zero-sd tokens are excluded
+# deterministically before any pair math, so every pair averages the
+# same token set). Scale: one tokenize pass to (source, token) counts;
+# the top-30 pick is TakeOrdered over the vocab; everything after runs
+# on the bounded sources x 30 grid. Output: the 15 most similar pairs,
+# totally ordered.
+
+_BD_TOPK = 30
+
+_BD_TAIL = f"""
+stot AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM bd_tok
+    GROUP BY source
+),
+vocab AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM bd_tok
+    GROUP BY token
+),
+topk AS (SELECT token FROM vocab ORDER BY cnt DESC, token LIMIT {_BD_TOPK}),
+stc AS (
+    SELECT t.source, t.token, CAST(count(*) AS BIGINT) AS c
+    FROM bd_tok t JOIN topk k ON k.token = t.token
+    GROUP BY t.source, t.token
+),
+dense AS (
+    SELECT s.source, k.token,
+           CAST(floor((CAST(coalesce(c.c, 0) AS DOUBLE) / s.n)
+                      * 1e9 + 0.5) AS BIGINT) AS fu
+    FROM stot s CROSS JOIN topk k
+    LEFT JOIN stc c ON c.source = s.source AND c.token = k.token
+),
+mstat AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS g,
+           CAST(sum(fu) AS BIGINT) AS s1,
+           CAST(sum(fu * fu) AS BIGINT) AS s2
+    FROM dense GROUP BY token
+),
+sigma AS (
+    SELECT token,
+           CAST(s1 AS DOUBLE) / g AS mu,
+           sqrt(greatest(0e0,
+                CAST(s2 AS DOUBLE) / g
+                - (CAST(s1 AS DOUBLE) / g) * (CAST(s1 AS DOUBLE) / g)))
+               AS sd
+    FROM mstat
+),
+z AS (
+    SELECT d.source, d.token,
+           floor(((d.fu - s.mu) / s.sd) * 1e6 + 0.5) / 1e6 AS z
+    FROM dense d JOIN sigma s ON s.token = d.token
+    WHERE s.sd > 0e0
+),
+nk AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS k FROM z),
+bd_pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           {{sumabs}} AS sumabs
+    FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b,
+       floor((p.sumabs / nk.k) * 1e6 + 0.5) / 1e6 AS burrows_delta
+FROM bd_pairs p CROSS JOIN nk
+ORDER BY burrows_delta, p.source_a, p.source_b
+LIMIT 15
+"""
+
+_BD_SPARK_SQL = (
+    f"WITH bd_tok AS (\n"
+    f"    SELECT source, token\n"
+    f"    FROM (SELECT source, {_S_TOK} AS toks FROM documents)\n"
+    f"    LATERAL VIEW explode(toks) t AS token\n"
+    f"),\n" + _BD_TAIL.lstrip()
+).format(sumabs=sql_exact_sum("abs(a.z - b.z)", 6))
+
+_BD_DUCK_SQL = (
+    f"WITH bd_tok AS (\n"
+    f"    SELECT source, unnest({_D_TOK}) AS token FROM documents\n"
+    f"),\n" + _BD_TAIL.lstrip()
+).format(sumabs=sql_exact_sum("abs(a.z - b.z)", 6))
+
+
+@register("text_burrows_delta", oracle=_BD_DUCK_SQL)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta over the top-30 token z-score profiles: the 15
+    most stylistically similar source pairs — the duplicate-generator
+    screen that survives topic drift."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_BD_SPARK_SQL)

@@ -1621,3 +1621,72 @@ def orders_logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_logrank_sql("datediff({b}, {a})"))
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stocking level (critical fractile off the demand CDF)
+# ---------------------------------------------------------------------------
+# The inventory-ops classic the percentile battery builds toward: with
+# underage cost 4x overage (an 0.8 critical fractile), the optimal
+# stocking level is the smallest daily-demand level whose CDF reaches
+# 0.8 — not the mean (the newsvendor's whole point is that means
+# under-stock whenever shortage costs dominate). Demand = per-brand
+# daily quantity; the fractile reads off the per-brand DISTINCT-demand
+# histogram with the INTEGER cross-compare 5*cum >= 4*n_days (no float
+# can flip the boundary), and because the CDF is monotone, the
+# achieved service level at the pick is min(cum) over qualifying rows.
+#
+# Scale: one lineitem-part join reduced to the (brand, day) grid; the
+# CDF windows are partitioned per brand over the calendar-bounded
+# relation. Output: one row per brand, totally ordered.
+
+_NEWSVENDOR_SQL = """
+WITH daily AS (
+    SELECT p.p_brand AS brand, l.l_shipdate AS d,
+           CAST(sum(l.l_quantity) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, l.l_shipdate
+),
+hist AS (
+    SELECT brand, q, CAST(count(*) AS BIGINT) AS c
+    FROM daily GROUP BY brand, q
+),
+cdf AS (
+    SELECT brand, q, c,
+           CAST(sum(c) OVER (PARTITION BY brand ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM hist
+),
+tot AS (
+    SELECT brand, CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(q) AS BIGINT) AS qtot
+    FROM daily GROUP BY brand
+),
+pick AS (
+    SELECT c.brand,
+           CAST(min(c.q) AS BIGINT) AS stock_p80,
+           CAST(min(c.cum) AS BIGINT) AS cum_at_pick
+    FROM cdf c JOIN tot t ON t.brand = c.brand
+    WHERE 5 * c.cum >= 4 * t.nd
+    GROUP BY c.brand
+)
+SELECT t.brand, t.nd AS n_days,
+       floor((CAST(t.qtot AS DOUBLE) / t.nd) * 1e4 + 0.5) / 1e4
+           AS mean_daily_demand,
+       p.stock_p80,
+       floor((CAST(p.cum_at_pick AS DOUBLE) / t.nd) * 1e6 + 0.5) / 1e6
+           AS service_level
+FROM tot t JOIN pick p ON p.brand = t.brand
+ORDER BY t.brand
+"""
+
+
+@register("lineitem_newsvendor_stock", oracle=_NEWSVENDOR_SQL)
+def lineitem_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand newsvendor stocking level at the 0.8 critical
+    fractile, read off the distinct-demand CDF with integer
+    cross-compares, next to the (under-stocking) mean."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_NEWSVENDOR_SQL)

@@ -718,6 +718,10 @@ def test_round8_additions_python_free(spark):
         "events_qini_uplift_curve",
         "events_did_estimator",
         "embedding_centroid_drift",
+        "events_markov_entropy_rate",
+        "text_burrows_delta",
+        "lineitem_newsvendor_stock",
+        "text_ql_dirichlet_ranking",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -92,6 +92,10 @@ ROUND8_NEW: list[str] = [
     "events_qini_uplift_curve",
     "events_did_estimator",
     "embedding_centroid_drift",
+    "events_markov_entropy_rate",
+    "text_burrows_delta",
+    "lineitem_newsvendor_stock",
+    "text_ql_dirichlet_ranking",
 ]
 
 
