@@ -1116,3 +1116,83 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_BD_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease profile per source
+# ---------------------------------------------------------------------------
+# The classic readability screen the Gopher rules do not cover: two
+# sources can both pass length/stopword gates while one is grade-school
+# prose and the other is legalese — reading ease is the curation knob
+# for audience-targeted corpora (and a drift gauge when a source's
+# register shifts). Flesch = 206.835 - 1.015*(words/sentences)
+# - 84.6*(syllables/words), with sentences = non-empty [.!?] segments
+# and syllables approximated by vowel groups (the standard
+# dictionary-free proxy; consistent cross-engine because both regexes
+# are identical).
+#
+# Per-document ratios snap at 1e-6; the per-source means are
+# order-independent exact sums of snapped scores. Map-only until the
+# bounded per-source aggregate.
+
+
+def _flesch_sql(n_words: str, n_sent: str, n_syll: str) -> str:
+    score = (
+        f"(206835e-3"
+        f" - 1015e-3 * (CAST({n_words} AS DOUBLE)"
+        f"              / greatest({n_sent}, 1))"
+        f" - 846e-1 * (CAST({n_syll} AS DOUBLE)"
+        f"             / greatest({n_words}, 1)))"
+    )
+    return f"""
+WITH per_doc AS (
+    SELECT source,
+           CAST({n_words} AS BIGINT) AS w,
+           CAST({n_sent} AS BIGINT) AS s,
+           CAST({n_syll} AS BIGINT) AS y,
+           floor({score} * 1e6 + 0.5) / 1e6 AS flesch
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor((CAST(sum(w) AS DOUBLE) / greatest(sum(s), 1)) * 1e4 + 0.5)
+           / 1e4 AS words_per_sentence,
+       floor((CAST(sum(y) AS DOUBLE) / greatest(sum(w), 1)) * 1e4 + 0.5)
+           / 1e4 AS syllables_per_word,
+       floor(({sql_exact_sum("flesch", 6)} / count(*)) * 1e4 + 0.5) / 1e4
+           AS mean_flesch,
+       CAST(sum(CASE WHEN flesch >= 6e1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_plain_english
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+_FLESCH_SPARK_SQL = _flesch_sql(
+    n_words=f"size({_S_TOK})",
+    n_sent=(
+        "size(filter(split(text, '[.!?]+'),"
+        " x -> length(trim(x)) > 0))"
+    ),
+    n_syll="size(regexp_extract_all(lower(text), '[aeiouy]+', 0))",
+)
+_FLESCH_DUCK_SQL = _flesch_sql(
+    n_words=f"CAST(len({_D_TOK}) AS INT)",
+    n_sent=(
+        "CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),"
+        " x -> length(trim(x)) > 0)) AS INT)"
+    ),
+    n_syll="CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)",
+)
+
+
+@register("text_readability_flesch", oracle=_FLESCH_DUCK_SQL)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease profile (vowel-group syllable
+    proxy): words/sentence, syllables/word, exact-sum mean score, and
+    the plain-English (>=60) census."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_FLESCH_SPARK_SQL)

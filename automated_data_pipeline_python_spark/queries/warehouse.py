@@ -1690,3 +1690,152 @@ def lineitem_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_NEWSVENDOR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# EOQ + reorder point (the newsvendor's steady-state companions)
+# ---------------------------------------------------------------------------
+# lineitem_newsvendor_stock answers "how much for one period";
+# replenishment planning needs the steady-state pair: the economic
+# order quantity EOQ = sqrt(2*D*S/H) (annual demand D, fixed order
+# cost S = 100, holding cost H = 2 per unit-year) and the reorder
+# point ROP = mu_daily*L + z*sigma_daily*sqrt(L) for a 7-day lead time
+# at 95 % service (z = 1.645) — when stock hits ROP, order EOQ.
+#
+# mu/sigma of daily demand come from exact integer moments of the
+# (brand, day) grid (the CUSUM/PH discipline); EOQ, ROP, and the
+# orders-per-year cadence are single float expressions over them,
+# snapped. Same one-join-one-grid scale shape as the newsvendor query.
+
+_EOQ_SQL = """
+WITH daily AS (
+    SELECT p.p_brand AS brand, l.l_shipdate AS d,
+           CAST(sum(l.l_quantity) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, l.l_shipdate
+),
+mom AS (
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(q) AS BIGINT) AS s1,
+           CAST(sum(q * q) AS BIGINT) AS s2
+    FROM daily GROUP BY brand
+)
+SELECT brand, nd AS n_days,
+       floor((CAST(s1 AS DOUBLE) / nd) * 1e4 + 0.5) / 1e4
+           AS mean_daily_demand,
+       floor(sqrt(greatest(0e0,
+                 (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd)
+                 / greatest(nd - 1, 1))) * 1e4 + 0.5) / 1e4
+           AS sd_daily_demand,
+       floor(sqrt(2e0 * (CAST(s1 AS DOUBLE) / nd * 365) * 100 / 2e0)
+             * 1e4 + 0.5) / 1e4 AS eoq_units,
+       floor(((CAST(s1 AS DOUBLE) / nd) * 7
+              + 1645e-3 * sqrt(greatest(0e0,
+                    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd)
+                    / greatest(nd - 1, 1))) * sqrt(7e0))
+             * 1e4 + 0.5) / 1e4 AS reorder_point,
+       floor(((CAST(s1 AS DOUBLE) / nd * 365)
+              / sqrt(2e0 * (CAST(s1 AS DOUBLE) / nd * 365) * 100 / 2e0))
+             * 1e4 + 0.5) / 1e4 AS orders_per_year
+FROM mom
+ORDER BY brand
+"""
+
+
+@register("lineitem_eoq_reorder_point", oracle=_EOQ_SQL)
+def lineitem_eoq_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand EOQ, 95 %-service reorder point (7-day lead time), and
+    order cadence from exact daily-demand moments — the steady-state
+    replenishment pair next to the newsvendor fractile."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_EOQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory segmentation matrix
+# ---------------------------------------------------------------------------
+# The planner's two-axis view the ABC list alone misses: revenue class
+# (A/B/C by cumulative share — lineitem_abc_classification's axis) x
+# demand PREDICTABILITY class (X/Y/Z by the coefficient of variation of
+# daily demand). An AZ item (high revenue, erratic demand) gets safety
+# stock and human review; a CX item gets min-touch automation — the
+# matrix IS the replenishment-policy routing table.
+#
+# Class boundaries are exact integer cross-compares: the ABC cut
+# 10*cum <= {7,9}*total on revenue cents, and the XYZ cut CV <= {0.5, 1}
+# squared into nd*(nd*s2 - s1^2)*{4,1} <= (nd-1)*s1^2 over DECIMAL(38,0)
+# products — no float can flip a class at the boundary. Scale: the same
+# one-join daily grid as the newsvendor/EOQ queries; the cumulative
+# revenue window runs over the bounded brand relation.
+
+_ABC_XYZ_SQL = """
+WITH daily AS (
+    SELECT p.p_brand AS brand, l.l_shipdate AS d,
+           CAST(sum(l.l_quantity) AS BIGINT) AS q,
+           CAST(sum(CAST(floor(l.l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, l.l_shipdate
+),
+mom AS (
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(q) AS BIGINT) AS s1,
+           CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS s2,
+           CAST(sum(cents) AS BIGINT) AS rev
+    FROM daily GROUP BY brand
+),
+ranked AS (
+    SELECT brand, nd, s1, s2, rev,
+           CAST(sum(rev) OVER (ORDER BY rev DESC, brand
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev,
+           CAST(sum(rev) OVER () AS BIGINT) AS tot_rev
+    FROM mom
+),
+classed AS (
+    SELECT brand, nd, s1, s2, rev, cum_rev, tot_rev,
+           CASE WHEN 10 * cum_rev <= 7 * tot_rev THEN 'A'
+                WHEN 10 * cum_rev <= 9 * tot_rev THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN 4 * CAST(nd AS DECIMAL(38,0))
+                     * (CAST(nd AS DECIMAL(38,0)) * s2
+                        - CAST(s1 AS DECIMAL(38,0)) * s1)
+                     <= (nd - 1) * CAST(s1 AS DECIMAL(38,0)) * s1
+                THEN 'X'
+                WHEN CAST(nd AS DECIMAL(38,0))
+                     * (CAST(nd AS DECIMAL(38,0)) * s2
+                        - CAST(s1 AS DECIMAL(38,0)) * s1)
+                     <= (nd - 1) * CAST(s1 AS DECIMAL(38,0)) * s1
+                THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM ranked
+)
+SELECT brand,
+       floor((CAST(rev AS DOUBLE) / tot_rev) * 1e6 + 0.5) / 1e6
+           AS revenue_share,
+       floor((CAST(cum_rev AS DOUBLE) / tot_rev) * 1e6 + 0.5) / 1e6
+           AS cum_revenue_share,
+       abc_class,
+       floor(sqrt(greatest(0e0,
+                 CAST(CAST(nd AS DECIMAL(38,0)) * s2
+                      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                 / (CAST(nd AS DOUBLE) * greatest(nd - 1, 1))))
+             / (CAST(s1 AS DOUBLE) / nd) * 1e6 + 0.5) / 1e6 AS demand_cv,
+       xyz_class,
+       concat(abc_class, xyz_class) AS matrix_cell
+FROM classed
+ORDER BY brand
+"""
+
+
+@register("lineitem_abc_xyz_matrix", oracle=_ABC_XYZ_SQL)
+def lineitem_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (revenue) x XYZ (demand-CV) segmentation per brand with
+    exact integer class boundaries — the replenishment-policy routing
+    matrix on top of the newsvendor/EOQ pair."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_ABC_XYZ_SQL)

@@ -51,6 +51,7 @@ ALLOWED = {
     "events_stl_decomposition": "7-day MA window over calendar-bounded daily relation",
     "feature_quantile_normalize": "CDF over distinct-value histogram (snapped grid)",
     "lineitem_abc_classification": "cumulative revenue share over brand-level aggregate (bounded brand domain)",
+    "lineitem_abc_xyz_matrix": "cumulative revenue share over brand-level aggregate (bounded brand domain — same stage class as abc_classification)",
     "lm_negative_sampling_table": "cumulative boundaries over top-40 rank-capped vocab",
     "mixture_unimax_budget": "water-filling prefix over the bounded source relation (~20 rows)",
     "orders_interpurchase_survival": "KM curve over day-gap histogram (gap domain)",

@@ -722,6 +722,9 @@ def test_round8_additions_python_free(spark):
         "text_burrows_delta",
         "lineitem_newsvendor_stock",
         "text_ql_dirichlet_ranking",
+        "lineitem_eoq_reorder_point",
+        "text_readability_flesch",
+        "lineitem_abc_xyz_matrix",
     ):
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

@@ -96,6 +96,9 @@ ROUND8_NEW: list[str] = [
     "text_burrows_delta",
     "lineitem_newsvendor_stock",
     "text_ql_dirichlet_ranking",
+    "lineitem_eoq_reorder_point",
+    "text_readability_flesch",
+    "lineitem_abc_xyz_matrix",
 ]
 
 
