@@ -32,6 +32,13 @@ HEAVY = [
     "mixture_doremi_round",
     "graph_closeness_centrality",
     "events_stl_decomposition",
+    # round-8 additions with a full corpus tokenize/join pass:
+    "text_burrows_delta",
+    "text_gini_token_concentration",
+    "mixture_unimax_budget",
+    "text_ql_dirichlet_ranking",
+    "text_readability_flesch",
+    "lineitem_abc_xyz_matrix",
 ]
 
 
