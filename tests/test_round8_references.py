@@ -214,3 +214,162 @@ def test_eb_shrinkage_moves_toward_prior_mean(con):
     for brand, n, k, raw, shrunk in rows:
         lo, hi = sorted((raw, m))
         assert lo - 1e-6 <= shrunk <= hi + 1e-6, brand
+
+
+def test_page_hinkley_matches_sequential_recursion(con):
+    """The window-algebra PH must equal the literal sequential loop:
+    m_t = sum(x_i - mean_i - delta), PH_t = m_t - min m."""
+    from collections import defaultdict
+
+    from automated_data_pipeline_python_spark.queries.timeseries import (
+        _ph_sql,
+    )
+
+    daily = defaultdict(list)
+    for et, d, n in con.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS d, count(*) FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall():
+        daily[et].append(n)
+    got = {
+        (r[0], r[1]): (r[3], r[4])
+        for r in con.execute(_ph_sql("strftime(d, '%Y-%m-%d')")).fetchall()
+    }
+    for et, xs in daily.items():
+        nd, tot = len(xs), sum(xs)
+        mean = tot / nd
+        var = sum((x - mean) ** 2 for x in xs) / max(nd - 1, 1)
+        delta_u = math.floor(mean * 0.05 * 1e6 + 0.5)
+        lambda_u = math.floor(3 * math.sqrt(max(var, 0.0)) * 1e6 + 0.5)
+        m_u, min_m, pre = 0, 0, 0
+        phs = []
+        for i, x in enumerate(xs, start=1):
+            pre += x
+            m_u += math.floor((x - pre / i) * 1e6 + 0.5) - delta_u
+            min_m = min(min_m, m_u)
+            phs.append((m_u - min_m, (m_u - min_m) > lambda_u))
+        days = con.execute(
+            "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') FROM events"
+            " WHERE event_type = ? GROUP BY 1 ORDER BY 1",
+            [et],
+        ).fetchall()
+        for (day,), (ph_u, alarm) in zip(days, phs):
+            g_stat, g_alarm = got[(et, day)]
+            assert abs(g_stat - ph_u / 1e6) < 1e-9, (et, day)
+            assert g_alarm == (1 if alarm else 0), (et, day)
+
+
+def test_entropy_rate_matches_definition(con):
+    """Per-state conditional entropies must equal -sum p ln p over the
+    snapped transition rows, weighted by the round-3 pi."""
+    from collections import defaultdict
+
+    from automated_data_pipeline_python_spark.queries.events import (
+        _MKV_MAT_SQL,
+    )
+    from automated_data_pipeline_python_spark.queries import QUERIES, oracle_sql
+
+    mat = con.execute(_MKV_MAT_SQL).fetchall()
+    rows_p = defaultdict(list)
+    for f, _t2, p in mat:
+        rows_p[f].append(p)
+    want_h = {
+        f: math.floor(
+            -sum(math.floor(p * math.log(p) * 1e12 + 0.5) / 1e12
+                 for p in ps) * 1e6 + 0.5) / 1e6
+        for f, ps in rows_p.items()
+    }
+    got = con.execute(oracle_sql()["events_markov_entropy_rate"]).fetchall()
+    for et, pi, h_row, contrib in got:
+        assert abs(h_row - want_h[et]) < 2e-6, et
+        assert abs(contrib - math.floor(pi * h_row * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_qini_matches_python_accumulation(con):
+    """Decile bucketing + cumulative Qini must equal the plain-Python
+    computation over the same (hash-armed) per-user rows."""
+    from automated_data_pipeline_python_spark.queries.experiments2 import (
+        _QINI_DUCK_SQL,
+    )
+    from automated_data_pipeline_python_spark.functions.text import (
+        duck_hash28,
+    )
+
+    arm = duck_hash28("concat('qini', CAST(user_id AS VARCHAR))")
+    rows = con.execute(f"""
+        SELECT count(*) AS score,
+               CASE WHEN {arm} % 2 = 1 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                         > sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS y
+        FROM events GROUP BY user_id
+    """).fetchall()
+    n = len(rows)
+    # decile by distinct-score CDF, descending
+    by_score = sorted(rows, key=lambda r: -r[0])
+    # cum position of each distinct score value
+    from collections import Counter, defaultdict
+
+    cnt = Counter(r[0] for r in rows)
+    cum, decile_of = 0, {}
+    for s in sorted(cnt, reverse=True):
+        cum += cnt[s]
+        decile_of[s] = (10 * cum + n - 1) // n
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for s, t, y in rows:
+        c = cells[decile_of[s]]
+        c[0] += t
+        c[1] += 1 - t
+        c[2] += y if t else 0
+        c[3] += y if not t else 0
+    got = con.execute(_QINI_DUCK_SQL).fetchall()
+    cnt_t = cnt_c = cyt = cyc = 0
+    for row in got:
+        d, n_t, n_c, y_t, y_c, qini = row
+        assert [n_t, n_c, y_t, y_c] == cells[d], d
+        cnt_t += n_t; cnt_c += n_c; cyt += y_t; cyc += y_c
+        want = (
+            None if cnt_c == 0
+            else math.floor((cyt - cyc * (cnt_t / cnt_c)) * 1e6 + 0.5) / 1e6
+        )
+        assert (qini is None and want is None) or abs(qini - want) < 1e-9, d
+
+
+def test_abc_xyz_classes_match_python_boundaries(con):
+    """Class letters must equal plain-Python cumulative-share and CV
+    cuts on the raw daily grid."""
+    from collections import defaultdict
+
+    from automated_data_pipeline_python_spark.queries.warehouse import (
+        _ABC_XYZ_SQL,
+    )
+
+    daily = defaultdict(list)
+    revs = defaultdict(int)
+    for b, q, cents in con.execute(
+        "SELECT p.p_brand, CAST(sum(l.l_quantity) AS BIGINT),"
+        " CAST(sum(CAST(floor(l.l_extendedprice * 1e2 + 0.5) AS BIGINT))"
+        "      AS BIGINT)"
+        " FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+        " GROUP BY p.p_brand, l.l_shipdate"
+    ).fetchall():
+        daily[b].append(q)
+        revs[b] += cents
+    tot = sum(revs.values())
+    cum, abc = 0, {}
+    for b in sorted(revs, key=lambda b: (-revs[b], b)):
+        cum += revs[b]
+        abc[b] = "A" if 10 * cum <= 7 * tot else (
+            "B" if 10 * cum <= 9 * tot else "C")
+    for b, _rs, _crs, a_cls, cv, x_cls, cell in con.execute(
+        _ABC_XYZ_SQL
+    ).fetchall():
+        qs = daily[b]
+        nd, s1 = len(qs), sum(qs)
+        s2 = sum(q * q for q in qs)
+        lhs = nd * (nd * s2 - s1 * s1)
+        rhs = (nd - 1) * s1 * s1
+        want_x = "X" if 4 * lhs <= rhs else ("Y" if lhs <= rhs else "Z")
+        assert a_cls == abc[b], b
+        assert x_cls == want_x, b
+        assert cell == a_cls + x_cls
