@@ -52,83 +52,80 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # The grading driver records correctness rows for (at most) the first 50
 # registered queries. From round 5 onward the window's job is converting
-# replay-only evidence into hard driver rows: after the r1-r7 union,
-# 272 of 345 queries have a driver row; 73 have only the committed
-# full-catalog replays (VERIFY_FULL_r07* — 345/345 green at sf0.01 AND
-# sf0.1) plus the pytest oracle-parity sweep. Per VERDICT r7 task 1,
-# every round-8 slot goes to the never-driver-rowed set (50 of 73,
-# leaving a 23-query tail — the timeseries/warehouse batteries plus
-# three stragglers — for round 9 alongside any round-8 additions, which
-# stay replay+pytest covered until their r9 rows). Everything rotated
-# out stays proven by regenerated round-8 full replays committed at
-# round end.
+# replay-only evidence into hard driver rows. Round 9 (VERDICT r8 task
+# 1): the r1-r8 union driver-rowed 322 of 363 queries; this window
+# spends 41 slots on EVERY remaining never-driver-rowed query (the 23
+# r7-backlog leftovers + all 18 ROUND8_NEW operators), making the
+# catalog 363/363 ever-rowed. The 9 spare slots go to re-validating
+# dedup_minhash_lsh under its new capped-default semantics (VERDICT r8
+# task 2 — the oracle changed, so a fresh hash row is load-bearing),
+# first-ever-rowing its renamed uncapped diagnostic twin, and
+# re-confirming the heaviest oracled plans. Everything rotated out
+# stays proven by regenerated round-9 full replays committed at round
+# end plus the pytest oracle-parity sweep.
 _PRIORITY = [
-    # Sketch family (VERDICT r7 task 1, named):
-    "sketch_count_min_terms",
-    "sketch_bloom_prefilter",
-    "sketch_kmv_distinct",
-    "sketch_kmv_set_ops",
-    "sketch_linear_counting",
-    "sketch_histogram_quantiles",
-    # Warehouse ops (named):
-    "warehouse_compaction_plan",
-    "warehouse_zone_map_skipping",
-    "warehouse_deletion_vectors",
-    "part_skyline_pareto",
-    # DQ screens (named; dq_chi2_independence lives in drift):
-    "dq_benford_first_digit",
-    "dq_k_anonymity",
-    "dq_chi2_independence",
-    "dq_freshness_sla",
-    # Reco (named):
-    "reco_item_item_cosine",
-    "reco_coverage_diversity",
-    # Audio/image offset plans (named):
-    "multimodal_audio_segments",
-    "multimodal_image_tile_plan",
-    # Events robustness/experiment tail (named families):
-    "events_ks_two_sample",
-    "events_bootstrap_ci_mean",
-    "events_ucb_bandit_replay",
-    "events_bitmap_retention",
-    "events_power_analysis",
-    "events_crosscorr_lead_lag",
-    # Full-module retirement — drift:
-    "corpus_source_kl_divergence",
-    "corpus_source_js_matrix",
-    "corpus_simpson_diversity",
-    "feature_quantile_normalize",
-    # Full-module retirement — curation2 (quality/eval battery):
-    "sample_importance_dsir",
-    "quality_gopher_rules",
-    "vocab_coverage_oov_curve",
-    "quality_calibration_bins",
-    "quality_auc_rank",
-    "quality_brier_decomposition",
-    # Full-module retirement — dedup:
-    "dedup_ngram_containment",
-    "dedup_minhash_estimate_accuracy",
-    "dedup_cdc_chunks",
-    # Full-module retirement — events (engagement battery):
-    "events_dau_mau_stickiness",
-    "events_trajectory_similarity",
-    "events_markov_stationary",
-    # Remaining single-query module gaps:
-    "graph_brand_kcore",
-    "text_token_llr",          # lm module
-    "param_marker_priority_stats",  # modern_sql
-    "lineitem_ols_two_factor",      # relational4
-    "text_inverted_postings",       # retrieval
-    "embedding_hard_negatives",     # retrieval
-    "ann_dim_truncation_recall",    # similarity
-    "embedding_class_separability",  # similarity
-    "lang_id_confusion",            # text
-    "text_rake_phrases",            # text
-    # Everything else (all 272 r1-r7 driver-rowed queries, the 23-query
-    # never-rowed tail deferred to round 9, and any round-8 additions)
-    # still registers and is replayed by tools/verify_driver.py at
-    # sf0.01+sf0.1 per round (VERIFY_FULL_r08*), plus the pytest
-    # oracle-parity sweep.
+    # -- The 23 r7-backlog never-rowed queries (VERDICT r8 task 1 list):
+    "events_mad_outliers",
+    "events_seasonality_profile",
+    "events_forecast_backtest",
+    "events_multi_touch_attribution",
+    "events_theil_sen_trend",
+    "events_winsorized_stats",
+    "events_session_bounce_rate",
+    "events_peak_concurrency",
+    "events_lag_feature_matrix",
+    "events_seasonal_anomalies",
+    "events_latency_decade_histogram",
+    "events_hysteresis_alerts",
+    "events_new_vs_returning_dau",
+    "text_term_burstiness",
+    "text_heaps_vocab_growth",
+    "mixture_temperature_weights",
+    "orders_pareto_concentration",
+    "orders_interpurchase_survival",
+    "orders_hhi_concentration",
+    "orders_association_rules",
+    "orders_ship_latency_percentiles",
+    "lineitem_abc_classification",
+    "lineitem_price_index_laspeyres",
+    # -- All 18 ROUND8_NEW operators (replay+pytest in r8; rows now):
+    "events_wasserstein_distance",
+    "events_page_hinkley_drift",
+    "text_gini_token_concentration",
+    "mlstats_eb_beta_shrinkage",
+    "rag_mmr_rerank",
+    "mixture_unimax_budget",
+    "feature_target_encode_oof",
+    "events_ipw_ate",
+    "events_qini_uplift_curve",
+    "events_did_estimator",
+    "embedding_centroid_drift",
+    "events_markov_entropy_rate",
+    "text_burrows_delta",
+    "lineitem_newsvendor_stock",
+    "text_ql_dirichlet_ranking",
+    "lineitem_eoq_reorder_point",
+    "text_readability_flesch",
+    "lineitem_abc_xyz_matrix",
+    # -- 9 spare slots (VERDICT r8 task 1 fill guidance):
+    # dedup_minhash_lsh changed semantics this round (bucket cap is now
+    # the default, task 2) — its oracle changed with it, so a fresh
+    # driver row re-validates the new headline plan; the uncapped
+    # diagnostic twin is a new name, never rowed.
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_uncapped",
+    # Heaviest oracled plans (BENCH_3x_r08 per-query minima), re-rowed:
+    "kmeans_lloyd_refine",
+    "dedup_simhash_pairs",
+    "q21_sole_late_shipper",
+    "text_tfidf_top_terms",
+    "ann_lsh_topk",
+    "q5_region_revenue",
+    "q8_market_share",
+    # Everything else (all other r1-r8 driver-rowed queries and any
+    # round-9 additions) still registers and is replayed by
+    # tools/verify_driver.py at sf0.01+sf0.1 per round
+    # (VERIFY_FULL_r09*), plus the pytest oracle-parity sweep.
 ]
 
 

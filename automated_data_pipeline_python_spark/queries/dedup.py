@@ -6,7 +6,9 @@ DuckDB oracle (portable SHA-derived hashing — see functions.text):
 - exact       : canonical-normalize → SHA-256 → group
 - minhash-LSH : shingle → 16 minhash perms → 4 bands → bucket-join →
                 jaccard-verify candidates (the 100 TB-scale path: cost is
-                O(docs × shingles) + bucket joins, never O(docs²))
+                O(docs × shingles) + bucket joins, never O(docs²));
+                bucket-size-capped BY DEFAULT (giant buckets hand off to
+                exact dedup; uncapped twin kept as a diagnostic)
 - simhash     : 32-bit sign-of-weighted-bits fingerprint + chunk-blocked
                 hamming pairs
 - n-gram jaccard : direct shingle-join pairwise similarity (exact but
@@ -250,16 +252,19 @@ WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_DUCK_SQL)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy dedup: MinHash signatures → LSH band buckets → verified pairs.
+@register("dedup_minhash_lsh_uncapped", oracle=_MINHASH_DUCK_SQL)
+def dedup_minhash_lsh_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC twin of dedup_minhash_lsh: no bucket-size cap.
 
-    Never computes docs×docs: candidates come from (band, signature)
-    buckets — grouped, not self-joined, so the signatures shuffle once
-    and pairs explode bucket-locally; only candidates pay the
-    exact-jaccard verification join. The hashed shingle set is
-    materialized once (referenced by signatures, sizes, and both sides
-    of the verification join).
+    Same MinHash → band-bucket → verify pipeline as the headline
+    dedup_minhash_lsh, with pair generation uncapped. Without the cap,
+    band-bucket sizes grow linearly with corpus size, so within-bucket
+    candidate pairs grow quadratically — measured 37.4× time at 100×
+    data (BENCH_DEDUP_SCALING.json) versus the capped default's flat
+    13.3 s. Keep this form for cap-recall evaluation and small-corpus
+    exactness studies ONLY; the default (capped) plan is the 100 TB
+    path. tests/test_mllib_parity.py measures the cap's recall delta
+    against exact-Jaccard ground truth.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
@@ -668,15 +673,30 @@ assert _MINHASH_CAPPED_TAIL_SPARK != _MINHASH_TAIL_SPARK
 assert _MINHASH_CAPPED_DUCK_SQL != _MINHASH_DUCK_SQL
 
 
-@register("dedup_minhash_lsh_capped", oracle=_MINHASH_CAPPED_DUCK_SQL)
-def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH dedup with bucket-size-capped pair generation.
+@register("dedup_minhash_lsh", oracle=_MINHASH_CAPPED_DUCK_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup: MinHash signatures → LSH band buckets → verified pairs.
 
-    Identical to dedup_minhash_lsh except band buckets larger than
-    {cap} members are skipped — per-bucket pair emission is bounded at
+    Never computes docs×docs: candidates come from (band, signature)
+    buckets — grouped, not self-joined, so the signatures shuffle once
+    and pairs explode bucket-locally; only candidates pay the
+    exact-jaccard verification join. The hashed shingle set is
+    materialized once (referenced by signatures, sizes, and both sides
+    of the verification join).
+
+    Bucket-size-capped BY DEFAULT (round-9 change, per the measured
+    scaling study): band buckets larger than {cap} members are skipped
+    from pair generation — per-bucket pair emission is bounded at
     cap·(cap−1)/2, so one degenerate signature cluster can no longer
     serialize a task (tests/test_skew.py proves the bound under a
-    30-identical-docs fixture).
+    30-identical-docs fixture) and runtime stays flat across data
+    decades (BENCH_DEDUP_SCALING.json: 13.9 s → 13.3 s from 10× to
+    100× data, versus 37.4× growth uncapped). Giant buckets are
+    boilerplate-identical clusters better handled by exact dedup
+    (dedup_exact_documents — the documented hand-off). Opt out via
+    dedup_minhash_lsh_uncapped, the explicit diagnostic twin; the
+    cap's recall delta on exact-Jaccard ground truth is measured in
+    tests/test_mllib_parity.py.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")

@@ -48,7 +48,7 @@ HEADLINE = [
     "sketch_user_reach_rollup",
     "corpus_curation_funnel",
     "kmeans_lloyd_refine",
-    "dedup_minhash_lsh_capped",
+    "dedup_minhash_lsh_uncapped",
     "contamination_ngram_overlap",
     "pack_sequences_chunked",
     "text_repetition_scores",

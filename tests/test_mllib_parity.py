@@ -14,9 +14,10 @@ Jaccard ground truth on the same corpus:
   (the full inverse-CDF of the similarity distribution). The banded SQL
   scheme trades boundary-zone recall (P(detect) = 1-(1-J^4)^4, ~23 % AT
   the 0.5 threshold, >97 % at J≥0.9) for bucket-local candidate
-  explosion that stays cappable (dedup_minhash_lsh_capped) — the shape
-  that survives 100 TB (BENCH_DEDUP_SCALING.json measures it sublinear
-  to 100× data).
+  explosion that the default bucket cap bounds (dedup_minhash_lsh,
+  capped by default since round 9) — the shape that survives 100 TB
+  (BENCH_DEDUP_SCALING.json measures the capped plan flat to 100×
+  data; the uncapped diagnostic twin is 37× there).
 - precision: the SQL pairs are exact-verified in-plan, so every emitted
   pair must genuinely clear the Jaccard threshold; MLlib verifies too
   (keyDistance on the join output).
@@ -81,9 +82,17 @@ def lsh_corpus(spark):
     """)
     truth = {(r.doc_a, r.doc_b): r.j for r in truth_df.collect()}
 
+    # Headline name = CAPPED plan (round-9 default); uncapped twin kept
+    # to measure the cap's recall delta on the same ground truth.
     sql_pairs = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in QUERIES["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    sql_uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_minhash_lsh_uncapped"]
+        .fn(spark, SF_SMOKE)
+        .collect()
     }
 
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
@@ -109,11 +118,11 @@ def lsh_corpus(spark):
     }
     spark.catalog.dropTempView("parity_sh")
     spark.catalog.dropTempView("documents")
-    return truth, sql_pairs, mllib_pairs
+    return truth, sql_pairs, mllib_pairs, sql_uncapped
 
 
 def test_ground_truth_not_vacuous(lsh_corpus):
-    truth, _, _ = lsh_corpus
+    truth, _, _, _ = lsh_corpus
     high = [p for p, j in truth.items() if j >= 0.9]
     assert len(truth) >= 10 and len(high) >= 5
 
@@ -121,19 +130,39 @@ def test_ground_truth_not_vacuous(lsh_corpus):
 def test_sql_lsh_precision_is_exact(lsh_corpus):
     """Every SQL-emitted pair is exact-verified in-plan: the pair set
     must be a subset of ground truth with matching (snapped) Jaccard."""
-    truth, sql_pairs, _ = lsh_corpus
+    truth, sql_pairs, _, sql_uncapped = lsh_corpus
     assert set(sql_pairs) <= set(truth)
     for p, j in sql_pairs.items():
         assert abs(j - truth[p]) < 1e-6, p
+    assert set(sql_uncapped) <= set(truth)
 
 
 def test_sql_lsh_recall_on_high_similarity(lsh_corpus):
     """The banded scheme's design point: near-total recall where it
     matters (J>=0.9 — actual duplicates), by-construction-lossy at the
     threshold boundary (1-(1-J^4)^4)."""
-    truth, sql_pairs, _ = lsh_corpus
+    truth, sql_pairs, _, _ = lsh_corpus
     high = {p for p, j in truth.items() if j >= 0.9}
     assert len(set(sql_pairs) & high) / len(high) >= 0.9
+
+
+def test_cap_recall_delta_documented(lsh_corpus):
+    """The round-9 cap default's measured cost (VERDICT r8 task 2): on a
+    natural (non-adversarial) corpus the capped plan gives up at most a
+    small fraction of the uncapped pair set, and NOTHING at J>=0.9 —
+    giant buckets hold boilerplate-identical clusters that exact dedup
+    owns, not borderline near-dups. On the sf0.001 fixture the two sets
+    are identical (no band bucket exceeds the cap of 8)."""
+    truth, sql_pairs, _, sql_uncapped = lsh_corpus
+    assert set(sql_pairs) <= set(sql_uncapped)  # cap only removes pairs
+    high = {p for p, j in truth.items() if j >= 0.9}
+    capped_high = set(sql_pairs) & high
+    uncapped_high = set(sql_uncapped) & high
+    assert capped_high == uncapped_high  # zero recall delta at J>=0.9
+    # overall delta bound: the cap may drop at most 10% of pairs here
+    if sql_uncapped:
+        delta = 1.0 - len(sql_pairs) / len(sql_uncapped)
+        assert delta <= 0.10, f"cap recall delta {delta:.3f}"
 
 
 def test_mllib_recall_comparable_and_design_note(lsh_corpus):
@@ -143,7 +172,7 @@ def test_mllib_recall_comparable_and_design_note(lsh_corpus):
     clear 90 % recall, and MLlib may not beat SQL there by more than a
     single pair per ten (they find the same duplicates; the schemes
     differ in candidate volume and oracle-checkability, not outcome)."""
-    truth, sql_pairs, mllib_pairs = lsh_corpus
+    truth, sql_pairs, mllib_pairs, _ = lsh_corpus
     high = {p for p, j in truth.items() if j >= 0.9}
     mllib_recall = len(set(mllib_pairs) & high) / len(high)
     sql_recall = len(set(sql_pairs) & high) / len(high)

@@ -1,86 +1,53 @@
 """Registry-order contract: the grading driver only records correctness
 rows for the first 50 registered queries, so the window must be spent
-where it buys new evidence. Round-8 rotation (VERDICT r7 task 1): the
-r1-r7 union driver-rowed 272 of 345 queries; this window spends every
-slot on 50 of the 73 never-driver-rowed queries — the sketch family,
-warehouse ops, DQ screens, reco, the audio/image offset plans, the
-events robustness/experiment tail, and full-module retirement of the
-drift/curation2/dedup/events batteries — converting replay-only
-evidence into hard rows. The 23-query remainder (the timeseries and
-warehouse engagement/finance batteries plus three stragglers) and any
-round-8 additions take the round-9 window; everything rotated out stays
-proven by the committed full-catalog replays (VERIFY_FULL_r07*/r08*)
-and the pytest oracle-parity sweep.
+where it buys new evidence. Round-9 rotation (VERDICT r8 task 1): the
+r1-r8 union driver-rowed 322 of 363 queries; this window spends 41
+slots on EVERY remaining never-driver-rowed query — the 23 r7-backlog
+leftovers (events robustness/engagement, orders/lineitem finance, text
+scaling-law tails) plus all 18 ROUND8_NEW operators — making the
+catalog 363/363 ever-rowed. The 9 spare slots re-validate
+dedup_minhash_lsh under its round-9 capped-default semantics (task 2:
+the oracle changed with the plan, so a fresh hash row is load-bearing),
+first-ever-row its renamed uncapped diagnostic twin, and re-confirm the
+heaviest oracled plans. Everything rotated out stays proven by the
+committed full-catalog replays (VERIFY_FULL_r08*/r09*) and the pytest
+oracle-parity sweep.
 """
 
 from __future__ import annotations
 
 from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, oracle_sql
 
-# VERDICT r7 task 1 names these families explicitly; their first-ever
-# driver rows are the round-8 deliverable.
-ROUND8_VERDICT_NAMED = [
-    "sketch_count_min_terms",
-    "sketch_bloom_prefilter",
-    "sketch_kmv_distinct",
-    "sketch_kmv_set_ops",
-    "sketch_linear_counting",
-    "sketch_histogram_quantiles",
-    "warehouse_compaction_plan",
-    "warehouse_zone_map_skipping",
-    "warehouse_deletion_vectors",
-    "part_skyline_pareto",
-    "dq_benford_first_digit",
-    "dq_k_anonymity",
-    "dq_chi2_independence",
-    "dq_freshness_sla",
-    "reco_item_item_cosine",
-    "reco_coverage_diversity",
-    "multimodal_audio_segments",
-    "multimodal_image_tile_plan",
-    "events_ks_two_sample",
-    "events_bootstrap_ci_mean",
-    "events_ucb_bandit_replay",
-    "events_bitmap_retention",
+# The 23 never-rowed backlog queries VERDICT r8 task 1 names explicitly.
+ROUND9_BACKLOG = [
+    "events_mad_outliers",
+    "events_seasonality_profile",
+    "events_forecast_backtest",
+    "events_multi_touch_attribution",
+    "events_theil_sen_trend",
+    "events_winsorized_stats",
+    "events_session_bounce_rate",
+    "events_peak_concurrency",
+    "events_lag_feature_matrix",
+    "events_seasonal_anomalies",
+    "events_latency_decade_histogram",
+    "events_hysteresis_alerts",
+    "events_new_vs_returning_dau",
+    "text_term_burstiness",
+    "text_heaps_vocab_growth",
+    "mixture_temperature_weights",
+    "orders_pareto_concentration",
+    "orders_interpurchase_survival",
+    "orders_hhi_concentration",
+    "orders_association_rules",
+    "orders_ship_latency_percentiles",
+    "lineitem_abc_classification",
+    "lineitem_price_index_laspeyres",
 ]
 
-# The rest of the never-driver-rowed set taken this round (module
-# retirement + single-query module gaps).
-ROUND8_NEVER_ROWED = [
-    "events_power_analysis",
-    "events_crosscorr_lead_lag",
-    "corpus_source_kl_divergence",
-    "corpus_source_js_matrix",
-    "corpus_simpson_diversity",
-    "feature_quantile_normalize",
-    "sample_importance_dsir",
-    "quality_gopher_rules",
-    "vocab_coverage_oov_curve",
-    "quality_calibration_bins",
-    "quality_auc_rank",
-    "quality_brier_decomposition",
-    "dedup_ngram_containment",
-    "dedup_minhash_estimate_accuracy",
-    "dedup_cdc_chunks",
-    "events_dau_mau_stickiness",
-    "events_trajectory_similarity",
-    "events_markov_stationary",
-    "graph_brand_kcore",
-    "text_token_llr",
-    "param_marker_priority_stats",
-    "lineitem_ols_two_factor",
-    "text_inverted_postings",
-    "embedding_hard_negatives",
-    "ann_dim_truncation_recall",
-    "embedding_class_separability",
-    "lang_id_confusion",
-    "text_rake_phrases",
-]
-
-# New catalog queries added in round 8: replay+pytest evidence this
-# round; they take round-9 window slots (per the VERDICT r7 task-1
-# directive that all 50 r8 slots go to the never-rowed backlog).
-ROUND8_NEW: list[str] = [
+# All 18 round-8 additions (replay+pytest evidence in r8; first driver
+# rows this round per the r8 verdict directive).
+ROUND8_NEW = [
     "events_wasserstein_distance",
     "events_page_hinkley_drift",
     "text_gini_token_concentration",
@@ -101,43 +68,77 @@ ROUND8_NEW: list[str] = [
     "lineitem_abc_xyz_matrix",
 ]
 
+# Spare-slot fills: the cap-default re-validation pair (task 2) + the
+# heaviest oracled plans by BENCH_3x_r08 per-query minima.
+ROUND9_SPARES = [
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_uncapped",
+    "kmeans_lloyd_refine",
+    "dedup_simhash_pairs",
+    "q21_sole_late_shipper",
+    "text_tfidf_top_terms",
+    "ann_lsh_topk",
+    "q5_region_revenue",
+    "q8_market_share",
+]
+
+# New catalog queries added in round 9: replay+pytest evidence this
+# round; they take round-10 window slots (the r9 window is committed to
+# closing the never-rowed ledger).
+ROUND9_NEW: list[str] = []
+
 
 def test_priority_list_is_first_50():
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
 
 
-def test_window_covers_touched_and_backfill():
+def test_window_covers_backlog_and_round8_new():
     window = set(_PRIORITY)
-    for required in [*ROUND8_VERDICT_NAMED, *ROUND8_NEVER_ROWED]:
+    for required in [*ROUND9_BACKLOG, *ROUND8_NEW, *ROUND9_SPARES]:
         assert required in window, required
 
 
-def test_round8_additions_registered():
-    for name in ROUND8_NEW:
+def test_round9_additions_registered():
+    for name in ROUND9_NEW:
         assert name in QUERIES, name
 
 
-# Modules with no round-8 window sentinel: batteries whose every member
-# already has a hash-green driver row in the r1-r7 union AND stays
+def test_capped_default_is_the_headline_name():
+    """VERDICT r8 task 2: the headline dedup query must be the capped
+    plan (bucket-size-bounded pair generation), with the uncapped form
+    kept only as an explicitly-named diagnostic twin."""
+    import automated_data_pipeline_python_spark.queries.dedup as D
+
+    assert QUERIES["dedup_minhash_lsh"].oracle == D._MINHASH_CAPPED_DUCK_SQL
+    assert (
+        QUERIES["dedup_minhash_lsh_uncapped"].oracle == D._MINHASH_DUCK_SQL
+    )
+    assert "dedup_minhash_lsh_capped" not in QUERIES  # name retired
+
+
+# Modules with no round-9 window sentinel: batteries whose every member
+# already has a hash-green driver row in the r1-r8 union AND stays
 # covered by the committed full-catalog replays + the pytest
 # oracle-parity sweep. First driver evidence for never-rowed queries
 # outranks a redundant sentinel.
 REPLAY_COVERED_MODULES = {
-    "clustering",
     "curation",
-    "curation3",
-    "experiments",     # events_power_analysis IS windowed; keep for safety
-    "mlstats",
-    "rag",
-    "relational",
+    "curation2",
+    "dq",
+    "experiments",
+    "graph",
+    "lm",
+    "modern_sql",
+    "multimodal",
+    "reco",
     "relational2",
     "relational3",
+    "relational4",
     "relational5",
-    "tpch2",
-    "timeseries",      # events_bitmap_retention IS windowed; 13-query tail -> r9
-    "training",        # mixture_temperature_weights -> r9
-    "warehouse",       # 4 windowed; 7-query tail -> r9
+    "retrieval",
+    "sketches",
+    "warehouse",
     "windows2",
 }
 

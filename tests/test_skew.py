@@ -132,13 +132,16 @@ def test_capped_lsh_bounds_buckets_and_matches_oracle(
 ):
     uncapped = {
         (r.doc_a, r.doc_b)
-        for r in QUERIES["dedup_minhash_lsh"].fn(spark, skew_dir).collect()
+        for r in QUERIES["dedup_minhash_lsh_uncapped"]
+        .fn(spark, skew_dir)
+        .collect()
     }
     # the identical-doc bucket alone contributes 30·29/2 = 435 pairs
     ident = {(a, b) for a, b in uncapped if a >= 1000 and b < 2000}
     assert len(ident) == 435
 
-    q = QUERIES["dedup_minhash_lsh_capped"]
+    # the headline name is the CAPPED plan (round-9 default)
+    q = QUERIES["dedup_minhash_lsh"]
     capped = {(r.doc_a, r.doc_b) for r in q.fn(spark, skew_dir).collect()}
     assert not (capped & ident)  # giant bucket skipped
     # small-bucket near-dups still found — LSH recall at jaccard 0.87 is

@@ -42,8 +42,8 @@ REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 # query -> parquet tables it needs in the corpus dir (skipped with a
 # note when a derived corpus lacks one, e.g. a facts-free sf10 dir).
 QUERIES_TIMED = {
-    "dedup_minhash_lsh": ["documents"],
-    "dedup_minhash_lsh_capped": ["documents"],
+    "dedup_minhash_lsh": ["documents"],          # capped default (r9)
+    "dedup_minhash_lsh_uncapped": ["documents"],  # diagnostic twin
     "dedup_simhash_pairs": ["documents"],
     "ann_ivf_topk": ["embeddings"],
     "bpe_train_merge_rounds": ["documents"],
