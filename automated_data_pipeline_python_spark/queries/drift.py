@@ -584,11 +584,18 @@ tot AS (
     FROM {grid}
 ),
 gaps AS (
+    -- fx, fy <= n1, n2: the raw BIGINT cross-multiply would overflow
+    -- once n1*n2 > ~9.2e18 (plausible at the 100 TB design point), so
+    -- the products run in DECIMAL(38,0) — identical exact-integer
+    -- semantics on both engines, headroom to 1e38
     SELECT c.cents,
-           abs(c.fx * t.n2 - c.fy * t.n1) AS gap_i,
+           abs(CAST(c.fx AS DECIMAL(38,0)) * t.n2
+               - CAST(c.fy AS DECIMAL(38,0)) * t.n1) AS gap_i,
            t.n1, t.n2,
            CAST(row_number() OVER (
-               ORDER BY abs(c.fx * t.n2 - c.fy * t.n1) DESC, c.cents)
+               ORDER BY abs(CAST(c.fx AS DECIMAL(38,0)) * t.n2
+                            - CAST(c.fy AS DECIMAL(38,0)) * t.n1) DESC,
+                        c.cents)
                AS BIGINT) AS rk
     FROM cdf c CROSS JOIN tot t
 )
@@ -814,8 +821,12 @@ tot AS (
     FROM grid
 ),
 ext AS (
-    SELECT CAST(max(c.fx * t.n2 - c.fy * t.n1) AS BIGINT) AS dplus,
-           CAST(max(c.fy * t.n1 - c.fx * t.n2) AS BIGINT) AS dminus,
+    -- cross-multiplies in DECIMAL(38,0): BIGINT overflows once
+    -- n1*n2 > ~9.2e18 (same fix as the KS/W1 tails)
+    SELECT max(CAST(c.fx AS DECIMAL(38,0)) * t.n2
+               - CAST(c.fy AS DECIMAL(38,0)) * t.n1) AS dplus,
+           max(CAST(c.fy AS DECIMAL(38,0)) * t.n1
+               - CAST(c.fx AS DECIMAL(38,0)) * t.n2) AS dminus,
            CAST(min(t.n1) AS BIGINT) AS n1, CAST(min(t.n2) AS BIGINT) AS n2
     FROM cdf c CROSS JOIN tot t
 )
@@ -877,8 +888,12 @@ tot AS (
     FROM {grid}
 ),
 mass AS (
-    -- the last grid point has no segment (both CDFs are 1 beyond it)
-    SELECT CAST(sum(CAST(abs(c.fx * t.n2 - c.fy * t.n1) AS DECIMAL(38,0))
+    -- the last grid point has no segment (both CDFs are 1 beyond it).
+    -- The cross-multiply itself runs in DECIMAL(38,0) (not BIGINT-then-
+    -- cast): fx*n2 would overflow BIGINT once n1*n2 > ~9.2e18,
+    -- plausible at the 100 TB design point.
+    SELECT CAST(sum(abs(CAST(c.fx AS DECIMAL(38,0)) * t.n2
+                        - CAST(c.fy AS DECIMAL(38,0)) * t.n1)
                     * (c.next_cents - c.cents)) AS DECIMAL(38,0)) AS m,
            CAST(min(t.n1) AS BIGINT) AS n1,
            CAST(min(t.n2) AS BIGINT) AS n2

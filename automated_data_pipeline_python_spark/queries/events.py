@@ -1286,11 +1286,19 @@ def events_markov_removal_attribution(
 
 def _entropy_rate_tail(mat: str) -> str:
     rowsum = sql_exact_sum("p * ln(p)", 12)
+    # p > 0 filter: a transition whose probability snaps to 0 on the
+    # 1e-9 grid (count/total < 5e-10 — plausible at the 100 TB design
+    # point) would make Spark ln(0) return NULL (term silently dropped)
+    # while DuckDB returns -inf and the exact-sum's floor/CAST errors.
+    # 0·ln(0) = 0 by convention, so excluding the row is the entropy
+    # identity, not an approximation (same zero-sd exclusion discipline
+    # as text_burrows_delta). Every observed state keeps >=1 positive p
+    # (its row sums to ~1), so no state drops from rowh.
     return f"""
 rowh AS (
     SELECT f,
            floor((-1e0 * ({rowsum})) * 1e6 + 0.5) / 1e6 AS h_row
-    FROM {mat} GROUP BY f
+    FROM {mat} WHERE p > 0e0 GROUP BY f
 )
 SELECT p3.s AS event_type,
        p3.pi AS pi_stationary,

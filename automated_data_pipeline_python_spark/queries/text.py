@@ -1058,9 +1058,13 @@ dense AS (
     LEFT JOIN stc c ON c.source = s.source AND c.token = k.token
 ),
 mstat AS (
+    -- fu is a 1e9-scaled relative frequency (up to 1e9), so fu² reaches
+    -- 1e18 and a BIGINT sum overflows past ~9 concentrated sources; the
+    -- second moment accumulates in DECIMAL(38,0) (the
+    -- lineitem_abc_xyz_matrix pattern)
     SELECT token, CAST(count(*) AS BIGINT) AS g,
            CAST(sum(fu) AS BIGINT) AS s1,
-           CAST(sum(fu * fu) AS BIGINT) AS s2
+           CAST(sum(CAST(fu AS DECIMAL(38,0)) * fu) AS DECIMAL(38,0)) AS s2
     FROM dense GROUP BY token
 ),
 sigma AS (
