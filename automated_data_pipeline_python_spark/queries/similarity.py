@@ -1514,19 +1514,18 @@ def embedding_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is tiny.
 
 
-def _centroid_drift_sql(explode, cast_vec: str) -> str:
-    return f"""
-WITH halves AS (
-    SELECT label, vec_id % 2 AS late, {cast_vec} AS v FROM embeddings
-),
-dims AS (
-    {explode("halves")}
-),
-means AS (
+def _centroid_tail() -> str:
+    """Everything downstream of the per-(label, half, dim) snapped-sum
+    grid, as a ``{sums}``-parameterized template (columns: label,
+    late ∈ {{0=reference, 1=live}}, d, sx = 1e9-grid snapped component
+    sum, c = vector count): streaming/monitors.py applies the identical
+    mean/cosine/norm algebra to its incrementally-maintained state
+    (stream==batch parity by construction; labels × dims rows, bounded).
+    """
+    return f"""means AS (
     SELECT label, late, d,
-           floor(({sql_exact_sum("x", 9)} / count(*)) * 1e9 + 0.5) / 1e9
-               AS m
-    FROM dims GROUP BY label, late, d
+           floor((CAST(sx AS DOUBLE) / 1e9 / c) * 1e9 + 0.5) / 1e9 AS m
+    FROM {{sums}}
 ),
 pairs AS (
     SELECT e.label, e.m AS me, l.m AS ml
@@ -1542,11 +1541,9 @@ stats AS (
 ),
 counts AS (
     SELECT label,
-           CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_early,
-           CAST(sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_late
-    FROM halves GROUP BY label
+           CAST(max(CASE WHEN late = 0 THEN c END) AS BIGINT) AS n_early,
+           CAST(max(CASE WHEN late = 1 THEN c END) AS BIGINT) AS n_late
+    FROM {{sums}} GROUP BY label
 )
 SELECT c.label, c.n_early, c.n_late,
        CASE WHEN s.ne2 <= 0e0 OR s.nl2 <= 0e0 THEN CAST(NULL AS DOUBLE)
@@ -1558,6 +1555,24 @@ SELECT c.label, c.n_early, c.n_late,
 FROM counts c JOIN stats s ON s.label = c.label
 ORDER BY c.label
 """
+
+
+def _centroid_drift_sql(explode, cast_vec: str) -> str:
+    return f"""
+WITH halves AS (
+    SELECT label, vec_id % 2 AS late, {cast_vec} AS v FROM embeddings
+),
+dims AS (
+    {explode("halves")}
+),
+sums AS (
+    SELECT label, late, d,
+           CAST(sum(CAST(floor((x) * 1e9 + 0.5) AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS sx,
+           CAST(count(*) AS BIGINT) AS c
+    FROM dims GROUP BY label, late, d
+),
+{_centroid_tail().format(sums="sums")}"""
 
 
 _CENTROID_DRIFT_SPARK_SQL = _centroid_drift_sql(

@@ -300,3 +300,81 @@ def cusum_report(daily_counts: DataFrame) -> DataFrame:
     spark = daily_counts.sparkSession
     daily_counts.createOrReplaceTempView("cusum_mon_daily")
     return spark.sql("WITH " + _CUSUM_TAIL.format(daily="cusum_mon_daily"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift monitor (the drift suite's vector axis)
+# ---------------------------------------------------------------------------
+# PSI/KS/W1 watch SCALAR value distributions; when the monitored
+# artifact is a vector column (a re-embedding stream from a retrained
+# encoder), the first-order check is whether each class's CENTROID
+# moved. Frozen-baseline shape: the reference snapshot's per-(label,
+# dim) snapped component sums are bounded state (labels x dims rows),
+# the stream pays a stateless posexplode map plus ONE grouped sum over
+# the same bounded key space, and the report applies the catalog
+# query's {sums} template (queries/similarity.py _centroid_tail)
+# verbatim — so with the catalog framing (reference = even vec_ids,
+# live = odd) the streamed report equals embedding_centroid_drift
+# row-for-row.
+
+_CENTROID_COMPONENTS = (
+    "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + 0.5) AS DECIMAL(38,0)))"
+    " AS DECIMAL(38,0))"
+)
+
+
+def _centroid_sums(vectors: DataFrame) -> DataFrame:
+    """Per-(label, dim) 1e9-grid snapped component sums + vector counts
+    — the shared aggregation both the frozen reference and the live
+    stream run (identical snapping to the catalog query's sums CTE)."""
+    return (
+        vectors.select(
+            "label", F.expr("posexplode(embedding)").alias("d", "x")
+        )
+        .groupBy("label", "d")
+        .agg(
+            F.expr(_CENTROID_COMPONENTS).alias("sx"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("c"),
+        )
+    )
+
+
+def centroid_reference(embeddings: DataFrame) -> DataFrame:
+    """Frozen per-(label, dim) reference centroid state from a reference
+    snapshot (catalog framing: the even-vec_id half). Bounded (labels x
+    dims rows); callers freeze via localCheckpoint, production refreshes
+    when the encoder is retrained."""
+    return _centroid_sums(embeddings.where("vec_id % 2 = 0"))
+
+
+def centroid_live_sums(stream: DataFrame) -> DataFrame:
+    """Streamable live-side centroid state: stateless component explode
+    then ONE grouped sum whose state is the bounded (label, dim) grid
+    (complete mode — labels x dims rows, corpus-independent). Works
+    identically on a batch frame (catalog framing: the odd-vec_id
+    half)."""
+    return _centroid_sums(stream)
+
+
+def centroid_drift_report(
+    live_sums: DataFrame, reference: DataFrame
+) -> DataFrame:
+    """Per-label centroid cosine + norm ratio from the completed sums —
+    the catalog query's {sums} template (queries/similarity.py
+    _centroid_tail) applied verbatim to the union-merged (label, late,
+    d, sx, c) grid, so with the catalog framing the streamed report
+    equals embedding_centroid_drift row-for-row."""
+    from automated_data_pipeline_python_spark.queries.similarity import (
+        _centroid_tail,
+    )
+
+    spark = live_sums.sparkSession
+    merged = reference.select(
+        "label", F.lit(0).alias("late"), "d", "sx", "c"
+    ).unionByName(
+        live_sums.select("label", F.lit(1).alias("late"), "d", "sx", "c")
+    )
+    merged.createOrReplaceTempView("centroid_mon_sums")
+    return spark.sql(
+        "WITH " + _centroid_tail().format(sums="centroid_mon_sums")
+    )

@@ -88,15 +88,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the min filters out one-off JIT/GC/OS noise,
-    # so round-over-round numbers track plan changes, not scheduler luck.
+    # Min-of-N per query (default 3, SPARK_GRAFT_BENCH_REPEATS to
+    # override): the min filters out one-off JIT/GC/OS noise, so
+    # round-over-round numbers track plan changes, not scheduler luck.
+    # Raised from 2 to 3 in round 9: the 2-repeat headline manufactured
+    # three phantom regressions in round 8 that the same-commit 5-run
+    # repeat study refuted (VERDICT r8 task 5).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES.get(name)
         if q is None:
             continue  # not implemented yet
         best = float("inf")
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -120,6 +125,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
             }
         )
     )

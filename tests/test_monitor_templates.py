@@ -66,3 +66,16 @@ def test_psi_monitor_reuses_catalog_tail():
     from automated_data_pipeline_python_spark.queries.drift import _PSI_TAIL
 
     assert "{spine}" in _PSI_TAIL and "{cells}" in _PSI_TAIL
+
+
+def test_centroid_drift_catalog_sql_is_the_template():
+    from automated_data_pipeline_python_spark.queries.similarity import (
+        _CENTROID_DRIFT_SPARK_SQL,
+        _CENTROID_DRIFT_DUCK_SQL,
+        _centroid_tail,
+    )
+
+    tail = _centroid_tail()
+    assert "{sums}" in tail
+    assert _CENTROID_DRIFT_SPARK_SQL.endswith(tail.format(sums="sums"))
+    assert _CENTROID_DRIFT_DUCK_SQL.endswith(tail.format(sums="sums"))

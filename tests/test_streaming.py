@@ -792,3 +792,47 @@ def test_page_hinkley_monitor_stream_equals_catalog(spark, events_dir):
     want = QUERIES["events_page_hinkley_drift"].fn(spark, SF_DIR)
     cols = ["event_type", "day", "n_events", "ph_stat", "alarm"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+@pytest.fixture(scope="module")
+def embeddings_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("embeddings_stream")
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_centroid_drift_monitor_stream_equals_catalog(spark, embeddings_dir):
+    """Frozen-baseline embedding centroid drift monitor (the drift
+    suite's vector axis): the reference half's per-(label, dim) snapped
+    component sums are frozen batch-side, the stream maintains the live
+    half's sums as bounded state (labels x dims rows), and the report
+    (the catalog {sums} template verbatim) must equal
+    embedding_centroid_drift row-for-row."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        centroid_drift_report,
+        centroid_live_sums,
+        centroid_reference,
+    )
+
+    batch = load(spark, SF_DIR, "embeddings")
+    ref = centroid_reference(batch).localCheckpoint(eager=True)
+
+    schema = spark.read.parquet(embeddings_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(embeddings_dir)
+        .where("vec_id % 2 = 1")
+    )
+    got_sums = run_to_memory(
+        centroid_live_sums(stream), "t_centroid_live", output_mode="complete"
+    )
+    got = centroid_drift_report(got_sums, ref)
+    want = QUERIES["embedding_centroid_drift"].fn(spark, SF_DIR)
+    cols = ["label", "n_early", "n_late", "centroid_cosine", "norm_ratio"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # the monitor's own batch run matches its stream run (state parity)
+    batch_sums = centroid_live_sums(batch.where("vec_id % 2 = 1"))
+    assert _sorted_rows(got_sums, ["label", "d", "sx", "c"]) == \
+        _sorted_rows(batch_sums, ["label", "d", "sx", "c"])
