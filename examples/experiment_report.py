@@ -24,39 +24,59 @@ from automated_data_pipeline_python_spark.queries import QUERIES
 from automated_data_pipeline_python_spark.session import get_spark
 
 
-def run(spark, sf_dir: str) -> None:
+def run(spark, sf_dir: str) -> dict:
+    """Run every section and return {section: headline numbers} — the
+    same dict tests/test_example_reports.py pins at sf0.01, so this
+    composed report doubles as an integration canary when shared SQL
+    constants change."""
+    report: dict[str, dict] = {}
+
     def rows(name: str):
         return QUERIES[name].fn(spark, sf_dir).collect()
 
     lift = rows("events_ab_test_lift")[0].asDict()
+    report["lift"] = {"lift_abs": lift["lift_abs"], "z": lift["z_score"]}
     print(f"[lift     ] abs lift {lift.get('lift_abs')} "
           f"(z = {lift.get('z_score')})")
 
-    for r in rows("events_power_analysis"):
-        d = r.asDict()
+    power = [r.asDict() for r in rows("events_power_analysis")]
+    report["power"] = {
+        d["rel_mde"]: d["n_per_arm"] for d in power
+    }
+    for d in power:
         print(f"[power    ] {d}")
 
     sprt = rows("events_sprt_ab_trajectory")
     last = sprt[-1].asDict() if sprt else {}
+    report["sprt"] = {"n_days": len(sprt),
+                      "final_decision": last.get("decision")}
     print(f"[sprt     ] {len(sprt)} trajectory rows; final state {last}")
 
     fdr = rows("events_bh_fdr_screen")
-    sig = [r for r in fdr if r.asDict().get("significant") in (1, True)]
+    sig = [r for r in fdr if r.asDict().get("rejected") in (1, True)]
+    report["fdr"] = {"n_tests": len(fdr), "n_rejected": len(sig)}
     print(f"[fdr      ] {len(sig)}/{len(fdr)} hourly tests survive BH")
 
     ipw = rows("events_ipw_ate")[0].asDict()
+    report["ipw"] = {"naive_diff": ipw["naive_diff"],
+                     "ipw_ate": ipw["ipw_ate"],
+                     "strata": (ipw["n_strata_used"], ipw["n_strata"])}
     print(f"[ipw      ] naive {ipw['naive_diff']} vs ATE {ipw['ipw_ate']} "
           f"({ipw['n_strata_used']}/{ipw['n_strata']} strata pass "
           f"positivity) — the gap is the confounding")
 
     did = rows("events_did_estimator")[0].asDict()
+    report["did"] = {"did": did["did"], "placebo": did["placebo_did"]}
     print(f"[did      ] DiD {did['did']}; placebo {did['placebo_did']} "
           f"(should be ~0 if trends are parallel)")
 
     qini = rows("events_qini_uplift_curve")
     final = qini[-1].asDict() if qini else {}
+    report["qini"] = {"n_deciles": len(qini),
+                      "final_qini": final.get("qini")}
     print(f"[qini     ] {len(qini)} deciles; cumulative Qini at 100% "
           f"targeting = {final.get('qini')}")
+    return report
 
 
 if __name__ == "__main__":

@@ -1,0 +1,126 @@
+"""Composed-report regression pins (VERDICT r8 task 8).
+
+The four example reports chain oracle-green catalog operators; pinning
+their section values at sf0.01 turns them into integration canaries: a
+change to any shared SQL constant (thresholds, snap grids, hash
+parameters) that shifts results shows up here as a concrete number
+moving, even if both engines shift together (which oracle parity cannot
+see).
+
+The pins are corpus-dependent, and the driver regenerates the testdata
+parquet between rounds — so every pinned test is gated on a cheap
+corpus fingerprint. Fingerprint mismatch = the corpus changed, not the
+code: the test skips with a re-pin instruction instead of failing.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+# Fingerprint of the sf0.01 corpus these pins were computed against
+# (round 9). Recompute via the expression in _fingerprint() and re-pin
+# the section values below whenever the driver regenerates testdata.
+def _fingerprint() -> tuple:
+    con = duckdb.connect()
+    row = con.execute(
+        f"""
+        SELECT (SELECT count(*) FROM '{SF_CORRECT}/documents.parquet'),
+               (SELECT count(*) FROM '{SF_CORRECT}/events.parquet'),
+               (SELECT CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT))
+                       AS BIGINT) FROM '{SF_CORRECT}/events.parquet'
+                WHERE value IS NOT NULL),
+               (SELECT count(*) FROM '{SF_CORRECT}/orders.parquet')
+        """
+    ).fetchone()
+    con.close()
+    return row
+
+
+_EXPECTED_FINGERPRINT = (500, 10000, 49630657, 15000)
+
+
+def _require_pinned_corpus():
+    got = _fingerprint()
+    if got != _EXPECTED_FINGERPRINT:
+        pytest.skip(
+            f"sf0.01 corpus regenerated (fingerprint {got} != pinned "
+            f"{_EXPECTED_FINGERPRINT}) — recompute the section pins in "
+            f"tests/test_example_reports.py"
+        )
+
+
+def test_corpus_pipeline_funnel_pinned(spark, tmp_path):
+    _require_pinned_corpus()
+    from examples.corpus_pipeline import run_pipeline
+
+    report = run_pipeline(spark, str(tmp_path), SF_CORRECT)
+    assert report == {
+        "bronze": 500,
+        "quality_gate": 457,
+        "exact_dedup": 457,
+        "near_dedup": 434,
+        "decontaminated": 433,
+        "sampled": 122,
+        "packed_sequences": 541,
+    }
+
+
+def test_drift_monitor_sections_pinned(spark):
+    _require_pinned_corpus()
+    from examples.drift_monitor import run
+
+    report = run(spark, SF_CORRECT)
+    got = {k: (v["rows"], v["alarms"]) for k, v in report.items()}
+    assert got == {
+        "vocab_drift": (20, 0),
+        "value_drift": (10, 0),
+        "shape_drift": (1, 0),
+        "shape_drift_w1": (1, 1),
+        "mean_drift": (150, 1),
+        "vector_drift": (10, 10),
+        "outliers": (150, 0),
+        "integrity": (9, 4),
+        "dependency": (3, 0),
+        "filter_health": (4, 0),
+    }
+
+
+def test_tokenizer_report_sections_pinned(spark):
+    _require_pinned_corpus()
+    from examples.tokenizer_report import run_report
+
+    report = run_report(spark, SF_CORRECT)
+    zipf = report["zipf_fit"].collect()[0]
+    assert (zipf.n_ranks, zipf.zipf_slope) == (31, -0.182505)
+    assert report["bigram_entropy"].count() == 31
+    bpe = report["bpe_merge_candidates"].collect()
+    assert len(bpe) == 20
+    assert (bpe[0].pair, bpe[0].pair_count) == ("er", 4568)
+    assert report["substring_duplication"].count() == 500
+    pmi = report["pmi_collocations"].collect()
+    assert len(pmi) == 50
+    assert (pmi[0].t1, pmi[0].t2, pmi[0].co_docs, pmi[0].pmi) == (
+        "column", "dup", 21, 0.089612,
+    )
+
+
+def test_experiment_report_sections_pinned(spark):
+    _require_pinned_corpus()
+    from examples.experiment_report import run
+
+    report = run(spark, SF_CORRECT)
+    assert report["lift"] == {"lift_abs": 0.015478, "z": 0.1901}
+    assert report["power"][0.02] == 46070
+    assert report["power"][0.1] == 1843
+    assert report["sprt"] == {"n_days": 30, "final_decision": "accept_h0"}
+    assert report["fdr"] == {"n_tests": 24, "n_rejected": 0}
+    assert report["ipw"] == {
+        "naive_diff": -0.219017,
+        "ipw_ate": -0.227735,
+        "strata": (4, 5),
+    }
+    assert report["did"] == {"did": -2.856184, "placebo": -4.535621}
+    assert report["qini"] == {"n_deciles": 10, "final_qini": 4.634146}
