@@ -954,3 +954,133 @@ def quality_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps off the bounded score histogram, no per-row global rank."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_PR_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DeLong AUC variance + confidence interval
+# ---------------------------------------------------------------------------
+# quality_auc_rank reports the AUC point estimate; shipping a quality
+# model needs the UNCERTAINTY — is AUC 0.72 ± 0.01 or ± 0.15? DeLong
+# et al. (1988): AUC is the mean of the positive placement values
+# V10_i = P̂(score_i > random negative), its variance is
+# S10/m + S01/n with S10/S01 the sample variances of the positive/
+# negative placements — no bootstrap, one pass.
+#
+# Placements share values within a tied score, so both placement
+# moment sums come off the bounded score HISTOGRAM, never per-row:
+# the doubled placement u_i = 2·(negatives below) + (negatives tied)
+# is an exact integer (mean u / 2n == the rank AUC identically), and
+# the squared sums accumulate in DECIMAL(38,0) (u² reaches 4e18 once a
+# class passes ~1e9 rows). The only floats are the final variance
+# ratio, sqrt, and CI endpoints — snapped. Labels: the same
+# Gopher-rule suite quality_auc_rank scores against.
+
+_DELONG_TAIL = f"""
+ratios AS (
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT r.doc_id, {_SCORE_EXPR},
+           CASE WHEN f.n_tok >= 20 AND f.n_tok <= 100000
+                 AND floor((CAST(f.sum_len AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 BETWEEN 3e0 AND 10e0
+                 AND floor((CAST(f.n_stop AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 >= 5e-2
+                 AND floor((CAST(f.n_uniq AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 > 2e-1
+                THEN 1 ELSE 0 END AS pos
+    FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
+),
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(sum(pos) AS BIGINT) AS c_pos
+    FROM scored GROUP BY score
+),
+cum AS (
+    SELECT score, c_pos, c_all - c_pos AS c_neg,
+           CAST(sum(c_all - c_pos) OVER (ORDER BY score)
+                - (c_all - c_pos) AS BIGINT) AS neg_below,
+           CAST(sum(c_pos) OVER (ORDER BY score) AS BIGINT) AS pos_upto
+    FROM hist
+),
+tot AS (
+    SELECT CAST(sum(c_pos) AS BIGINT) AS m,
+           CAST(sum(c_neg) AS BIGINT) AS n
+    FROM cum
+),
+-- doubled placements: u (positives) over negatives, w (negatives)
+-- over positives; exact integers per histogram cell
+moments AS (
+    SELECT
+        CAST(sum(c.c_pos * CAST(2 * c.neg_below + c.c_neg
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS su,
+        CAST(sum(c.c_pos * CAST(2 * c.neg_below + c.c_neg AS DECIMAL(38,0))
+                         * (2 * c.neg_below + c.c_neg))
+             AS DECIMAL(38,0)) AS su2,
+        CAST(sum(c.c_neg * CAST(2 * (t.m - c.pos_upto) + c.c_pos
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
+        CAST(sum(c.c_neg * CAST(2 * (t.m - c.pos_upto) + c.c_pos
+                                AS DECIMAL(38,0))
+                         * (2 * (t.m - c.pos_upto) + c.c_pos))
+             AS DECIMAL(38,0)) AS sw2
+    FROM cum c CROSS JOIN tot t
+),
+vars AS (
+    SELECT t.m, t.n,
+           CAST(mo.su AS DOUBLE) / (2e0 * t.n * t.m) AS auc,
+           (CAST(mo.su2 AS DOUBLE)
+            - CAST(mo.su AS DOUBLE) * CAST(mo.su AS DOUBLE) / t.m)
+               / (t.m - 1) / (4e0 * CAST(t.n AS DOUBLE) * t.n) AS s10,
+           (CAST(mo.sw2 AS DOUBLE)
+            - CAST(mo.sw AS DOUBLE) * CAST(mo.sw AS DOUBLE) / t.n)
+               / (t.n - 1) / (4e0 * CAST(t.m AS DOUBLE) * t.m) AS s01
+    FROM moments mo CROSS JOIN tot t
+)
+SELECT m AS n_pos, n AS n_neg,
+       floor(auc * 1e6 + 0.5) / 1e6 AS auc,
+       floor(sqrt(s10 / m + s01 / n) * 1e6 + 0.5) / 1e6 AS auc_se,
+       floor((auc - 196e-2 * sqrt(s10 / m + s01 / n)) * 1e6 + 0.5) / 1e6
+           AS ci95_lo,
+       floor((auc + 196e-2 * sqrt(s10 / m + s01 / n)) * 1e6 + 0.5) / 1e6
+           AS ci95_hi,
+       floor(((auc - 5e-1) / sqrt(s10 / m + s01 / n)) * 1e6 + 0.5) / 1e6
+           AS z_vs_chance
+FROM vars
+"""
+
+_DELONG_SPARK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id, {', '.join(_S_FEAT_EXPRS)}
+    FROM (SELECT doc_id, {_S_TOK} AS toks FROM documents)
+),
+{_DELONG_TAIL}
+"""
+
+_DELONG_DUCK_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, x -> x = 'a' OR x = 'the')) AS n_stop,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len
+    FROM (SELECT doc_id, {_D_TOK} AS toks FROM documents)
+),
+{_DELONG_TAIL}
+"""
+
+
+@register("quality_auc_delong_ci", oracle=_DELONG_DUCK_SQL)
+def quality_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error, 95% CI, and z-vs-chance for the logistic
+    score's AUC against Gopher-rule labels — placement-value moments
+    off the bounded score histogram in exact integers (the mean
+    placement IS the rank AUC, so the point estimate matches
+    quality_auc_rank bit-for-bit)."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_DELONG_SPARK_SQL)

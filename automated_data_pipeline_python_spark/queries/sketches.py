@@ -706,3 +706,94 @@ def sketch_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda e: f"CAST(conv(substr(sha2({e}, 256), 1, 7), 16, 10) AS BIGINT)"
         ).lstrip()
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (oracle-checkable registers)
+# ---------------------------------------------------------------------------
+# sketch_user_reach_rollup uses Spark's built-in DataSketches HLL —
+# mergeable and fast, but rows-only checkable (DuckDB's sketch differs).
+# This twin builds the HLL REGISTERS in portable SQL from the shared
+# SHA-derived 60-bit hash, so DuckDB replays the estimate bit-for-bit:
+# bucket = h mod 256, rho = trailing-zeros(h div 256) + 1 (the original
+# Flajolet-Martin rho — same geometric law as leading zeros for a
+# uniform hash, and exactly computable as bit_count((w & -w) - 1) + 1
+# on both engines), register = max(rho). The estimate is the standard
+# alpha_m·m²/Σ2^(-M_j) with the linear-counting small-range correction.
+#
+# Exactness: Σ2^(-M_j) is summed as exact integers scaled by 2^53
+# (rho <= 53, so every term is an integer <= 2^52 and the register
+# relation is 256 rows — no float accumulation order anywhere); the
+# per-type exact distinct count rides along so the row reports its own
+# relative error, like dedup_minhash_estimate_accuracy. Scale: one
+# (type, bucket) aggregation — 5 x 256 register rows of state at any
+# corpus size; this is the mergeable-rollup shape itself.
+
+_HLL_M = 256
+_HLL_ALPHA = "(7213e-4 / (1e0 + 1079e-3 / 256e0))"
+
+
+def _hll_sql(hash60: str, idiv: str) -> str:
+    w = idiv.format(a="h.h", b=str(_HLL_M))
+    return f"""
+WITH h AS (
+    SELECT event_type, {hash60} AS h FROM events
+),
+regs AS (
+    SELECT event_type,
+           h.h % {_HLL_M} AS j,
+           CAST(max(bit_count((({w}) & -({w})) - 1) + 1) AS BIGINT)
+               AS rho
+    FROM h GROUP BY event_type, h.h % {_HLL_M}
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_used,
+           CAST(sum(CAST(power(2e0, 53 - rho) AS BIGINT)) AS BIGINT)
+               AS s53
+    FROM regs GROUP BY event_type
+),
+est AS (
+    SELECT event_type, n_used,
+           CAST({_HLL_M} - n_used AS BIGINT) AS n_zero,
+           {_HLL_ALPHA} * {_HLL_M}e0 * {_HLL_M}e0
+               / (CAST(s53 AS DOUBLE) / 9007199254740992e0
+                  + ({_HLL_M} - n_used)) AS e_raw
+    FROM s
+),
+exact AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_used AS n_registers_used,
+       floor(e.e_raw * 1e6 + 0.5) / 1e6 AS raw_estimate,
+       floor((CASE WHEN e.e_raw <= 25e-1 * {_HLL_M} AND e.n_zero > 0
+                   THEN {_HLL_M}e0 * ln({_HLL_M}e0 / e.n_zero)
+                   ELSE e.e_raw END) * 1e6 + 0.5) / 1e6 AS hll_estimate,
+       x.exact_distinct,
+       floor(abs((CASE WHEN e.e_raw <= 25e-1 * {_HLL_M} AND e.n_zero > 0
+                       THEN {_HLL_M}e0 * ln({_HLL_M}e0 / e.n_zero)
+                       ELSE e.e_raw END) - x.exact_distinct)
+             / x.exact_distinct * 1e6 + 0.5) / 1e6 AS rel_error
+FROM est e JOIN exact x ON x.event_type = e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register(
+    "sketch_hll_portable",
+    oracle=_hll_sql(
+        duck_hash60("CAST(user_id AS VARCHAR)"), "({a}) // ({b})"
+    ),
+)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type from portable
+    SQL registers (shared SHA hash, trailing-zero rho, exact-integer
+    register sum), with the linear-counting correction and the measured
+    relative error vs the exact count — the oracle-checkable twin of
+    the DataSketches rollup."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _hll_sql(spark_hash60("CAST(user_id AS STRING)"), "({a}) DIV ({b})")
+    )

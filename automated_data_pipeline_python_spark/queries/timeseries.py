@@ -2664,3 +2664,158 @@ def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-sigma lambda, one (type, day) row each with the alarm flag."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ph_sql("date_format(d, 'yyyy-MM-dd')"))
+
+
+# ---------------------------------------------------------------------------
+# Syntetos-Boylan demand-pattern classification (ADI x CV² quadrants)
+# ---------------------------------------------------------------------------
+# The routing table ABOVE the forecasting methods: Croston/SBA/SES each
+# dominate on a different demand pattern, and Syntetos, Boylan &
+# Croston (2005) give the standard cut-offs — ADI (average inter-demand
+# interval, days) at 1.32 and CV² (squared coefficient of variation of
+# the nonzero demand sizes) at 0.49 — splitting brands into smooth /
+# intermittent / erratic / lumpy, each with its recommended method.
+# Pairs with lineitem_croston_demand (which fits one of those methods)
+# and lineitem_abc_xyz_matrix (the revenue-value axis).
+#
+# Exactness: ADI = (last demand day − first) / (n−1) — the telescoped
+# sum of inter-demand gaps, a ratio of exact integers; CV² =
+# n·Σq² − (Σq)² over (Σq)², population variance over mean², with the
+# second moment accumulated in DECIMAL(38,0) (q² overflows BIGINT once
+# daily brand quantities pass ~3e9). Both classification thresholds
+# compare SNAPPED values per the float-boundary discipline. Scale: one
+# corpus join+group to the (brand × demand-day) relation; everything
+# after is brand-bounded.
+
+
+def _sbc_sql(days_diff: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+           CAST(floor(sum(l.l_quantity) + 0.5) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, CAST(l.l_shipdate AS DATE)
+),
+stats AS (
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_demand_days,
+           CAST({days_diff.format(a="min(d)", b="max(d)")} AS BIGINT)
+               AS span_days,
+           CAST(sum(q) AS BIGINT) AS sq,
+           CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sq2
+    FROM daily GROUP BY brand
+),
+measures AS (
+    SELECT brand, n_demand_days, span_days,
+           CASE WHEN n_demand_days >= 2
+                THEN floor((CAST(span_days AS DOUBLE)
+                            / (n_demand_days - 1)) * 1e6 + 0.5) / 1e6
+           END AS adi,
+           CASE WHEN n_demand_days >= 2 AND sq > 0
+                THEN floor(((CAST(n_demand_days AS DOUBLE)
+                             * CAST(sq2 AS DOUBLE)
+                             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                            / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+           END AS cv2
+    FROM stats
+)
+SELECT brand, n_demand_days, span_days, adi, cv2,
+       CASE WHEN adi IS NULL OR cv2 IS NULL THEN 'insufficient'
+            WHEN adi < 132e-2 AND cv2 < 49e-2 THEN 'smooth'
+            WHEN adi >= 132e-2 AND cv2 < 49e-2 THEN 'intermittent'
+            WHEN adi < 132e-2 AND cv2 >= 49e-2 THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class,
+       CASE WHEN adi IS NULL OR cv2 IS NULL THEN 'n/a'
+            WHEN adi < 132e-2 AND cv2 < 49e-2 THEN 'ses'
+            WHEN adi >= 132e-2 AND cv2 < 49e-2 THEN 'croston'
+            ELSE 'sba' END AS recommended_method
+FROM measures
+ORDER BY brand
+"""
+
+
+@register(
+    "lineitem_sbc_demand_classes",
+    oracle=_sbc_sql("date_diff('day', {a}, {b})"),
+)
+def lineitem_sbc_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-pattern quadrants per brand: ADI and CV²
+    from exact integer moments, classed at the standard 1.32/0.49
+    cut-offs with the recommended forecasting method."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_sbc_sql("datediff({b}, {a})"))
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima extreme-value fit (EVT return levels)
+# ---------------------------------------------------------------------------
+# Capacity planning asks a question the mean/percentile queries can't
+# answer: "what's the worst single transaction we should expect over
+# the next quarter?" Extreme-value theory answers it from the BLOCK
+# MAXIMA: per-day maxima of the transaction value converge to a
+# Gumbel distribution (the light-tailed EVT domain), fit here by the
+# method of moments — scale beta = sd·sqrt(6)/pi, location mu =
+# mean − gamma·beta (Euler–Mascheroni) — and inverted into T-day
+# return levels mu − beta·ln(−ln(1 − 1/T)).
+#
+# Exactness: daily maxima are exact cents integers (one corpus pass);
+# mean/sd come from exact integer moments with the second moment in
+# DECIMAL(38,0); pi/gamma are shared literals, so both engines compute
+# the identical float expression, snapped once at output. Scale: the
+# corpus pass is the per-day max; the fit runs on the calendar-bounded
+# maxima relation.
+
+_GUMBEL_SQL = """
+WITH maxima AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(max(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS mx
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(mx) AS BIGINT) AS sm,
+           CAST(sum(CAST(mx AS DECIMAL(38,0)) * mx) AS DECIMAL(38,0)) AS sm2
+    FROM maxima
+),
+fit AS (
+    SELECT n,
+           CAST(sm AS DOUBLE) / n / 1e2 AS mean_max,
+           sqrt((CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE)
+                 - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1))) / 1e2 AS sd_max
+    FROM mom WHERE n >= 2
+),
+params AS (
+    SELECT n, mean_max, sd_max,
+           sd_max * sqrt(6e0) / 3.141592653589793e0 AS beta,
+           mean_max - 0.5772156649015329e0
+                      * (sd_max * sqrt(6e0) / 3.141592653589793e0) AS mu
+    FROM fit
+),
+horizons AS (
+    SELECT CAST(7 AS BIGINT) AS horizon_days
+    UNION ALL SELECT CAST(30 AS BIGINT)
+    UNION ALL SELECT CAST(365 AS BIGINT)
+)
+SELECT h.horizon_days, p.n AS n_blocks,
+       floor(p.mu * 1e6 + 0.5) / 1e6 AS gumbel_mu,
+       floor(p.beta * 1e6 + 0.5) / 1e6 AS gumbel_beta,
+       floor((p.mu - p.beta
+              * ln(-ln(1e0 - 1e0 / h.horizon_days))) * 1e6 + 0.5) / 1e6
+           AS return_level
+FROM params p CROSS JOIN horizons h
+ORDER BY horizon_days
+"""
+
+
+@register("events_gumbel_block_maxima", oracle=_GUMBEL_SQL)
+def events_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel EVT fit of the daily transaction-value maxima (method of
+    moments) with 7/30/365-day return levels — the tail-risk number
+    percentiles of the raw distribution understate."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GUMBEL_SQL)

@@ -862,3 +862,95 @@ def feature_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_te_sql(spark_hash28, "STRING", "pmod"))
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-Evidence / Information Value feature screen
+# ---------------------------------------------------------------------------
+# The credit-scoring standard for "does this feature separate the
+# classes, and monotonically?": bucket the feature, and per bucket b
+# report WOE_b = ln(share of positives in b / share of negatives in b)
+# and the IV term (p_b − q_b)·WOE_b; IV > 0.3 = strong predictor,
+# < 0.02 = useless. Here: user activity (event count) quintiles vs
+# conversion (any purchase). Complements feature_target_encode_oof —
+# target encoding FITS a feature, WOE/IV decides whether to keep it.
+#
+# Buckets read off the DISTINCT-VALUE CDF with integer ceil-division
+# (the repo's ntile replacement — no corpus-sized window). Zero-cell
+# buckets (no positives or no negatives) get NULL WOE and drop from
+# the IV sum (the standard convention; a Laplace prior would bias the
+# screen). Shares are ratios of exact integers; ln is the single float
+# per row, snapped; the IV total exact-sums the snapped terms over the
+# bounded bucket relation. Scale: one user_id aggregation; everything
+# after runs on ≤5 bucket rows.
+
+
+def _woe_sql(idiv: str) -> str:
+    div = idiv.format(a="5 * c.cum + t.n - 1", b="t.n")
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS INT) AS converted
+    FROM events GROUP BY user_id
+),
+cdf AS (
+    SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+    FROM (SELECT n_events AS v, CAST(count(*) AS BIGINT) AS c
+          FROM per_user GROUP BY n_events)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
+bucketed AS (
+    SELECT u.user_id, u.converted,
+           CAST({div} AS INT) AS bucket
+    FROM per_user u
+    JOIN cdf c ON c.v = u.n_events
+    CROSS JOIN tot t
+),
+cells AS (
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_good,
+           CAST(sum(1 - converted) AS BIGINT) AS n_bad
+    FROM bucketed GROUP BY bucket
+),
+totals AS (
+    SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+           CAST(sum(n_bad) AS BIGINT) AS b_tot
+    FROM cells
+),
+woe AS (
+    SELECT c.bucket, c.n_users, c.n_good, c.n_bad,
+           CASE WHEN c.n_good > 0 AND c.n_bad > 0
+                THEN floor(ln((CAST(c.n_good AS DOUBLE) / t.g_tot)
+                              / (CAST(c.n_bad AS DOUBLE) / t.b_tot))
+                           * 1e6 + 0.5) / 1e6
+           END AS woe
+    FROM cells c CROSS JOIN totals t
+),
+terms AS (
+    SELECT w.bucket, w.n_users, w.n_good, w.n_bad, w.woe,
+           CASE WHEN w.woe IS NOT NULL
+                THEN floor((CAST(w.n_good AS DOUBLE) / t.g_tot
+                            - CAST(w.n_bad AS DOUBLE) / t.b_tot) * w.woe
+                           * 1e6 + 0.5) / 1e6
+           END AS iv_term
+    FROM woe w CROSS JOIN totals t
+)
+SELECT bucket, n_users, n_good, n_bad, woe, iv_term,
+       CAST(sum(CAST(floor(coalesce(iv_term, 0e0) * 1e6 + 0.5) AS BIGINT))
+                OVER () AS DOUBLE) / 1e6 AS iv_total
+FROM terms
+ORDER BY bucket
+"""
+
+
+@register("feature_woe_iv", oracle=_woe_sql("({a}) // ({b})"))
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence per activity quintile + the Information Value
+    of user activity as a conversion predictor — the keep/drop feature
+    screen; quintiles off the distinct-value CDF, zero-cell buckets
+    excluded from IV by the standard convention."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_woe_sql("({a}) DIV ({b})"))

@@ -50,6 +50,8 @@ ALLOWED = {
     "events_haar_wavelet_energy": "day-index window over calendar-bounded daily relation",
     "events_stl_decomposition": "7-day MA window over calendar-bounded daily relation",
     "feature_quantile_normalize": "CDF over distinct-value histogram (snapped grid)",
+    "feature_woe_iv": "CDF over distinct-activity histogram + IV total over the 5-bucket relation",
+    "quality_auc_delong_ci": "placement moments off snapped-score histogram (same stage class as quality_auc_rank)",
     "lineitem_abc_classification": "cumulative revenue share over brand-level aggregate (bounded brand domain)",
     "lineitem_abc_xyz_matrix": "cumulative revenue share over brand-level aggregate (bounded brand domain — same stage class as abc_classification)",
     "lm_negative_sampling_table": "cumulative boundaries over top-40 rank-capped vocab",

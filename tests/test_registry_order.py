@@ -85,7 +85,13 @@ ROUND9_SPARES = [
 # New catalog queries added in round 9: replay+pytest evidence this
 # round; they take round-10 window slots (the r9 window is committed to
 # closing the never-rowed ledger).
-ROUND9_NEW: list[str] = []
+ROUND9_NEW: list[str] = [
+    "lineitem_sbc_demand_classes",   # Syntetos-Boylan ADI x CV2 quadrants
+    "events_gumbel_block_maxima",    # EVT return levels, moment fit
+    "feature_woe_iv",                # WOE/IV feature screen
+    "sketch_hll_portable",           # oracle-checkable HLL registers
+    "quality_auc_delong_ci",         # DeLong AUC variance + CI
+]
 
 
 def test_priority_list_is_first_50():

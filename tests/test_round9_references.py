@@ -30,7 +30,7 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
-TABLES = ["events", "orders", "lineitem", "part"]
+TABLES = ["events", "orders", "lineitem", "part", "documents"]
 
 
 @pytest.fixture(scope="module")
@@ -374,3 +374,212 @@ def test_cuped_matches_covariance_adjustment(con):
     assert abs(cuped - raw) <= abs(theta) * (
         abs(sx_t / n_t) + abs(sx_c / n_c)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 new operators: same textbook-reference discipline
+# ---------------------------------------------------------------------------
+
+
+def test_sbc_classes_match_python_boundaries(con):
+    """ADI/CV2 and the quadrant labels recomputed from raw daily
+    brand demand with the plain Syntetos-Boylan definitions."""
+    daily = defaultdict(list)
+    for b, d, q in con.execute(
+        "SELECT p.p_brand, CAST(l.l_shipdate AS DATE),"
+        " CAST(floor(sum(l.l_quantity) + 0.5) AS BIGINT)"
+        " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall():
+        daily[b].append((d, q))
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            _oracle("lineitem_sbc_demand_classes")
+        ).fetchall()
+    }
+    assert len(got) == len(daily) >= 20
+    for b, rows in daily.items():
+        n = len(rows)
+        span = (rows[-1][0] - rows[0][0]).days
+        qs = [q for _, q in rows]
+        adi = _snap(span / (n - 1))
+        mean = sum(qs) / n
+        var = sum((q - mean) ** 2 for q in qs) / n
+        cv2 = _snap(var / mean**2)
+        if adi < 1.32 and cv2 < 0.49:
+            cls, meth = "smooth", "ses"
+        elif adi >= 1.32 and cv2 < 0.49:
+            cls, meth = "intermittent", "croston"
+        elif adi < 1.32:
+            cls, meth = "erratic", "sba"
+        else:
+            cls, meth = "lumpy", "sba"
+        g_n, g_span, g_adi, g_cv2, g_cls, g_meth = got[b]
+        assert (g_n, g_span) == (n, span)
+        assert abs(g_adi - adi) < 1e-9 and abs(g_cv2 - cv2) < 2e-6, b
+        assert (g_cls, g_meth) == (cls, meth), b
+
+
+def test_gumbel_matches_moment_fit(con):
+    """mu/beta and the return levels recomputed from the raw daily
+    maxima with the textbook method-of-moments formulas."""
+    mx = [
+        m / 1e2
+        for (m,) in con.execute(
+            "SELECT max(CAST(floor(value * 1e2 + 0.5) AS BIGINT))"
+            " FROM events WHERE value IS NOT NULL"
+            " GROUP BY CAST(ts AS DATE)"
+        ).fetchall()
+    ]
+    n = len(mx)
+    mean = sum(mx) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in mx) / (n - 1))
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    got = con.execute(_oracle("events_gumbel_block_maxima")).fetchall()
+    assert [r[0] for r in got] == [7, 30, 365]
+    prev = None
+    for t, n_blocks, g_mu, g_beta, g_rl in got:
+        assert n_blocks == n
+        assert abs(g_mu - mu) < 2e-6 and abs(g_beta - beta) < 2e-6
+        rl = mu - beta * math.log(-math.log(1 - 1 / t))
+        assert abs(g_rl - rl) < 2e-6, t
+        if prev is not None:
+            assert g_rl > prev  # return levels grow with the horizon
+        prev = g_rl
+    # the 7-day return level should sit in the right tail of the maxima
+    assert got[0][4] > sorted(mx)[n // 2]
+
+
+def test_woe_iv_matches_definition(con):
+    """Bucket WOE and the IV total recomputed from raw per-user
+    activity/conversion with the credit-scoring definitions."""
+    rows = con.execute(
+        "SELECT count(*),"
+        " max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+    n = len(rows)
+    dist = sorted({c for c, _ in rows})
+    cum, cdf = 0, {}
+    counts = defaultdict(int)
+    for c, _ in rows:
+        counts[c] += 1
+    for v in dist:
+        cum += counts[v]
+        cdf[v] = cum
+    buckets = defaultdict(lambda: [0, 0, 0])
+    for c, conv in rows:
+        b = (5 * cdf[c] + n - 1) // n
+        buckets[b][0] += 1
+        buckets[b][1] += conv
+        buckets[b][2] += 1 - conv
+    g_tot = sum(v[1] for v in buckets.values())
+    b_tot = sum(v[2] for v in buckets.values())
+    iv_u = 0
+    woes = {}
+    for b, (nu, ng, nb) in buckets.items():
+        if ng > 0 and nb > 0:
+            w = _snap(math.log((ng / g_tot) / (nb / b_tot)))
+            woes[b] = (nu, ng, nb, w)
+            iv_u += math.floor((ng / g_tot - nb / b_tot) * w * 1e6 + 0.5)
+        else:
+            woes[b] = (nu, ng, nb, None)
+    got = con.execute(_oracle("feature_woe_iv")).fetchall()
+    assert len(got) == len(buckets)
+    for b, nu, ng, nb, woe, iv_term, iv_total in got:
+        w_nu, w_ng, w_nb, w_w = woes[b]
+        assert (nu, ng, nb) == (w_nu, w_ng, w_nb), b
+        if w_w is None:
+            assert woe is None
+        else:
+            assert abs(woe - w_w) < 1e-9, b
+        assert abs(iv_total - iv_u / 1e6) < 1e-9
+
+
+def test_hll_matches_python_registers(con):
+    """The SQL registers and estimate recomputed with hashlib + the
+    standard alpha_m correction formulas."""
+    import hashlib
+
+    users = {
+        et: [u for (u,) in con.execute(
+            "SELECT DISTINCT user_id FROM events WHERE event_type = ?",
+            [et],
+        ).fetchall()]
+        for (et,) in con.execute(
+            "SELECT DISTINCT event_type FROM events"
+        ).fetchall()
+    }
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(_oracle("sketch_hll_portable")).fetchall()
+    }
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for et, uids in users.items():
+        regs = {}
+        for u in uids:
+            h = int(hashlib.sha256(str(u).encode()).hexdigest()[:15], 16)
+            j, w = h % m, h // m
+            rho = 1
+            while w and not (w & 1):
+                rho += 1
+                w >>= 1
+            if w == 0:
+                rho = 53 + 1  # unreachable for a 52-bit suffix; guard
+            regs[j] = max(regs.get(j, 0), rho)
+        s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+        e_raw = alpha * m * m / s
+        v = m - len(regs)
+        est = m * math.log(m / v) if (e_raw <= 2.5 * m and v > 0) else e_raw
+        n_used, raw, hll, exact, rel = got[et]
+        assert n_used == len(regs), et
+        assert abs(raw - e_raw) < 2e-6, et
+        assert abs(hll - est) < 2e-6, et
+        assert exact == len(uids)
+        assert abs(rel - abs(est - exact) / exact) < 2e-6
+        # accuracy sanity: HLL-with-linear-counting at m=256 should be
+        # well within 15% on these cardinalities
+        assert abs(est - exact) / exact < 0.15, et
+
+
+def test_delong_matches_per_row_placements(con):
+    """AUC/SE/CI recomputed from per-document placement values (the
+    literal DeLong construction, O(n log n) over rows — no histogram)."""
+    import bisect
+
+    from automated_data_pipeline_python_spark.queries.curation2 import (
+        _DELONG_DUCK_SQL,
+    )
+
+    head = _DELONG_DUCK_SQL[: _DELONG_DUCK_SQL.index("hist AS (")]
+    pairs = con.execute(
+        head + "fin AS (SELECT 1) SELECT score, pos FROM scored"
+    ).fetchall()
+    pos = sorted(s for s, p in pairs if p == 1)
+    neg = sorted(s for s, p in pairs if p == 0)
+    m, n = len(pos), len(neg)
+
+    def place(x, arr):
+        lo = bisect.bisect_left(arr, x)
+        hi = bisect.bisect_right(arr, x)
+        return (lo + 0.5 * (hi - lo)) / len(arr)
+
+    v10 = [place(s, neg) for s in pos]
+    v01 = [1.0 - place(s, pos) for s in neg]
+    auc = sum(v10) / m
+    assert abs(sum(v01) / n - auc) < 1e-12  # the DeLong identity
+    s10 = sum((v - auc) ** 2 for v in v10) / (m - 1)
+    s01 = sum((v - auc) ** 2 for v in v01) / (n - 1)
+    se = math.sqrt(s10 / m + s01 / n)
+    got = con.execute(_oracle("quality_auc_delong_ci")).fetchone()
+    assert got[0] == m and got[1] == n
+    assert abs(got[2] - auc) < 2e-6
+    assert abs(got[3] - se) < 2e-6
+    assert abs(got[4] - (auc - 1.96 * se)) < 4e-6
+    assert abs(got[5] - (auc + 1.96 * se)) < 4e-6
+    assert abs(got[6] - (auc - 0.5) / se) < 2e-4  # z: ratio amplifies ulps
+    # the CI must contain the exact rank AUC and exclude vacuity
+    assert got[4] < auc < got[5] and se > 0
