@@ -390,3 +390,140 @@ FROM ({union}) p CROSS JOIN cov
 ORDER BY p.round
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin index of the Lloyd assignment (cluster-quality gate)
+# ---------------------------------------------------------------------------
+# The clustering family fits (Lloyd, k-center, label propagation) but
+# never SCORES a partition; Davies-Bouldin is the standard internal
+# index a pipeline gates on before trusting cluster-derived features:
+# DB = (1/k) * sum_i max_{j!=i} (S_i + S_j) / M_ij with S_i the mean
+# member-to-centroid distance and M_ij the centroid separation. Lower
+# is better; the index needs only centroids + one distance pass, so it
+# scales where silhouette (all-pairs) cannot.
+#
+# Shape: one Lloyd assignment from the IVF seed centroids (the
+# kmeans_lloyd_refine discipline — snapped distances, id tie-breaks),
+# one corpus pass for per-member distances to the UPDATED centroids
+# (each sqrt snapped to 1e-6 and summed as exact scaled integers, so
+# S_i is order-independent), then an 8x8 centroid grid for M_ij. No
+# all-pairs anywhere; the corpus never shuffles on anything but the
+# argmin key.
+
+
+def _db_sql(dot, explode, collect, bigint) -> str:
+    def d2(bn: str, a: str, b: str, cn: str) -> str:
+        expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
+        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+    sdist = (
+        "CAST(floor(sqrt(greatest("
+        + d2("b.nrm2", "b.v", "c1.c", "c1.cnrm2")
+        + ", 0)) * 1e6 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH base AS ({{base_src}}),
+c0 AS (
+    SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
+),
+a1 AS (
+    SELECT b.vec_id, c0.cell, {d2('b.nrm2', 'b.v', 'c0.c', 'c0.cnrm2')} AS dist
+    FROM base b CROSS JOIN c0
+),
+m1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+        FROM a1
+    ) r WHERE rnk = 1
+),
+u1 AS (
+    SELECT cell, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+    FROM ({explode('m1')}) e1
+    GROUP BY cell, d
+),
+c1 AS (
+    SELECT cell, c, {dot('c', 'c')} AS cnrm2
+    FROM (SELECT cell, {collect} AS c FROM u1 GROUP BY cell) cc1
+),
+intra AS (
+    SELECT m1.cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum({sdist}) AS DOUBLE) / 1e6 / count(*) AS s_intra
+    FROM m1
+    JOIN base b ON b.vec_id = m1.vec_id
+    JOIN c1 ON c1.cell = m1.cell
+    GROUP BY m1.cell
+),
+sep AS (
+    SELECT ci.cell AS i, cj.cell AS j,
+           floor(sqrt(greatest({d2('ci.cnrm2', 'ci.c', 'cj.c', 'cj.cnrm2')},
+                               0)) * 1e6 + 0.5) / 1e6 AS m_ij
+    FROM c1 ci JOIN c1 cj ON ci.cell <> cj.cell
+),
+ratios AS (
+    SELECT s.i AS cell,
+           max(floor((a.s_intra + b.s_intra) / s.m_ij * 1e6 + 0.5) / 1e6)
+               AS r_max
+    FROM sep s
+    JOIN intra a ON a.cell = s.i
+    JOIN intra b ON b.cell = s.j
+    WHERE s.m_ij > 0
+    GROUP BY s.i
+),
+db AS (
+    SELECT floor(avg(r_max) * 1e6 + 0.5) / 1e6 AS db_index FROM ratios
+)
+SELECT {bigint('i.cell')} AS cell, i.n_members,
+       floor(i.s_intra * 1e6 + 0.5) / 1e6 AS s_intra,
+       r.r_max, db.db_index
+FROM intra i
+JOIN ratios r ON r.cell = i.cell
+CROSS JOIN db
+ORDER BY cell
+"""
+
+
+_DB_SPARK_SQL = _db_sql(
+    dot=lambda a, b: (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+    ),
+    explode=lambda m: (
+        f"SELECT {m}.cell, d, x FROM {m} "
+        f"JOIN base ON base.vec_id = {m}.vec_id "
+        f"LATERAL VIEW posexplode(base.v) t AS d, x"
+    ),
+    collect="transform(array_sort(collect_list(named_struct('d', d, 'c', c))), s -> s.c)",
+    bigint=lambda e: e,
+).format(base_src="SELECT * FROM km_base")
+
+_DB_DUCK_SQL = _db_sql(
+    dot=lambda a, b: f"list_dot_product({a}, {b})",
+    explode=lambda m: (
+        f"SELECT {m}.cell, unnest(generate_series(1, len(base.v))) AS d, "
+        f"unnest(base.v) AS x FROM {m} "
+        f"JOIN base ON base.vec_id = {m}.vec_id"
+    ),
+    collect="list(c ORDER BY d)",
+    bigint=lambda e: f"CAST({e} AS BIGINT)",
+).format(
+    base_src=(
+        "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+    )
+)
+
+
+@register("clustering_davies_bouldin", oracle=_DB_DUCK_SQL)
+def clustering_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index of the one-step Lloyd partition: per-cell
+    mean member distance (exact scaled-integer sums), worst
+    same-partner ratio, and the global index — the internal quality
+    gate that scales where all-pairs silhouette cannot."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
+        "km_base"
+    )
+    return spark.sql(_DB_SPARK_SQL)

@@ -2819,3 +2819,236 @@ def events_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles of the raw distribution understate."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_GUMBEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the daily-count series
+# ---------------------------------------------------------------------------
+# events_daily_acf reports per-lag correlations; the operational
+# question "is this series white noise at all?" needs the JOINT test:
+# Q(m) = n(n+2) * sum_{k<=m} r_k^2 / (n-k), chi-square with m degrees
+# of freedom under H0. Deviates from the per-lag query on purpose: the
+# textbook r_k uses the FULL-series mean and the lag-0 denominator
+# (not per-lag Pearson), so the statistic matches Box-Jenkins exactly.
+#
+# Exactness: daily counts are exact BIGINTs; every moment (S, SS, and
+# per-lag sxy/sx/sy) accumulates in DECIMAL(38,0) (counts reach 1e6+
+# per day at the 100x corpus, so n^2 * sum(x*y) would overflow BIGINT
+# at the 100 TB design point — the W1/KS lesson), and r_k is ONE final
+# float expression snapped to 1e-6. The reject decision compares the
+# snapped Q to the chi-square 0.95 literal, so an ulp cannot flip it.
+# Scale: one corpus pass for daily counts; everything after runs on
+# the calendar-bounded (days, then 7-row lag) relations. Q(m) for
+# every max-lag m is a 7x7 triangular self-join, not a window.
+
+_LJUNG_BOX_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, x
+    FROM daily
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ss
+    FROM idx
+),
+lags AS (
+    SELECT CAST(1 AS BIGINT) AS k, 3.841459e0 AS crit
+    UNION ALL SELECT CAST(2 AS BIGINT), 5.991465e0
+    UNION ALL SELECT CAST(3 AS BIGINT), 7.814728e0
+    UNION ALL SELECT CAST(4 AS BIGINT), 9.487729e0
+    UNION ALL SELECT CAST(5 AS BIGINT), 11.070498e0
+    UNION ALL SELECT CAST(6 AS BIGINT), 12.591587e0
+    UNION ALL SELECT CAST(7 AS BIGINT), 14.067140e0
+),
+pairsums AS (
+    SELECT lg.k,
+           CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(CAST(a.x AS DECIMAL(38,0)) * b.x) AS DECIMAL(38,0))
+               AS sxy,
+           CAST(sum(CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(CAST(b.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy
+    FROM idx a
+    JOIN lags lg ON true
+    JOIN idx b ON b.i = a.i + lg.k
+    GROUP BY lg.k
+),
+-- r_k = (n^2*C_k) / (n^2*C_0) with the full-series mean m = S/n:
+--   n^2*C_k = n^2*sxy - n*S*(sx+sy) + np*S^2   (exact DECIMAL ints)
+--   n^2*C_0 = n^2*SS  - n*S^2
+acfk AS (
+    SELECT p.k, t.n,
+           floor((CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      * CAST(p.sxy AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                      * (CAST(p.sx AS DOUBLE) + CAST(p.sy AS DOUBLE))
+                  + CAST(p.np AS DOUBLE) * CAST(t.s AS DOUBLE)
+                      * CAST(t.s AS DOUBLE))
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                        * CAST(t.ss AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                        * CAST(t.s AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS r
+    FROM pairsums p CROSS JOIN tot t
+),
+q AS (
+    SELECT m.k AS max_lag, m.n AS n_days, m.r AS acf_at_lag, m.crit,
+           floor(CAST(m.n AS DOUBLE) * (m.n + 2)
+                 * sum(a.r * a.r / (m.n - a.k)) * 1e6 + 0.5) / 1e6
+               AS q_stat
+    FROM (SELECT a2.k, a2.n, a2.r, lg.crit
+          FROM acfk a2 JOIN lags lg ON lg.k = a2.k) m
+    JOIN acfk a ON a.k <= m.k
+    GROUP BY m.k, m.n, m.r, m.crit
+)
+SELECT max_lag, n_days, acf_at_lag, q_stat,
+       floor(crit * 1e6 + 0.5) / 1e6 AS chi2_crit_95,
+       CAST(CASE WHEN q_stat > crit THEN 1 ELSE 0 END AS BIGINT)
+           AS reject_white_noise
+FROM q
+ORDER BY max_lag
+"""
+
+
+@register("events_ljung_box_acf", oracle=_LJUNG_BOX_SQL)
+def events_ljung_box_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over the daily event-count series for
+    max-lags 1..7: textbook full-mean ACF, exact DECIMAL moments, and
+    the chi-square(m) 0.95 reject decision on the snapped statistic."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_LJUNG_BOX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank changepoint on the daily revenue series
+# ---------------------------------------------------------------------------
+# CUSUM (events_cusum_changepoint) is parametric-in-spirit (mean
+# shifts in value units); Page-Hinkley is sequential. The Pettitt test
+# is the rank-based complement: U_t = sum_{i<=t, j>t} sgn(x_i - x_j)
+# needs no distributional assumption and is robust to outliers. Uses
+# the identity U_t = sum_{s<=t} V_s with V_s = sum_j sgn(x_s - x_j)
+# (antisymmetry; sgn(0)=0), so the quadratic pair structure collapses
+# to one bounded days x days join for V plus a bounded triangular join
+# for the prefix sums — no windows, no corpus-sized pairs. Daily
+# revenue is summed in exact cents, so every sgn compares BIGINTs and
+# the only float is the closing p-approx 2*exp(-6K^2/(n^3+n^2)).
+
+_PETTITT_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+v AS (
+    SELECT a.d,
+           CAST(sum(CASE WHEN a.cents > b.cents THEN 1
+                         WHEN a.cents < b.cents THEN -1
+                         ELSE 0 END) AS BIGINT) AS vs
+    FROM daily a JOIN daily b ON true
+    GROUP BY a.d
+),
+u AS (
+    SELECT a.d, CAST(sum(b.vs) AS BIGINT) AS ut
+    FROM v a JOIN v b ON b.d <= a.d
+    WHERE a.d < (SELECT max(d) FROM daily)
+    GROUP BY a.d
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+k AS (
+    SELECT CAST(d AS STRING) AS change_date, abs(ut) AS k_stat, ut AS u_at_k
+    FROM u ORDER BY abs(ut) DESC, d ASC LIMIT 1
+)
+SELECT k.change_date, k.k_stat, k.u_at_k, n.nd AS n_days,
+       floor(2e0 * exp(-6e0 * CAST(k.k_stat AS DOUBLE) * k.k_stat
+                       / (CAST(n.nd AS DOUBLE) * n.nd * n.nd
+                          + CAST(n.nd AS DOUBLE) * n.nd))
+             * 1e6 + 0.5) / 1e6 AS p_approx,
+       CAST(CASE WHEN floor(2e0 * exp(-6e0 * CAST(k.k_stat AS DOUBLE)
+                                      * k.k_stat
+                                      / (CAST(n.nd AS DOUBLE) * n.nd * n.nd
+                                         + CAST(n.nd AS DOUBLE) * n.nd))
+                            * 1e6 + 0.5) / 1e6 < 5e-2
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+FROM k CROSS JOIN n
+"""
+
+
+@register("events_pettitt_changepoint", oracle=_PETTITT_SQL)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint on daily revenue: max |U_t| split
+    point, exact integer rank sums, and the standard two-sided
+    significance approximation."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PETTITT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Historical-simulation VaR / CVaR of daily revenue
+# ---------------------------------------------------------------------------
+# The risk counterpart of the Gumbel MAXIMA fit: what do the WORST
+# revenue days look like? Historical simulation at level alpha takes
+# the k = ceil(alpha*n) smallest daily totals; VaR is the k-th order
+# statistic, CVaR (expected shortfall) the mean of those k days — no
+# distributional fit, the estimator regulators actually specify.
+#
+# Order statistics come off a bounded days x days rank join ((value,
+# date) lexicographic count — totally ordered, so ties cannot flip
+# membership), NOT a global window; k uses integer ceil-division (the
+# engines' DIV/// split). Daily totals are exact cents BIGINTs, so the
+# tail mean is an exact integer ratio snapped once at output.
+
+
+def _var_cvar_sql(ceil_div: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+ranked AS (
+    SELECT a.d, a.cents,
+           CAST(count(*) AS BIGINT) AS r
+    FROM daily a JOIN daily b
+      ON b.cents < a.cents OR (b.cents = a.cents AND b.d <= a.d)
+    GROUP BY a.d, a.cents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+alphas AS (
+    SELECT CAST(5 AS BIGINT) AS alpha_pct
+    UNION ALL SELECT CAST(10 AS BIGINT)
+    UNION ALL SELECT CAST(25 AS BIGINT)
+),
+ks AS (
+    SELECT a.alpha_pct, n.nd,
+           {ceil_div.format(num="n.nd * a.alpha_pct + 99", den="100")} AS k
+    FROM alphas a CROSS JOIN n
+)
+SELECT ks.alpha_pct, ks.nd AS n_days, ks.k AS k_tail_days,
+       floor(CAST(max(ranked.cents) AS DOUBLE) / 1e2 * 1e6 + 0.5) / 1e6
+           AS var_revenue,
+       floor(CAST(sum(ranked.cents) AS DOUBLE) / ks.k / 1e2 * 1e6 + 0.5)
+           / 1e6 AS cvar_revenue
+FROM ks JOIN ranked ON ranked.r <= ks.k
+GROUP BY ks.alpha_pct, ks.nd, ks.k
+ORDER BY alpha_pct
+"""
+
+
+_VAR_CVAR_DUCK = _var_cvar_sql("CAST(({num}) // ({den}) AS BIGINT)")
+
+
+@register("events_var_cvar_daily", oracle=_VAR_CVAR_DUCK)
+def events_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-simulation VaR and CVaR (expected shortfall) of daily
+    revenue at the 5/10/25% levels: k-smallest order statistics off a
+    bounded lexicographic rank join, exact-cents tail means."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_var_cvar_sql("CAST(({num}) DIV ({den}) AS BIGINT)"))

@@ -1839,3 +1839,109 @@ def lineitem_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_ABC_XYZ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Weibull fit of the inter-purchase gap distribution (median-rank
+# regression)
+# ---------------------------------------------------------------------------
+# Kaplan-Meier (orders_interpurchase_survival) is non-parametric; the
+# replenishment models upstream (newsvendor, EOQ) want a PARAMETRIC
+# lifetime: Weibull shape k tells whether repurchase hazard rises
+# (k>1, habituation) or falls (k<1, churn risk front-loaded) with
+# time. Classic reliability-engineering fit: Bernard's median ranks
+# F_i = (i-0.3)/(n+0.4) on the ORDERED gaps, then OLS on the
+# linearized ln(-ln(1-F)) = k*ln(t) - k*ln(lambda).
+#
+# Scale/exactness: gaps histogram per distinct integer day value (the
+# KM query's bounded-domain discipline — never per-row ranks); tied
+# gaps take the mean order number of their block, kept exact as
+# 2*mr = 2*cum_before + cnt + 1. The weighted OLS moments are
+# per-distinct-value terms snapped to the 1e-6 grid and summed as
+# exact scaled integers (order-independent), so both engines fit from
+# identical sums.
+
+
+def _weibull_sql(days_diff: str) -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_exact_sum,
+    )
+
+    x = "ln(CAST(h.v AS DOUBLE))"
+    f = ("((CAST(2 * cb.cb + h.cnt + 1 AS DOUBLE) / 2e0 - 3e-1)"
+         " / (CAST(t.n AS DOUBLE) + 4e-1))")
+    y = f"ln(-ln(1e0 - {f}))"
+    w = "CAST(h.cnt AS DOUBLE)"
+    return f"""
+WITH seq AS (
+    SELECT o_custkey, o_orderdate,
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+               AS prev_date
+    FROM orders
+),
+gaps AS (
+    SELECT CAST({days_diff.format(a="prev_date", b="o_orderdate")}
+                AS BIGINT) AS v
+    FROM seq WHERE prev_date IS NOT NULL
+),
+hist AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS cnt
+    FROM gaps WHERE v >= 1 GROUP BY v
+),
+tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS nv
+    FROM hist
+),
+cums AS (
+    SELECT h.v, h.cnt,
+           CAST(coalesce(sum(u.cnt), 0) AS BIGINT) AS cb
+    FROM hist h LEFT JOIN hist u ON u.v < h.v
+    GROUP BY h.v, h.cnt
+),
+mom AS (
+    SELECT t.n, t.nv,
+           {sql_exact_sum(f"{w} * ({x})", 6)} AS sx,
+           {sql_exact_sum(f"{w} * ({y})", 6)} AS sy,
+           {sql_exact_sum(f"{w} * ({x}) * ({x})", 6)} AS sxx,
+           {sql_exact_sum(f"{w} * ({y}) * ({y})", 6)} AS syy,
+           {sql_exact_sum(f"{w} * ({x}) * ({y})", 6)} AS sxy
+    FROM hist h
+    JOIN (SELECT v, cb FROM cums) cb ON cb.v = h.v
+    CROSS JOIN tot t
+    GROUP BY t.n, t.nv
+),
+fit AS (
+    SELECT n, nv,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           sx, sy, sxx, syy, sxy
+    FROM mom
+)
+SELECT n AS n_gaps, nv AS n_distinct_gaps,
+       floor(slope * 1e6 + 0.5) / 1e6 AS weibull_shape,
+       floor(exp(-((sy - slope * sx) / n) / slope) * 1e6 + 0.5) / 1e6
+           AS weibull_scale,
+       floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy))
+             * 1e6 + 0.5) / 1e6 AS fit_r2,
+       floor(exp(-((sy - slope * sx) / n) / slope
+                 + ln(ln(2e0)) / slope) * 1e6 + 0.5) / 1e6
+           AS implied_median_days
+FROM fit
+"""
+
+
+@register(
+    "orders_weibull_interpurchase",
+    oracle=_weibull_sql("date_diff('day', {a}, {b})"),
+)
+def orders_weibull_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape/scale of inter-purchase gaps by median-rank
+    regression (Bernard's approximation, tied blocks at their mean
+    order number), with fit R-squared and the implied median gap."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_weibull_sql("datediff({b}, {a})"))

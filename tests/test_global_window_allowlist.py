@@ -37,6 +37,7 @@ ALLOWED = {
     "events_bh_fdr_screen": "BH rank over 24 hour-of-day test rows",
     "events_cem_matching": "CDFs over n_events/n_days value histograms (bounded domains)",
     "events_periodogram_periods": "day-index window over calendar-bounded daily relation",
+    "events_ljung_box_acf": "day-index window over calendar-bounded daily relation (same stage class as periodogram)",
     "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
     "events_wasserstein_distance": "eCDF + segment width over value histogram (integer cents domain — same stage class as KS)",
     "text_gini_token_concentration": "cumulative tied-blocks over the distinct-count histogram (Zipf-bounded grid, never per-token ranks)",

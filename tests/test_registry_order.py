@@ -91,6 +91,12 @@ ROUND9_NEW: list[str] = [
     "feature_woe_iv",                # WOE/IV feature screen
     "sketch_hll_portable",           # oracle-checkable HLL registers
     "quality_auc_delong_ci",         # DeLong AUC variance + CI
+    "events_ljung_box_acf",          # portmanteau white-noise test
+    "events_pettitt_changepoint",    # rank-based changepoint
+    "events_var_cvar_daily",         # historical VaR / expected shortfall
+    "orders_weibull_interpurchase",  # median-rank Weibull lifetime fit
+    "events_interrupted_time_series",  # segmented-regression ITS
+    "clustering_davies_bouldin",     # internal cluster-quality index
 ]
 
 

@@ -30,7 +30,7 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
-TABLES = ["events", "orders", "lineitem", "part", "documents"]
+TABLES = ["events", "orders", "lineitem", "part", "documents", "embeddings"]
 
 
 @pytest.fixture(scope="module")
@@ -583,3 +583,288 @@ def test_delong_matches_per_row_placements(con):
     assert abs(got[6] - (auc - 0.5) / se) < 2e-4  # z: ratio amplifies ulps
     # the CI must contain the exact rank AUC and exclude vacuity
     assert got[4] < auc < got[5] and se > 0
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau (Box & Pierce 1970; Ljung & Box 1978)
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_matches_sequential_acf(con):
+    """Full-mean ACF and Q(m) recomputed with the plain Box-Jenkins
+    definitions over the raw daily-count series."""
+    xs = [
+        float(x)
+        for (x,) in con.execute(
+            "SELECT count(*) FROM events GROUP BY CAST(ts AS DATE)"
+            " ORDER BY CAST(ts AS DATE)"
+        ).fetchall()
+    ]
+    n = len(xs)
+    m = sum(xs) / n
+    c0 = sum((x - m) ** 2 for x in xs)
+    r = {
+        k: _snap(
+            sum((xs[i] - m) * (xs[i + k] - m) for i in range(n - k)) / c0
+        )
+        for k in range(1, 8)
+    }
+    crits = [3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+             12.591587, 14.067140]
+    got = con.execute(_oracle("events_ljung_box_acf")).fetchall()
+    assert [row[0] for row in got] == list(range(1, 8))
+    for row, crit in zip(got, crits):
+        lag, n_days, acf, q, g_crit, reject = row
+        assert n_days == n
+        assert abs(acf - r[lag]) < 2e-6, lag
+        q_ref = n * (n + 2) * sum(r[k] ** 2 / (n - k)
+                                  for k in range(1, lag + 1))
+        assert abs(q - q_ref) < 2e-4, lag
+        assert g_crit == _snap(crit)
+        assert reject == (1 if q > g_crit else 0)
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint (Pettitt 1979)
+# ---------------------------------------------------------------------------
+
+
+def test_pettitt_matches_brute_force_u(con):
+    """U_t recomputed by the O(n^2) double loop straight from the
+    definition (no antisymmetry shortcut), argmax with earliest-date
+    ties, and the standard significance approximation."""
+    rows = con.execute(
+        "SELECT CAST(ts AS DATE),"
+        " sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT))"
+        " FROM events WHERE value IS NOT NULL"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    xs = [int(c) for _, c in rows]
+    n = len(xs)
+
+    def sgn(a: int, b: int) -> int:
+        return (a > b) - (a < b)
+
+    best_k, best_d, best_u = -1, None, 0
+    for t in range(n - 1):  # split AFTER index t; last day excluded
+        u = sum(
+            sgn(xs[i], xs[j])
+            for i in range(t + 1)
+            for j in range(t + 1, n)
+        )
+        if abs(u) > best_k:
+            best_k, best_d, best_u = abs(u), days[t], u
+    p = _snap(2 * math.exp(-6 * best_k**2 / (n**3 + n**2)))
+    (change_date, k_stat, u_at_k, n_days, p_approx, sig) = con.execute(
+        _oracle("events_pettitt_changepoint")
+    ).fetchone()
+    assert n_days == n
+    assert (k_stat, u_at_k) == (best_k, best_u)
+    assert change_date == str(best_d)
+    assert abs(p_approx - p) < 2e-6
+    assert sig == (1 if p < 0.05 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Historical-simulation VaR / CVaR (Jorion, Value at Risk)
+# ---------------------------------------------------------------------------
+
+
+def test_var_cvar_matches_order_statistics(con):
+    """VaR as the ceil(alpha*n)-th order statistic and CVaR as the
+    exact tail mean, recomputed from the sorted daily totals."""
+    cents = sorted(
+        int(c)
+        for (c,) in con.execute(
+            "SELECT sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT))"
+            " FROM events WHERE value IS NOT NULL"
+            " GROUP BY CAST(ts AS DATE)"
+        ).fetchall()
+    )
+    n = len(cents)
+    got = con.execute(_oracle("events_var_cvar_daily")).fetchall()
+    assert [row[0] for row in got] == [5, 10, 25]
+    for alpha_pct, n_days, k_tail, var_rev, cvar_rev in got:
+        k = -(-n * alpha_pct // 100)  # ceil division
+        assert (n_days, k_tail) == (n, k)
+        tail = cents[:k]
+        assert var_rev == _snap(tail[-1] / 1e2)
+        assert abs(cvar_rev - _snap(sum(tail) / k / 1e2)) < 2e-6
+        assert cvar_rev <= var_rev  # shortfall is at most the quantile
+
+
+# ---------------------------------------------------------------------------
+# Weibull median-rank regression (Abernethy, The New Weibull Handbook)
+# ---------------------------------------------------------------------------
+
+
+def test_weibull_matches_median_rank_regression(con):
+    """Shape/scale recomputed from the raw gap list: Bernard ranks
+    with tied blocks at their mean order number, weighted OLS on the
+    linearized ln(-ln(1-F)) vs ln(t), terms snapped like the SQL."""
+    gaps = [
+        int(g)
+        for (g,) in con.execute(
+            "WITH seq AS (SELECT o_custkey,"
+            " date_diff('day', lag(o_orderdate) OVER ("
+            "   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),"
+            " o_orderdate) AS g FROM orders)"
+            " SELECT g FROM seq WHERE g >= 1"
+        ).fetchall()
+    ]
+    n = len(gaps)
+    hist = defaultdict(int)
+    for g in gaps:
+        hist[g] += 1
+    cum = 0
+    sx = sy = sxx = syy = sxy = 0.0
+    for v in sorted(hist):
+        cnt = hist[v]
+        mr = cum + (cnt + 1) / 2  # mean order number of the tied block
+        f = (mr - 0.3) / (n + 0.4)
+        x = math.log(v)
+        y = math.log(-math.log(1 - f))
+        sx += _snap(cnt * x)
+        sy += _snap(cnt * y)
+        sxx += _snap(cnt * x * x)
+        syy += _snap(cnt * y * y)
+        sxy += _snap(cnt * x * y)
+        cum += cnt
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy - slope * sx) / n
+    scale = math.exp(-icept / slope)
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    (g_n, g_nv, g_shape, g_scale, g_r2, g_med) = con.execute(
+        _oracle("orders_weibull_interpurchase")
+    ).fetchone()
+    assert (g_n, g_nv) == (n, len(hist))
+    assert abs(g_shape - slope) < 2e-6
+    assert abs(g_scale - scale) < 1e-4 * max(1.0, scale)
+    assert abs(g_r2 - r2) < 2e-6
+    med = scale * math.log(2) ** (1 / slope)
+    assert abs(g_med - med) < 1e-4 * max(1.0, med)
+    assert 0 < g_shape and 0 < g_r2 <= 1
+
+
+# ---------------------------------------------------------------------------
+# Interrupted time series (segmented regression; Wagner et al. 2002)
+# ---------------------------------------------------------------------------
+
+
+def test_its_matches_segmented_ols(con):
+    """Pre/post OLS recomputed from the raw daily series with plain
+    least-squares formulas and the midpoint cutoff."""
+    rows = con.execute(
+        "SELECT CAST(ts AS DATE),"
+        " sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT))"
+        " FROM events WHERE value IS NOT NULL"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    d0 = rows[0][0]
+    pts = [((d - d0).days, int(c) / 1e2) for d, c in rows]
+    tc = math.floor((max(t for t, _ in pts) + 1) / 2)
+
+    def ols(seg):
+        m = len(seg)
+        st = sum(t for t, _ in seg)
+        stt = sum(t * t for t, _ in seg)
+        sy = sum(y for _, y in seg)
+        sty = sum(t * y for t, y in seg)
+        b = (m * sty - st * sy) / (m * stt - st * st)
+        return b, (sy - b * st) / m, m
+
+    b_pre, a_pre, n_pre = ols([(t, y) for t, y in pts if t < tc])
+    b_post, a_post, n_post = ols(
+        [(t - tc, y) for t, y in pts if t >= tc]
+    )
+    (g_npre, g_npost, g_tc, g_bpre, g_bpost, g_dslope,
+     g_trend, g_level, g_dlevel) = con.execute(
+        _oracle("events_interrupted_time_series")
+    ).fetchone()
+    assert (g_npre, g_npost, g_tc) == (n_pre, n_post, tc)
+    assert abs(g_bpre - b_pre) < 2e-6
+    assert abs(g_bpost - b_post) < 2e-6
+    assert abs(g_dslope - (b_post - b_pre)) < 4e-6
+    assert abs(g_trend - (a_pre + b_pre * tc)) < 2e-4
+    assert abs(g_level - a_post) < 2e-4
+    assert abs(g_dlevel - (a_post - (a_pre + b_pre * tc))) < 4e-4
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin index (Davies & Bouldin 1979)
+# ---------------------------------------------------------------------------
+
+
+def test_davies_bouldin_matches_definition(con):
+    """One Lloyd step + the DB formula recomputed in pure Python with
+    the SQL's snapping discipline (snapped squared distances, id
+    tie-breaks, snapped centroid components)."""
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in con.execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm2 = {i: dot(v, v) for i, v in vecs.items()}
+    cells = {i: vecs[i] for i in sorted(vecs) if i < 8}
+    cnrm2 = {i: nrm2[i] for i in cells}
+    assign = {}
+    for i, v in vecs.items():
+        best = min(
+            (_snap(nrm2[i] - 2 * dot(v, c) + cnrm2[j]), j)
+            for j, c in cells.items()
+        )
+        assign[i] = best[1]
+    dims = len(next(iter(vecs.values())))
+    cent, members = {}, defaultdict(list)
+    for i, c in assign.items():
+        members[c].append(i)
+    for c, ids in members.items():
+        cent[c] = [
+            _snap(sum(vecs[i][d] for i in ids) / len(ids))
+            for d in range(dims)
+        ]
+    ccn = {c: dot(v, v) for c, v in cent.items()}
+    s_intra = {
+        c: sum(
+            _snap(
+                math.sqrt(
+                    max(_snap(nrm2[i] - 2 * dot(vecs[i], cent[c]) + ccn[c]),
+                        0)
+                )
+            )
+            for i in ids
+        )
+        / len(ids)
+        for c, ids in members.items()
+    }
+    r_max = {
+        c: max(
+            _snap(
+                (s_intra[c] + s_intra[o])
+                / _snap(math.sqrt(max(_snap(ccn[c] - 2 * dot(cent[c], cent[o])
+                                            + ccn[o]), 0)))
+            )
+            for o in cent
+            if o != c
+        )
+        for c in cent
+    }
+    db = _snap(sum(r_max.values()) / len(r_max))
+    got = con.execute(_oracle("clustering_davies_bouldin")).fetchall()
+    assert [r[0] for r in got] == sorted(members)
+    for cell, n_members, g_s, g_r, g_db in got:
+        assert n_members == len(members[cell])
+        assert abs(g_s - s_intra[cell]) < 2e-6, cell
+        assert abs(g_r - r_max[cell]) < 2e-4, cell
+        assert g_db == db
