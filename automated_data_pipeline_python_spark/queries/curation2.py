@@ -1084,3 +1084,101 @@ def quality_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_auc_rank bit-for-bit)."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_DELONG_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Spiegelhalter's Z calibration test
+# ---------------------------------------------------------------------------
+# The calibration family reports curves (quality_calibration_bins),
+# a decomposition (quality_brier_decomposition), and a bin-free
+# summary (ECE) — but no TEST: is the observed miscalibration larger
+# than chance given the forecasts themselves? Spiegelhalter (1986):
+# under perfect calibration E[(y-p)(1-2p)] = 0 with known variance,
+# so Z = sum (y-p)(1-2p) / sqrt(sum (1-2p)^2 p(1-p)) is standard
+# normal. Bin-free, unlike the ECE; a proper hypothesis test, unlike
+# Brier.
+#
+# Shape: both sums depend only on (score, label) — read off the same
+# bounded score histogram the AUC/DeLong queries use (never per-row
+# terms shuffled around); each histogram cell's contribution is
+# snapped to the 1e-6 grid and summed as exact scaled integers, so
+# the totals are order-independent. The p-value reuses the shared
+# Abramowitz-Stegun normal polynomial.
+
+def _spieg_tail() -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_normal_two_sided_p,
+    )
+
+    num_term = ("(CAST(c_pos AS DOUBLE) * (1e0 - score)"
+                " + CAST(c_all - c_pos AS DOUBLE) * (0e0 - score))"
+                " * (1e0 - 2e0 * score)")
+    den_term = ("CAST(c_all AS DOUBLE) * (1e0 - 2e0 * score)"
+                " * (1e0 - 2e0 * score) * score * (1e0 - score)")
+    return f"""
+ratios AS (
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT r.doc_id, {_SCORE_EXPR},
+           CASE WHEN f.n_tok >= 20 AND f.n_tok <= 100000
+                 AND floor((CAST(f.sum_len AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 BETWEEN 3e0 AND 10e0
+                 AND floor((CAST(f.n_stop AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 >= 5e-2
+                 AND floor((CAST(f.n_uniq AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 > 2e-1
+                THEN 1 ELSE 0 END AS pos
+    FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
+),
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(sum(pos) AS BIGINT) AS c_pos
+    FROM scored GROUP BY score
+),
+sums AS (
+    SELECT CAST(sum(c_all) AS BIGINT) AS n,
+           CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(floor(({num_term}) * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS num,
+           CAST(sum(CAST(floor(({den_term}) * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS den
+    FROM hist
+),
+zed AS (
+    SELECT n, n_pos, num, den,
+           floor(num / sqrt(den) * 1e6 + 0.5) / 1e6 AS z
+    FROM sums
+)
+SELECT n AS n_docs, n_pos,
+       floor(num * 1e6 + 0.5) / 1e6 AS spieg_numerator,
+       z AS z_stat,
+       {sql_normal_two_sided_p("abs(z)")} AS p_value,
+       CAST(CASE WHEN {sql_normal_two_sided_p("abs(z)")} < 5e-2
+                 THEN 1 ELSE 0 END AS BIGINT) AS miscalibrated_05
+FROM zed
+"""
+
+
+_SPIEG_SPARK_SQL = f"""{_FEATS_SPARK_HEADER},
+{_spieg_tail()}
+"""
+
+_SPIEG_DUCK_SQL = f"""{_FEATS_DUCK_HEADER},
+{_spieg_tail()}
+"""
+
+
+@register("quality_spiegelhalter_z", oracle=_SPIEG_DUCK_SQL)
+def quality_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's Z calibration test of the logistic gate against
+    the Gopher-rule labels: bin-free miscalibration hypothesis test
+    with exact histogram-cell sums and the shared normal polynomial
+    p-value."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SPIEG_SPARK_SQL)

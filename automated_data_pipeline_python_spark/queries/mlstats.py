@@ -27,6 +27,7 @@ from automated_data_pipeline_python_spark.functions.numeric import (
     sql_stable_round,
 )
 from automated_data_pipeline_python_spark.functions.text import (
+    duck_hash28,
     duck_hash60,
     spark_hash60,
 )
@@ -1555,3 +1556,92 @@ def mlstats_eb_beta_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_EB_SHRINK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Standardized effect sizes for the A/B family
+# ---------------------------------------------------------------------------
+# events_ab_test_lift answers "is there an effect?" (z, p); the sizing
+# question every experiment review asks next — "HOW BIG, in units that
+# transfer across metrics?" — needs the standardized family: Cohen's d
+# (pooled-SD difference), Hedges' g (the small-sample bias correction
+# J = 1 - 3/(4N-9)), and Glass's delta (control-SD denominator, the
+# right choice when treatment changes the variance too). Same
+# deterministic sha-hash arm split as the lift/DiD/Qini queries, so
+# the whole causal family reads off one assignment.
+#
+# Exactness: per-arm moments are exact integers (snapped cents,
+# second moment in DECIMAL(38,0)); each effect size is one final
+# float expression over the four-cell rollup, snapped at output.
+# One corpus pass; everything after is a 2-row relation.
+
+
+def _effect_sql(hash28: str) -> str:
+    # sample variance from exact integer moments, in dollars^2
+    def var(n: str, s: str, ss: str) -> str:
+        return (f"(CAST({n} AS DOUBLE) * CAST({ss} AS DOUBLE)"
+                f" - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))"
+                f" / (CAST({n} AS DOUBLE) * ({n} - 1)) / 1e4")
+
+    v_c = var("n_c", "s_c", "ss_c")
+    v_t = var("n_t", "s_t", "ss_t")
+    diff = "(CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c) / 1e2"
+    pooled = (f"sqrt(((n_c - 1) * ({v_c}) + (n_t - 1) * ({v_t}))"
+              f" / (n_c + n_t - 2))")
+    return f"""
+WITH vals AS (
+    SELECT CASE WHEN {hash28} % 2 = 0 THEN 0 ELSE 1 END AS arm,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+cells AS (
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                AS DECIMAL(38,0)) AS ss
+    FROM vals GROUP BY arm
+),
+wide AS (
+    SELECT
+        min(CASE WHEN arm = 0 THEN n END) AS n_c,
+        min(CASE WHEN arm = 0 THEN s END) AS s_c,
+        min(CASE WHEN arm = 0 THEN ss END) AS ss_c,
+        min(CASE WHEN arm = 1 THEN n END) AS n_t,
+        min(CASE WHEN arm = 1 THEN s END) AS s_t,
+        min(CASE WHEN arm = 1 THEN ss END) AS ss_t
+    FROM cells
+)
+SELECT n_c, n_t,
+       floor(CAST(s_c AS DOUBLE) / n_c / 1e2 * 1e6 + 0.5) / 1e6 AS mean_c,
+       floor(CAST(s_t AS DOUBLE) / n_t / 1e2 * 1e6 + 0.5) / 1e6 AS mean_t,
+       floor(sqrt({v_c}) * 1e6 + 0.5) / 1e6 AS sd_c,
+       floor(sqrt({v_t}) * 1e6 + 0.5) / 1e6 AS sd_t,
+       floor(({diff}) / ({pooled}) * 1e6 + 0.5) / 1e6 AS cohens_d,
+       floor(({diff}) / ({pooled})
+             * (1e0 - 3e0 / (4e0 * (n_c + n_t) - 9e0))
+             * 1e6 + 0.5) / 1e6 AS hedges_g,
+       floor(({diff}) / sqrt({v_c}) * 1e6 + 0.5) / 1e6 AS glass_delta,
+       floor(({v_t}) / ({v_c}) * 1e6 + 0.5) / 1e6 AS variance_ratio
+FROM wide
+"""
+
+
+@register(
+    "events_effect_sizes",
+    oracle=_effect_sql(
+        duck_hash28("concat('fx', CAST(user_id AS STRING))")
+    ),
+)
+def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d, Hedges' g, Glass's delta, and the variance ratio of
+    purchase value between hash-randomized arms — the standardized
+    sizing companion to events_ab_test_lift."""
+    from automated_data_pipeline_python_spark.functions.text import (
+        spark_hash28,
+    )
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _effect_sql(spark_hash28("concat('fx', CAST(user_id AS STRING))"))
+    )

@@ -1600,3 +1600,94 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(_CENTROID_DRIFT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-label Mahalanobis outliers (diagonal covariance)
+# ---------------------------------------------------------------------------
+# The embedding-quality screen the centroid/separability queries stop
+# short of: WHICH vectors don't belong to their labelled class?
+# Diagonal-covariance Mahalanobis distance D^2 = sum_d (x_d -
+# mu_d)^2 / sigma_d^2 is the standard scalable form (the full-matrix
+# inverse is a d^2 broadcast nobody needs for outlier triage), and
+# per-dim variances also catch scale pathologies cosine hides.
+#
+# Exactness: components snap to scaled integers once; per-(label,dim)
+# moments are exact (second moment DECIMAL(38,0)); each dim's ratio
+# (n*x - S)^2 / (n*SS - S^2) is scale-free exact-integer arithmetic
+# evaluated identically on both engines, and the 64-dim sum is a
+# snapped-term exact integer sum (order-independent). Top-5 per label
+# ranks on the INTEGER distance with vec_id tie-break. One corpus
+# explode pass, one bounded (labels x dims) join back — the same
+# shuffle shape as the centroid queries; constant dims (zero
+# variance) are excluded from the sum on both sides.
+
+
+def _mahal_sql(explode_comps: str) -> str:
+    return f"""
+WITH comps AS (
+    SELECT vec_id, label, d,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xs
+    FROM ({explode_comps}) src
+),
+stats AS (
+    SELECT label, d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xs) AS BIGINT) AS s,
+           CAST(sum(CAST(xs AS DECIMAL(38,0)) * xs) AS DECIMAL(38,0)) AS ss
+    FROM comps GROUP BY label, d
+),
+terms AS (
+    SELECT c.vec_id, c.label,
+           CAST(floor((CAST(st.n * c.xs - st.s AS DOUBLE)
+                       * CAST(st.n * c.xs - st.s AS DOUBLE))
+                      / (CAST(st.n AS DOUBLE) * CAST(st.ss AS DOUBLE)
+                         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS t
+    FROM comps c
+    JOIN stats st ON st.label = c.label AND st.d = c.d
+    WHERE CAST(st.n AS DOUBLE) * CAST(st.ss AS DOUBLE)
+          - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) > 0
+),
+d2 AS (
+    SELECT vec_id, label, CAST(sum(t) AS BIGINT) AS d2i
+    FROM terms GROUP BY vec_id, label
+),
+ranked AS (
+    SELECT label, vec_id, d2i,
+           CAST(row_number() OVER (PARTITION BY label
+                                   ORDER BY d2i DESC, vec_id)
+                AS BIGINT) AS rnk
+    FROM d2
+)
+SELECT label, vec_id,
+       floor(CAST(d2i AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS mahal_d2,
+       rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY label, rnk
+"""
+
+
+_MAHAL_SPARK_SQL = _mahal_sql(
+    "SELECT vec_id, label, pos AS d, x"
+    " FROM embeddings LATERAL VIEW posexplode(embedding) e AS pos, x"
+)
+
+_MAHAL_DUCK_SQL = _mahal_sql(
+    "SELECT vec_id, label,"
+    " unnest(generate_series(1, len(embedding))) AS d,"
+    " unnest(embedding) AS x FROM embeddings"
+)
+
+
+@register("embedding_mahalanobis_outliers", oracle=_MAHAL_DUCK_SQL)
+def embedding_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 per-label embedding outliers by diagonal-covariance
+    Mahalanobis distance — exact scaled-integer moments, scale-free
+    per-dim ratios, integer-ranked with vec_id tie-breaks."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_MAHAL_SPARK_SQL)

@@ -3052,3 +3052,186 @@ def events_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded lexicographic rank join, exact-cents tail means."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_var_cvar_sql("CAST(({num}) DIV ({den}) AS BIGINT)"))
+
+
+# ---------------------------------------------------------------------------
+# Multiwindow SLO burn-rate alerts (error budget)
+# ---------------------------------------------------------------------------
+# The SRE workbook's multiwindow multi-burn-rate alert, adapted to day
+# granularity: with an error-budget SLO of 25% (this corpus's error
+# type runs ~20% of events, so the budget is realistically tight),
+# burn = window error rate / budget; PAGE when both the short (1d)
+# and long (7d) windows burn > 1.4 (fast + sustained), TICKET when
+# both the 7d and 28d windows burn > 1.0 (slow leak). The two-window
+# conjunction is what kills alert flapping — a single-window rule
+# fires on every blip.
+#
+# Shape: one corpus pass to daily (errors, total) counts; the
+# trailing windows are one bounded days x days gap join with
+# conditional sums (never a corpus window). Rates are exact integer
+# ratios snapped to the 1e-6 grid BEFORE the threshold compares, per
+# the float-boundary discipline.
+
+
+def _slo_tail(gap: str) -> str:
+    """{daily}-parameterized burn-rate algebra (columns d, n, e) —
+    shared verbatim by the catalog query and the streaming monitor
+    (streaming/monitors.py slo_burn_report), the _CUSUM_TAIL
+    discipline: stream==batch parity by construction."""
+    r1 = "floor(CAST(e1 AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6"
+    r7 = "floor(CAST(e7 AS DOUBLE) / n7 * 1e6 + 0.5) / 1e6"
+    r28 = "floor(CAST(e28 AS DOUBLE) / n28 * 1e6 + 0.5) / 1e6"
+    return f"""win AS (
+    SELECT a.d,
+           CAST(sum(CASE WHEN {gap} = 0 THEN b.n ELSE 0 END) AS BIGINT)
+               AS n1,
+           CAST(sum(CASE WHEN {gap} = 0 THEN b.e ELSE 0 END) AS BIGINT)
+               AS e1,
+           CAST(sum(CASE WHEN {gap} <= 6 THEN b.n ELSE 0 END) AS BIGINT)
+               AS n7,
+           CAST(sum(CASE WHEN {gap} <= 6 THEN b.e ELSE 0 END) AS BIGINT)
+               AS e7,
+           CAST(sum(b.n) AS BIGINT) AS n28,
+           CAST(sum(b.e) AS BIGINT) AS e28
+    FROM {{daily}} a JOIN {{daily}} b ON {gap} BETWEEN 0 AND 27
+    GROUP BY a.d
+),
+rates AS (
+    SELECT CAST(d AS STRING) AS day, n1 AS n_events,
+           {r1} AS err_rate_1d, {r7} AS err_rate_7d, {r28} AS err_rate_28d
+    FROM win
+)
+SELECT day, n_events, err_rate_1d, err_rate_7d, err_rate_28d,
+       floor(err_rate_1d / 25e-2 * 1e6 + 0.5) / 1e6 AS burn_1d,
+       floor(err_rate_7d / 25e-2 * 1e6 + 0.5) / 1e6 AS burn_7d,
+       floor(err_rate_28d / 25e-2 * 1e6 + 0.5) / 1e6 AS burn_28d,
+       CAST(CASE WHEN floor(err_rate_1d / 25e-2 * 1e6 + 0.5) / 1e6 > 14e-1
+                  AND floor(err_rate_7d / 25e-2 * 1e6 + 0.5) / 1e6 > 14e-1
+                 THEN 1 ELSE 0 END AS BIGINT) AS page_alert,
+       CAST(CASE WHEN floor(err_rate_7d / 25e-2 * 1e6 + 0.5) / 1e6 > 1e0
+                  AND floor(err_rate_28d / 25e-2 * 1e6 + 0.5) / 1e6 > 1e0
+                 THEN 1 ELSE 0 END AS BIGINT) AS ticket_alert
+FROM rates
+ORDER BY day
+"""
+
+
+_SLO_DAILY_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS e
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+"""
+
+
+def _slo_sql(gap: str) -> str:
+    return _SLO_DAILY_SQL + _slo_tail(gap).format(daily="daily")
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle=_slo_sql("date_diff('day', b.d, a.d)"),
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO error-budget burn rates (1d/7d/28d trailing)
+    with the SRE-workbook page/ticket conjunction alerts, off one
+    bounded gap join over the daily rollup."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_slo_sql("datediff(a.d, b.d)"))
+
+
+# ---------------------------------------------------------------------------
+# Erlang-C M/M/c staffing table from the peak-hour arrival rate
+# ---------------------------------------------------------------------------
+# events_peak_concurrency measures load; the capacity question is
+# "how many servers keep the wait down AT that load?" — the M/M/c
+# queue's Erlang-C formula, the standard staffing model. Offered load
+# a = lambda/mu from the PEAK hour (capacity plans against peak, not
+# mean) with service rate mu = 0.5/s a stated model parameter; the
+# table sweeps c from the smallest stable pool (rho < 1 by integer
+# ceil-division, so the unstable rho >= 1 branch never divides by
+# zero) through +9.
+#
+# Exactness: a = n_peak/1800 is an exact integer ratio; each Poisson
+# term a^k/k! is snapped to the 1e-9 grid and summed as exact scaled
+# integers (term magnitudes <= e^a keep BIGINT safe; an engine ulp in
+# pow() is two orders below the grid), so the Erlang sum is
+# order-independent; everything downstream is one float expression
+# per row snapped at 1e-6, and the SLO verdict compares the SNAPPED
+# wait. All relations after the one corpus pass are <= 10-20 rows.
+
+
+def _erlang_sql(ceil_div: str, explode_k: str, explode_c: str) -> str:
+    term9 = ("CAST(floor(power(p.a, {k}) / factorial(CAST({k} AS INT))"
+             " * 1e9 + 0.5) AS BIGINT)")
+    return f"""
+WITH hourly AS (
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY date_trunc('hour', ts)
+),
+peak AS (SELECT CAST(max(n) AS BIGINT) AS n_peak FROM hourly),
+p AS (
+    SELECT n_peak,
+           CAST(n_peak AS DOUBLE) / 18e2 AS a,
+           {ceil_div.format(num="n_peak + 1800", den="1800")} AS c_lo
+    FROM peak
+),
+cs AS (SELECT p.c_lo + co.i AS c FROM p CROSS JOIN ({explode_c}) co),
+s0 AS (
+    SELECT cs.c,
+           CAST(sum({term9.format(k='ks.k')}) AS DOUBLE) / 1e9 AS head
+    FROM cs
+    CROSS JOIN p
+    JOIN ({explode_k}) ks ON ks.k < cs.c
+    GROUP BY cs.c
+),
+rows_ AS (
+    SELECT s0.c, p.n_peak, p.a,
+           CAST(p.a AS DOUBLE) / s0.c AS rho,
+           ({term9.format(k='s0.c')}) / 1e9 AS tailt,
+           s0.head
+    FROM s0 CROSS JOIN p
+),
+erl AS (
+    SELECT c, n_peak,
+           floor(a * 1e6 + 0.5) / 1e6 AS offered_load_erlangs,
+           floor(rho * 1e6 + 0.5) / 1e6 AS utilization,
+           floor(tailt / ((1e0 - rho) * head + tailt) * 1e6 + 0.5) / 1e6
+               AS p_wait,
+           floor(tailt / ((1e0 - rho) * head + tailt) * rho / (1e0 - rho)
+                 * 1e6 + 0.5) / 1e6 AS lq,
+           floor(tailt / ((1e0 - rho) * head + tailt) * rho / (1e0 - rho)
+                 / (CAST(n_peak AS DOUBLE) / 36e2) * 1e6 + 0.5) / 1e6
+               AS wq_seconds
+    FROM rows_
+)
+SELECT c AS n_servers, n_peak AS peak_hour_arrivals,
+       offered_load_erlangs, utilization, p_wait, lq, wq_seconds,
+       CAST(CASE WHEN wq_seconds < 1e0 THEN 1 ELSE 0 END AS BIGINT)
+           AS meets_wq_1s
+FROM erl
+ORDER BY n_servers
+"""
+
+
+_ERLANG_DUCK = _erlang_sql(
+    "CAST(({num}) // ({den}) AS BIGINT)",
+    "SELECT unnest(generate_series(0, (SELECT c_lo + 8 FROM p))) AS k",
+    "SELECT unnest(generate_series(0, 9)) AS i",
+)
+
+
+@register("events_erlang_staffing", oracle=_ERLANG_DUCK)
+def events_erlang_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C M/M/c staffing table at the peak-hour arrival rate:
+    utilization, wait probability, queue length, and expected wait
+    per pool size, with a 1-second wait SLO verdict."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_erlang_sql(
+        "CAST(({num}) DIV ({den}) AS BIGINT)",
+        "SELECT explode(sequence(0, (SELECT c_lo + 8 FROM p))) AS k",
+        "SELECT explode(sequence(0, 9)) AS i",
+    ))

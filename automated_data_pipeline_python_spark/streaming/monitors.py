@@ -378,3 +378,51 @@ def centroid_drift_report(
     return spark.sql(
         "WITH " + _centroid_tail().format(sums="centroid_mon_sums")
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate monitor (the error-budget axis)
+# ---------------------------------------------------------------------------
+# The drift monitors watch distributions; the SRE monitor watches the
+# ERROR BUDGET. Same frozen-template discipline: the stream maintains
+# per-day (total, error) counts as bounded state (retention-window
+# days, never corpus-sized), and the multiwindow burn-rate report is
+# the catalog query's {daily}-parameterized tail applied verbatim —
+# stream==batch parity by construction.
+
+
+def slo_daily_counts(stream: DataFrame) -> DataFrame:
+    """Streamable input state for the SLO burn monitor: per-day total
+    and error counts maintained incrementally (complete mode; state is
+    calendar-bounded). Works identically on a batch frame."""
+    return stream.groupBy(F.expr("CAST(ts AS DATE)").alias("d")).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("e"),
+    )
+
+
+def slo_burn_report(daily_counts: DataFrame) -> DataFrame:
+    """Multiwindow burn rates + page/ticket alerts from the completed
+    per-day counts — the catalog query's {daily}-parameterized tail
+    (queries/timeseries.py _slo_tail) applied verbatim, so the
+    streamed report equals events_slo_burn_rate row-for-row."""
+    from automated_data_pipeline_python_spark.queries.timeseries import (
+        _slo_tail,
+    )
+
+    spark = daily_counts.sparkSession
+    # The burn tail SELF-JOINS {daily}; a memory-sink view carries the
+    # same attribute ids on both sides and Spark's self-join dedup
+    # does not fire through MemoryPlan — materialize the (bounded,
+    # retention-days-sized) state first, the _materialize_view
+    # discipline.
+    daily_counts.localCheckpoint(eager=True).createOrReplaceTempView(
+        "slo_mon_daily"
+    )
+    return spark.sql(
+        "WITH "
+        + _slo_tail("datediff(a.d, b.d)").format(daily="slo_mon_daily")
+    )

@@ -79,3 +79,14 @@ def test_centroid_drift_catalog_sql_is_the_template():
     assert "{sums}" in tail
     assert _CENTROID_DRIFT_SPARK_SQL.endswith(tail.format(sums="sums"))
     assert _CENTROID_DRIFT_DUCK_SQL.endswith(tail.format(sums="sums"))
+
+
+def test_slo_burn_catalog_sql_is_the_template():
+    from automated_data_pipeline_python_spark.queries.timeseries import (
+        _slo_sql,
+        _slo_tail,
+    )
+
+    gap = "datediff(a.d, b.d)"
+    assert "{daily}" in _slo_tail(gap)
+    assert _slo_sql(gap).endswith(_slo_tail(gap).format(daily="daily"))

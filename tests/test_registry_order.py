@@ -97,6 +97,11 @@ ROUND9_NEW: list[str] = [
     "orders_weibull_interpurchase",  # median-rank Weibull lifetime fit
     "events_interrupted_time_series",  # segmented-regression ITS
     "clustering_davies_bouldin",     # internal cluster-quality index
+    "quality_spiegelhalter_z",       # bin-free calibration test
+    "events_effect_sizes",           # Cohen d / Hedges g / Glass delta
+    "events_slo_burn_rate",          # multiwindow error-budget alerts
+    "embedding_mahalanobis_outliers",  # per-label embedding outliers
+    "events_erlang_staffing",        # M/M/c Erlang-C staffing table
 ]
 
 

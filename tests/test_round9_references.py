@@ -868,3 +868,202 @@ def test_davies_bouldin_matches_definition(con):
         assert abs(g_s - s_intra[cell]) < 2e-6, cell
         assert abs(g_r - r_max[cell]) < 2e-4, cell
         assert g_db == db
+
+
+# ---------------------------------------------------------------------------
+# Spiegelhalter's Z (Spiegelhalter 1986)
+# ---------------------------------------------------------------------------
+
+
+def test_spiegelhalter_matches_per_row_sums(con):
+    """Z recomputed from per-document (score, label) pairs with the
+    plain definition sum((y-p)(1-2p)) / sqrt(sum((1-2p)^2 p (1-p)))."""
+    from automated_data_pipeline_python_spark.queries.curation2 import (
+        _FEATS_DUCK_HEADER,
+        _SCORE_EXPR,
+    )
+
+    rows = con.execute(f"""{_FEATS_DUCK_HEADER},
+ratios AS (
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+)
+SELECT {_SCORE_EXPR},
+       CASE WHEN f.n_tok >= 20 AND f.n_tok <= 100000
+             AND floor((CAST(f.sum_len AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                 / 1e6 BETWEEN 3e0 AND 10e0
+             AND floor((CAST(f.n_stop AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                 / 1e6 >= 5e-2
+             AND floor((CAST(f.n_uniq AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                 / 1e6 > 2e-1
+            THEN 1 ELSE 0 END AS pos
+FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
+""").fetchall()
+    num = sum((y - p) * (1 - 2 * p) for p, y in rows)
+    den = sum((1 - 2 * p) ** 2 * p * (1 - p) for p, _ in rows)
+    z = num / math.sqrt(den)
+    (n_docs, n_pos, g_num, g_z, p_value, flag) = con.execute(
+        _oracle("quality_spiegelhalter_z")
+    ).fetchone()
+    assert n_docs == len(rows) and n_pos == sum(y for _, y in rows)
+    assert abs(g_num - num) < 1e-3  # per-cell 1e-6 snaps accumulate
+    assert abs(g_z - z) < 1e-4
+    # p-value consistent with the normal tail of the reported z
+    p_ref = 2 * (1 - 0.5 * math.erfc(-abs(g_z) / math.sqrt(2)))
+    assert abs(p_value - p_ref) < 1e-5
+    assert flag == (1 if p_value < 0.05 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Standardized effect sizes (Cohen 1988; Hedges 1981)
+# ---------------------------------------------------------------------------
+
+
+def test_effect_sizes_match_definitions(con):
+    """d, g, Glass's delta recomputed from the raw per-arm cents with
+    the plain pooled/control-SD formulas."""
+    import hashlib
+
+    vals = defaultdict(list)
+    for uid, v in con.execute(
+        "SELECT user_id, CAST(floor(value * 1e2 + 0.5) AS BIGINT)"
+        " FROM events WHERE event_type = 'purchase'"
+        " AND value IS NOT NULL"
+    ).fetchall():
+        h = int(hashlib.sha256(f"fx{uid}".encode()).hexdigest()[:7], 16)
+        vals[h % 2].append(int(v) / 1e2)
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        var = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, var
+
+    n_c, m_c, v_c = stats(vals[0])
+    n_t, m_t, v_t = stats(vals[1])
+    pooled = math.sqrt(((n_c - 1) * v_c + (n_t - 1) * v_t)
+                       / (n_c + n_t - 2))
+    d = (m_t - m_c) / pooled
+    g = d * (1 - 3 / (4 * (n_c + n_t) - 9))
+    (g_nc, g_nt, g_mc, g_mt, g_sdc, g_sdt,
+     g_d, g_g, g_glass, g_vr) = con.execute(
+        _oracle("events_effect_sizes")
+    ).fetchone()
+    assert (g_nc, g_nt) == (n_c, n_t)
+    assert abs(g_mc - m_c) < 2e-6 and abs(g_mt - m_t) < 2e-6
+    assert abs(g_sdc - math.sqrt(v_c)) < 2e-6
+    assert abs(g_d - d) < 2e-6
+    assert abs(g_g - g) < 2e-6
+    assert abs(g_glass - (m_t - m_c) / math.sqrt(v_c)) < 2e-6
+    assert abs(g_vr - v_t / v_c) < 2e-6
+    assert abs(g_g) <= abs(g_d)  # the correction always shrinks
+
+
+# ---------------------------------------------------------------------------
+# Multiwindow SLO burn rate (Beyer et al., The Site Reliability
+# Workbook ch. 5)
+# ---------------------------------------------------------------------------
+
+
+def test_slo_burn_matches_trailing_windows(con):
+    """Trailing 1/7/28-day error rates and the two-window alert
+    conjunctions recomputed from the raw daily counts."""
+    rows = con.execute(
+        "SELECT CAST(ts AS DATE), count(*),"
+        " sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [(d, int(n), int(e)) for d, n, e in rows]
+    got = con.execute(_oracle("events_slo_burn_rate")).fetchall()
+    assert len(got) == len(days)
+    for row, (d, n, e) in zip(got, days):
+        (day, n_events, r1, r7, r28, b1, b7, b28, page, ticket) = row
+        assert day == str(d) and n_events == n
+        w7 = [(nn, ee) for dd, nn, ee in days if 0 <= (d - dd).days <= 6]
+        w28 = [(nn, ee) for dd, nn, ee in days if 0 <= (d - dd).days <= 27]
+        assert r1 == _snap(e / n)
+        assert r7 == _snap(sum(ee for _, ee in w7) / sum(nn for nn, _ in w7))
+        assert r28 == _snap(
+            sum(ee for _, ee in w28) / sum(nn for nn, _ in w28)
+        )
+        assert b1 == _snap(r1 / 0.25) and b7 == _snap(r7 / 0.25)
+        assert page == (1 if b1 > 1.4 and b7 > 1.4 else 0)
+        assert ticket == (1 if b7 > 1.0 and b28 > 1.0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers (diagonal covariance)
+# ---------------------------------------------------------------------------
+
+
+def test_mahalanobis_matches_definition(con):
+    """Per-label diagonal Mahalanobis D^2 recomputed from the raw
+    vectors with the population-variance definition, replicating the
+    component snap and per-dim term snap."""
+    data = defaultdict(list)
+    for vid, emb, lab in con.execute(
+        "SELECT vec_id, embedding, label FROM embeddings"
+    ).fetchall():
+        data[lab].append((int(vid), [math.floor(x * 1e6 + 0.5)
+                                     for x in emb]))
+    got = con.execute(_oracle("embedding_mahalanobis_outliers")).fetchall()
+    by_label = defaultdict(list)
+    for lab, vid, d2, rnk in got:
+        by_label[lab].append((rnk, vid, d2))
+    for lab, rows in data.items():
+        n = len(rows)
+        dims = len(rows[0][1])
+        d2s = []
+        for vid, xs in rows:
+            tot = 0
+            for d in range(dims):
+                s = sum(r[1][d] for r in rows)
+                ss = sum(r[1][d] ** 2 for r in rows)
+                den = n * ss - s * s
+                if den > 0:
+                    tot += math.floor(
+                        float(n * xs[d] - s) ** 2 / float(den) * 1e6 + 0.5
+                    )
+            d2s.append((-tot, vid))
+        d2s.sort()
+        want = [(i + 1, vid, _snap(-t / 1e6)) for i, (t, vid)
+                in enumerate(d2s[:5])]
+        assert by_label[lab] == want, lab
+
+
+# ---------------------------------------------------------------------------
+# Erlang C (Erlang 1917; standard M/M/c queueing formulas)
+# ---------------------------------------------------------------------------
+
+
+def test_erlang_staffing_matches_queueing_formulas(con):
+    """P_wait / Lq / Wq recomputed with the plain Erlang-C formula
+    from the peak-hour count."""
+    (n_peak,) = con.execute(
+        "SELECT max(n) FROM (SELECT count(*) AS n FROM events"
+        " GROUP BY date_trunc('hour', ts))"
+    ).fetchone()
+    lam = n_peak / 3600
+    a = n_peak / 1800  # mu = 0.5/s
+    c_lo = (n_peak + 1800) // 1800
+    got = con.execute(_oracle("events_erlang_staffing")).fetchall()
+    assert [r[0] for r in got] == list(range(c_lo, c_lo + 10))
+    prev_wq = float("inf")
+    for c, g_peak, g_a, g_rho, g_pw, g_lq, g_wq, ok in got:
+        assert g_peak == n_peak
+        rho = a / c
+        head = sum(a**k / math.factorial(k) for k in range(c))
+        tail = a**c / math.factorial(c)
+        pw = tail / ((1 - rho) * head + tail)
+        lq = pw * rho / (1 - rho)
+        wq = lq / lam
+        assert abs(g_a - a) < 2e-6 and abs(g_rho - rho) < 2e-6
+        assert abs(g_pw - pw) < 1e-5, c
+        assert abs(g_lq - lq) < 1e-4, c
+        assert abs(g_wq - wq) < 1e-3, c
+        assert ok == (1 if g_wq < 1.0 else 0)
+        assert g_wq <= prev_wq  # more servers never wait longer
+        prev_wq = g_wq

@@ -836,3 +836,28 @@ def test_centroid_drift_monitor_stream_equals_catalog(spark, embeddings_dir):
     batch_sums = centroid_live_sums(batch.where("vec_id % 2 = 1"))
     assert _sorted_rows(got_sums, ["label", "d", "sx", "c"]) == \
         _sorted_rows(batch_sums, ["label", "d", "sx", "c"])
+
+
+def test_slo_burn_monitor_stream_equals_catalog(spark, events_dir):
+    """Incremental per-day (total, error) counts + the catalog burn
+    tail verbatim must equal events_slo_burn_rate row-for-row."""
+    from automated_data_pipeline_python_spark.queries import QUERIES
+    from automated_data_pipeline_python_spark.streaming.monitors import (
+        slo_burn_report,
+        slo_daily_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got_counts = run_to_memory(
+        slo_daily_counts(stream), "t_slo", output_mode="complete"
+    )
+    got = slo_burn_report(got_counts)
+    want = QUERIES["events_slo_burn_rate"].fn(spark, SF_DIR)
+    cols = ["day", "n_events", "err_rate_1d", "err_rate_7d",
+            "err_rate_28d", "burn_1d", "burn_7d", "burn_28d",
+            "page_alert", "ticket_alert"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    batch_counts = slo_daily_counts(load(spark, SF_DIR, "events"))
+    assert _sorted_rows(got_counts, ["d", "n", "e"]) == \
+        _sorted_rows(batch_counts, ["d", "n", "e"])
