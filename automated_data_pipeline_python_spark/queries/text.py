@@ -1200,3 +1200,60 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_FLESCH_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Yule's K + Herdan's C (vocabulary-concentration constants)
+# ---------------------------------------------------------------------------
+# The corpus-level stylometric constants the per-doc lexical-diversity
+# screen and the Good-Turing table don't report: Yule's characteristic
+# K = 1e4 * (sum_m m^2*V_m - N) / N^2 (repeat-rate concentration,
+# length-invariant by design — THE classic authorship/register
+# constant) and Herdan's C = ln V / ln N (log-log type-token slope,
+# the stable alternative to raw TTR). Both read off the same
+# frequency-of-frequencies table as corpus_good_turing_chao1 — pure
+# integer arithmetic until the final snapped expressions.
+
+
+def _yule_sql(word_extract: str, unnest_words: str) -> str:
+    return f"""
+WITH terms AS (
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT {word_extract} AS ws FROM documents){unnest_words}
+    GROUP BY w
+),
+fof AS (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM terms GROUP BY c),
+agg AS (
+    SELECT CAST(sum(c * nc) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS vocab,
+           CAST(sum(CAST(c AS DECIMAL(38,0)) * c * nc) AS DECIMAL(38,0))
+               AS m2
+    FROM fof
+)
+SELECT n_tokens, vocab,
+       {_snap("1e4 * (CAST(m2 AS DOUBLE) - n_tokens)"
+              " / (CAST(n_tokens AS DOUBLE) * n_tokens)", 6)} AS yule_k,
+       {_snap("ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))",
+              6)} AS herdan_c,
+       {_snap("CAST(m2 AS DOUBLE)"
+              " / (CAST(n_tokens AS DOUBLE) * n_tokens)", 6)}
+           AS repeat_rate
+FROM agg
+"""
+
+
+@register(
+    "text_yule_k_herdan",
+    oracle=_yule_sql(
+        "regexp_extract_all(text, '[a-z]+')",
+        ", UNNEST(ws) AS t(w)",
+    ),
+)
+def text_yule_k_herdan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K, Herdan's C, and the raw repeat rate
+    from the frequency-of-frequencies table — corpus-level vocabulary
+    concentration constants."""
+    return _docs_sql(spark, sf_dir, _yule_sql(
+        "regexp_extract_all(text, '[a-z]+', 0)",
+        " LATERAL VIEW explode(ws) t AS w",
+    ))

@@ -3235,3 +3235,68 @@ def events_erlang_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT explode(sequence(0, (SELECT c_lo + 8 FROM p))) AS k",
         "SELECT explode(sequence(0, 9)) AS i",
     ))
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy + flatness of the daily series
+# ---------------------------------------------------------------------------
+# The periodogram names the dominant period; the REGULARITY summary a
+# forecastability gate wants is scalar: spectral entropy (Shannon
+# entropy of the normalized power spectrum, 0 = pure tone / perfectly
+# seasonal, 1 = white noise) and spectral flatness (Wiener entropy,
+# the geometric/arithmetic power-mean ratio). Reuses the periodogram
+# head VERBATIM (same snapped DFT projections over the same candidate
+# periods), so the two queries can never disagree about the spectrum
+# they summarize; the tail runs on the 13-row power relation.
+
+_PGRAM_HEAD = _PGRAM_BODY[: _PGRAM_BODY.index("tot AS")]
+
+_SPECTRAL_TAIL = f"""tot AS (
+    SELECT {sql_exact_sum("power", 3)} AS s,
+           CAST(count(*) AS BIGINT) AS np
+    FROM pw
+),
+shares AS (
+    SELECT {sql_stable_round("pw.power / tot.s", 6)} AS p, tot.np
+    FROM pw CROSS JOIN tot
+),
+ent AS (
+    SELECT np,
+           {sql_exact_sum("CASE WHEN p > 0e0 THEN -p * ln(p) END", 6)}
+               AS h,
+           {sql_exact_sum("CASE WHEN p > 0e0 THEN ln(p) END", 6)} AS lsum,
+           {sql_exact_sum("p", 6)} AS psum,
+           CAST(sum(CASE WHEN p > 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+    FROM shares GROUP BY np
+),
+dom AS (
+    SELECT CAST(k AS BIGINT) AS dominant_period
+    FROM pw ORDER BY power DESC, k ASC LIMIT 1
+)
+SELECT ent.np AS n_periods, dom.dominant_period,
+       {sql_stable_round("ent.h", 6)} AS spectral_entropy,
+       {sql_stable_round("ent.h / ln(CAST(ent.np AS DOUBLE))", 6)}
+           AS spectral_entropy_norm,
+       {sql_stable_round(
+           "exp(ent.lsum / ent.npos) / (ent.psum / ent.npos)", 6)}
+           AS spectral_flatness
+FROM ent CROSS JOIN dom
+"""
+
+
+@register(
+    "events_spectral_entropy",
+    oracle=_PGRAM_HEAD.replace(
+        "{periods}", "SELECT unnest(generate_series(2, 14)) AS k"
+    ) + _SPECTRAL_TAIL,
+)
+def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy (raw + log-K-normalized) and spectral flatness
+    of the daily purchase series over the periodogram's candidate
+    periods — the scalar forecastability gate."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _PGRAM_HEAD.replace(
+            "{periods}", "SELECT explode(sequence(2, 14)) AS k"
+        ) + _SPECTRAL_TAIL
+    )

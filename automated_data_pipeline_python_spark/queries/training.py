@@ -954,3 +954,85 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded from IV by the standard convention."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_woe_sql("({a}) DIV ({b})"))
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing collision audit (the hashing trick's QA gate)
+# ---------------------------------------------------------------------------
+# Before shipping hashed features (the standard vocabulary-free
+# featurization at 100 TB: bucket = hash(term) % B), the pipeline
+# should measure what the chosen width B costs: how many buckets are
+# actually used vs the birthday-expected count, the worst bucket's
+# pile-up, and — the number that matters for model quality — the
+# share of token OCCURRENCES that share a bucket with a different
+# term (weighted collision mass). All from one vocabulary-sized
+# aggregation over the shared sha hash, so the oracle checks the
+# exact same assignment a production featurizer would use.
+
+_HASH_B = 4096
+
+
+def _feat_hash_sql(hash60: str, mod: str) -> str:
+    return f"""
+WITH terms AS (
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS occ
+    FROM (SELECT {{extract}} AS ws FROM documents){{unnest}}
+    GROUP BY w
+),
+hashed AS (
+    SELECT term, occ, {mod.format(x=hash60, b=_HASH_B)} AS bucket
+    FROM terms
+),
+per_bucket AS (
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(occ) AS BIGINT) AS occ
+    FROM hashed GROUP BY bucket
+),
+agg AS (
+    SELECT CAST(sum(n_terms) AS BIGINT) AS vocab,
+           CAST(count(*) AS BIGINT) AS used,
+           CAST(max(n_terms) AS BIGINT) AS max_terms,
+           CAST(sum(occ) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_terms >= 2 THEN occ ELSE 0 END)
+                AS BIGINT) AS colliding_occ,
+           CAST(sum(CASE WHEN n_terms >= 2 THEN n_terms ELSE 0 END)
+                AS BIGINT) AS colliding_terms
+    FROM per_bucket
+)
+SELECT vocab, CAST({_HASH_B} AS BIGINT) AS n_buckets, used AS buckets_used,
+       floor({_HASH_B} * (1e0 - power(1e0 - 1e0 / {_HASH_B},
+                                      CAST(vocab AS DOUBLE)))
+             * 1e2 + 0.5) / 1e2 AS expected_buckets_used,
+       max_terms AS max_terms_per_bucket,
+       colliding_terms,
+       floor(CAST(colliding_terms AS DOUBLE) / vocab * 1e6 + 0.5) / 1e6
+           AS colliding_term_share,
+       floor(CAST(colliding_occ AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6
+           AS colliding_occurrence_share
+FROM agg
+"""
+
+
+_FEAT_HASH_SPARK = _feat_hash_sql(
+    spark_hash60("concat('fh', term)"), "pmod({x}, {b})"
+).format(
+    extract="regexp_extract_all(text, '[a-z]+', 0)",
+    unnest=" LATERAL VIEW explode(ws) t AS w",
+)
+
+_FEAT_HASH_DUCK = _feat_hash_sql(
+    duck_hash60("concat('fh', term)"), "({x}) % {b}"
+).format(
+    extract="regexp_extract_all(text, '[a-z]+')",
+    unnest=", UNNEST(ws) AS t(w)",
+)
+
+
+@register("feature_hashing_collisions", oracle=_FEAT_HASH_DUCK)
+def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit of 4096-bucket feature hashing over the corpus
+    vocabulary: used vs birthday-expected buckets, worst pile-up, and
+    the occurrence-weighted collision mass — from the shared sha
+    assignment a production featurizer would reuse."""
+    return _docs_sql(spark, sf_dir, _FEAT_HASH_SPARK, scaled=True)

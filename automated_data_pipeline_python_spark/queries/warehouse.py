@@ -1945,3 +1945,125 @@ def orders_weibull_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     order number), with fit R-squared and the implied median gap."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_weibull_sql("datediff({b}, {a})"))
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion fit of customer adoption (discrete-form OLS)
+# ---------------------------------------------------------------------------
+# The growth-forecasting classic: new adopters per period n_t = p*M +
+# (q - p)*N_{t-1} - (q/M)*N_{t-1}^2 (Bass 1969), where N is cumulative
+# adopters. "Adoption" = a customer's FIRST order day. The discrete
+# form is a two-regressor OLS (x1 = N_{t-1}, x2 = N_{t-1}^2) solved
+# exactly by Cramer's rule — the lineitem_ols_two_factor discipline —
+# then inverted: M from the quadratic c*M^2 + b*M + a = 0, innovation
+# p = a/M, imitation q = -c*M, and the implied adoption peak at
+# t* = ln(q/p)/(p+q).
+#
+# Exactness: daily new-adopter counts are exact integers; cumulative
+# N_{t-1} comes from a bounded triangular day join (no corpus
+# window); every normal-equation moment accumulates in DECIMAL(38,0)
+# (N^4 sums pass BIGINT far below the 100 TB design point); Cramer
+# and the quadratic are single float expressions snapped at output.
+# One corpus pass (first order per customer), then calendar-bounded
+# algebra.
+
+
+def _bass_sql(days_diff: str) -> str:
+    mom = {
+        "s1": "x1", "s2": "x2", "sy": "y",
+        "s11": "x1 * x1", "s12": "x1 * x2", "s22": "x2 * x2",
+        "s1y": "x1 * y", "s2y": "x2 * y", "syy": "y * y",
+    }
+    moments = ",\n           ".join(
+        f"CAST(sum(CAST({expr} AS DECIMAL(38,0))) AS DOUBLE) AS {name}"
+        for name, expr in mom.items()
+    )
+    return f"""
+WITH firsts AS (
+    SELECT min(o_orderdate) AS fd FROM orders GROUP BY o_custkey
+),
+daily AS (
+    SELECT CAST(fd AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM firsts GROUP BY CAST(fd AS DATE)
+),
+cum AS (
+    SELECT a.d, a.n,
+           CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_prev
+    FROM daily a LEFT JOIN daily b ON b.d < a.d
+    GROUP BY a.d, a.n
+),
+pts AS (
+    SELECT n AS y, n_prev AS x1, n_prev * n_prev AS x2 FROM cum
+),
+m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(count(*) AS BIGINT) AS n_days,
+           {moments}
+    FROM pts
+),
+sol AS (
+    SELECT n_days, n, sy, s1y, s2y, syy, s1,
+           (n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2))  AS det,
+           (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+           (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))  AS det1,
+           (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))  AS det2
+    FROM m
+),
+abc AS (
+    SELECT n_days, n, sy, s1y, s2y, syy, s1,
+           det0 / det AS ca, det1 / det AS cb, det2 / det AS cc,
+           det, det0, det1, det2
+    FROM sol
+),
+fit AS (
+    -- M is real and meaningful only in the diffusion regime
+    -- (negative curvature, non-negative discriminant); outside it
+    -- the honest answer is NULL, not NaN
+    SELECT n_days, ca, cb, cc,
+           CASE WHEN cc < 0e0 AND cb * cb - 4e0 * cc * ca >= 0e0
+                THEN (-cb - sqrt(cb * cb - 4e0 * cc * ca)) / (2e0 * cc)
+           END AS mm,
+           floor((1e0 - (syy - (det0 * sy + det1 * s1y + det2 * s2y) / det)
+                        / (syy - sy * sy / n)) * 1e6 + 0.5) / 1e6 AS r2
+    FROM abc
+),
+pq AS (
+    SELECT n_days, ca, cb, cc, mm, r2,
+           floor(ca / mm * 1e6 + 0.5) / 1e6 AS p6,
+           floor(-cc * mm * 1e6 + 0.5) / 1e6 AS q6
+    FROM fit
+)
+SELECT n_days,
+       floor(ca * 1e6 + 0.5) / 1e6 AS beta_const,
+       floor(cb * 1e6 + 0.5) / 1e6 AS beta_n,
+       floor(cc * 1e9 + 0.5) / 1e9 AS beta_n2,
+       floor(mm * 1e2 + 0.5) / 1e2 AS m_market_size,
+       p6 AS p_innovation,
+       q6 AS q_imitation,
+       CASE WHEN p6 > 0e0 AND q6 > 0e0
+            THEN floor(ln(q6 / p6) / (p6 + q6) * 1e4 + 0.5) / 1e4
+       END AS peak_time_days,
+       CAST(CASE WHEN q6 IS NOT NULL AND p6 IS NOT NULL
+                  AND q6 > p6 AND p6 > 0e0
+                 THEN 1 ELSE 0 END AS BIGINT) AS diffusion_regime,
+       r2
+FROM pq
+"""
+
+
+@register("orders_bass_diffusion", oracle=_bass_sql("unused"))
+def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model of customer first-order adoption: exact
+    discrete-form two-regressor OLS (Cramer), market size M from the
+    implied quadratic, innovation/imitation rates, and the implied
+    adoption peak."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_bass_sql("unused"))

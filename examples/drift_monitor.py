@@ -37,6 +37,8 @@ SECTIONS = [
     ("mean_drift", "events_page_hinkley_drift", "alarm = 1"),
     ("vector_drift", "embedding_centroid_drift", "centroid_cosine < 0.9"),
     ("outliers", "events_mad_outliers", "is_outlier = 1"),
+    ("changepoint", "events_pettitt_changepoint", "significant_05 = 1"),
+    ("error_budget", "events_slo_burn_rate", "page_alert = 1"),
     ("integrity", "dq_benford_first_digit", "abs_dev > 0.05"),
     ("dependency", "dq_mutual_information", "nmi > 0.5"),
     ("filter_health", "quality_gopher_rules", "pass_rate < 0.5"),

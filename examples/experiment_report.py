@@ -8,6 +8,8 @@ composed the way a growth team reads an A/B program.
 5. OBSERVATIONAL     IPW ATE vs the naive diff (confounding measured)
 6. PANEL             difference-in-differences + parallel-trends placebo
 7. TARGETING         Qini uplift curve over score deciles
+8. EFFECT SIZE       Cohen's d / Hedges' g (how big, in portable units)
+9. SINGLE SERIES     interrupted time series (no-control-group design)
 
 Every section is a catalog operator with a DuckDB oracle; this script
 chains them over the same testdata and prints a one-line verdict per
@@ -76,6 +78,18 @@ def run(spark, sf_dir: str) -> dict:
                       "final_qini": final.get("qini")}
     print(f"[qini     ] {len(qini)} deciles; cumulative Qini at 100% "
           f"targeting = {final.get('qini')}")
+
+    fx = rows("events_effect_sizes")[0].asDict()
+    report["effect"] = {"cohens_d": fx["cohens_d"],
+                        "hedges_g": fx["hedges_g"]}
+    print(f"[effect   ] d = {fx['cohens_d']}, g = {fx['hedges_g']} "
+          f"(variance ratio {fx['variance_ratio']})")
+
+    its = rows("events_interrupted_time_series")[0].asDict()
+    report["its"] = {"level_change": its["level_change"],
+                     "slope_change": its["slope_change"]}
+    print(f"[its      ] level change {its['level_change']}, slope change "
+          f"{its['slope_change']} at day {its['cutoff_day']}")
     return report
 
 

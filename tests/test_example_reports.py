@@ -82,6 +82,8 @@ def test_drift_monitor_sections_pinned(spark):
         "mean_drift": (150, 1),
         "vector_drift": (10, 10),
         "outliers": (150, 0),
+        "changepoint": (1, 0),
+        "error_budget": (30, 0),
         "integrity": (9, 4),
         "dependency": (3, 0),
         "filter_health": (4, 0),
@@ -124,3 +126,6 @@ def test_experiment_report_sections_pinned(spark):
     }
     assert report["did"] == {"did": -2.856184, "placebo": -4.535621}
     assert report["qini"] == {"n_deciles": 10, "final_qini": 4.634146}
+    assert report["effect"] == {"cohens_d": 0.091549, "hedges_g": 0.091514}
+    assert report["its"] == {"level_change": 778.411524,
+                             "slope_change": -60.22375}

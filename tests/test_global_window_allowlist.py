@@ -38,6 +38,7 @@ ALLOWED = {
     "events_cem_matching": "CDFs over n_events/n_days value histograms (bounded domains)",
     "events_periodogram_periods": "day-index window over calendar-bounded daily relation",
     "events_ljung_box_acf": "day-index window over calendar-bounded daily relation (same stage class as periodogram)",
+    "events_spectral_entropy": "day-index window over calendar-bounded daily relation (shares the periodogram head verbatim)",
     "events_ks_two_sample": "eCDF over value histogram (integer cents domain)",
     "events_wasserstein_distance": "eCDF + segment width over value histogram (integer cents domain — same stage class as KS)",
     "text_gini_token_concentration": "cumulative tied-blocks over the distinct-count histogram (Zipf-bounded grid, never per-token ranks)",

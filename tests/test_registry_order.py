@@ -102,6 +102,10 @@ ROUND9_NEW: list[str] = [
     "events_slo_burn_rate",          # multiwindow error-budget alerts
     "embedding_mahalanobis_outliers",  # per-label embedding outliers
     "events_erlang_staffing",        # M/M/c Erlang-C staffing table
+    "events_spectral_entropy",       # forecastability gate off the DFT
+    "orders_bass_diffusion",         # adoption-curve OLS inversion
+    "text_yule_k_herdan",            # vocabulary-concentration constants
+    "feature_hashing_collisions",    # hashing-trick collision audit
 ]
 
 

@@ -1067,3 +1067,156 @@ def test_erlang_staffing_matches_queueing_formulas(con):
         assert ok == (1 if g_wq < 1.0 else 0)
         assert g_wq <= prev_wq  # more servers never wait longer
         prev_wq = g_wq
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy / flatness (Shannon entropy of the power spectrum)
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_entropy_matches_definition(con):
+    """Entropy and flatness recomputed from the oracle-checked
+    periodogram's own power column — the two queries must agree on
+    the spectrum, and the scalars must match the plain formulas."""
+    pgram = con.execute(_oracle("events_periodogram_periods")).fetchall()
+    powers = {k: p for k, p, _ in pgram}
+    tot = sum(math.floor(p * 1e6 + 0.5) for p in powers.values()) / 1e6
+    shares = [_snap(p / tot) for p in powers.values()]
+    h = sum(math.floor(-p * math.log(p) * 1e6 + 0.5)
+            for p in shares if p > 0) / 1e6
+    lsum = sum(math.floor(math.log(p) * 1e6 + 0.5)
+               for p in shares if p > 0) / 1e6
+    psum = sum(math.floor(p * 1e6 + 0.5) for p in shares if p > 0) / 1e6
+    npos = sum(1 for p in shares if p > 0)
+    (n_periods, dom, g_h, g_hn, g_flat) = con.execute(
+        _oracle("events_spectral_entropy")
+    ).fetchone()
+    assert n_periods == len(pgram) == 13
+    assert dom == max(powers, key=lambda k: (powers[k], -k))
+    assert abs(g_h - h) < 2e-6
+    assert abs(g_hn - h / math.log(13)) < 2e-6
+    assert abs(g_flat - math.exp(lsum / npos) / (psum / npos)) < 2e-5
+    assert 0 < g_hn <= 1 and 0 < g_flat <= 1
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion (Bass 1969, discrete-form OLS)
+# ---------------------------------------------------------------------------
+
+
+def test_bass_matches_two_regressor_ols(con):
+    """The Cramer solution and the p/q/M inversion recomputed from the
+    raw daily first-order counts with plain normal equations."""
+    rows = con.execute(
+        "WITH f AS (SELECT min(o_orderdate) AS fd FROM orders"
+        " GROUP BY o_custkey)"
+        " SELECT CAST(fd AS DATE), count(*) FROM f GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    pts, cum = [], 0
+    for _, n in rows:
+        pts.append((float(cum), float(cum) ** 2, float(n)))
+        cum += int(n)
+    n = len(pts)
+    s1 = sum(x1 for x1, _, _ in pts)
+    s2 = sum(x2 for _, x2, _ in pts)
+    sy = sum(y for _, _, y in pts)
+    s11 = sum(x1 * x1 for x1, _, _ in pts)
+    s12 = sum(x1 * x2 for x1, x2, _ in pts)
+    s22 = sum(x2 * x2 for _, x2, _ in pts)
+    s1y = sum(x1 * y for x1, _, y in pts)
+    s2y = sum(x2 * y for _, x2, y in pts)
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    ca = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y)) / det
+    cb = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2)) / det
+    cc = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2)) / det
+    (n_days, g_a, g_b, g_c, g_m, g_p, g_q, g_peak, regime, r2) = \
+        con.execute(_oracle("orders_bass_diffusion")).fetchone()
+    assert n_days == n
+    assert abs(g_a - ca) < 1e-4 * max(1.0, abs(ca))
+    assert abs(g_b - cb) < 1e-5
+    assert abs(g_c - cc) < 1e-8
+    if cc < 0 and cb * cb - 4 * cc * ca >= 0:
+        m = (-cb - math.sqrt(cb * cb - 4 * cc * ca)) / (2 * cc)
+        assert abs(g_m - m) < 1e-2 * max(1.0, abs(m))
+        p, q = _snap(ca / m), _snap(-cc * m)
+        assert abs(g_p - p) < 2e-6 and abs(g_q - q) < 2e-6
+        if p > 0 and q > 0:
+            assert abs(g_peak - math.log(q / p) / (p + q)) < 1e-3
+        else:
+            assert g_peak is None
+        assert regime == (1 if q > p > 0 else 0)
+    else:
+        assert g_m is None and g_peak is None
+    assert 0 <= r2 <= 1
+
+
+# ---------------------------------------------------------------------------
+# Yule's K / Herdan's C (Yule 1944; Herdan 1960)
+# ---------------------------------------------------------------------------
+
+
+def test_yule_herdan_match_frequency_spectrum(con):
+    """K and C recomputed from the raw term-frequency list."""
+    counts = [
+        int(c)
+        for (c,) in con.execute(
+            "SELECT count(*) FROM (SELECT unnest("
+            "regexp_extract_all(text, '[a-z]+')) AS w FROM documents)"
+            " GROUP BY w"
+        ).fetchall()
+    ]
+    n = sum(counts)
+    v = len(counts)
+    m2 = sum(c * c for c in counts)
+    (g_n, g_v, g_k, g_c, g_rr) = con.execute(
+        _oracle("text_yule_k_herdan")
+    ).fetchone()
+    assert (g_n, g_v) == (n, v)
+    assert abs(g_k - 1e4 * (m2 - n) / n**2) < 2e-6
+    assert abs(g_c - math.log(v) / math.log(n)) < 2e-6
+    assert abs(g_rr - m2 / n**2) < 2e-6
+    assert 0 < g_c < 1  # vocabulary grows sublinearly in tokens
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing collision audit (Weinberger et al. 2009)
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hashing_matches_direct_assignment(con):
+    """Bucket stats recomputed by hashing every term in Python with
+    the same sha-derived assignment."""
+    import hashlib
+
+    terms = con.execute(
+        "SELECT w, count(*) FROM (SELECT unnest("
+        "regexp_extract_all(text, '[a-z]+')) AS w FROM documents)"
+        " GROUP BY w"
+    ).fetchall()
+    buckets = defaultdict(lambda: [0, 0])
+    for w, occ in terms:
+        b = int(hashlib.sha256(f"fh{w}".encode()).hexdigest()[:15],
+                16) % 4096
+        buckets[b][0] += 1
+        buckets[b][1] += int(occ)
+    vocab = len(terms)
+    n_tokens = sum(int(o) for _, o in terms)
+    used = len(buckets)
+    max_terms = max(k for k, _ in buckets.values())
+    coll_terms = sum(k for k, _ in buckets.values() if k >= 2)
+    coll_occ = sum(o for k, o in buckets.values() if k >= 2)
+    (g_v, g_b, g_used, g_exp, g_max, g_ct, g_cts, g_cos) = con.execute(
+        _oracle("feature_hashing_collisions")
+    ).fetchone()
+    assert (g_v, g_b, g_used, g_max, g_ct) == (
+        vocab, 4096, used, max_terms, coll_terms
+    )
+    exp_used = 4096 * (1 - (1 - 1 / 4096) ** vocab)
+    assert abs(g_exp - exp_used) < 1e-2 * max(1.0, exp_used)
+    assert g_cts == _snap(coll_terms / vocab)
+    assert g_cos == _snap(coll_occ / n_tokens)
+    assert used <= min(vocab, 4096)

@@ -39,6 +39,14 @@ HEAVY = [
     "text_ql_dirichlet_ranking",
     "text_readability_flesch",
     "lineitem_abc_xyz_matrix",
+    # round-9 additions with a full corpus pass (featurize/explode/
+    # window): the rest of the round-9 ops run on calendar- or
+    # dimension-bounded relations and have nothing to measure here.
+    "quality_spiegelhalter_z",
+    "embedding_mahalanobis_outliers",
+    "orders_weibull_interpurchase",
+    "events_effect_sizes",
+    "clustering_davies_bouldin",
 ]
 
 
