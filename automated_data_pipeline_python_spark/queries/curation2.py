@@ -1182,3 +1182,93 @@ def quality_spiegelhalter_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     p-value."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SPIEG_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Fairness audit of the quality gate, by source
+# ---------------------------------------------------------------------------
+# Curation filters change the MIX of the corpus: if the logistic gate
+# keeps 60% of one source and 20% of another, the training
+# distribution shifts whether or not anyone decided that. The
+# standard audit: per-source keep rate, the disparate-impact ratio
+# against the most-kept source (the 80% rule), and equalized-odds
+# gaps (TPR/FPR per source against the independent Gopher-rule
+# labels). One featurize pass joined back to the source column;
+# everything after is the 20-row source relation. All rates are
+# exact integer ratios snapped before the 80%-rule compare.
+
+def _fairness_tail() -> str:
+    return f"""
+ratios AS (
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT r.doc_id, {_SCORE_EXPR},
+           CASE WHEN f.n_tok >= 20 AND f.n_tok <= 100000
+                 AND floor((CAST(f.sum_len AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 BETWEEN 3e0 AND 10e0
+                 AND floor((CAST(f.n_stop AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 >= 5e-2
+                 AND floor((CAST(f.n_uniq AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 > 2e-1
+                THEN 1 ELSE 0 END AS pos
+    FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
+),
+by_source AS (
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s.score >= 5e-1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(s.pos) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN s.score >= 5e-1 AND s.pos = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+           CAST(sum(CASE WHEN s.score >= 5e-1 AND s.pos = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.source
+),
+rates AS (
+    SELECT source, n_docs, n_kept, n_pos,
+           floor(CAST(n_kept AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+               AS keep_rate,
+           CASE WHEN n_pos > 0
+                THEN floor(CAST(n_tp AS DOUBLE) / n_pos * 1e6 + 0.5) / 1e6
+           END AS tpr,
+           CASE WHEN n_docs - n_pos > 0
+                THEN floor(CAST(n_fp AS DOUBLE) / (n_docs - n_pos)
+                           * 1e6 + 0.5) / 1e6
+           END AS fpr
+    FROM by_source
+),
+mx AS (SELECT max(keep_rate) AS top_rate FROM rates)
+SELECT r.source, r.n_docs, r.n_kept, r.keep_rate, r.tpr, r.fpr,
+       floor(r.keep_rate / mx.top_rate * 1e6 + 0.5) / 1e6
+           AS disparate_impact,
+       CAST(CASE WHEN floor(r.keep_rate / mx.top_rate * 1e6 + 0.5) / 1e6
+                      >= 8e-1
+                 THEN 1 ELSE 0 END AS BIGINT) AS passes_80pct_rule
+FROM rates r CROSS JOIN mx
+ORDER BY source
+"""
+
+
+_FAIR_SPARK_SQL = f"""{_FEATS_SPARK_HEADER},
+{_fairness_tail()}
+"""
+
+_FAIR_DUCK_SQL = f"""{_FEATS_DUCK_HEADER},
+{_fairness_tail()}
+"""
+
+
+@register("quality_fairness_by_source", oracle=_FAIR_DUCK_SQL)
+def quality_fairness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fairness audit of the logistic quality gate: keep
+    rates, disparate-impact ratio vs the most-kept source (80% rule),
+    and equalized-odds TPR/FPR against the Gopher-rule labels."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_FAIR_SPARK_SQL)

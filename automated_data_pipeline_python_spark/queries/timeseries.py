@@ -3300,3 +3300,103 @@ def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "{periods}", "SELECT explode(sequence(2, 14)) AS k"
         ) + _SPECTRAL_TAIL
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness and memory of inter-event times (Goh & Barabasi 2008)
+# ---------------------------------------------------------------------------
+# events_interarrival_stats reports gap percentiles; the
+# complex-systems summary of a point process is the (B, M) pair:
+# burstiness B = (sigma - mu)/(sigma + mu) of the gap distribution
+# (-1 periodic, 0 Poisson, -> 1 bursty) and memory M = the Pearson
+# correlation of CONSECUTIVE same-user gaps (do long gaps follow long
+# gaps?). Together they place each event type on the standard (B, M)
+# phase diagram.
+#
+# Exactness: gaps are exact integer microseconds; all moments —
+# including the consecutive-pair cross moments — accumulate in
+# DECIMAL(38,0) (micros^2 reaches 7e24; products of sums pass BIGINT
+# everywhere at scale), and B/M are single float expressions over
+# those integers, snapped at output. Two partitioned lag windows over
+# (user, type) orderings — corpus-sized but keyed, never global.
+
+
+def _burst_sql(micros_diff: str) -> str:
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+gaps AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(({micros_diff}) AS BIGINT) AS g
+    FROM ordered WHERE prev_ts IS NOT NULL
+),
+pairs AS (
+    SELECT event_type, g,
+           lag(g) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS g_prev
+    FROM gaps
+),
+mom AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS ss
+    FROM gaps GROUP BY event_type
+),
+pmom AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(CAST(g_prev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(CAST(g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+           CAST(sum(CAST(g_prev AS DECIMAL(38,0)) * g) AS DECIMAL(38,0))
+               AS sxy,
+           CAST(sum(CAST(g_prev AS DECIMAL(38,0)) * g_prev)
+                AS DECIMAL(38,0)) AS sxx,
+           CAST(sum(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS syy
+    FROM pairs WHERE g_prev IS NOT NULL
+    GROUP BY event_type
+),
+b AS (
+    SELECT event_type, n,
+           sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1))) AS sd,
+           CAST(s AS DOUBLE) / n AS mu
+    FROM mom WHERE n >= 2
+)
+SELECT b.event_type,
+       b.n AS n_gaps, p.np AS n_consecutive_pairs,
+       floor(b.mu / 1e6 * 1e6 + 0.5) / 1e6 AS mean_gap_secs,
+       floor((b.sd - b.mu) / (b.sd + b.mu) * 1e6 + 0.5) / 1e6
+           AS burstiness_b,
+       floor((CAST(p.np AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+              - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+             / (sqrt(CAST(p.np AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                     - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                * sqrt(CAST(p.np AS DOUBLE) * CAST(p.syy AS DOUBLE)
+                       - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS memory_m
+FROM b JOIN pmom p ON p.event_type = b.event_type
+ORDER BY b.event_type
+"""
+
+
+@register(
+    "events_burstiness_memory",
+    oracle=_burst_sql(
+        "date_diff('microsecond', CAST(prev_ts AS TIMESTAMP),"
+        " CAST(ts AS TIMESTAMP))"
+    ),
+)
+def events_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B and memory M of same-user inter-event
+    gaps per type — the (B, M) phase-diagram coordinates of each event
+    stream, from exact integer-microsecond moments."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _burst_sql("timestampdiff(MICROSECOND, prev_ts, ts)")
+    )

@@ -1036,3 +1036,96 @@ def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the occurrence-weighted collision mass — from the shared sha
     assignment a production featurizer would reuse."""
     return _docs_sql(spark, sf_dir, _FEAT_HASH_SPARK, scaled=True)
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified allocation
+# ---------------------------------------------------------------------------
+# sample_stratified_deterministic draws PROPORTIONALLY; the optimal
+# design for estimating a mean allocates n_h proportional to N_h*S_h
+# (Neyman 1934) — high-variance strata get oversampled. Computes the
+# allocation of a 10,000-row budget across event-type strata from
+# exact cents moments, with the integer split by largest-remainder
+# rounding (floor everyone, hand the leftover units to the largest
+# fractional parts — deterministic tie-break on stratum name), and
+# reports the design-effect gain over proportional allocation.
+#
+# Shape: one corpus pass for per-stratum moments; the allocation
+# algebra (shares, remainders, rank) runs on the 5-row stratum
+# relation via a bounded self-join rank, never a window.
+
+_NEYMAN_BUDGET = 10_000
+
+
+def _neyman_sql() -> str:
+    return f"""
+WITH mom AS (
+    SELECT event_type AS stratum,
+           CAST(count(*) AS BIGINT) AS nh,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT))
+                AS BIGINT) AS s,
+           CAST(sum(CAST(CAST(floor(value * 1e2 + 0.5) AS BIGINT)
+                         AS DECIMAL(38,0))
+                    * CAST(floor(value * 1e2 + 0.5) AS BIGINT))
+                AS DECIMAL(38,0)) AS ss
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+),
+sd AS (
+    SELECT stratum, nh,
+           sqrt((CAST(nh AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(nh AS DOUBLE) * (nh - 1))) / 1e2 AS sh
+    FROM mom WHERE nh >= 2
+),
+wt AS (
+    SELECT stratum, nh, sh, CAST(nh AS DOUBLE) * sh AS w
+    FROM sd
+),
+tot AS (SELECT sum(w) AS wsum, CAST(sum(nh) AS BIGINT) AS n_total FROM wt),
+frac AS (
+    SELECT w.stratum, w.nh, w.sh,
+           floor(w.w / t.wsum * 1e6 + 0.5) / 1e6 AS neyman_share,
+           {_NEYMAN_BUDGET} * w.w / t.wsum AS alloc_raw,
+           CAST(floor({_NEYMAN_BUDGET} * w.w / t.wsum) AS BIGINT)
+               AS alloc_floor,
+           floor(({_NEYMAN_BUDGET} * w.w / t.wsum
+                  - floor({_NEYMAN_BUDGET} * w.w / t.wsum))
+                 * 1e6 + 0.5) / 1e6 AS rem,
+           floor(CAST(w.nh AS DOUBLE) / t.n_total * 1e6 + 0.5) / 1e6
+               AS prop_share
+    FROM wt w CROSS JOIN tot t
+),
+leftover AS (
+    SELECT CAST({_NEYMAN_BUDGET} - sum(alloc_floor) AS BIGINT) AS extra
+    FROM frac
+),
+ranked AS (
+    SELECT a.stratum,
+           CAST(count(*) AS BIGINT) AS rem_rank
+    FROM frac a JOIN frac b
+      ON b.rem > a.rem OR (b.rem = a.rem AND b.stratum <= a.stratum)
+    GROUP BY a.stratum
+)
+SELECT f.stratum, f.nh AS n_population,
+       floor(f.sh * 1e6 + 0.5) / 1e6 AS stratum_sd,
+       f.neyman_share, f.prop_share,
+       f.alloc_floor + CASE WHEN r.rem_rank <= l.extra THEN 1 ELSE 0 END
+           AS n_allocated,
+       CAST(CASE WHEN f.neyman_share > f.prop_share
+                 THEN 1 ELSE 0 END AS BIGINT) AS oversampled
+FROM frac f
+JOIN ranked r ON r.stratum = f.stratum
+CROSS JOIN leftover l
+ORDER BY f.stratum
+"""
+
+
+@register("sample_neyman_allocation", oracle=_neyman_sql())
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 10k sample budget across
+    event-type strata (n_h proportional to N_h*S_h from exact cents
+    moments), integer-split by largest-remainder rounding with
+    deterministic tie-breaks, vs the proportional design."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_neyman_sql())

@@ -2067,3 +2067,75 @@ def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     adoption peak."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_bass_sql("unused"))
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity of demand (log-log OLS per brand)
+# ---------------------------------------------------------------------------
+# The retail-analytics classic the revenue queries stop short of:
+# HOW responsive is ordered quantity to unit price? Per brand, OLS of
+# ln(quantity) on ln(unit price) — the slope IS the elasticity — with
+# the |e| > 1 elastic/inelastic classification read off the snapped
+# estimate. Cross-sectional identification (price variation across
+# line items of the same brand), the form every pricing team fits
+# first.
+#
+# Shape: one corpus pass computes per-row (ln p, ln q) terms snapped
+# to the 1e-6 grid and accumulated as exact scaled integers per brand
+# (order-independent, the sql_exact_sum discipline), so both engines
+# fit from identical moments; the OLS algebra runs on the bounded
+# brand relation.
+
+def _elasticity_sql() -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_exact_sum,
+        sql_stable_round,
+    )
+
+    lp = "ln(l_extendedprice / l_quantity)"
+    lq = "ln(l_quantity)"
+    return f"""
+WITH mom AS (
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_exact_sum(lp, 6)} AS sx,
+           {sql_exact_sum(lq, 6)} AS sy,
+           {sql_exact_sum(f"({lp}) * ({lp})", 6)} AS sxx,
+           {sql_exact_sum(f"({lq}) * ({lq})", 6)} AS syy,
+           {sql_exact_sum(f"({lp}) * ({lq})", 6)} AS sxy
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    GROUP BY p.p_brand
+),
+fit AS (
+    SELECT brand, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+               * (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+    FROM mom WHERE n >= 3
+),
+out AS (
+    SELECT brand, n AS n_lineitems,
+           {sql_stable_round("slope", 6)} AS elasticity,
+           {sql_stable_round("r2", 6)} AS fit_r2
+    FROM fit
+)
+SELECT brand, n_lineitems, elasticity, fit_r2,
+       CASE WHEN abs(elasticity) > 1e0 THEN 'elastic'
+            ELSE 'inelastic' END AS demand_class
+FROM out
+ORDER BY brand
+"""
+
+
+@register("lineitem_price_elasticity", oracle=_elasticity_sql())
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: log-log OLS slope from
+    snapped-term exact moments, with fit R-squared and the
+    elastic/inelastic classification on the snapped estimate."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_elasticity_sql())

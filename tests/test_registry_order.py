@@ -106,6 +106,10 @@ ROUND9_NEW: list[str] = [
     "orders_bass_diffusion",         # adoption-curve OLS inversion
     "text_yule_k_herdan",            # vocabulary-concentration constants
     "feature_hashing_collisions",    # hashing-trick collision audit
+    "quality_fairness_by_source",    # 80%-rule keep-rate audit
+    "lineitem_price_elasticity",     # log-log demand elasticity
+    "sample_neyman_allocation",      # optimal stratified budget split
+    "events_burstiness_memory",      # Goh-Barabasi (B, M) coordinates
 ]
 
 

@@ -1220,3 +1220,185 @@ def test_feature_hashing_matches_direct_assignment(con):
     assert g_cts == _snap(coll_terms / vocab)
     assert g_cos == _snap(coll_occ / n_tokens)
     assert used <= min(vocab, 4096)
+
+
+# ---------------------------------------------------------------------------
+# Fairness audit (disparate impact / 80% rule; equalized odds)
+# ---------------------------------------------------------------------------
+
+
+def test_fairness_matches_per_source_rates(con):
+    """Keep rates, DI ratio, and TPR/FPR recomputed per source from
+    the per-document (score, label, source) triples."""
+    from automated_data_pipeline_python_spark.queries.curation2 import (
+        _FEATS_DUCK_HEADER,
+        _SCORE_EXPR,
+    )
+
+    rows = con.execute(f"""{_FEATS_DUCK_HEADER},
+ratios AS (
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / n_tok AS mean_len
+    FROM feats
+),
+scored AS (
+    SELECT r.doc_id, {_SCORE_EXPR},
+           CASE WHEN f.n_tok >= 20 AND f.n_tok <= 100000
+                 AND floor((CAST(f.sum_len AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 BETWEEN 3e0 AND 10e0
+                 AND floor((CAST(f.n_stop AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 >= 5e-2
+                 AND floor((CAST(f.n_uniq AS DOUBLE) / f.n_tok) * 1e6 + 0.5)
+                     / 1e6 > 2e-1
+                THEN 1 ELSE 0 END AS pos
+    FROM ratios r JOIN feats f ON f.doc_id = r.doc_id
+)
+SELECT d.source, s.score, s.pos
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+""").fetchall()
+    per = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, kept, pos, tp, fp
+    for src, score, pos in rows:
+        st = per[src]
+        kept = score >= 0.5
+        st[0] += 1
+        st[1] += kept
+        st[2] += pos
+        st[3] += kept and pos
+        st[4] += kept and not pos
+    top = max(_snap(s[1] / s[0]) for s in per.values())
+    got = con.execute(_oracle("quality_fairness_by_source")).fetchall()
+    assert len(got) == len(per) == 20
+    for src, n, kept, kr, tpr, fpr, di, ok in got:
+        st = per[src]
+        assert (n, kept) == (st[0], st[1])
+        assert kr == _snap(st[1] / st[0])
+        if st[2]:
+            assert tpr == _snap(st[3] / st[2])
+        if st[0] - st[2]:
+            assert fpr == _snap(st[4] / (st[0] - st[2]))
+        assert di == _snap(kr / top)
+        assert ok == (1 if di >= 0.8 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity (log-log OLS)
+# ---------------------------------------------------------------------------
+
+
+def test_elasticity_matches_loglog_ols(con):
+    """Per-brand slope recomputed from the raw (ln p, ln q) pairs with
+    the SQL's term-snapping discipline."""
+    data = defaultdict(list)
+    for b, p, q in con.execute(
+        "SELECT pt.p_brand, l.l_extendedprice / l.l_quantity,"
+        " l.l_quantity FROM lineitem l"
+        " JOIN part pt ON l.l_partkey = pt.p_partkey"
+        " WHERE l.l_quantity > 0 AND l.l_extendedprice > 0"
+    ).fetchall():
+        data[b].append((math.log(p), math.log(q)))
+    got = {r[0]: r[1:] for r in con.execute(
+        _oracle("lineitem_price_elasticity")
+    ).fetchall()}
+    assert len(got) == len(data) >= 20
+    for b, pts in data.items():
+        n = len(pts)
+        sx = sum(math.floor(x * 1e6 + 0.5) for x, _ in pts) / 1e6
+        sy = sum(math.floor(y * 1e6 + 0.5) for _, y in pts) / 1e6
+        sxx = sum(math.floor(x * x * 1e6 + 0.5) for x, _ in pts) / 1e6
+        syy = sum(math.floor(y * y * 1e6 + 0.5) for _, y in pts) / 1e6
+        sxy = sum(math.floor(x * y * 1e6 + 0.5) for x, y in pts) / 1e6
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r2 = (n * sxy - sx * sy) ** 2 / (
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        g_n, g_e, g_r2, g_cls = got[b]
+        assert g_n == n
+        assert abs(g_e - slope) < 2e-6, b
+        assert abs(g_r2 - r2) < 2e-6, b
+        assert g_cls == ("elastic" if abs(_snap(slope)) > 1 else
+                         "inelastic"), b
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (Neyman 1934; largest-remainder rounding)
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_matches_optimal_allocation(con):
+    """Shares and the integer split recomputed from raw cents."""
+    strata = defaultdict(list)
+    for et, c in con.execute(
+        "SELECT event_type, CAST(floor(value * 1e2 + 0.5) AS BIGINT)"
+        " FROM events WHERE value IS NOT NULL"
+    ).fetchall():
+        strata[et].append(int(c))
+    w = {}
+    for et, xs in strata.items():
+        n = len(xs)
+        m = sum(xs) / n
+        sd = math.sqrt(sum((x - m) ** 2 for x in xs) / (n - 1)) / 1e2
+        w[et] = (n, sd, n * sd)
+    wsum = sum(v[2] for v in w.values())
+    raw = {et: 10_000 * v[2] / wsum for et, v in w.items()}
+    floors = {et: math.floor(r) for et, r in raw.items()}
+    extra = 10_000 - sum(floors.values())
+    order = sorted(raw, key=lambda et: (-_snap(raw[et] - floors[et]), et))
+    alloc = {et: floors[et] + (1 if i < extra else 0)
+             for i, et in enumerate(order)}
+    got = con.execute(_oracle("sample_neyman_allocation")).fetchall()
+    assert len(got) == len(w)
+    n_total = sum(v[0] for v in w.values())
+    for et, nh, g_sd, g_share, g_prop, g_alloc, over in got:
+        assert nh == w[et][0]
+        assert abs(g_sd - w[et][1]) < 2e-6
+        assert g_share == _snap(w[et][2] / wsum)
+        assert g_prop == _snap(w[et][0] / n_total)
+        assert g_alloc == alloc[et], et
+        assert over == (1 if g_share > g_prop else 0)
+    assert sum(r[5] for r in got) == 10_000  # budget exactly spent
+
+
+# ---------------------------------------------------------------------------
+# Burstiness / memory (Goh & Barabasi 2008)
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_memory_match_definitions(con):
+    """B and M recomputed from the raw same-user gap sequences."""
+    seqs = defaultdict(list)
+    for et, uid, g in con.execute(
+        "WITH o AS (SELECT user_id, event_type, ts, event_id,"
+        " date_diff('microsecond', lag(ts) OVER ("
+        "   PARTITION BY user_id, event_type ORDER BY ts, event_id),"
+        " ts) AS g FROM events)"
+        " SELECT event_type, user_id, g FROM o WHERE g IS NOT NULL"
+        " ORDER BY event_type, user_id, ts, event_id"
+    ).fetchall():
+        seqs[et, uid].append(int(g))
+    by_type = defaultdict(lambda: ([], []))
+    for (et, _), gs in seqs.items():
+        by_type[et][0].extend(gs)
+        by_type[et][1].extend(zip(gs, gs[1:]))
+    got = con.execute(_oracle("events_burstiness_memory")).fetchall()
+    assert len(got) == len(by_type) == 5
+    for et, n, np_, mean_s, b, m in got:
+        gaps, pairs = by_type[et]
+        assert (n, np_) == (len(gaps), len(pairs))
+        mu = sum(gaps) / len(gaps)
+        sd = math.sqrt(sum((g - mu) ** 2 for g in gaps)
+                       / (len(gaps) - 1))
+        assert abs(mean_s - mu / 1e6) < 2e-6
+        assert abs(b - (sd - mu) / (sd + mu)) < 2e-6, et
+        k = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        m_ref = (k * sxy - sx * sy) / (
+            math.sqrt(k * sxx - sx * sx) * math.sqrt(k * syy - sy * sy)
+        )
+        assert abs(m - m_ref) < 2e-6, et
+        assert -1 <= b <= 1 and -1 <= m <= 1
