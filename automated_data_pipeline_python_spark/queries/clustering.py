@@ -527,3 +527,115 @@ def clustering_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "km_base"
     )
     return spark.sql(_DB_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-label purity (do embedding cells align with labels?)
+# ---------------------------------------------------------------------------
+# The external counterpart of the Davies-Bouldin internal index: given
+# the SAME one-step Lloyd partition, how well do cells agree with the
+# ground-truth labels? Per cell: majority label, purity (majority
+# share), and label entropy; globally: the member-weighted purity —
+# the number an embedding-quality gate thresholds before trusting
+# cluster-derived pseudo-labels. Same assignment subtree as
+# clustering_davies_bouldin (snapped distances, id tie-breaks), one
+# label join back, then bounded (cells x labels) algebra.
+
+
+def _purity_sql(dot, bigint) -> str:
+    def d2(bn: str, a: str, b: str, cn: str) -> str:
+        expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
+        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+    return f"""
+WITH base AS ({{base_src}}),
+c0 AS (
+    SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
+),
+a1 AS (
+    SELECT b.vec_id, c0.cell, {d2('b.nrm2', 'b.v', 'c0.c', 'c0.cnrm2')} AS dist
+    FROM base b CROSS JOIN c0
+),
+m1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+        FROM a1
+    ) r WHERE rnk = 1
+),
+cl AS (
+    SELECT m1.cell, e.label, CAST(count(*) AS BIGINT) AS n
+    FROM m1 JOIN embeddings e ON e.vec_id = m1.vec_id
+    GROUP BY m1.cell, e.label
+),
+per_cell AS (
+    SELECT cell,
+           CAST(sum(n) AS BIGINT) AS n_members,
+           CAST(max(n) AS BIGINT) AS n_majority
+    FROM cl GROUP BY cell
+),
+major AS (
+    SELECT cell, label AS majority_label FROM (
+        SELECT cell, label,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY n DESC, label) AS rnk
+        FROM cl
+    ) m WHERE rnk = 1
+),
+ent AS (
+    SELECT c.cell,
+           CAST(sum(CAST(floor(-(CAST(c.n AS DOUBLE) / p.n_members)
+                               * ln(CAST(c.n AS DOUBLE) / p.n_members)
+                               * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+               AS label_entropy
+    FROM cl c JOIN per_cell p ON p.cell = c.cell
+    GROUP BY c.cell
+),
+g_all AS (
+    SELECT floor(CAST(sum(n_majority) AS DOUBLE) / sum(n_members)
+                 * 1e6 + 0.5) / 1e6 AS overall_purity
+    FROM per_cell
+)
+SELECT {bigint('p.cell')} AS cell, p.n_members,
+       {bigint('m.majority_label')} AS majority_label,
+       floor(CAST(p.n_majority AS DOUBLE) / p.n_members * 1e6 + 0.5) / 1e6
+           AS purity,
+       e.label_entropy, g.overall_purity
+FROM per_cell p
+JOIN major m ON m.cell = p.cell
+JOIN ent e ON e.cell = p.cell
+CROSS JOIN g_all g
+ORDER BY cell
+"""
+
+
+_PURITY_SPARK_SQL = _purity_sql(
+    dot=lambda a, b: (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+    ),
+    bigint=lambda e: e,
+).format(base_src="SELECT * FROM km_base")
+
+_PURITY_DUCK_SQL = _purity_sql(
+    dot=lambda a, b: f"list_dot_product({a}, {b})",
+    bigint=lambda e: f"CAST({e} AS BIGINT)",
+).format(
+    base_src=(
+        "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+    )
+)
+
+
+@register("clustering_label_purity", oracle=_PURITY_DUCK_SQL)
+def clustering_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell majority label, purity, and label entropy of the
+    one-step Lloyd partition, with member-weighted overall purity —
+    the external cluster-quality gate beside Davies-Bouldin's
+    internal one."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
+        "km_base"
+    )
+    return spark.sql(_PURITY_SPARK_SQL)

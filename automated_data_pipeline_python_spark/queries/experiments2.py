@@ -1193,3 +1193,107 @@ def events_interrupted_time_series(
     slope-change effects read off exact integer moments."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ITS_SQL.format(days_diff="datediff(daily.d, t0.d0)"))
+
+
+# ---------------------------------------------------------------------------
+# Switchback experiment analysis (time-block randomization)
+# ---------------------------------------------------------------------------
+# When treatment can't be user-randomized (marketplace pricing,
+# ranking changes — interference breaks SUTVA), the standard design
+# randomizes TIME BLOCKS: each hour flips arms by hash, and the unit
+# of analysis is the block, not the user. Estimate = difference of
+# block-mean revenues; inference = Welch's t over block-level means
+# (blocks are the i.i.d. units), df by Welch-Satterthwaite, p from
+# the shared normal polynomial (block counts are in the hundreds, so
+# the normal tail approximates t well; documented approximation, same
+# stance as the Pettitt p).
+#
+# Exactness: per-block revenue is an exact cents sum; block-level
+# first/second moments accumulate in DECIMAL(38,0); the estimate and
+# the t statistic are single float expressions snapped at output. One
+# corpus pass; everything after is the bounded block relation.
+
+def _switchback_sql(hash28: str, hour_key: str) -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_normal_two_sided_p,
+    )
+
+    def var(n: str, s: str, ss: str) -> str:
+        return (f"(CAST({n} AS DOUBLE) * CAST({ss} AS DOUBLE)"
+                f" - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))"
+                f" / (CAST({n} AS DOUBLE) * ({n} - 1)) / 1e4")
+
+    v_c = var("n_c", "s_c", "ss_c")
+    v_t = var("n_t", "s_t", "ss_t")
+    se2 = f"(({v_c}) / n_c + ({v_t}) / n_t)"
+    diff = "(CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c) / 1e2"
+    return f"""
+WITH blocks AS (
+    SELECT {hour_key} AS blk,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY {hour_key}
+),
+assigned AS (
+    SELECT CASE WHEN {hash28} % 2 = 0 THEN 0 ELSE 1 END AS arm, cents
+    FROM blocks
+),
+cells AS (
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                AS DECIMAL(38,0)) AS ss
+    FROM assigned GROUP BY arm
+),
+wide AS (
+    SELECT
+        min(CASE WHEN arm = 0 THEN n END) AS n_c,
+        min(CASE WHEN arm = 0 THEN s END) AS s_c,
+        min(CASE WHEN arm = 0 THEN ss END) AS ss_c,
+        min(CASE WHEN arm = 1 THEN n END) AS n_t,
+        min(CASE WHEN arm = 1 THEN s END) AS s_t,
+        min(CASE WHEN arm = 1 THEN ss END) AS ss_t
+    FROM cells
+),
+stat AS (
+    SELECT n_c, n_t,
+           floor(CAST(s_c AS DOUBLE) / n_c / 1e2 * 1e6 + 0.5) / 1e6
+               AS mean_block_c,
+           floor(CAST(s_t AS DOUBLE) / n_t / 1e2 * 1e6 + 0.5) / 1e6
+               AS mean_block_t,
+           floor(({diff}) * 1e6 + 0.5) / 1e6 AS block_effect,
+           floor(({diff}) / sqrt({se2}) * 1e6 + 0.5) / 1e6 AS welch_t,
+           floor(({se2}) * ({se2})
+                 / ((({v_c}) / n_c) * (({v_c}) / n_c) / (n_c - 1)
+                    + (({v_t}) / n_t) * (({v_t}) / n_t) / (n_t - 1))
+                 * 1e2 + 0.5) / 1e2 AS welch_df
+    FROM wide
+)
+SELECT n_c AS n_blocks_control, n_t AS n_blocks_treatment,
+       mean_block_c, mean_block_t, block_effect, welch_t, welch_df,
+       {sql_normal_two_sided_p("abs(welch_t)")} AS p_value
+FROM stat
+"""
+
+
+@register(
+    "events_switchback_lift",
+    oracle=_switchback_sql(
+        duck_hash28("concat('sb', CAST(blk AS STRING))"),
+        "date_trunc('hour', ts)",
+    ),
+)
+def events_switchback_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Switchback (time-block randomized) experiment readout: hash-
+    assigned hourly blocks, block-mean revenue difference, Welch's t
+    over block-level means with Welch-Satterthwaite df."""
+    from automated_data_pipeline_python_spark.functions.text import (
+        spark_hash28,
+    )
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_switchback_sql(
+        spark_hash28("concat('sb', CAST(blk AS STRING))"),
+        "date_trunc('hour', ts)",
+    ))

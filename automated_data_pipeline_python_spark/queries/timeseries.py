@@ -3400,3 +3400,84 @@ def events_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _burst_sql("timestampdiff(MICROSECOND, prev_ts, ts)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast baseline ladder: naive vs seasonal-naive, MAE / sMAPE / MASE
+# ---------------------------------------------------------------------------
+# events_forecast_backtest scores the Holt model; this is the ladder
+# UNDER it — the two baselines every forecaster must beat: naive
+# (y_hat = y_{t-1}) and seasonal-naive (y_hat = y_{t-7}), scored on
+# the same one-step walk-forward protocol with MAE, sMAPE, and MASE
+# (Hyndman-Koehler: MAE scaled by the in-sample naive MAE, the
+# scale-free statistic that compares across series). A seasonal-naive
+# MASE < 1 is the data-driven proof of weekly structure.
+#
+# Exactness: daily counts are exact integers, so every |error| is an
+# exact integer and MAE/MASE are integer ratios; sMAPE terms are
+# per-day floats snapped to the grid then exactly summed. The lag
+# joins are bounded day-offset self-joins (never a corpus window).
+
+
+def _mase_sql(day_plus: str) -> str:
+    from automated_data_pipeline_python_spark.functions.numeric import (
+        sql_exact_sum,
+        sql_stable_round,
+    )
+
+    smape = ("CASE WHEN a.n + b.n > 0 THEN"
+             " 2e0 * abs(a.n - b.n) / (CAST(a.n AS DOUBLE) + b.n)"
+             " ELSE 0e0 END")
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+horizons AS (
+    SELECT CAST(1 AS BIGINT) AS lag_days, 'naive' AS baseline
+    UNION ALL SELECT CAST(7 AS BIGINT), 'seasonal_naive'
+),
+scored AS (
+    SELECT a.event_type, h.baseline, h.lag_days,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sae,
+           {sql_exact_sum(smape, 6)} AS smape_sum
+    FROM daily a
+    JOIN horizons h ON true
+    JOIN daily b ON b.event_type = a.event_type
+                AND {day_plus.format(d="b.d", k="h.lag_days")} = a.d
+    GROUP BY a.event_type, h.baseline, h.lag_days
+),
+scale AS (
+    SELECT event_type, CAST(sum(abs(a_n - b_n)) AS BIGINT) AS naive_sae,
+           CAST(count(*) AS BIGINT) AS naive_n
+    FROM (
+        SELECT a.event_type, a.n AS a_n, b.n AS b_n
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type
+                    AND {day_plus.format(d="b.d", k="1")} = a.d
+    ) one
+    GROUP BY event_type
+)
+SELECT s.event_type, s.baseline, s.n_forecasts,
+       {sql_stable_round("CAST(s.sae AS DOUBLE) / s.n_forecasts", 6)}
+           AS mae,
+       {sql_stable_round("s.smape_sum / s.n_forecasts", 6)} AS smape,
+       {sql_stable_round(
+           "(CAST(s.sae AS DOUBLE) / s.n_forecasts)"
+           " / (CAST(sc.naive_sae AS DOUBLE) / sc.naive_n)", 6)} AS mase
+FROM scored s JOIN scale sc ON sc.event_type = s.event_type
+ORDER BY s.event_type, s.baseline
+"""
+
+
+@register(
+    "events_forecast_mase_ladder",
+    oracle=_mase_sql("{d} + INTERVAL ({k}) DAY"),
+)
+def events_forecast_mase_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive and seasonal-naive one-step baselines per event type with
+    MAE, sMAPE, and Hyndman-Koehler MASE — the ladder any forecaster
+    must beat; seasonal-naive MASE < 1 proves the weekly structure."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mase_sql("date_add({d}, CAST({k} AS INT))"))

@@ -110,6 +110,9 @@ ROUND9_NEW: list[str] = [
     "lineitem_price_elasticity",     # log-log demand elasticity
     "sample_neyman_allocation",      # optimal stratified budget split
     "events_burstiness_memory",      # Goh-Barabasi (B, M) coordinates
+    "events_switchback_lift",        # time-block randomized experiment
+    "events_forecast_mase_ladder",   # naive/seasonal-naive MASE ladder
+    "clustering_label_purity",       # external cluster-quality gate
 ]
 
 

@@ -1402,3 +1402,147 @@ def test_burstiness_memory_match_definitions(con):
         )
         assert abs(m - m_ref) < 2e-6, et
         assert -1 <= b <= 1 and -1 <= m <= 1
+
+
+# ---------------------------------------------------------------------------
+# Switchback analysis (block-randomized Welch t)
+# ---------------------------------------------------------------------------
+
+
+def test_switchback_matches_block_welch(con):
+    """Block means, effect, t, and df recomputed from raw hourly
+    block revenues with the same sha assignment."""
+    import hashlib
+
+    blocks = con.execute(
+        "SELECT CAST(date_trunc('hour', ts) AS STRING),"
+        " sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT))"
+        " FROM events WHERE event_type = 'purchase'"
+        " AND value IS NOT NULL GROUP BY 1"
+    ).fetchall()
+    arms = defaultdict(list)
+    for blk, cents in blocks:
+        h = int(hashlib.sha256(f"sb{blk}".encode()).hexdigest()[:7], 16)
+        arms[h % 2].append(int(cents) / 1e2)
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    n_c, m_c, v_c = stats(arms[0])
+    n_t, m_t, v_t = stats(arms[1])
+    se2 = v_c / n_c + v_t / n_t
+    t = (m_t - m_c) / math.sqrt(se2)
+    df = se2**2 / ((v_c / n_c) ** 2 / (n_c - 1)
+                   + (v_t / n_t) ** 2 / (n_t - 1))
+    (g_nc, g_nt, g_mc, g_mt, g_eff, g_t, g_df, p) = con.execute(
+        _oracle("events_switchback_lift")
+    ).fetchone()
+    assert (g_nc, g_nt) == (n_c, n_t)
+    assert abs(g_mc - m_c) < 2e-6 and abs(g_mt - m_t) < 2e-6
+    assert abs(g_eff - (m_t - m_c)) < 2e-6
+    assert abs(g_t - t) < 2e-6
+    assert abs(g_df - df) < 2e-2
+    p_ref = 2 * (1 - 0.5 * math.erfc(-abs(g_t) / math.sqrt(2)))
+    assert abs(p - p_ref) < 1e-5
+    assert g_df <= n_c + n_t - 2  # Welch df never exceeds pooled df
+
+
+# ---------------------------------------------------------------------------
+# MASE ladder (Hyndman & Koehler 2006)
+# ---------------------------------------------------------------------------
+
+
+def test_mase_ladder_matches_walk_forward(con):
+    """MAE/sMAPE/MASE for both baselines recomputed from the raw
+    daily series."""
+    daily = defaultdict(dict)
+    for et, d, n in con.execute(
+        "SELECT event_type, CAST(ts AS DATE), count(*) FROM events"
+        " GROUP BY 1, 2"
+    ).fetchall():
+        daily[et][d] = int(n)
+    got = {(r[0], r[1]): r[2:] for r in con.execute(
+        _oracle("events_forecast_mase_ladder")
+    ).fetchall()}
+    from datetime import timedelta
+
+    for et, series in daily.items():
+        naive_mae = None
+        for base, lag in (("naive", 1), ("seasonal_naive", 7)):
+            errs, smapes = [], []
+            for d, y in series.items():
+                prev = series.get(d - timedelta(days=lag))
+                if prev is not None:
+                    errs.append(abs(y - prev))
+                    smapes.append(
+                        math.floor(2 * abs(y - prev) / (y + prev)
+                                   * 1e6 + 0.5) / 1e6
+                        if y + prev > 0 else 0.0
+                    )
+            mae = sum(errs) / len(errs)
+            if base == "naive":
+                naive_mae = mae
+            n_f, g_mae, g_smape, g_mase = got[(et, base)]
+            assert n_f == len(errs), (et, base)
+            assert abs(g_mae - mae) < 2e-6
+            assert abs(g_smape - sum(smapes) / len(smapes)) < 2e-6
+            assert abs(g_mase - mae / naive_mae) < 2e-6, (et, base)
+        # naive's own MASE is 1 by construction
+        assert got[(et, "naive")][3] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Cluster-label purity (external validity index)
+# ---------------------------------------------------------------------------
+
+
+def test_label_purity_matches_assignment(con):
+    """Purity/entropy recomputed from the same snapped Lloyd
+    assignment the Davies-Bouldin reference test replicates."""
+    vecs = {}
+    labels = {}
+    for vid, emb, lab in con.execute(
+        "SELECT vec_id, embedding, label FROM embeddings"
+    ).fetchall():
+        vecs[int(vid)] = [float(x) for x in emb]
+        labels[int(vid)] = int(lab)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm2 = {i: dot(v, v) for i, v in vecs.items()}
+    cells = {i: vecs[i] for i in sorted(vecs) if i < 8}
+    cnrm2 = {i: nrm2[i] for i in cells}
+    members = defaultdict(list)
+    for i, v in vecs.items():
+        best = min(
+            (_snap(nrm2[i] - 2 * dot(v, c) + cnrm2[j]), j)
+            for j, c in cells.items()
+        )
+        members[best[1]].append(labels[i])
+    got = con.execute(_oracle("clustering_label_purity")).fetchall()
+    assert [r[0] for r in got] == sorted(members)
+    tot_maj = sum(
+        max(sum(1 for x in labs if x == l) for l in set(labs))
+        for labs in members.values()
+    )
+    overall = _snap(tot_maj / sum(len(v) for v in members.values()))
+    for cell, n, maj, purity, ent, g_overall in got:
+        labs = members[cell]
+        counts = defaultdict(int)
+        for x in labs:
+            counts[x] += 1
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert n == len(labs)
+        assert maj == best[0]
+        assert purity == _snap(best[1] / n)
+        h = sum(math.floor(-(c / n) * math.log(c / n) * 1e6 + 0.5)
+                for c in counts.values()) / 1e6
+        assert abs(ent - h) < 1e-9, cell
+        assert g_overall == overall
