@@ -1272,3 +1272,104 @@ def quality_fairness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     and equalized-odds TPR/FPR against the Gopher-rule labels."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_FAIR_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b agreement between the two quality raters
+# ---------------------------------------------------------------------------
+# Cohen's kappa (queries/mlstats.py) measures agreement after
+# thresholding BOTH raters to binary; tau-b asks the finer ordinal
+# question — does the logistic gate RANK documents the way the Gopher
+# verdict orders them? Computed between the score decile (the
+# calibration query's distinct-score-CDF ceil-division buckets,
+# reused verbatim) and the rule verdict, with the full tie
+# correction: tau_b = (C - D)/sqrt((n0 - n1)(n0 - n2)). Goodman-
+# Kruskal gamma (ties ignored) reported beside it.
+#
+# Exactness: C/D are exact integer pair counts off the bounded
+# (decile x verdict) grid (DECIMAL(38,0) products — cell counts are
+# corpus-sized); the tie terms use exact integer n(n-1)/2 via
+# integer division; tau/gamma are single float expressions snapped
+# at output. One featurize pass; everything after runs on <= 20
+# cells.
+
+
+def _tau_tail(idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""{_flagged_chain()},
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT)          AS c_all,
+           CAST(sum(gopher_pass) AS BIGINT)  AS c_pass
+    FROM flagged GROUP BY score
+),
+chist AS (
+    SELECT c_all, c_pass,
+           CAST(sum(c_all) OVER (ORDER BY score) AS BIGINT) AS cum
+    FROM hist
+),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n FROM hist),
+cells AS (
+    SELECT CAST({d('10 * c.cum + t.n - 1', 't.n')} AS INT) AS x, y.y,
+           CAST(sum(CASE WHEN y.y = 1 THEN c.c_pass
+                         ELSE c.c_all - c.c_pass END) AS BIGINT) AS n
+    FROM chist c CROSS JOIN tot t
+    JOIN (SELECT 0 AS y UNION ALL SELECT 1) y ON true
+    GROUP BY 1, y.y
+    HAVING sum(CASE WHEN y.y = 1 THEN c.c_pass
+                    ELSE c.c_all - c.c_pass END) > 0
+),
+cd AS (
+    SELECT
+        CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                      THEN CAST(a.n AS DECIMAL(38,0)) * b.n END)
+             AS DECIMAL(38,0)) AS c_pairs,
+        CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                      THEN CAST(a.n AS DECIMAL(38,0)) * b.n END)
+             AS DECIMAL(38,0)) AS d_pairs
+    FROM cells a JOIN cells b ON true
+),
+ties AS (
+    SELECT
+        (SELECT CAST(sum(CAST(tx AS DECIMAL(38,0)) * (tx - 1)) / 2
+                     AS DECIMAL(38,0))
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS tx FROM cells
+               GROUP BY x) gx) AS n1,
+        (SELECT CAST(sum(CAST(ty AS DECIMAL(38,0)) * (ty - 1)) / 2
+                     AS DECIMAL(38,0))
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS ty FROM cells
+               GROUP BY y) gy) AS n2,
+        (SELECT CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) / 2
+                     AS DECIMAL(38,0)) FROM tot) AS n0,
+        (SELECT n FROM tot) AS n_docs
+)
+SELECT t.n_docs,
+       CAST(cd.c_pairs AS BIGINT) AS concordant,
+       CAST(cd.d_pairs AS BIGINT) AS discordant,
+       floor((CAST(cd.c_pairs AS DOUBLE) - CAST(cd.d_pairs AS DOUBLE))
+             / sqrt((CAST(t.n0 AS DOUBLE) - CAST(t.n1 AS DOUBLE))
+                    * (CAST(t.n0 AS DOUBLE) - CAST(t.n2 AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS kendall_tau_b,
+       floor((CAST(cd.c_pairs AS DOUBLE) - CAST(cd.d_pairs AS DOUBLE))
+             / (CAST(cd.c_pairs AS DOUBLE) + CAST(cd.d_pairs AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS goodman_kruskal_gamma
+FROM cd CROSS JOIN ties t
+"""
+
+
+_TAU_SPARK_SQL = f"""{_FEATS_SPARK_HEADER},
+{_tau_tail("CAST(({a}) DIV ({b}) AS BIGINT)")}
+"""
+
+_TAU_DUCK_SQL = f"""{_FEATS_DUCK_HEADER},
+{_tau_tail("CAST(({a}) // ({b}) AS BIGINT)")}
+"""
+
+
+@register("quality_raters_kendall_tau", oracle=_TAU_DUCK_SQL)
+def quality_raters_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (full tie correction) and Goodman-Kruskal gamma
+    between the logistic gate's score deciles and the Gopher verdict —
+    the ordinal agreement question Cohen's kappa can't ask."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_TAU_SPARK_SQL)

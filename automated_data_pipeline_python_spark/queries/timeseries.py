@@ -3481,3 +3481,71 @@ def events_forecast_mase_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     must beat; seasonal-naive MASE < 1 proves the weekly structure."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_mase_sql("date_add({d}, CAST({k} AS INT))"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal / trend strength (tsfeatures, Hyndman)
+# ---------------------------------------------------------------------------
+# The scalar verdict on the STL decomposition: F_seasonal = max(0,
+# 1 - Var(remainder)/Var(seasonal+remainder)) and F_trend = max(0,
+# 1 - Var(remainder)/Var(trend+remainder)) — the forecastability
+# features (0 = none, -> 1 = dominant) the R tsfeatures package made
+# standard. Wraps the catalog STL query VERBATIM as a subquery, so
+# the strengths can never disagree with the decomposition they
+# summarize; variances come from snapped-term exact sums over the
+# calendar-bounded decomposition rows.
+
+
+def _strength_tail() -> str:
+    def var(x: str) -> str:
+        sx = sql_exact_sum(x, 6)
+        sxx = sql_exact_sum(f"({x}) * ({x})", 6)
+        return (f"(CAST(count(*) AS DOUBLE) * ({sxx}) - ({sx}) * ({sx}))"
+                f" / (CAST(count(*) AS DOUBLE) * count(*))")
+
+    v_r = var("remainder")
+    v_sr = var("seasonal + remainder")
+    v_tr = var("trend + remainder")
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       floor(greatest(0e0, 1e0 - ({v_r}) / ({v_sr})) * 1e6 + 0.5) / 1e6
+           AS seasonal_strength,
+       floor(greatest(0e0, 1e0 - ({v_r}) / ({v_tr})) * 1e6 + 0.5) / 1e6
+           AS trend_strength,
+       floor(sqrt({v_r}) * 1e6 + 0.5) / 1e6 AS remainder_sd
+FROM stl_rows WHERE remainder IS NOT NULL
+"""
+
+
+_STRENGTH_DUCK = (
+    "WITH stl_rows AS (\nWITH stl_daily AS (" + _STL_DAILY_SQL + "),\n"
+    + _stl_sql(
+        "CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)",
+        "(dayofweek(d) + 6) % 7",
+        "strftime(d, '%Y-%m-%d')",
+        "stl_daily",
+    ).lstrip()
+    + ")\n"
+    + _strength_tail()
+)
+
+
+@register("events_seasonal_strength", oracle=_STRENGTH_DUCK)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal/trend strength of the STL decomposition
+    (wrapped verbatim): the scalar forecastability features beside
+    the periodogram's spectral entropy."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(_STL_DAILY_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "stl_daily"
+    )
+    spark.sql(
+        "WITH "
+        + _stl_sql(
+            "CAST(datediff(d, DATE '1970-01-01') AS BIGINT)",
+            "(dayofweek(d) + 5) % 7",
+            "date_format(d, 'yyyy-MM-dd')",
+            "stl_daily",
+        ).lstrip()
+    ).createOrReplaceTempView("stl_rows")
+    return spark.sql(_strength_tail())

@@ -51,6 +51,7 @@ ALLOWED = {
     "events_sprt_ab_trajectory": "cumulative LLR over day-granularity trajectory",
     "events_haar_wavelet_energy": "day-index window over calendar-bounded daily relation",
     "events_stl_decomposition": "7-day MA window over calendar-bounded daily relation",
+    "events_seasonal_strength": "7-day MA window over calendar-bounded daily relation (wraps the STL query verbatim)",
     "feature_quantile_normalize": "CDF over distinct-value histogram (snapped grid)",
     "feature_woe_iv": "CDF over distinct-activity histogram + IV total over the 5-bucket relation",
     "quality_auc_delong_ci": "placement moments off snapped-score histogram (same stage class as quality_auc_rank)",
@@ -63,6 +64,7 @@ ALLOWED = {
     "orders_pareto_concentration": "cumulative share over percentile-bucket relation (100 buckets)",
     "quality_auc_rank": "rank-sum AUC off snapped-score histogram",
     "quality_calibration_bins": "CDF over distinct-score histogram (snapped grid)",
+    "quality_raters_kendall_tau": "CDF over distinct-score histogram (reuses the calibration decile idiom verbatim)",
     "quality_pr_auc": "PR-curve steps off snapped-score histogram (bounded grid)",
     "quality_conformal_interval": "quantile read off residual histogram (bounded residual domain)",
     "quality_ece_from_bins": "rollup of the decile-bin chain (snapped-score histogram CDF)",

@@ -113,6 +113,8 @@ ROUND9_NEW: list[str] = [
     "events_switchback_lift",        # time-block randomized experiment
     "events_forecast_mase_ladder",   # naive/seasonal-naive MASE ladder
     "clustering_label_purity",       # external cluster-quality gate
+    "events_seasonal_strength",      # tsfeatures F_s / F_t off STL
+    "quality_raters_kendall_tau",    # ordinal rater agreement
 ]
 
 

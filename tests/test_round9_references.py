@@ -1546,3 +1546,78 @@ def test_label_purity_matches_assignment(con):
                 for c in counts.values()) / 1e6
         assert abs(ent - h) < 1e-9, cell
         assert g_overall == overall
+
+
+# ---------------------------------------------------------------------------
+# Seasonal / trend strength (Hyndman tsfeatures)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_strength_matches_stl_rows(con):
+    """F_s / F_t recomputed from the oracle-checked STL query's own
+    rows with the plain variance-ratio formulas."""
+    rows = con.execute(_oracle("events_stl_decomposition")).fetchall()
+    full = [(t, s, r) for _, _, t, s, r in rows if r is not None]
+
+    def var(xs):
+        n = len(xs)
+        # replicate the SQL's snapped-term exact sums
+        sx = sum(math.floor(x * 1e6 + 0.5) for x in xs) / 1e6
+        sxx = sum(math.floor(x * x * 1e6 + 0.5) for x in xs) / 1e6
+        return (n * sxx - sx * sx) / (n * n)
+
+    v_r = var([r for _, _, r in full])
+    v_sr = var([s + r for _, s, r in full])
+    v_tr = var([t + r for t, _, r in full])
+    (n_days, f_s, f_t, rem_sd) = con.execute(
+        _oracle("events_seasonal_strength")
+    ).fetchone()
+    assert n_days == len(full)
+    assert abs(f_s - max(0.0, 1 - v_r / v_sr)) < 2e-6
+    assert abs(f_t - max(0.0, 1 - v_r / v_tr)) < 2e-6
+    assert abs(rem_sd - math.sqrt(v_r)) < 2e-6
+    assert 0 <= f_s <= 1 and 0 <= f_t <= 1
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (Kendall 1945, tie-corrected)
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_pairwise_definition(con):
+    """tau-b recomputed by brute-force O(cells^2) concordance over the
+    (decile, verdict) counts, and cross-checked against the
+    calibration query's own decile populations."""
+    calib = con.execute(_oracle("quality_calibration_bins")).fetchall()
+    # joint cells from the calibration rollup: per decile, pass/fail
+    cells = []
+    for decile, n_docs, _, n_pass, _ in calib:
+        if n_pass:
+            cells.append((decile, 1, int(n_pass)))
+        if n_docs - n_pass:
+            cells.append((decile, 0, int(n_docs - n_pass)))
+    c = d = 0
+    for x1, y1, n1 in cells:
+        for x2, y2, n2 in cells:
+            if x2 > x1 and y2 > y1:
+                c += n1 * n2
+            elif x2 > x1 and y2 < y1:
+                d += n1 * n2
+    n = sum(nn for _, _, nn in cells)
+    n0 = n * (n - 1) // 2
+    tx = defaultdict(int)
+    ty = defaultdict(int)
+    for x, y, nn in cells:
+        tx[x] += nn
+        ty[y] += nn
+    n1_ = sum(t * (t - 1) // 2 for t in tx.values())
+    n2_ = sum(t * (t - 1) // 2 for t in ty.values())
+    tau = (c - d) / math.sqrt((n0 - n1_) * (n0 - n2_))
+    (n_docs, g_c, g_d, g_tau, g_gamma) = con.execute(
+        _oracle("quality_raters_kendall_tau")
+    ).fetchone()
+    assert n_docs == n
+    assert (g_c, g_d) == (c, d)
+    assert abs(g_tau - tau) < 2e-6
+    assert abs(g_gamma - (c - d) / (c + d)) < 2e-6
+    assert abs(g_gamma) >= abs(g_tau)  # gamma ignores ties
