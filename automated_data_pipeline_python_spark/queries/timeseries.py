@@ -3155,18 +3155,22 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil-division, so the unstable rho >= 1 branch never divides by
 # zero) through +9.
 #
-# Exactness: a = n_peak/1800 is an exact integer ratio; each Poisson
-# term a^k/k! is snapped to the 1e-9 grid and summed as exact scaled
-# integers (term magnitudes <= e^a keep BIGINT safe; an engine ulp in
-# pow() is two orders below the grid), so the Erlang sum is
-# order-independent; everything downstream is one float expression
-# per row snapped at 1e-6, and the SLO verdict compares the SNAPPED
-# wait. All relations after the one corpus pass are <= 10-20 rows.
+# Numerics: Erlang B via the STABLE RECURSION B(j) = a*B(j-1) /
+# (j + a*B(j-1)) folded left-to-right over 1..c, then Erlang C =
+# B/(1 - rho*(1 - B)). The naive a^k/k! sum overflows — Spark's
+# factorial() NULLs past k = 20 and e^a passes DOUBLE range once the
+# peak-hour load is large, exactly the 100 TB design point — while
+# the recursion stays in (0, 1] at ANY scale. Both engines fold the
+# identical expression in the identical order (Spark aggregate(),
+# DuckDB list_reduce with the init element prepended) with each step
+# snapped to the 1e-12 grid, so cross-engine float drift cannot
+# compound; everything downstream is one float expression per row
+# snapped at 1e-6, and the SLO verdict compares the SNAPPED wait.
+# All relations after the one corpus pass are <= 10 rows, and the
+# fold is O(c) work per row — no k-relation join at all.
 
 
-def _erlang_sql(ceil_div: str, explode_k: str, explode_c: str) -> str:
-    term9 = ("CAST(floor(power(p.a, {k}) / factorial(CAST({k} AS INT))"
-             " * 1e9 + 0.5) AS BIGINT)")
+def _erlang_sql(ceil_div: str, fold_b: str, explode_c: str) -> str:
     return f"""
 WITH hourly AS (
     SELECT CAST(count(*) AS BIGINT) AS n
@@ -3179,34 +3183,26 @@ p AS (
            {ceil_div.format(num="n_peak + 1800", den="1800")} AS c_lo
     FROM peak
 ),
-cs AS (SELECT p.c_lo + co.i AS c FROM p CROSS JOIN ({explode_c}) co),
-s0 AS (
-    SELECT cs.c,
-           CAST(sum({term9.format(k='ks.k')}) AS DOUBLE) / 1e9 AS head
-    FROM cs
-    CROSS JOIN p
-    JOIN ({explode_k}) ks ON ks.k < cs.c
-    GROUP BY cs.c
+cs AS (
+    SELECT p.c_lo + co.i AS c, p.n_peak, p.a,
+           CAST(p.a AS DOUBLE) / (p.c_lo + co.i) AS rho
+    FROM p CROSS JOIN ({explode_c}) co
 ),
-rows_ AS (
-    SELECT s0.c, p.n_peak, p.a,
-           CAST(p.a AS DOUBLE) / s0.c AS rho,
-           ({term9.format(k='s0.c')}) / 1e9 AS tailt,
-           s0.head
-    FROM s0 CROSS JOIN p
+bfold AS (
+    SELECT c, n_peak, a, rho, {fold_b} AS b
+    FROM cs
 ),
 erl AS (
     SELECT c, n_peak,
            floor(a * 1e6 + 0.5) / 1e6 AS offered_load_erlangs,
            floor(rho * 1e6 + 0.5) / 1e6 AS utilization,
-           floor(tailt / ((1e0 - rho) * head + tailt) * 1e6 + 0.5) / 1e6
-               AS p_wait,
-           floor(tailt / ((1e0 - rho) * head + tailt) * rho / (1e0 - rho)
+           floor(b / (1e0 - rho * (1e0 - b)) * 1e6 + 0.5) / 1e6 AS p_wait,
+           floor(b / (1e0 - rho * (1e0 - b)) * rho / (1e0 - rho)
                  * 1e6 + 0.5) / 1e6 AS lq,
-           floor(tailt / ((1e0 - rho) * head + tailt) * rho / (1e0 - rho)
+           floor(b / (1e0 - rho * (1e0 - b)) * rho / (1e0 - rho)
                  / (CAST(n_peak AS DOUBLE) / 36e2) * 1e6 + 0.5) / 1e6
                AS wq_seconds
-    FROM rows_
+    FROM bfold
 )
 SELECT c AS n_servers, n_peak AS peak_hour_arrivals,
        offered_load_erlangs, utilization, p_wait, lq, wq_seconds,
@@ -3217,9 +3213,15 @@ ORDER BY n_servers
 """
 
 
+_ERLANG_STEP = ("floor(a * acc / (j + a * acc) * 1e12 + 0.5)"
+                " / 1e12")
+
 _ERLANG_DUCK = _erlang_sql(
     "CAST(({num}) // ({den}) AS BIGINT)",
-    "SELECT unnest(generate_series(0, (SELECT c_lo + 8 FROM p))) AS k",
+    ("list_reduce(list_prepend(CAST(1 AS DOUBLE),"
+     " list_transform(generate_series(1, CAST(c AS INT)),"
+     " j -> CAST(j AS DOUBLE))),"
+     f" (acc, j) -> {_ERLANG_STEP})"),
     "SELECT unnest(generate_series(0, 9)) AS i",
 )
 
@@ -3228,11 +3230,14 @@ _ERLANG_DUCK = _erlang_sql(
 def events_erlang_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Erlang-C M/M/c staffing table at the peak-hour arrival rate:
     utilization, wait probability, queue length, and expected wait
-    per pool size, with a 1-second wait SLO verdict."""
+    per pool size (stable Erlang-B fold — no factorials), with a
+    1-second wait SLO verdict."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_erlang_sql(
         "CAST(({num}) DIV ({den}) AS BIGINT)",
-        "SELECT explode(sequence(0, (SELECT c_lo + 8 FROM p))) AS k",
+        ("aggregate(transform(sequence(1, CAST(c AS INT)),"
+         " j -> CAST(j AS DOUBLE)), CAST(1 AS DOUBLE),"
+         f" (acc, j) -> {_ERLANG_STEP})"),
         "SELECT explode(sequence(0, 9)) AS i",
     ))
 
