@@ -575,3 +575,73 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView("tc_cell")
     return spark.sql("WITH " + _tclose_tail("tc_cell").lstrip())
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR fences (the boxplot outlier screen)
+# ---------------------------------------------------------------------------
+# The DQ family screens with MAD (robust z) and Benford (digit law);
+# the third classic — the one every boxplot draws — is Tukey's rule:
+# flag values beyond [Q1 - 1.5*IQR, Q3 + 1.5*IQR] per group. Exact
+# interpolated quartiles (Spark percentile == DuckDB quantile_cont,
+# the percentiles_price_by_brand identity), fences SNAPPED to the
+# 1e-6 grid before the threshold compare (an ulp at the boundary
+# otherwise flips rows cross-engine), then one join back to count
+# and bound the outliers. Exact percentile sorts per group — the
+# documented trade; swap percentile_approx at 100 TB when the fence
+# does not need exactness.
+
+_TUKEY_SQL = """
+WITH fences AS (
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(({q1}) * 1e6 + 0.5) / 1e6 AS q1,
+           floor(({q3}) * 1e6 + 0.5) / 1e6 AS q3
+    FROM orders GROUP BY o_orderpriority
+),
+bounds AS (
+    SELECT priority, n_orders, q1, q3,
+           floor((q3 - q1) * 1e6 + 0.5) / 1e6 AS iqr,
+           floor((q1 - 15e-1 * (q3 - q1)) * 1e6 + 0.5) / 1e6 AS lo_fence,
+           floor((q3 + 15e-1 * (q3 - q1)) * 1e6 + 0.5) / 1e6 AS hi_fence
+    FROM fences
+),
+flagged AS (
+    SELECT b.priority, b.n_orders, b.q1, b.q3, b.iqr,
+           b.lo_fence, b.hi_fence,
+           CAST(sum(CASE WHEN o.o_totalprice < b.lo_fence
+                           OR o.o_totalprice > b.hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(CASE WHEN o.o_totalprice > b.hi_fence
+                         THEN o.o_totalprice END) AS DOUBLE)
+               AS worst_high_outlier
+    FROM orders o JOIN bounds b ON b.priority = o.o_orderpriority
+    GROUP BY b.priority, b.n_orders, b.q1, b.q3, b.iqr,
+             b.lo_fence, b.hi_fence
+)
+SELECT priority, n_orders, q1, q3, iqr, lo_fence, hi_fence, n_outliers,
+       floor(CAST(n_outliers AS DOUBLE) / n_orders * 1e6 + 0.5) / 1e6
+           AS outlier_share,
+       worst_high_outlier
+FROM flagged
+ORDER BY priority
+"""
+
+
+@register(
+    "dq_tukey_fences",
+    oracle=_TUKEY_SQL
+    .replace("{q1}", "quantile_cont(o_totalprice, 0.25)")
+    .replace("{q3}", "quantile_cont(o_totalprice, 0.75)"),
+)
+def dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5*IQR boxplot fences on order totals per priority:
+    exact interpolated quartiles, snapped fences, per-group outlier
+    counts and the worst high outlier — the third classic DQ screen
+    beside MAD and Benford."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _TUKEY_SQL
+        .replace("{q1}", "percentile(o_totalprice, 0.25)")
+        .replace("{q3}", "percentile(o_totalprice, 0.75)")
+    )

@@ -731,7 +731,7 @@ def test_round8_additions_python_free(spark):
 
 
 def test_round9_additions_python_free(spark):
-    """All 29 round-9 operators are pure DataFrame/SQL: the causal/
+    """All 30 round-9 operators are pure DataFrame/SQL: the causal/
     risk/timeseries tails run on calendar- or dimension-bounded
     relations; the corpus-pass ops (Spiegelhalter, Mahalanobis,
     fairness, hashing audit, Weibull, elasticity, burstiness) reduce
@@ -740,7 +740,7 @@ def test_round9_additions_python_free(spark):
     grid, tau-b's cell pairs) are the sanctioned bounded-grid class."""
     from tests.test_registry_order import ROUND9_NEW
 
-    assert len(ROUND9_NEW) == 29
+    assert len(ROUND9_NEW) == 30
     for name in ROUND9_NEW:
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

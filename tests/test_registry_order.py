@@ -115,6 +115,7 @@ ROUND9_NEW: list[str] = [
     "clustering_label_purity",       # external cluster-quality gate
     "events_seasonal_strength",      # tsfeatures F_s / F_t off STL
     "quality_raters_kendall_tau",    # ordinal rater agreement
+    "dq_tukey_fences",               # boxplot IQR outlier screen
 ]
 
 

@@ -1621,3 +1621,41 @@ def test_kendall_tau_matches_pairwise_definition(con):
     assert abs(g_tau - tau) < 2e-6
     assert abs(g_gamma - (c - d) / (c + d)) < 2e-6
     assert abs(g_gamma) >= abs(g_tau)  # gamma ignores ties
+
+
+# ---------------------------------------------------------------------------
+# Tukey fences (Tukey 1977, Exploratory Data Analysis)
+# ---------------------------------------------------------------------------
+
+
+def test_tukey_fences_match_quartiles(con):
+    """Fences and outlier counts recomputed from raw totals with
+    linear-interpolated quartiles."""
+    vals = defaultdict(list)
+    for pr, v in con.execute(
+        "SELECT o_orderpriority, o_totalprice FROM orders"
+    ).fetchall():
+        vals[pr].append(float(v))
+
+    def quantile(xs, q):
+        s = sorted(xs)
+        pos = (len(s) - 1) * q
+        lo = math.floor(pos)
+        frac = pos - lo
+        return s[lo] if frac == 0 else s[lo] * (1 - frac) + s[lo + 1] * frac
+
+    got = con.execute(_oracle("dq_tukey_fences")).fetchall()
+    assert len(got) == len(vals) == 5
+    for pr, n, q1, q3, iqr, lo, hi, n_out, share, worst in got:
+        xs = vals[pr]
+        assert n == len(xs)
+        rq1, rq3 = _snap(quantile(xs, 0.25)), _snap(quantile(xs, 0.75))
+        assert abs(q1 - rq1) < 2e-6 and abs(q3 - rq3) < 2e-6
+        assert iqr == _snap(q3 - q1)
+        assert lo == _snap(q1 - 1.5 * (q3 - q1))
+        assert hi == _snap(q3 + 1.5 * (q3 - q1))
+        out = [x for x in xs if x < lo or x > hi]
+        assert n_out == len(out)
+        assert share == _snap(len(out) / len(xs))
+        highs = [x for x in out if x > hi]
+        assert worst == (max(highs) if highs else None)
