@@ -52,80 +52,77 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # The grading driver records correctness rows for (at most) the first 50
 # registered queries. From round 5 onward the window's job is converting
-# replay-only evidence into hard driver rows. Round 9 (VERDICT r8 task
-# 1): the r1-r8 union driver-rowed 322 of 363 queries; this window
-# spends 41 slots on EVERY remaining never-driver-rowed query (the 23
-# r7-backlog leftovers + all 18 ROUND8_NEW operators), making the
-# catalog 363/363 ever-rowed. The 9 spare slots go to re-validating
-# dedup_minhash_lsh under its new capped-default semantics (VERDICT r8
-# task 2 — the oracle changed, so a fresh hash row is load-bearing),
-# first-ever-rowing its renamed uncapped diagnostic twin, and
-# re-confirming the heaviest oracled plans. Everything rotated out
-# stays proven by regenerated round-9 full replays committed at round
-# end plus the pytest oracle-parity sweep.
+# replay-only evidence into hard driver rows. Round 10 (VERDICT r9 task
+# 1): the r1-r9 union driver-rowed 363 of 393 queries; this window
+# spends 30 slots on the only never-rowed queries left — the ROUND9_NEW
+# operators — making the catalog 393/393 ever-rowed for the first time.
+# The 20 spare slots re-validate the headline battery: dedup_minhash_lsh
+# FIRST because its bucket-cap bookkeeping is being trimmed this round
+# (VERDICT r9 task 3 — the plan changes, so a fresh hash row is
+# load-bearing), its uncapped twin for the shared-template blast
+# radius, then the heaviest oracled plans by BENCH_r09 per-query minima
+# and one representative per major family. Everything rotated out stays
+# proven by regenerated round-10 full replays committed at round end
+# plus the pytest oracle-parity sweep.
 _PRIORITY = [
-    # -- The 23 r7-backlog never-rowed queries (VERDICT r8 task 1 list):
-    "events_mad_outliers",
-    "events_seasonality_profile",
-    "events_forecast_backtest",
-    "events_multi_touch_attribution",
-    "events_theil_sen_trend",
-    "events_winsorized_stats",
-    "events_session_bounce_rate",
-    "events_peak_concurrency",
-    "events_lag_feature_matrix",
-    "events_seasonal_anomalies",
-    "events_latency_decade_histogram",
-    "events_hysteresis_alerts",
-    "events_new_vs_returning_dau",
-    "text_term_burstiness",
-    "text_heaps_vocab_growth",
-    "mixture_temperature_weights",
-    "orders_pareto_concentration",
-    "orders_interpurchase_survival",
-    "orders_hhi_concentration",
-    "orders_association_rules",
-    "orders_ship_latency_percentiles",
-    "lineitem_abc_classification",
-    "lineitem_price_index_laspeyres",
-    # -- All 18 ROUND8_NEW operators (replay+pytest in r8; rows now):
-    "events_wasserstein_distance",
-    "events_page_hinkley_drift",
-    "text_gini_token_concentration",
-    "mlstats_eb_beta_shrinkage",
-    "rag_mmr_rerank",
-    "mixture_unimax_budget",
-    "feature_target_encode_oof",
-    "events_ipw_ate",
-    "events_qini_uplift_curve",
-    "events_did_estimator",
-    "embedding_centroid_drift",
-    "events_markov_entropy_rate",
-    "text_burrows_delta",
-    "lineitem_newsvendor_stock",
-    "text_ql_dirichlet_ranking",
-    "lineitem_eoq_reorder_point",
-    "text_readability_flesch",
-    "lineitem_abc_xyz_matrix",
-    # -- 9 spare slots (VERDICT r8 task 1 fill guidance):
-    # dedup_minhash_lsh changed semantics this round (bucket cap is now
-    # the default, task 2) — its oracle changed with it, so a fresh
-    # driver row re-validates the new headline plan; the uncapped
-    # diagnostic twin is a new name, never rowed.
+    # -- All 30 ROUND9_NEW operators (replay+pytest in r9; rows now):
+    "lineitem_sbc_demand_classes",
+    "events_gumbel_block_maxima",
+    "feature_woe_iv",
+    "sketch_hll_portable",
+    "quality_auc_delong_ci",
+    "events_ljung_box_acf",
+    "events_pettitt_changepoint",
+    "events_var_cvar_daily",
+    "orders_weibull_interpurchase",
+    "events_interrupted_time_series",
+    "clustering_davies_bouldin",
+    "quality_spiegelhalter_z",
+    "events_effect_sizes",
+    "events_slo_burn_rate",
+    "embedding_mahalanobis_outliers",
+    "events_erlang_staffing",
+    "events_spectral_entropy",
+    "orders_bass_diffusion",
+    "text_yule_k_herdan",
+    "feature_hashing_collisions",
+    "quality_fairness_by_source",
+    "lineitem_price_elasticity",
+    "sample_neyman_allocation",
+    "events_burstiness_memory",
+    "events_switchback_lift",
+    "events_forecast_mase_ladder",
+    "clustering_label_purity",
+    "events_seasonal_strength",
+    "quality_raters_kendall_tau",
+    "dq_tukey_fences",
+    # -- 20 spare slots: the cap-trim pair (plan changes this round),
+    # then heaviest oracled plans (BENCH_r09 minima) + family
+    # representatives.
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_uncapped",
-    # Heaviest oracled plans (BENCH_3x_r08 per-query minima), re-rowed:
-    "kmeans_lloyd_refine",
     "dedup_simhash_pairs",
-    "q21_sole_late_shipper",
+    "kmeans_lloyd_refine",
     "text_tfidf_top_terms",
-    "ann_lsh_topk",
     "q5_region_revenue",
+    "q21_sole_late_shipper",
     "q8_market_share",
-    # Everything else (all other r1-r8 driver-rowed queries and any
-    # round-9 additions) still registers and is replayed by
+    "ann_lsh_topk",
+    "contamination_ngram_overlap",
+    "ann_ivf_topk",
+    "q3_shipping_priority",
+    "q1_pricing_summary",
+    "corpus_curation_funnel",
+    "dq_star_schema_report",
+    "join_asof_purchase_click",
+    "dedup_exact_documents",
+    "events_sessionization",
+    "knn_bruteforce_topk",
+    "semdedup_cluster_prune",
+    # Everything else (all other r1-r9 driver-rowed queries and any
+    # round-10 additions) still registers and is replayed by
     # tools/verify_driver.py at sf0.01+sf0.1 per round
-    # (VERIFY_FULL_r09*), plus the pytest oracle-parity sweep.
+    # (VERIFY_FULL_r10*), plus the pytest oracle-parity sweep.
 ]
 
 

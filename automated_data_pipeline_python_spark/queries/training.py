@@ -1079,18 +1079,30 @@ sd AS (
     FROM mom WHERE nh >= 2
 ),
 wt AS (
-    SELECT stratum, nh, sh, CAST(nh AS DOUBLE) * sh AS w
+    -- w = N_h*S_h snapped to exact integer micro-units BEFORE summing:
+    -- wsum is then an order-independent BIGINT sum and every share /
+    -- floor downstream divides the SAME two integers on both engines
+    -- (the snap-before-threshold invariant; an unsnapped float wsum is
+    -- partial-aggregation-order dependent).
+    SELECT stratum, nh, sh,
+           CAST(floor(CAST(nh AS DOUBLE) * sh * 1e6 + 0.5) AS BIGINT)
+               AS w6
     FROM sd
 ),
-tot AS (SELECT sum(w) AS wsum, CAST(sum(nh) AS BIGINT) AS n_total FROM wt),
+tot AS (
+    SELECT CAST(sum(w6) AS BIGINT) AS wsum6,
+           CAST(sum(nh) AS BIGINT) AS n_total
+    FROM wt
+),
 frac AS (
     SELECT w.stratum, w.nh, w.sh,
-           floor(w.w / t.wsum * 1e6 + 0.5) / 1e6 AS neyman_share,
-           {_NEYMAN_BUDGET} * w.w / t.wsum AS alloc_raw,
-           CAST(floor({_NEYMAN_BUDGET} * w.w / t.wsum) AS BIGINT)
-               AS alloc_floor,
-           floor(({_NEYMAN_BUDGET} * w.w / t.wsum
-                  - floor({_NEYMAN_BUDGET} * w.w / t.wsum))
+           floor(CAST(w.w6 AS DOUBLE) / t.wsum6 * 1e6 + 0.5) / 1e6
+               AS neyman_share,
+           CAST(floor({_NEYMAN_BUDGET} * CAST(w.w6 AS DOUBLE) / t.wsum6)
+                AS BIGINT) AS alloc_floor,
+           floor(({_NEYMAN_BUDGET} * CAST(w.w6 AS DOUBLE) / t.wsum6
+                  - floor({_NEYMAN_BUDGET} * CAST(w.w6 AS DOUBLE)
+                          / t.wsum6))
                  * 1e6 + 0.5) / 1e6 AS rem,
            floor(CAST(w.nh AS DOUBLE) / t.n_total * 1e6 + 0.5) / 1e6
                AS prop_share

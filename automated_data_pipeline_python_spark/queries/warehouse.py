@@ -1961,18 +1961,24 @@ def orders_weibull_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exactness: daily new-adopter counts are exact integers; cumulative
 # N_{t-1} comes from a bounded triangular day join (no corpus
-# window); every normal-equation moment accumulates in DECIMAL(38,0)
-# (N^4 sums pass BIGINT far below the 100 TB design point); Cramer
+# window); every normal-equation product promotes one factor to
+# DECIMAL(38,0) BEFORE multiplying (x2 = N_prev² is itself built as a
+# DECIMAL product), so no BIGINT intermediate ever wraps — the moments
+# are exact for cumulative adopters up to ~3×10⁹ (N⁴ ≤ 10³⁸); Cramer
 # and the quadratic are single float expressions snapped at output.
 # One corpus pass (first order per customer), then calendar-bounded
 # algebra.
 
 
-def _bass_sql(days_diff: str) -> str:
+def _bass_sql() -> str:
     mom = {
         "s1": "x1", "s2": "x2", "sy": "y",
-        "s11": "x1 * x1", "s12": "x1 * x2", "s22": "x2 * x2",
-        "s1y": "x1 * y", "s2y": "x2 * y", "syy": "y * y",
+        "s11": "CAST(x1 AS DECIMAL(38,0)) * x1",
+        "s12": "CAST(x1 AS DECIMAL(38,0)) * x2",
+        "s22": "CAST(x2 AS DECIMAL(38,0)) * x2",
+        "s1y": "CAST(x1 AS DECIMAL(38,0)) * y",
+        "s2y": "CAST(x2 AS DECIMAL(38,0)) * y",
+        "syy": "CAST(y AS DECIMAL(38,0)) * y",
     }
     moments = ",\n           ".join(
         f"CAST(sum(CAST({expr} AS DECIMAL(38,0))) AS DOUBLE) AS {name}"
@@ -1993,7 +1999,9 @@ cum AS (
     GROUP BY a.d, a.n
 ),
 pts AS (
-    SELECT n AS y, n_prev AS x1, n_prev * n_prev AS x2 FROM cum
+    SELECT n AS y, n_prev AS x1,
+           CAST(n_prev AS DECIMAL(38,0)) * n_prev AS x2
+    FROM cum
 ),
 m AS (
     SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -2059,14 +2067,14 @@ FROM pq
 """
 
 
-@register("orders_bass_diffusion", oracle=_bass_sql("unused"))
+@register("orders_bass_diffusion", oracle=_bass_sql())
 def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bass diffusion model of customer first-order adoption: exact
     discrete-form two-regressor OLS (Cramer), market size M from the
     implied quadratic, innovation/imitation rates, and the implied
     adoption peak."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_bass_sql("unused"))
+    return spark.sql(_bass_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Self-describing methodology (VERDICT r9 task 5): each
+                # per-query number is the minimum over `repeats` runs,
+                # so cross-round comparisons can detect method changes.
+                "method": f"min-of-{repeats}",
                 "repeats": repeats,
             }
         )

@@ -129,3 +129,104 @@ def test_experiment_report_sections_pinned(spark):
     assert report["effect"] == {"cohens_d": 0.091549, "hedges_g": 0.091514}
     assert report["its"] == {"level_change": 778.411524,
                              "slope_change": -60.22375}
+
+
+# ---------------------------------------------------------------------------
+# sf0.1 scale pins (VERDICT r9 task 6): the sf0.01 pins above catch
+# constant drift; these catch SCALE-dependent breakage in the composed
+# reports (SF-sensitive thresholds, overflow at 10x row counts, plans
+# that only work on small inputs). One pinned run per example at
+# /root/testdata/sf0.1, gated on its own corpus fingerprint.
+# ---------------------------------------------------------------------------
+
+SF_SCALE = "/root/testdata/sf0.1"
+
+
+def _fingerprint_sf01() -> tuple:
+    con = duckdb.connect()
+    row = con.execute(
+        f"""
+        SELECT (SELECT count(*) FROM '{SF_SCALE}/documents.parquet'),
+               (SELECT count(*) FROM '{SF_SCALE}/events.parquet'),
+               (SELECT CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT))
+                       AS BIGINT) FROM '{SF_SCALE}/events.parquet'
+                WHERE value IS NOT NULL),
+               (SELECT count(*) FROM '{SF_SCALE}/orders.parquet')
+        """
+    ).fetchone()
+    con.close()
+    return row
+
+
+_EXPECTED_FINGERPRINT_SF01 = (5000, 100000, 498683083, 150000)
+
+
+def _require_pinned_corpus_sf01():
+    got = _fingerprint_sf01()
+    if got != _EXPECTED_FINGERPRINT_SF01:
+        pytest.skip(
+            f"sf0.1 corpus regenerated (fingerprint {got} != pinned "
+            f"{_EXPECTED_FINGERPRINT_SF01}) — recompute the sf0.1 pins "
+            f"in tests/test_example_reports.py"
+        )
+
+
+def test_curation_pipeline_funnel_pinned_sf01(spark):
+    _require_pinned_corpus_sf01()
+    from examples.curation_pipeline import run
+
+    report = run(spark, SF_SCALE)
+    shards = report.pop("shards")
+    assert report == {
+        "raw": 5000,
+        "after_gate": 1005,
+        "after_exact_dedup": 1004,
+        "after_fuzzy_dedup": 948,
+        "after_decontam": 747,
+        "after_token_budget": 112,
+    }
+    assert sum(shards.values()) == 112 and len(shards) == 8
+
+
+def test_drift_monitor_sections_pinned_sf01(spark):
+    _require_pinned_corpus_sf01()
+    from examples.drift_monitor import run
+
+    report = run(spark, SF_SCALE)
+    got = {k: (v["rows"], v["alarms"]) for k, v in report.items()}
+    assert got == {
+        "vocab_drift": (20, 0),
+        "value_drift": (10, 0),
+        "shape_drift": (1, 0),
+        "shape_drift_w1": (1, 0),
+        "mean_drift": (150, 0),
+        "vector_drift": (10, 10),
+        "outliers": (150, 2),
+        "changepoint": (1, 0),
+        "error_budget": (30, 0),
+        "integrity": (9, 4),
+        "dependency": (3, 0),
+        "filter_health": (4, 0),
+    }
+
+
+def test_experiment_report_sections_pinned_sf01(spark):
+    _require_pinned_corpus_sf01()
+    from examples.experiment_report import run
+
+    report = run(spark, SF_SCALE)
+    assert report["lift"] == {"lift_abs": -0.048958, "z": -1.9009}
+    assert report["power"] == {0.02: 45213, 0.05: 7235, 0.1: 1809}
+    assert report["sprt"] == {"n_days": 30, "final_decision": "accept_h1"}
+    assert report["fdr"] == {"n_tests": 24, "n_rejected": 1}
+    assert report["ipw"] == {
+        "naive_diff": 0.011669,
+        "ipw_ate": 0.011018,
+        "strata": (6, 6),
+    }
+    assert report["did"] == {"did": 2.127535, "placebo": -3.617045}
+    assert report["qini"] == {"n_deciles": 10, "final_qini": 29.269076}
+    assert report["effect"] == {"cohens_d": -0.003145,
+                                "hedges_g": -0.003145}
+    assert report["its"] == {"level_change": -6012.604107,
+                             "slope_change": 78.57525}
