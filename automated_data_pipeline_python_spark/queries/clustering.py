@@ -639,3 +639,246 @@ def clustering_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "km_base"
     )
     return spark.sql(_PURITY_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand index of the Lloyd partition vs labels (round 10)
+# ---------------------------------------------------------------------------
+# clustering_label_purity reports per-cell majority agreement, but
+# purity is gameable (k = n gives purity 1); the standard
+# chance-corrected external index is the Adjusted Rand Index (Hubert &
+# Arabie 1985): pair-counting agreement between the partition and the
+# labels, rescaled so random labellings score 0. Same one-step Lloyd
+# assignment subtree as purity/Davies-Bouldin, so all three external/
+# internal gates judge the SAME partition.
+#
+# Exactness: every pair count is an exact integer — C(x,2) products
+# promote to DECIMAL(38,0) before multiplying (cell sizes are
+# corpus-scaled) — and ARI/RI are single float expressions over the
+# 4-number rollup, snapped at output. The contingency grid is
+# (cells x labels)-bounded; the corpus shuffles once on the argmin key
+# and once on the grid key.
+
+
+def _ari_sql(dot, bigint) -> str:
+    def d2(bn: str, a: str, b: str, cn: str) -> str:
+        expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
+        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+    def c2(x: str) -> str:
+        return f"CAST(CAST({x} AS DECIMAL(38,0)) * ({x} - 1) / 2 AS DECIMAL(38,0))"
+
+    return f"""
+WITH base AS ({{base_src}}),
+c0 AS (
+    SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
+),
+a1 AS (
+    SELECT b.vec_id, c0.cell, {d2('b.nrm2', 'b.v', 'c0.c', 'c0.cnrm2')} AS dist
+    FROM base b CROSS JOIN c0
+),
+m1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+        FROM a1
+    ) r WHERE rnk = 1
+),
+cl AS (
+    SELECT m1.cell, e.label, CAST(count(*) AS BIGINT) AS n
+    FROM m1 JOIN embeddings e ON e.vec_id = m1.vec_id
+    GROUP BY m1.cell, e.label
+),
+sums AS (
+    SELECT
+        CAST(sum({c2('n')}) AS DECIMAL(38,0)) AS s_ij,
+        (SELECT CAST(sum({c2('a')}) AS DECIMAL(38,0))
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM cl GROUP BY cell) ga)
+            AS s_i,
+        (SELECT CAST(sum({c2('b')}) AS DECIMAL(38,0))
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM cl GROUP BY label) gb)
+            AS s_j,
+        (SELECT {c2('t')}
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cl) gt) AS s_0,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM (SELECT DISTINCT cell FROM cl) dc) AS n_cells,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM (SELECT DISTINCT label FROM cl) dl) AS n_labels,
+        (SELECT CAST(sum(n) AS BIGINT) FROM cl) AS n_points
+    FROM cl
+)
+SELECT n_points, n_cells, n_labels,
+       floor((CAST(s_ij AS DOUBLE)
+              - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE)
+                / CAST(s_0 AS DOUBLE))
+             / ((CAST(s_i AS DOUBLE) + CAST(s_j AS DOUBLE)) / 2e0
+                - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE)
+                  / CAST(s_0 AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS adjusted_rand,
+       floor((CAST(s_0 AS DOUBLE) + 2e0 * CAST(s_ij AS DOUBLE)
+              - CAST(s_i AS DOUBLE) - CAST(s_j AS DOUBLE))
+             / CAST(s_0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rand_index
+FROM sums
+"""
+
+
+_ARI_SPARK_SQL = _ari_sql(
+    dot=lambda a, b: (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+    ),
+    bigint=lambda e: e,
+).format(base_src="SELECT * FROM km_base")
+
+_ARI_DUCK_SQL = _ari_sql(
+    dot=lambda a, b: f"list_dot_product({a}, {b})",
+    bigint=lambda e: f"CAST({e} AS BIGINT)",
+).format(
+    base_src=(
+        "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+    )
+)
+
+
+@register("clustering_adjusted_rand", oracle=_ARI_DUCK_SQL)
+def clustering_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (and raw Rand) between the one-step Lloyd
+    partition and the ground-truth labels — the chance-corrected
+    external gate purity cannot be (exact DECIMAL pair counts)."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
+        "km_base"
+    )
+    return spark.sql(_ARI_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette (round 10)
+# ---------------------------------------------------------------------------
+# The classic silhouette needs all-pairs distances — quadratic, the
+# exact thing this module avoids; the SIMPLIFIED silhouette
+# (Hruschka et al. 2004, what Spark MLlib's evaluator computes)
+# replaces mean member distance with centroid distance: a = d(x, own
+# centroid), b = min over other centroids, s = (b-a)/max(a,b). Same
+# one-step Lloyd partition and UPDATED centroids as Davies-Bouldin, so
+# the internal gates agree on what they score; cost is one k-way
+# cross join — linear in members, never pairs.
+#
+# Exactness: distances snap to 1e-6 (the module's shared discipline);
+# per-point s snaps before the exact scaled-integer mean, so per-cell
+# and overall means are order-independent.
+
+
+def _sil_sql(dot, explode, collect, bigint) -> str:
+    def d2(bn: str, a: str, b: str, cn: str) -> str:
+        expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
+        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+    return f"""
+WITH base AS ({{base_src}}),
+c0 AS (
+    SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
+),
+a1 AS (
+    SELECT b.vec_id, c0.cell, {d2('b.nrm2', 'b.v', 'c0.c', 'c0.cnrm2')} AS dist
+    FROM base b CROSS JOIN c0
+),
+m1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+        FROM a1
+    ) r WHERE rnk = 1
+),
+u1 AS (
+    SELECT cell, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+    FROM ({explode('m1')}) e1
+    GROUP BY cell, d
+),
+c1 AS (
+    SELECT cell, c, {dot('c', 'c')} AS cnrm2
+    FROM (SELECT cell, {collect} AS c FROM u1 GROUP BY cell) cc1
+),
+dists AS (
+    SELECT b.vec_id, m1.cell AS own, c1.cell,
+           floor(sqrt(greatest({d2('b.nrm2', 'b.v', 'c1.c', 'c1.cnrm2')},
+                               0)) * 1e6 + 0.5) / 1e6 AS dist
+    FROM base b
+    JOIN m1 ON m1.vec_id = b.vec_id
+    CROSS JOIN c1
+),
+ab AS (
+    SELECT vec_id, own,
+           min(CASE WHEN cell = own THEN dist END) AS a_own,
+           min(CASE WHEN cell <> own THEN dist END) AS b_other
+    FROM dists GROUP BY vec_id, own
+),
+s AS (
+    SELECT own AS cell,
+           CAST(floor(CASE WHEN greatest(a_own, b_other) > 0e0
+                           THEN (b_other - a_own) / greatest(a_own, b_other)
+                           ELSE 0e0 END * 1e6 + 0.5) AS BIGINT) AS s6
+    FROM ab
+),
+per_cell AS (
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           floor(CAST(sum(s6) AS DOUBLE) / count(*) + 0.5) / 1e6
+               AS mean_silhouette
+    FROM s GROUP BY cell
+),
+overall AS (
+    SELECT floor(CAST(sum(s6) AS DOUBLE) / count(*) + 0.5) / 1e6
+               AS overall_silhouette
+    FROM s
+)
+SELECT {bigint('p.cell')} AS cell, p.n_members, p.mean_silhouette,
+       o.overall_silhouette
+FROM per_cell p CROSS JOIN overall o
+ORDER BY cell
+"""
+
+
+_SIL_SPARK_SQL = _sil_sql(
+    dot=lambda a, b: (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+    ),
+    explode=lambda m: (
+        f"SELECT {m}.cell, d, x FROM {m} "
+        f"JOIN base ON base.vec_id = {m}.vec_id "
+        f"LATERAL VIEW posexplode(base.v) t AS d, x"
+    ),
+    collect="transform(array_sort(collect_list(named_struct('d', d, 'c', c))), s -> s.c)",
+    bigint=lambda e: e,
+).format(base_src="SELECT * FROM km_base")
+
+_SIL_DUCK_SQL = _sil_sql(
+    dot=lambda a, b: f"list_dot_product({a}, {b})",
+    explode=lambda m: (
+        f"SELECT {m}.cell, unnest(generate_series(1, len(base.v))) AS d, "
+        f"unnest(base.v) AS x FROM {m} "
+        f"JOIN base ON base.vec_id = {m}.vec_id"
+    ),
+    collect="list(c ORDER BY d)",
+    bigint=lambda e: f"CAST({e} AS BIGINT)",
+).format(
+    base_src=(
+        "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+    )
+)
+
+
+@register("clustering_silhouette_simplified", oracle=_SIL_DUCK_SQL)
+def clustering_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the one-step Lloyd
+    partition — per-cell and overall means from snapped per-point
+    scores, linear in members where all-pairs silhouette is
+    quadratic."""
+    load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
+        "km_base"
+    )
+    return spark.sql(_SIL_SPARK_SQL)

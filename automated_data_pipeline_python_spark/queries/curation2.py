@@ -1373,3 +1373,135 @@ def quality_raters_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordinal agreement question Cohen's kappa can't ask."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_TAU_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Confusion-matrix battery: MCC, F1, balanced accuracy (round 10)
+# ---------------------------------------------------------------------------
+# Cohen's kappa corrects agreement for chance and tau-b asks the
+# ordinal question; the numbers a model card actually prints are the
+# confusion-matrix battery at the shipping threshold: precision,
+# recall, F1, balanced accuracy, Youden's informedness, and Matthews'
+# correlation — the single summary that stays honest under class
+# imbalance (Chicco & Jurman 2020). Same logistic gate (kept = score
+# >= 0.5) judged against the same Gopher verdict as the rest of the
+# quality family.
+#
+# Exactness: the four cells are exact BIGINTs off one featurize pass;
+# MCC's cross products promote to DECIMAL(38,0) before multiplying
+# (cell products pass BIGINT once a corpus exceeds ~3e9 docs); every
+# ratio is one float expression snapped at output.
+
+_MCC_TAIL = f"""{{flagged}},
+cells AS (
+    SELECT
+        CAST(sum(CASE WHEN score >= 5e-1 AND gopher_pass = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN score >= 5e-1 AND gopher_pass = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN score < 5e-1 AND gopher_pass = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN score < 5e-1 AND gopher_pass = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM flagged
+)
+SELECT tp, fp, fn, tn,
+       floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+           AS precision_pos,
+       floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+           AS recall_pos,
+       floor(2e0 * tp / (2e0 * tp + fp + fn) * 1e6 + 0.5) / 1e6 AS f1,
+       floor((CAST(tp AS DOUBLE) / (tp + fn)
+              + CAST(tn AS DOUBLE) / (tn + fp)) / 2e0 * 1e6 + 0.5) / 1e6
+           AS balanced_accuracy,
+       floor((CAST(tp AS DOUBLE) / (tp + fn)
+              + CAST(tn AS DOUBLE) / (tn + fp) - 1e0) * 1e6 + 0.5) / 1e6
+           AS informedness,
+       floor((CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                   - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE))
+             / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+                         * (tn + fp) AS DOUBLE) * (tn + fn))
+             * 1e6 + 0.5) / 1e6 AS mcc
+FROM cells
+"""
+
+_MCC_SPARK_SQL = (
+    _FEATS_SPARK_HEADER + "," + _MCC_TAIL.format(flagged=_flagged_chain())
+)
+_MCC_DUCK_SQL = (
+    _FEATS_DUCK_HEADER + "," + _MCC_TAIL.format(flagged=_flagged_chain())
+)
+
+
+@register("quality_mcc_confusion", oracle=_MCC_DUCK_SQL)
+def quality_mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix battery of the logistic gate vs the Gopher
+    verdict at the 0.5 shipping threshold: precision/recall/F1,
+    balanced accuracy, informedness, and Matthews correlation — exact
+    integer cells, DECIMAL cross products."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_MCC_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Log-loss (cross-entropy) of the quality gate (round 10)
+# ---------------------------------------------------------------------------
+# Brier decomposition scores the gate quadratically and ECE bins it;
+# log-loss is the PROPER score actually optimized by logistic training
+# — and the one that punishes confident mistakes hardest. Mean
+# negative log-likelihood of the Gopher label under the snapped score,
+# with the score clamped to [1e-6, 1-1e-6] before ln (the documented
+# ln(0) guard: a snapped score CAN be exactly 0 or 1). Brier is
+# emitted beside it so the two proper scores can be compared on one
+# row.
+#
+# Float discipline: per-doc terms pass through ln once, are snapped to
+# the 1e-6 grid, and accumulate as exact scaled integers (engine libm
+# ulps die in the per-row snap; the sum is order-independent).
+
+_LOGLOSS_TAIL = f"""{{flagged}},
+clamped AS (
+    SELECT gopher_pass,
+           LEAST(GREATEST(score, 1e-6), 1e0 - 1e-6) AS p
+    FROM flagged
+),
+terms AS (
+    SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(gopher_pass) AS BIGINT) AS n_pos,
+        CAST(sum(CAST(floor((CASE WHEN gopher_pass = 1 THEN -ln(p)
+                                  ELSE -ln(1e0 - p) END) * 1e6 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS ll6,
+        CAST(sum(CAST(floor((p - gopher_pass) * (p - gopher_pass)
+                            * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS br6
+    FROM clamped
+)
+SELECT n AS n_docs, n_pos,
+       floor(CAST(ll6 AS DOUBLE) / 1e6 / n * 1e6 + 0.5) / 1e6
+           AS log_loss,
+       floor(CAST(br6 AS DOUBLE) / 1e6 / n * 1e6 + 0.5) / 1e6
+           AS brier_score,
+       -- the constant-prevalence baseline every skill score divides by
+       floor((-(CAST(n_pos AS DOUBLE) / n)
+                  * ln(CAST(n_pos AS DOUBLE) / n)
+              - (1e0 - CAST(n_pos AS DOUBLE) / n)
+                  * ln(1e0 - CAST(n_pos AS DOUBLE) / n))
+             * 1e6 + 0.5) / 1e6 AS baseline_entropy
+FROM terms
+"""
+
+_LOGLOSS_SPARK_SQL = (
+    _FEATS_SPARK_HEADER + "," + _LOGLOSS_TAIL.format(flagged=_flagged_chain())
+)
+_LOGLOSS_DUCK_SQL = (
+    _FEATS_DUCK_HEADER + "," + _LOGLOSS_TAIL.format(flagged=_flagged_chain())
+)
+
+
+@register("quality_log_loss", oracle=_LOGLOSS_DUCK_SQL)
+def quality_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log-loss of the logistic gate against the Gopher verdict
+    (clamped-ln guard, per-row snap, exact-integer sum) with the Brier
+    score and prevalence-entropy baseline beside it."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_LOGLOSS_SPARK_SQL)

@@ -929,3 +929,64 @@ def events_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass off the snapped-cents histogram CDFs, one final division."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_WASSERSTEIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Hellinger + total-variation distance between sources (r10)
+# ---------------------------------------------------------------------------
+# JS (above) is the information-theoretic pairwise view; mixture design
+# reviews also quote the two METRIC distances — Hellinger (bounded,
+# sqrt-affinity based, the one with clean tensorization bounds) and
+# total variation (the max-event probability gap). Both decompose over
+# the SHARED vocabulary only: terms present in one source contribute 0
+# to the Bhattacharyya affinity and p/2 to TV, so
+#   H  = sqrt(1 − Σ_common sqrt(p_a·p_b))
+#   TV = ½[Σ_common |p_a − p_b| + (1 − Σ_common p_a)
+#          + (1 − Σ_common p_b)].
+# Per-term contributions snap onto the 1e-9 grid and sum exactly (the
+# JS query's discipline, same pair-join shape, same vocab-bounded
+# cost); the final sqrt/halving snaps at output.
+
+_HELL_TAIL = f"""
+SELECT a.source AS source_a, b.source AS source_b,
+       floor(sqrt(greatest(
+           1e0 - {sql_exact_sum("sqrt((a.c / ta.n) * (b.c / tb.n))", 9)},
+           0e0)) * 1e6 + 0.5) / 1e6 AS hellinger,
+       floor((5e-1 * (
+           {sql_exact_sum("abs(a.c / ta.n - b.c / tb.n)", 9)}
+           + (1e0 - {sql_exact_sum("a.c / ta.n", 9)})
+           + (1e0 - {sql_exact_sum("b.c / tb.n", 9)})
+       )) * 1e6 + 0.5) / 1e6 AS total_variation
+FROM {{rel}} a
+JOIN {{rel}} b ON a.term = b.term AND a.source < b.source
+JOIN (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+      FROM {{rel}} GROUP BY source) ta ON a.source = ta.source
+JOIN (SELECT source, CAST(sum(c) AS DOUBLE) AS n
+      FROM {{rel}} GROUP BY source) tb ON b.source = tb.source
+GROUP BY a.source, b.source
+ORDER BY a.source, b.source
+"""
+
+_HELL_DUCK_SQL = (
+    "WITH per_source AS ("
+    f"SELECT source, tok AS term, CAST(count(*) AS DOUBLE) AS c FROM "
+    f"(SELECT source, unnest({_D_TOK}) AS tok FROM documents) "
+    "GROUP BY source, tok)\n" + _HELL_TAIL.replace("{rel}", "per_source")
+)
+
+
+@register("corpus_source_hellinger_tv", oracle=_HELL_DUCK_SQL)
+def corpus_source_hellinger_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Hellinger and total-variation distances between source
+    token distributions — the metric companions to the JS matrix, off
+    the same shared-vocabulary decomposition."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _materialize_view(
+        spark.sql(
+            "SELECT source, tok AS term, CAST(count(*) AS DOUBLE) AS c FROM "
+            f"(SELECT source, explode({_S_TOK}) AS tok FROM documents) "
+            "GROUP BY source, tok"
+        ),
+        "hell_per_source",
+    )
+    return spark.sql(_HELL_TAIL.replace("{rel}", "hell_per_source"))

@@ -1645,3 +1645,98 @@ def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _effect_sql(spark_hash28("concat('fx', CAST(user_id AS STRING))"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (round 10)
+# ---------------------------------------------------------------------------
+# events_ab_test_lift tests PROPORTIONS and events_effect_sizes sizes
+# the mean difference; the inference step between them — "is the mean
+# purchase value different, WITHOUT assuming equal variances?" — is
+# Welch (1947): t = diff / sqrt(v_c/n_c + v_t/n_t) with the
+# Welch–Satterthwaite effective df. Same deterministic sha-hash arm
+# split as the rest of the causal family, so the whole battery reads
+# off one assignment.
+#
+# Exactness: per-arm moments are exact integers (snapped cents, second
+# moment in DECIMAL(38,0)); t and df are single float expressions over
+# the 2-row rollup. The p-value uses the shared A&S normal polynomial
+# (df is in the thousands here and grows with the corpus, where
+# t ≈ normal to far below the 1e-6 grid; df is emitted so a reader can
+# audit the approximation). t is snapped BEFORE the polynomial and the
+# decision compares the SNAPPED p to 0.05 — ulps cannot flip either.
+
+
+def _welch_sql(hash28: str) -> str:
+    def var(n: str, s: str, ss: str) -> str:
+        return (f"(CAST({n} AS DOUBLE) * CAST({ss} AS DOUBLE)"
+                f" - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))"
+                f" / (CAST({n} AS DOUBLE) * ({n} - 1)) / 1e4")
+
+    v_c = var("n_c", "s_c", "ss_c")
+    v_t = var("n_t", "s_t", "ss_t")
+    diff = "(CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c) / 1e2"
+    se2 = f"(({v_c}) / n_c + ({v_t}) / n_t)"
+    t6 = f"floor(({diff}) / sqrt({se2}) * 1e6 + 0.5) / 1e6"
+    df = (f"({se2}) * ({se2})"
+          f" / ((({v_c}) / n_c) * (({v_c}) / n_c) / (n_c - 1)"
+          f"    + (({v_t}) / n_t) * (({v_t}) / n_t) / (n_t - 1))")
+    p6 = (f"floor({sql_normal_two_sided_p(f'abs({t6})')} * 1e6 + 0.5)"
+          f" / 1e6")
+    return f"""
+WITH vals AS (
+    SELECT CASE WHEN {hash28} % 2 = 0 THEN 0 ELSE 1 END AS arm,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+cells AS (
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                AS DECIMAL(38,0)) AS ss
+    FROM vals GROUP BY arm
+),
+wide AS (
+    SELECT
+        min(CASE WHEN arm = 0 THEN n END) AS n_c,
+        min(CASE WHEN arm = 0 THEN s END) AS s_c,
+        min(CASE WHEN arm = 0 THEN ss END) AS ss_c,
+        min(CASE WHEN arm = 1 THEN n END) AS n_t,
+        min(CASE WHEN arm = 1 THEN s END) AS s_t,
+        min(CASE WHEN arm = 1 THEN ss END) AS ss_t
+    FROM cells
+)
+SELECT n_c, n_t,
+       floor(CAST(s_c AS DOUBLE) / n_c / 1e2 * 1e6 + 0.5) / 1e6 AS mean_c,
+       floor(CAST(s_t AS DOUBLE) / n_t / 1e2 * 1e6 + 0.5) / 1e6 AS mean_t,
+       floor(sqrt({v_c}) * 1e6 + 0.5) / 1e6 AS sd_c,
+       floor(sqrt({v_t}) * 1e6 + 0.5) / 1e6 AS sd_t,
+       {t6} AS welch_t,
+       floor({df} * 1e2 + 0.5) / 1e2 AS satterthwaite_df,
+       {p6} AS p_normal_approx,
+       CAST(CASE WHEN {p6} < 5e-2 THEN 1 ELSE 0 END AS BIGINT)
+           AS reject_05
+FROM wide
+"""
+
+
+@register(
+    "events_welch_ttest",
+    oracle=_welch_sql(
+        duck_hash28("concat('fx', CAST(user_id AS STRING))")
+    ),
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of mean purchase value between
+    hash-randomized arms, with the Welch–Satterthwaite effective df and
+    a normal-approximation p-value (df grows with the corpus; emitted
+    for audit)."""
+    from automated_data_pipeline_python_spark.functions.text import (
+        spark_hash28,
+    )
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _welch_sql(spark_hash28("concat('fx', CAST(user_id AS STRING))"))
+    )

@@ -28,6 +28,10 @@ from automated_data_pipeline_python_spark.functions.numeric import (
     sql_exact_sum,
     sql_stable_round,
 )
+from automated_data_pipeline_python_spark.functions.text import (
+    duck_hash28,
+    spark_hash28,
+)
 from automated_data_pipeline_python_spark.queries.catalog import register
 from automated_data_pipeline_python_spark.tables import load
 
@@ -711,3 +715,93 @@ def reco_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ob="mm_ob", sum_prec=sql_exact_sum("prec", 9)
         ).lstrip()
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Slope One rating predictor (round 10)
+# ---------------------------------------------------------------------------
+# Item-item cosine ranks NEIGHBORS; the simplest competitive rating
+# PREDICTOR is weighted Slope One (Lemire & Maclachlan 2005):
+# dev(j,i) = mean over co-raters of (r_j - r_i), and the prediction
+# for a held-out (u, j) averages dev(j,i) + r_ui over u's observed
+# items, weighted by co-rater support. Evaluated here the way a
+# recommender offline-evals: a deterministic 10% hash holdout of the
+# customer x brand quantity matrix, MAE + coverage on the held-out
+# cells.
+#
+# Exactness: ratings and deviation numerators are exact BIGINTs;
+# dev(j,i) is ONE snapped division; per-prediction numerator terms
+# c·(dev + r) snap to 1e-6 and accumulate as exact scaled integers
+# (order-independent), as do the absolute errors. Scale: the dev grid
+# is brand x brand (bounded); the prediction join fans each held-out
+# cell out over the user's ≤|brands| training items — linear in
+# held-out cells, never user-pairs.
+
+
+def _slope_one_sql(hash28) -> str:
+    key = hash28("concat('so', CAST(u AS STRING), '_', b)")
+    err = sql_exact_sum("abs(p.pred - CAST(p.r AS DOUBLE))", 6)
+    return f"""
+WITH ratings AS (
+    SELECT o_custkey AS u, p_brand AS b,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY o_custkey, p_brand
+),
+split AS (
+    SELECT u, b, r,
+           CASE WHEN {key} % 10 = 0 THEN 1 ELSE 0 END AS is_test
+    FROM ratings
+),
+train AS (SELECT u, b, r FROM split WHERE is_test = 0),
+test AS (SELECT u, b, r FROM split WHERE is_test = 1),
+dev AS (
+    SELECT a.b AS bj, c.b AS bi,
+           CAST(count(*) AS BIGINT) AS n_co,
+           CAST(sum(a.r - c.r) AS BIGINT) AS dnum
+    FROM train a JOIN train c ON c.u = a.u AND c.b <> a.b
+    GROUP BY a.b, c.b
+),
+preds AS (
+    SELECT t.u, t.b, t.r,
+           floor(CAST(sum(CAST(floor(
+                     d.n_co * (floor(CAST(d.dnum AS DOUBLE) / d.n_co
+                                     * 1e6 + 0.5) / 1e6
+                               + tr.r) * 1e6 + 0.5) AS BIGINT))
+                 AS DOUBLE)
+                 / sum(d.n_co) + 0.5) / 1e6 AS pred
+    FROM test t
+    JOIN train tr ON tr.u = t.u
+    JOIN dev d ON d.bj = t.b AND d.bi = tr.b
+    GROUP BY t.u, t.b, t.r
+),
+agg AS (
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+        (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+        CAST(count(*) AS BIGINT) AS n_predicted,
+        {err} AS sum_abs_err
+    FROM preds p
+)
+SELECT n_train, n_test, n_predicted,
+       floor(CAST(n_predicted AS DOUBLE) / n_test * 1e6 + 0.5) / 1e6
+           AS coverage,
+       floor(sum_abs_err / n_predicted * 1e6 + 0.5) / 1e6 AS mae
+FROM agg
+"""
+
+
+@register(
+    "reco_slope_one_eval",
+    oracle=_slope_one_sql(duck_hash28),
+)
+def reco_slope_one_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope One offline eval on a deterministic 10% holdout
+    of the customer x brand quantity matrix: MAE and coverage — the
+    rating-prediction baseline beside the item-item ranker."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_slope_one_sql(spark_hash28))

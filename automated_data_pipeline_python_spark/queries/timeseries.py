@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from automated_data_pipeline_python_spark.functions.numeric import (
     exact_sum,
     sql_exact_sum,
+    sql_normal_two_sided_p,
     sql_stable_round,
 )
 from automated_data_pipeline_python_spark.queries.catalog import register
@@ -3554,3 +3555,488 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).lstrip()
     ).createOrReplaceTempView("stl_rows")
     return spark.sql(_strength_tail())
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test on daily revenue (round 10)
+# ---------------------------------------------------------------------------
+# The EVT/VaR queries assume nothing about the daily-revenue law; the
+# forecasting family implicitly assumes near-normal residuals. The
+# classic moment test (Jarque & Bera 1987) answers "is the daily series
+# normal AT ALL?" from skewness and excess kurtosis alone:
+# JB = n/6 · (S² + K²/4), chi-square(2) under H0.
+#
+# Exactness: central moments are shift-invariant, so the series is
+# shifted by its exact integer MINIMUM before powering (no integer
+# division, no dialect split) and the shifted powers accumulate in
+# DECIMAL(38,0) with the factor promoted before each multiply — exact
+# while the daily spread stays under ~$5.6e7 (d⁴ ≤ 1e38), far past the
+# design point. S and K are single float expressions off the 5-number
+# rollup, snapped at output; the verdict compares the snapped JB to
+# the chi-square literal, so an ulp cannot flip it.
+
+_JB_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+lo AS (SELECT CAST(min(cents) AS BIGINT) AS mn FROM daily),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents - mn AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s1,
+           CAST(sum(CAST(cents - mn AS DECIMAL(38,0)) * (cents - mn))
+                AS DECIMAL(38,0)) AS s2,
+           CAST(sum(CAST(cents - mn AS DECIMAL(38,0)) * (cents - mn)
+                    * (cents - mn)) AS DECIMAL(38,0)) AS s3,
+           CAST(sum((CAST(cents - mn AS DECIMAL(38,0)) * (cents - mn))
+                    * (CAST(cents - mn AS DECIMAL(38,0)) * (cents - mn)))
+                AS DECIMAL(38,0)) AS s4
+    FROM daily CROSS JOIN lo
+),
+cm AS (
+    -- central moments about the true mean via the raw-moment identity
+    SELECT n,
+           CAST(s1 AS DOUBLE) / n AS d1,
+           CAST(s2 AS DOUBLE) / n AS d2,
+           CAST(s3 AS DOUBLE) / n AS d3,
+           CAST(s4 AS DOUBLE) / n AS d4
+    FROM mom
+),
+sk AS (
+    SELECT n,
+           (d2 - d1 * d1) AS m2,
+           (d3 - 3e0 * d1 * d2 + 2e0 * d1 * d1 * d1) AS m3,
+           (d4 - 4e0 * d1 * d3 + 6e0 * d1 * d1 * d2
+                - 3e0 * d1 * d1 * d1 * d1) AS m4
+    FROM cm
+),
+stat AS (
+    SELECT n,
+           floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6 AS skewness,
+           floor((m4 / (m2 * m2) - 3e0) * 1e6 + 0.5) / 1e6
+               AS excess_kurtosis,
+           floor(CAST(n AS DOUBLE) / 6e0
+                 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3e0) * (m4 / (m2 * m2) - 3e0)
+                      / 4e0)
+                 * 1e6 + 0.5) / 1e6 AS jb_stat
+    FROM sk
+)
+SELECT n AS n_days, skewness, excess_kurtosis, jb_stat,
+       5.991465e0 AS chi2_crit_95,
+       CAST(CASE WHEN jb_stat > 5.991465e0 THEN 1 ELSE 0 END AS BIGINT)
+           AS reject_normality
+FROM stat
+"""
+
+
+@register("events_jarque_bera", oracle=_JB_SQL)
+def events_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera moment test of daily-revenue normality: skewness,
+    excess kurtosis, and the chi-square(2) verdict — exact shifted
+    integer moments, one corpus pass."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_JB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling normality test on daily revenue (round 10)
+# ---------------------------------------------------------------------------
+# Jarque-Bera weighs only two moments; Anderson-Darling (1952) tests
+# the WHOLE distribution with tail-heavy weighting — the strictest of
+# the classic normality tests and the one practitioners reach for
+# before trusting z-based alarms. A² = -n - (1/n)·Σ[(2i-1)·ln Φ(zᵢ) +
+# (2(n-i)+1)·ln(1-Φ(zᵢ))] over the sorted standardized series, with
+# the Stephens (1974) small-sample factor and the 0.752 five-percent
+# critical value for estimated parameters.
+#
+# Numerics: z is snapped to the 1e-6 grid BEFORE Φ (the shared A&S
+# polynomial — both engines evaluate identical text), Φ is snapped to
+# the 1e-12 grid and clamped to [1e-12, 1-1e-12] before ln (the ln(0)
+# guard), and each summand is snapped before the exact-integer sum, so
+# engine libm ulps cannot drift the fold. The rank window runs over
+# the calendar-bounded daily relation (allowlisted).
+
+_AD_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                AS DECIMAL(38,0)) AS ss
+    FROM daily
+),
+z AS (
+    SELECT CAST(row_number() OVER (ORDER BY cents, d) AS BIGINT) AS i,
+           m.n,
+           floor((cents - CAST(m.s AS DOUBLE) / m.n)
+                 / sqrt((CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                         - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                        / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+                 * 1e6 + 0.5) / 1e6 AS zi
+    FROM daily CROSS JOIN mom m
+),
+phi AS (
+    SELECT i, n,
+           LEAST(GREATEST(
+               floor(CASE WHEN zi >= 0e0
+                          THEN 1e0 - {sql_normal_two_sided_p('zi')} / 2e0
+                          ELSE {sql_normal_two_sided_p('(-zi)')} / 2e0
+                     END * 1e12 + 0.5) / 1e12,
+               1e-12), 1e0 - 1e-12) AS ph
+    FROM z
+),
+terms AS (
+    SELECT n,
+           CAST(sum(CAST(floor(((2 * i - 1) * ln(ph)
+                                + (2 * (n - i) + 1) * ln(1e0 - ph))
+                               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS t6
+    FROM phi GROUP BY n
+)
+SELECT n AS n_days,
+       floor((-CAST(n AS DOUBLE) - CAST(t6 AS DOUBLE) / 1e6 / n)
+             * 1e6 + 0.5) / 1e6 AS a2_stat,
+       floor((-CAST(n AS DOUBLE) - CAST(t6 AS DOUBLE) / 1e6 / n)
+             * (1e0 + 75e-2 / n + 225e-2 / (CAST(n AS DOUBLE) * n))
+             * 1e6 + 0.5) / 1e6 AS a2_star,
+       0.752e0 AS crit_95_est_params,
+       CAST(CASE WHEN floor((-CAST(n AS DOUBLE)
+                             - CAST(t6 AS DOUBLE) / 1e6 / n)
+                            * (1e0 + 75e-2 / n
+                               + 225e-2 / (CAST(n AS DOUBLE) * n))
+                            * 1e6 + 0.5) / 1e6 > 0.752e0
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_normality
+FROM terms
+"""
+
+
+@register("events_anderson_darling", oracle=_AD_SQL)
+def events_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality test of daily revenue with the
+    Stephens small-sample factor — tail-weighted ECDF distance via the
+    shared A&S normal polynomial, snap-before-ln discipline."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_AD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation of detrended daily counts (round 10)
+# ---------------------------------------------------------------------------
+# The forecasting ladder fits trends; Durbin-Watson (1950) asks the
+# follow-up every regression on a time series owes its reader: are the
+# RESIDUALS serially correlated (which silently shrinks every standard
+# error downstream)? OLS of daily counts on the day index, then
+# DW = Σ(eₜ-eₜ₋₁)²/Σeₜ², with the textbook DW ≈ 2(1-ρ̂) reading.
+#
+# Exactness: the day index is an exact datediff integer, OLS moments
+# accumulate in DECIMAL(38,0) with promoted factors, each residual is
+# ONE float expression snapped to the 1e-6 grid before the quadratic
+# sums (which then accumulate as exact scaled integers), and the
+# verdict compares snapped DW to the 1.5 screening literal. The lag
+# window runs over the calendar-bounded daily relation.
+
+
+def _dw_sql(days_diff: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT d, x,
+           CAST({days_diff} AS BIGINT) AS t
+    FROM daily CROSS JOIN (SELECT min(d) AS d0 FROM daily)
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS stt,
+           CAST(sum(CAST(t AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS stx
+    FROM idx
+),
+fit AS (
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+           CAST(sx AS DOUBLE) / n AS xbar,
+           CAST(st AS DOUBLE) / n AS tbar
+    FROM mom
+),
+resid AS (
+    SELECT i.t, f.n, f.b,
+           floor((i.x - (f.xbar + f.b * (i.t - f.tbar))) * 1e6 + 0.5)
+               / 1e6 AS e
+    FROM idx i CROSS JOIN fit f
+),
+lagged AS (
+    SELECT n, b, e,
+           lag(e) OVER (ORDER BY t) AS e_prev
+    FROM resid
+),
+sums AS (
+    SELECT n, b,
+           CAST(sum(CAST(floor(e * e * 1e6 + 0.5) AS BIGINT))
+                AS BIGINT) AS see6,
+           CAST(sum(CASE WHEN e_prev IS NOT NULL
+                         THEN CAST(floor((e - e_prev) * (e - e_prev)
+                                         * 1e6 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sdd6
+    FROM lagged GROUP BY n, b
+)
+SELECT n AS n_days,
+       floor(b * 1e6 + 0.5) / 1e6 AS trend_slope,
+       floor(CAST(sdd6 AS DOUBLE) / see6 * 1e6 + 0.5) / 1e6 AS dw_stat,
+       floor((1e0 - CAST(sdd6 AS DOUBLE) / see6 / 2e0) * 1e6 + 0.5) / 1e6
+           AS rho_hat,
+       CAST(CASE WHEN floor(CAST(sdd6 AS DOUBLE) / see6 * 1e6 + 0.5) / 1e6
+                      < 15e-1
+                 THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr_flag
+FROM sums
+"""
+
+
+@register(
+    "events_durbin_watson",
+    oracle=_dw_sql("date_diff('day', d0, d)"),
+)
+def events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test on OLS-detrended daily counts: DW statistic,
+    the implied lag-1 residual correlation, and the 1.5 screening flag
+    — exact integer OLS moments, snapped residuals."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_dw_sql("datediff(d, d0)"))
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled range (round 10)
+# ---------------------------------------------------------------------------
+# Burstiness/memory give one-lag persistence; the LONG-memory question
+# ("do busy days cluster across scales?") is Hurst's R/S (1951,
+# Mandelbrot & Wallis 1969): per block of size m, range of cumulative
+# mean-deviations over the block sd; H is the log-log slope of mean
+# R/S against m. H ≈ 0.5 = memoryless, > 0.5 = persistent.
+#
+# Exactness: within a block, m·W_k = m·prefix_k − k·sum_block is an
+# exact BIGINT (daily counts), and R/S = (max−min of m·W_k) /
+# sqrt(m·Σx² − (Σx)²) divides exact integers under one sqrt — one
+# float per block, snapped before the exact-integer mean. The log-log
+# slope runs on the ≤3-row ladder relation. Prefix sums come from a
+# within-block triangular join over the calendar-bounded daily
+# relation — never a window, never corpus-sized.
+
+
+def _hurst_sql(idiv: str) -> str:
+    d = lambda a, b: idiv.format(a=a, b=b)  # noqa: E731
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, x
+    FROM daily
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM idx),
+ms AS (
+    SELECT CAST(8 AS BIGINT) AS m
+    UNION ALL SELECT CAST(16 AS BIGINT)
+    UNION ALL SELECT CAST(32 AS BIGINT)
+),
+blocked AS (
+    -- complete blocks only: block b spans rows b*m+1 .. (b+1)*m
+    SELECT ms.m, CAST({d('(i.i - 1)', 'ms.m')} AS BIGINT) AS b,
+           i.i, i.x
+    FROM idx i CROSS JOIN n CROSS JOIN ms
+    WHERE {d('(i.i - 1)', 'ms.m')} < {d('n.nd', 'ms.m')}
+),
+btot AS (
+    SELECT m, b,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ss
+    FROM blocked GROUP BY m, b
+),
+prefix AS (
+    SELECT a.m, a.b, a.i,
+           CAST(sum(c.x) AS BIGINT) AS pre,
+           CAST(a.i - a.b * a.m AS BIGINT) AS k
+    FROM blocked a
+    JOIN blocked c ON c.m = a.m AND c.b = a.b AND c.i <= a.i
+    GROUP BY a.m, a.b, a.i
+),
+wrange AS (
+    SELECT p.m, p.b,
+           CAST(max(p.m * p.pre - p.k * t.sx) AS BIGINT) AS wmax,
+           CAST(min(p.m * p.pre - p.k * t.sx) AS BIGINT) AS wmin
+    FROM prefix p JOIN btot t ON t.m = p.m AND t.b = p.b
+    GROUP BY p.m, p.b
+),
+rs AS (
+    SELECT w.m,
+           floor(CAST(w.wmax - w.wmin AS DOUBLE)
+                 / sqrt(CAST(w.m AS DOUBLE) * CAST(t.ss AS DOUBLE)
+                        - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS rs_block
+    FROM wrange w JOIN btot t ON t.m = w.m AND t.b = w.b
+    WHERE CAST(w.m AS DOUBLE) * CAST(t.ss AS DOUBLE)
+          - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE) > 0e0
+),
+ladder AS (
+    SELECT m,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           floor(CAST(sum(CAST(floor(rs_block * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6
+               AS rs_mean
+    FROM rs GROUP BY m
+),
+pts AS (
+    SELECT ln(CAST(m AS DOUBLE)) AS lx, ln(rs_mean) AS ly
+    FROM ladder WHERE rs_mean > 0e0
+),
+slope AS (
+    SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+           / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)) AS h
+    FROM pts
+)
+SELECT l.m AS block_size, l.n_blocks, l.rs_mean,
+       floor(s.h * 1e6 + 0.5) / 1e6 AS hurst_exponent
+FROM ladder l CROSS JOIN slope s
+ORDER BY block_size
+"""
+
+
+@register(
+    "events_hurst_rescaled_range",
+    oracle=_hurst_sql("CAST(({a}) // ({b}) AS BIGINT)"),
+)
+def events_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily count series by classic rescaled-
+    range analysis over 8/16/32-day blocks — exact within-block integer
+    cumulative deviations, log-log slope on the bounded ladder."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hurst_sql("CAST(({a}) DIV ({b}) AS BIGINT)"))
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation via Durbin-Levinson (round 10)
+# ---------------------------------------------------------------------------
+# events_daily_acf reports raw correlations, which CONFOUND direct and
+# inherited lag structure; the AR-order question ("how many lags does
+# a forecaster actually need?") is answered by the PACF. Lags 1-3 via
+# the Durbin-Levinson recursion written closed-form over the SAME
+# textbook full-mean ACF as the Ljung-Box query (identical moment
+# construction, so the two can never disagree about r_k).
+#
+# Exactness: the moment sums are exact DECIMAL(38,0) integers; each
+# r_k is one float expression snapped to 1e-6; the DL algebra runs on
+# the 3 snapped r values and each φ_kk snaps at output. The
+# significance verdict compares snapped |pacf| to the snapped
+# 1.96/sqrt(n) band — ulps cannot flip it.
+
+_PACF_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, x
+    FROM daily
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ss
+    FROM idx
+),
+lags AS (
+    SELECT CAST(1 AS BIGINT) AS k
+    UNION ALL SELECT CAST(2 AS BIGINT)
+    UNION ALL SELECT CAST(3 AS BIGINT)
+),
+pairsums AS (
+    SELECT lg.k,
+           CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(CAST(a.x AS DECIMAL(38,0)) * b.x) AS DECIMAL(38,0))
+               AS sxy,
+           CAST(sum(CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(CAST(b.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy
+    FROM idx a
+    JOIN lags lg ON true
+    JOIN idx b ON b.i = a.i + lg.k
+    GROUP BY lg.k
+),
+acfk AS (
+    SELECT p.k, t.n,
+           floor((CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      * CAST(p.sxy AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                      * (CAST(p.sx AS DOUBLE) + CAST(p.sy AS DOUBLE))
+                  + CAST(p.np AS DOUBLE) * CAST(t.s AS DOUBLE)
+                      * CAST(t.s AS DOUBLE))
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                        * CAST(t.ss AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                        * CAST(t.s AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS r
+    FROM pairsums p CROSS JOIN tot t
+),
+rwide AS (
+    SELECT max(n) AS n,
+           min(CASE WHEN k = 1 THEN r END) AS r1,
+           min(CASE WHEN k = 2 THEN r END) AS r2,
+           min(CASE WHEN k = 3 THEN r END) AS r3
+    FROM acfk
+),
+dl AS (
+    -- Durbin-Levinson closed form for orders 1..3
+    SELECT n, r1, r2, r3,
+           r1 AS p11,
+           (r2 - r1 * r1) / (1e0 - r1 * r1) AS p22,
+           r1 * (1e0 - (r2 - r1 * r1) / (1e0 - r1 * r1)) AS p21
+    FROM rwide
+),
+pacf AS (
+    SELECT n, r1, r2, r3, p11, p22,
+           (r3 - p21 * r2 - p22 * r1)
+           / (1e0 - p21 * r1 - p22 * r2) AS p33
+    FROM dl
+)
+SELECT lg.k AS lag, p.n AS n_days,
+       CASE lg.k WHEN 1 THEN p.r1 WHEN 2 THEN p.r2 ELSE p.r3 END AS acf,
+       CASE lg.k
+            WHEN 1 THEN floor(p.p11 * 1e6 + 0.5) / 1e6
+            WHEN 2 THEN floor(p.p22 * 1e6 + 0.5) / 1e6
+            ELSE floor(p.p33 * 1e6 + 0.5) / 1e6 END AS pacf,
+       floor(196e-2 / sqrt(CAST(p.n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS conf_band,
+       CAST(CASE WHEN abs(CASE lg.k
+                       WHEN 1 THEN floor(p.p11 * 1e6 + 0.5) / 1e6
+                       WHEN 2 THEN floor(p.p22 * 1e6 + 0.5) / 1e6
+                       ELSE floor(p.p33 * 1e6 + 0.5) / 1e6 END)
+                      > floor(196e-2 / sqrt(CAST(p.n AS DOUBLE))
+                              * 1e6 + 0.5) / 1e6
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM pacf p CROSS JOIN lags lg
+ORDER BY lag
+"""
+
+
+@register("events_pacf_durbin_levinson", oracle=_PACF_SQL)
+def events_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF at lags 1-3 by the Durbin-Levinson recursion over the same
+    full-mean ACF as Ljung-Box, with the 1.96/sqrt(n) significance
+    band — the AR-order diagnostic raw ACF cannot give."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PACF_SQL)

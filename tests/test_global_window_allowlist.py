@@ -45,6 +45,10 @@ ALLOWED = {
     "events_cramer_von_mises": "eCDF over value histogram (integer cents domain — same stage class as KS)",
     "events_kuiper_two_sample": "eCDF over value histogram (integer cents domain — same stage class as KS)",
     "events_kleinberg_bursts": "day-index window over calendar-bounded daily relation (was hidden behind the recursive form's checkpoint)",
+    "events_anderson_darling": "rank window over calendar-bounded daily relation (sorted z-scores)",
+    "events_durbin_watson": "lag window over calendar-bounded daily residual relation",
+    "events_hurst_rescaled_range": "day-index window over calendar-bounded daily relation (block indexing)",
+    "events_pacf_durbin_levinson": "day-index window over calendar-bounded daily relation (same stage class as events_ljung_box_acf)",
     "events_kruskal_wallis_h": "rank-sum read off value histogram (cents grid), never per-row ranks",
     "events_qini_uplift_curve": "decile CDF over the distinct activity-score histogram + 10-row cumulative",
     "events_mann_whitney_u": "rank-sum read off value histogram, never per-row ranks",

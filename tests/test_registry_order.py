@@ -82,7 +82,20 @@ ROUND10_SPARES = [
 # New catalog queries added in round 10: replay+pytest evidence this
 # round; they take round-11 window slots (the r10 window is committed
 # to closing the never-rowed ledger at 393/393).
-ROUND10_NEW: list[str] = []
+ROUND10_NEW: list[str] = [
+    "events_welch_ttest",            # unequal-variance mean test + WS df
+    "events_jarque_bera",            # moment normality test
+    "events_anderson_darling",       # tail-weighted normality test
+    "events_durbin_watson",          # residual serial-correlation test
+    "events_hurst_rescaled_range",   # long-memory R/S ladder
+    "events_pacf_durbin_levinson",   # AR-order diagnostic off the ACF
+    "quality_mcc_confusion",         # MCC/F1/balanced-accuracy battery
+    "quality_log_loss",              # proper-score cross-entropy + Brier
+    "clustering_adjusted_rand",      # chance-corrected external index
+    "clustering_silhouette_simplified",  # centroid-based internal index
+    "corpus_source_hellinger_tv",    # metric source-distance matrix
+    "reco_slope_one_eval",           # rating-prediction baseline + MAE
+]
 
 
 def test_priority_list_is_first_50():

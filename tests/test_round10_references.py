@@ -35,7 +35,7 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
-TABLES = ["events", "documents"]
+TABLES = ["events", "documents", "embeddings"]
 
 
 @pytest.fixture(scope="module")
@@ -338,3 +338,203 @@ def test_kendall_tau_b_matches_pairwise_definition(con):
     assert discordant == d_pairs
     assert abs(g_tau - _snap(tau)) < 2e-6
     assert abs(g_gamma - _snap(gamma)) < 2e-6
+
+
+# ===========================================================================
+# Round-10 operator cross-checks (same pattern, current round's folds):
+# the most intricate new algebra — Welch-Satterthwaite, the JB central-
+# moment identity, block R/S, Durbin-Levinson, the confusion battery,
+# and pair-counting ARI — each recomputed naively in pure Python.
+# ===========================================================================
+
+
+def _hash28(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(s.encode()).hexdigest()[:7], 16)
+
+
+def test_welch_matches_two_sample_formula(con):
+    """t and the Welch-Satterthwaite df recomputed from raw per-arm
+    cents lists under the same sha-hash arm split."""
+    rows = con.execute(
+        "SELECT user_id, CAST(floor(value * 1e2 + 0.5) AS BIGINT)"
+        " FROM events WHERE event_type = 'purchase'"
+        " AND value IS NOT NULL"
+    ).fetchall()
+    arms = {0: [], 1: []}
+    for uid, cents in rows:
+        arms[_hash28(f"fx{uid}") % 2].append(cents)
+    c, t = arms[0], arms[1]
+    nc, nt = len(c), len(t)
+    mc, mt = sum(c) / nc / 1e2, sum(t) / nt / 1e2
+    vc = sum((x / 1e2 - mc) ** 2 for x in c) / (nc - 1)
+    vt = sum((x / 1e2 - mt) ** 2 for x in t) / (nt - 1)
+    se2 = vc / nc + vt / nt
+    tstat = _snap((mt - mc) / math.sqrt(se2))
+    df = se2 * se2 / ((vc / nc) ** 2 / (nc - 1) + (vt / nt) ** 2 / (nt - 1))
+    got = con.execute(_oracle("events_welch_ttest")).fetchall()[0]
+    g_nc, g_nt, g_mc, g_mt, _, _, g_t, g_df, g_p, g_rej = got
+    assert (g_nc, g_nt) == (nc, nt)
+    assert abs(g_mc - _snap(mc)) < 2e-6 and abs(g_mt - _snap(mt)) < 2e-6
+    assert abs(g_t - tstat) < 4e-6
+    assert abs(g_df - df) < 0.02
+    # p-value from the same A&S polynomial (transcription check)
+    z = abs(tstat)
+    k = 1.0 / (1.0 + 0.2316419 * z)
+    poly = k * (0.31938153 + k * (-0.356563782 + k * (1.781477937
+               + k * (-1.821255978 + k * 1.330274429))))
+    p = _snap(2.0 * 0.3989422804014327 * math.exp(-z * z / 2.0) * poly)
+    assert abs(g_p - p) < 2e-6
+    assert g_rej == (1 if p < 0.05 else 0)
+
+
+def test_jarque_bera_matches_central_moments(con):
+    """Skewness/kurtosis recomputed directly from the daily series
+    (no shifted-moment identity — different algebra, same numbers)."""
+    x = [c / 1.0 for _, c in _daily_cents(con)]
+    n = len(x)
+    m = sum(x) / n
+    m2 = sum((v - m) ** 2 for v in x) / n
+    m3 = sum((v - m) ** 3 for v in x) / n
+    m4 = sum((v - m) ** 4 for v in x) / n
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3.0
+    jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+    got = con.execute(_oracle("events_jarque_bera")).fetchall()[0]
+    n_days, g_skew, g_kurt, g_jb, crit, rej = got
+    assert n_days == n
+    assert abs(g_skew - _snap(skew)) < 4e-6
+    assert abs(g_kurt - _snap(kurt)) < 4e-6
+    assert abs(g_jb - _snap(jb)) < 1e-3  # JB compounds two snapped squares
+    assert rej == (1 if g_jb > 5.991465 else 0)
+
+
+def test_hurst_matches_block_rs(con):
+    """Per-block rescaled range recomputed with float cumulative
+    deviations (the SQL uses exact m·W_k integers — different
+    algebra)."""
+    x = [c for c in _daily_counts(con)]
+    n = len(x)
+    ladder = {}
+    for m in (8, 16, 32):
+        rs_vals = []
+        for b in range(n // m):
+            blk = x[b * m : (b + 1) * m]
+            mean = sum(blk) / m
+            w, lo, hi = 0.0, 0.0, 0.0
+            for v in blk:
+                w += v - mean
+                lo, hi = min(lo, w), max(hi, w)
+            var = sum((v - mean) ** 2 for v in blk) / m
+            if var > 0:
+                rs_vals.append(_snap((hi - lo) / math.sqrt(var)))
+        if rs_vals:
+            s6 = sum(math.floor(v * 1e6 + 0.5) for v in rs_vals)
+            ladder[m] = _snap(s6 / 1e6 / len(rs_vals))
+    pts = [(math.log(m), math.log(r)) for m, r in ladder.items() if r > 0]
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    h = (k * sum(px * py for px, py in pts) - sx * sy) / (
+        k * sum(px * px for px, _ in pts) - sx * sx)
+    rows = con.execute(_oracle("events_hurst_rescaled_range")).fetchall()
+    assert [r[0] for r in rows] == sorted(ladder)
+    for m, n_blocks, rs_mean, hurst in rows:
+        assert n_blocks == n // m
+        assert abs(rs_mean - ladder[m]) < 2e-6, m
+        assert abs(hurst - _snap(h)) < 4e-6
+
+
+def test_pacf_matches_durbin_levinson(con):
+    """ACF from the textbook definition, then the iterative DL
+    recursion (the SQL hardcodes the closed forms)."""
+    x = _daily_counts(con)
+    n = len(x)
+    m = sum(x) / n
+    c0 = sum((v - m) ** 2 for v in x)
+    r = {k: _snap(sum((x[t] - m) * (x[t + k] - m)
+                      for t in range(n - k)) / c0)
+         for k in (1, 2, 3)}
+    # iterative Durbin-Levinson
+    phi = {1: {1: r[1]}}
+    for k in (2, 3):
+        prev = phi[k - 1]
+        num = r[k] - sum(prev[j] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(prev[j] * r[j] for j in range(1, k))
+        pkk = num / den
+        phi[k] = {j: prev[j] - pkk * prev[k - j] for j in range(1, k)}
+        phi[k][k] = pkk
+    rows = con.execute(_oracle("events_pacf_durbin_levinson")).fetchall()
+    band = _snap(1.96 / math.sqrt(n))
+    for lag, n_days, acf, pacf, g_band, sig in rows:
+        assert n_days == n
+        assert abs(acf - r[lag]) < 2e-6
+        assert abs(pacf - _snap(phi[lag][lag])) < 4e-6, lag
+        assert g_band == band
+        assert sig == (1 if abs(_snap(phi[lag][lag])) > band else 0)
+
+
+def test_mcc_matches_confusion_definition(con):
+    """The whole battery recomputed from per-doc (kept, truth) pairs."""
+    feats = _doc_feats(con)
+    tp = sum(1 for s, g in feats if s >= 0.5 and g == 1)
+    fp = sum(1 for s, g in feats if s >= 0.5 and g == 0)
+    fn = sum(1 for s, g in feats if s < 0.5 and g == 1)
+    tn = sum(1 for s, g in feats if s < 0.5 and g == 0)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    got = con.execute(_oracle("quality_mcc_confusion")).fetchall()[0]
+    g_tp, g_fp, g_fn, g_tn, prec, rec, f1, bacc, inf, g_mcc = got
+    assert (g_tp, g_fp, g_fn, g_tn) == (tp, fp, fn, tn)
+    assert abs(prec - _snap(tp / (tp + fp))) < 2e-6
+    assert abs(rec - _snap(tp / (tp + fn))) < 2e-6
+    assert abs(f1 - _snap(2 * tp / (2 * tp + fp + fn))) < 2e-6
+    assert abs(bacc - _snap((tp / (tp + fn) + tn / (tn + fp)) / 2)) < 2e-6
+    assert abs(inf - _snap(tp / (tp + fn) + tn / (tn + fp) - 1)) < 2e-6
+    assert abs(g_mcc - _snap(mcc)) < 2e-6
+
+
+def test_adjusted_rand_matches_pair_counting(con):
+    """The Lloyd assignment replicated point-by-point (snapped
+    distances, id tie-break), then ARI by the literal pair-counting
+    definition."""
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[], label FROM embeddings"
+    ).fetchall()
+    vecs = {vid: (v, lab) for vid, v, lab in rows}
+    cents = {vid: v for vid, (v, _) in vecs.items() if vid < 8}
+
+    def d2(v, c):
+        nv = sum(x * x for x in v)
+        nc = sum(x * x for x in c)
+        dot = sum(a * b for a, b in zip(v, c))
+        return _snap(nv - 2 * dot + nc)
+
+    assign = {}
+    for vid, (v, lab) in vecs.items():
+        best = min((d2(v, c), cell) for cell, c in cents.items())
+        assign[vid] = (best[1], lab)
+    cells = Counter(assign.values())
+    n = len(assign)
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    s_ij = sum(c2(v) for v in cells.values())
+    a_tot = Counter()
+    b_tot = Counter()
+    for (cell, lab), cnt in cells.items():
+        a_tot[cell] += cnt
+        b_tot[lab] += cnt
+    s_i = sum(c2(v) for v in a_tot.values())
+    s_j = sum(c2(v) for v in b_tot.values())
+    s_0 = c2(n)
+    ari = (s_ij - s_i * s_j / s_0) / ((s_i + s_j) / 2 - s_i * s_j / s_0)
+    ri = (s_0 + 2 * s_ij - s_i - s_j) / s_0
+    got = con.execute(_oracle("clustering_adjusted_rand")).fetchall()[0]
+    n_points, n_cells, n_labels, g_ari, g_ri = got
+    assert n_points == n
+    assert n_cells == len(a_tot) and n_labels == len(b_tot)
+    assert abs(g_ari - _snap(ari)) < 2e-6
+    assert abs(g_ri - _snap(ri)) < 2e-6

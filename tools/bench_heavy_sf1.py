@@ -47,6 +47,20 @@ HEAVY = [
     "orders_weibull_interpurchase",
     "events_effect_sizes",
     "clustering_davies_bouldin",
+    # VERDICT r9 task 4: the heaviest remaining round-9 shapes —
+    # placement moments off the score histogram, DFT/STL heads, and
+    # the Erlang-C staffing fold off the peak-hour scan.
+    "quality_auc_delong_ci",
+    "events_spectral_entropy",
+    "events_seasonal_strength",
+    "events_erlang_staffing",
+    # round-10 additions with a full corpus pass (featurize, k-way
+    # embedding join, shared-vocab pair join, ratings join): the rest
+    # of the round-10 ops run on calendar-bounded relations.
+    "quality_log_loss",
+    "clustering_silhouette_simplified",
+    "corpus_source_hellinger_tv",
+    "reco_slope_one_eval",
 ]
 
 
