@@ -689,13 +689,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pair generation — per-bucket pair emission is bounded at
     cap·(cap−1)/2, so one degenerate signature cluster can no longer
     serialize a task (tests/test_skew.py proves the bound under a
-    30-identical-docs fixture) and runtime stays flat across data
-    decades (BENCH_DEDUP_SCALING.json: 13.9 s → 13.3 s from 10× to
-    100× data, versus 37.4× growth uncapped). Giant buckets are
-    boilerplate-identical clusters better handled by exact dedup
-    (dedup_exact_documents — the documented hand-off). Opt out via
-    dedup_minhash_lsh_uncapped, the explicit diagnostic twin; the
-    cap's recall delta on exact-Jaccard ground truth is measured in
+    30-identical-docs fixture). Round-10 min-of-5 study
+    (BENCH_DEDUP_SCALING.json): candidate pairs stay LINEAR in data
+    (6.0k → 59k → 589k at 1×/10×/100×, ~46% below uncapped at every
+    point); wall 1.76 → 5.50 → 14.1 s (8.0× for 100× data) vs
+    uncapped 1.40 → 7.43 → 14.6 s (10.4×) — the cap's constant
+    ~0.35 s bookkeeping at 1× repays by 10× and the adversarial
+    B²/2-per-bucket blowup (a boilerplate cluster of B docs) is
+    bounded by construction. Giant buckets are boilerplate-identical
+    clusters better handled by exact dedup (dedup_exact_documents —
+    the documented hand-off). Opt out via dedup_minhash_lsh_uncapped,
+    the explicit diagnostic twin; the cap's recall delta on
+    exact-Jaccard ground truth is measured in
     tests/test_mllib_parity.py.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")

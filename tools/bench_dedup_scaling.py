@@ -198,8 +198,25 @@ def time_set(spark, sf_dir: str) -> dict[str, float]:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
         spark.sparkContext._jvm.System.gc()
-    for _ in range(REPEATS):
-        for name in runnable:
+    # Re-PERMUTE the cycle per repeat (round 10): with a fixed order,
+    # each query inherits the same predecessor every cycle, and a
+    # predecessor with heavy async cleanup (the closeness query's
+    # checkpoint blocks drain via the ContextCleaner while the NEXT
+    # query runs) taxes the same victim in all three cycles — measured
+    # directly: both LSH variants run ~0.5-1.0 s slower at sf0.1 when
+    # preceded by closeness than when preceded by each other, and
+    # min-of-3 cannot shed a penalty that recurs at the same position.
+    # A cyclic ROTATION does not help (it preserves adjacency), so each
+    # cycle uses a deterministic hash-keyed shuffle — every query's min
+    # is then taken over three different predecessor patterns.
+    import hashlib
+
+    for r in range(REPEATS):
+        order = sorted(
+            runnable,
+            key=lambda n: hashlib.md5(f"{r}:{n}".encode()).hexdigest(),
+        )
+        for name in order:
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -259,9 +276,13 @@ def main() -> None:
                  "embeddings replicate verbatim (ANN = skew-adversarial "
                  "upper bound); each point = min of "
                  f"{REPEATS} warm runs after one untimed warm-up "
-                 "cycle (r10 change: the cold first cycle previously "
-                 "landed on the first-listed query and survived "
-                 "min-of-3 as a phantom 1.4x cap overhead); "
+                 "cycle, with the cycle order RE-PERMUTED per repeat "
+                 "(r10 change: a fixed cyclic order gives each query "
+                 "the same predecessor every cycle, so one "
+                 "predecessor's async checkpoint-cleanup drain taxed "
+                 "the same victim in all repeats and survived "
+                 "min-of-3 as a phantom cap overhead — measured "
+                 "~0.5-1.0 s predecessor tax on BOTH LSH variants); "
                  "dedup_minhash_lsh is the CAPPED "
                  "default since r9 (uncapped = diagnostic twin); "
                  "closeness_* rows decompose graph_closeness_centrality "
