@@ -1505,3 +1505,143 @@ def quality_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     score and prevalence-entropy baseline beside it."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_LOGLOSS_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# KS score separation (round 10)
+# ---------------------------------------------------------------------------
+# The credit-scoring "KS statistic": the maximum gap between the score
+# CDFs of the positive and negative classes — how well does ONE
+# threshold separate them at its best? Complements AUC (threshold-free
+# rank quality) and the confusion battery (one fixed threshold).
+# Read off the same snapped-score histogram as the AUC/calibration
+# family; the gap is exact integer cross-multiplication
+# |cum_pos·n_neg − cum_neg·n_pos| (the drift-family KS discipline), so
+# the argmax is ulp-proof, with the deterministic tie-break on the
+# LOWEST qualifying score.
+
+_KSSEP_TAIL = f"""{{flagged}},
+hist AS (
+    SELECT score,
+           CAST(sum(gopher_pass) AS BIGINT) AS c_pos,
+           CAST(sum(1 - gopher_pass) AS BIGINT) AS c_neg
+    FROM flagged GROUP BY score
+),
+cum AS (
+    SELECT score,
+           CAST(sum(c_pos) OVER (ORDER BY score) AS BIGINT) AS cum_pos,
+           CAST(sum(c_neg) OVER (ORDER BY score) AS BIGINT) AS cum_neg
+    FROM hist
+),
+tot AS (
+    SELECT CAST(sum(c_pos) AS BIGINT) AS m,
+           CAST(sum(c_neg) AS BIGINT) AS n
+    FROM hist
+),
+gaps AS (
+    SELECT c.score,
+           abs(CAST(c.cum_pos AS DECIMAL(38,0)) * t.n
+               - CAST(c.cum_neg AS DECIMAL(38,0)) * t.m) AS gap_i,
+           t.m, t.n
+    FROM cum c CROSS JOIN tot t
+),
+best AS (
+    SELECT score AS ks_score, gap_i, m, n
+    FROM gaps ORDER BY gap_i DESC, score ASC LIMIT 1
+)
+SELECT m AS n_pos, n AS n_neg,
+       floor(CAST(gap_i AS DOUBLE) / (CAST(m AS DOUBLE) * n)
+             * 1e6 + 0.5) / 1e6 AS ks_stat,
+       ks_score AS ks_threshold_score
+FROM best
+"""
+
+_KSSEP_SPARK_SQL = (
+    _FEATS_SPARK_HEADER + "," + _KSSEP_TAIL.format(flagged=_flagged_chain())
+)
+_KSSEP_DUCK_SQL = (
+    _FEATS_DUCK_HEADER + "," + _KSSEP_TAIL.format(flagged=_flagged_chain())
+)
+
+
+@register("quality_ks_separation", oracle=_KSSEP_DUCK_SQL)
+def quality_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS separation of the logistic gate: maximum CDF gap between the
+    Gopher-positive and -negative score distributions, with the score
+    where it occurs — exact integer cross-multiplied gaps off the
+    shared snapped-score histogram."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_KSSEP_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table (round 10)
+# ---------------------------------------------------------------------------
+# The campaign-targeting view of the same gate: rank documents by
+# score DESCENDING, and per decile of the population report the share
+# of all positives captured so far (gains) and the lift over random.
+# Deciles come from the distinct-score CDF by integer ceil-division
+# (the calibration-bins idiom, inverted for descending rank), so ties
+# share a decile and both engines bucket identically.
+
+_GAINS_TAIL = f"""{{flagged}},
+hist AS (
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(sum(gopher_pass) AS BIGINT) AS c_pos
+    FROM flagged GROUP BY score
+),
+chist AS (
+    SELECT c_all, c_pos,
+           CAST(sum(c_all) OVER (ORDER BY score DESC) AS BIGINT) AS cum
+    FROM hist
+),
+tot AS (
+    SELECT CAST(sum(c_all) AS BIGINT) AS n,
+           CAST(sum(c_pos) AS BIGINT) AS m
+    FROM hist
+),
+bucketed AS (
+    SELECT CAST({{idiv}} AS INT) AS decile,
+           CAST(sum(c.c_all) AS BIGINT) AS n_docs,
+           CAST(sum(c.c_pos) AS BIGINT) AS n_pos
+    FROM chist c CROSS JOIN tot t
+    GROUP BY 1
+),
+cumul AS (
+    SELECT decile, n_docs, n_pos,
+           CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+           CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+    FROM bucketed
+)
+SELECT c.decile, c.n_docs, c.n_pos,
+       floor(CAST(c.cum_pos AS DOUBLE) / t.m * 1e6 + 0.5) / 1e6
+           AS cum_gain,
+       floor((CAST(c.cum_pos AS DOUBLE) / t.m)
+             / (CAST(c.cum_docs AS DOUBLE) / t.n) * 1e6 + 0.5) / 1e6
+           AS cum_lift
+FROM cumul c CROSS JOIN tot t
+ORDER BY c.decile
+"""
+
+
+def _gains_sql(header: str, idiv: str) -> str:
+    return (
+        header + "," + _GAINS_TAIL
+        .replace("{idiv}", idiv.format(a="10 * c.cum + t.n - 1", b="t.n"))
+        .replace("{flagged}", _flagged_chain())
+    )
+
+
+@register(
+    "quality_cumulative_gains",
+    oracle=_gains_sql(_FEATS_DUCK_HEADER, "CAST(({a}) // ({b}) AS BIGINT)"),
+)
+def quality_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift per score-descending population decile
+    — the targeting table beside the qini/uplift family, off the
+    distinct-score CDF ceil-division buckets."""
+    load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _gains_sql(_FEATS_SPARK_HEADER, "CAST(({a}) DIV ({b}) AS BIGINT)")
+    )

@@ -4040,3 +4040,62 @@ def events_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     band — the AR-order diagnostic raw ACF cannot give."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_PACF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion (variance-to-mean) test on daily counts (r10)
+# ---------------------------------------------------------------------------
+# Every Poisson-assuming model downstream (Erlang staffing, rate
+# alarms) owes the reader this one-row diagnostic: is the daily count
+# series actually Poisson-dispersed? The classic index-of-dispersion
+# test (Fisher 1950): D = (n-1)·s²/x̄ is chi-square(n-1) under H0, and
+# the Wilson-Hilferty-free normal approximation z = sqrt(2D) -
+# sqrt(2·df - 1) is standard for the df here (days, >> 30). Exact
+# integer moments, one final float chain, snapped z into the shared
+# A&S polynomial for the p-value.
+
+_DISPERSION_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ss
+    FROM daily
+),
+stat AS (
+    SELECT n,
+           floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_count,
+           floor(((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(s AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS vmr,
+           floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS d_stat,
+           floor((sqrt(2e0 * ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / CAST(s AS DOUBLE)))
+                  - sqrt(2e0 * (n - 1) - 1e0)) * 1e6 + 0.5) / 1e6 AS z
+    FROM mom
+)
+SELECT n AS n_days, mean_count, vmr, d_stat, z,
+       floor({sql_normal_two_sided_p('abs(z)')} * 1e6 + 0.5) / 1e6
+           AS p_approx,
+       CAST(CASE WHEN floor({sql_normal_two_sided_p('abs(z)')}
+                            * 1e6 + 0.5) / 1e6 < 5e-2
+                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed_05
+FROM stat
+"""
+
+
+@register("events_poisson_dispersion", oracle=_DISPERSION_SQL)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion test of the daily counts: variance-to-mean
+    ratio, the chi-square D statistic, and the sqrt-2D normal
+    approximation verdict — the Poisson-assumption gate for the
+    staffing/alarm family."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_DISPERSION_SQL)

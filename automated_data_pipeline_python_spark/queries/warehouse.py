@@ -2147,3 +2147,67 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_elasticity_sql())
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase depth curve (round 10)
+# ---------------------------------------------------------------------------
+# The retention ladder a growth review reads before any LTV model: for
+# k = 1..10, how many customers placed at least k orders, what share
+# of the base is that, and the conditional continuation rate
+# P(>= k+1 | >= k) — the curve whose flatness justifies (or kills)
+# the geometric-churn assumption in orders_cohort_ltv. One corpus
+# pass to per-customer order counts, then a bounded 10-row spine scan
+# of the count histogram; all shares are single float expressions
+# over exact integers.
+
+
+def _repeat_curve_sql(spine: str) -> str:
+    return f"""
+WITH per_cust AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+chist AS (
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS c
+    FROM per_cust GROUP BY n_orders
+),
+ks AS ({spine}),
+depth AS (
+    SELECT ks.k,
+           CAST(sum(CASE WHEN h.n_orders >= ks.k THEN h.c ELSE 0 END)
+                AS BIGINT) AS n_at_least
+    FROM ks CROSS JOIN chist h
+    GROUP BY ks.k
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_cust FROM chist)
+SELECT d.k AS min_orders,
+       d.n_at_least AS n_customers,
+       floor(CAST(d.n_at_least AS DOUBLE) / t.n_cust * 1e6 + 0.5) / 1e6
+           AS share_of_base,
+       CASE WHEN nxt.n_at_least IS NOT NULL AND d.n_at_least > 0
+            THEN floor(CAST(nxt.n_at_least AS DOUBLE) / d.n_at_least
+                       * 1e6 + 0.5) / 1e6
+       END AS continuation_rate
+FROM depth d
+LEFT JOIN depth nxt ON nxt.k = d.k + 1
+CROSS JOIN tot t
+ORDER BY min_orders
+"""
+
+
+@register(
+    "orders_repeat_purchase_curve",
+    oracle=_repeat_curve_sql(
+        "SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS k"
+    ),
+)
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase depth curve: customers with >= k orders
+    (k = 1..10), share of the base, and the conditional continuation
+    rate — the retention ladder under every LTV assumption."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_repeat_curve_sql(
+        "SELECT CAST(kk AS BIGINT) AS k"
+        " FROM (SELECT explode(sequence(1, 10)) AS kk)"
+    ))

@@ -70,6 +70,8 @@ ALLOWED = {
     "quality_calibration_bins": "CDF over distinct-score histogram (snapped grid)",
     "quality_raters_kendall_tau": "CDF over distinct-score histogram (reuses the calibration decile idiom verbatim)",
     "quality_pr_auc": "PR-curve steps off snapped-score histogram (bounded grid)",
+    "quality_ks_separation": "CDF gap off snapped-score histogram (bounded grid — same stage class as quality_pr_auc)",
+    "quality_cumulative_gains": "descending-score CDF + 10-row decile cumulative (snapped-score histogram)",
     "quality_conformal_interval": "quantile read off residual histogram (bounded residual domain)",
     "quality_ece_from_bins": "rollup of the decile-bin chain (snapped-score histogram CDF)",
     "sketch_ams_f2_moment": "median rank over the 16 estimator rows (constant k)",

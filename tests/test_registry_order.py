@@ -95,6 +95,10 @@ ROUND10_NEW: list[str] = [
     "clustering_silhouette_simplified",  # centroid-based internal index
     "corpus_source_hellinger_tv",    # metric source-distance matrix
     "reco_slope_one_eval",           # rating-prediction baseline + MAE
+    "quality_ks_separation",         # max CDF gap between classes
+    "quality_cumulative_gains",      # targeting gains/lift deciles
+    "events_poisson_dispersion",     # variance-to-mean Poisson gate
+    "orders_repeat_purchase_curve",  # retention depth ladder
 ]
 
 
