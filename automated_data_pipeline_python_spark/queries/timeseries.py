@@ -4099,3 +4099,113 @@ def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     staffing/alarm family."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_DISPERSION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Theta-method forecast backtest (round 10)
+# ---------------------------------------------------------------------------
+# The M3-competition winner (Assimakopoulos & Nikolopoulos 2000) in
+# its standard two-line reading: the theta(0,2) forecast is the
+# average of a LINEAR TREND extrapolation and SIMPLE EXPONENTIAL
+# SMOOTHING of the series. Backtested here the way the MASE-ladder
+# query frames it: hold out the final 7 days of daily revenue, fit on
+# the rest, and score each horizon against the in-sample naive scale.
+#
+# Exactness: the trend comes from exact DECIMAL integer moments; the
+# SES level folds left-to-right with each step snapped to 1e-6 (the
+# Holt/Erlang fold discipline — Spark aggregate() and DuckDB
+# list_reduce replay the identical arithmetic on the identically
+# ordered array); the MASE scale is an exact integer |diff| mean. One
+# corpus pass; everything else is calendar-bounded.
+
+_THETA_STEP = "floor((3e-1 * v + 7e-1 * acc) * 1e6 + 0.5) / 1e6"
+
+
+def _theta_sql(arr: str, fold: str) -> str:
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+    SELECT d, cents,
+           CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+    FROM daily
+),
+nn AS (SELECT CAST(count(*) - 7 AS BIGINT) AS n_train FROM idx),
+train AS (
+    SELECT i.i, i.cents FROM idx i CROSS JOIN nn
+    WHERE i.i <= nn.n_train
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i) AS BIGINT) AS st,
+           CAST(sum(cents) AS BIGINT) AS sx,
+           CAST(sum(CAST(i AS DECIMAL(38,0)) * i) AS DECIMAL(38,0)) AS stt,
+           CAST(sum(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+               AS stx
+    FROM train
+),
+fit AS (
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+           CAST(sx AS DOUBLE) / n AS xbar,
+           CAST(st AS DOUBLE) / n AS tbar
+    FROM mom
+),
+arrs AS (SELECT {arr} AS xs FROM train),
+ses AS (SELECT {fold} AS l FROM arrs),
+scale AS (
+    SELECT CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS sdiff,
+           CAST(count(*) AS BIGINT) AS ndiff
+    FROM train a JOIN train b ON b.i = a.i - 1
+),
+test AS (
+    SELECT i.i - nn.n_train AS h, i.d, i.cents
+    FROM idx i CROSS JOIN nn WHERE i.i > nn.n_train
+)
+SELECT t.h AS horizon_days,
+       CAST(t.d AS STRING) AS day,
+       floor(t.cents / 1e2 * 1e6 + 0.5) / 1e6 AS actual,
+       floor((5e-1 * ses.l
+              + 5e-1 * (f.xbar + f.b * (f.n + t.h - f.tbar)))
+             / 1e2 * 1e6 + 0.5) / 1e6 AS theta_forecast,
+       floor(abs(t.cents
+                 - (5e-1 * ses.l
+                    + 5e-1 * (f.xbar + f.b * (f.n + t.h - f.tbar))))
+             / 1e2 * 1e6 + 0.5) / 1e6 AS abs_err,
+       floor(abs(t.cents
+                 - (5e-1 * ses.l
+                    + 5e-1 * (f.xbar + f.b * (f.n + t.h - f.tbar))))
+             / (CAST(sc.sdiff AS DOUBLE) / sc.ndiff)
+             * 1e6 + 0.5) / 1e6 AS mase_h
+FROM test t
+CROSS JOIN ses CROSS JOIN fit f CROSS JOIN scale sc
+ORDER BY horizon_days
+"""
+
+
+@register(
+    "events_theta_forecast",
+    oracle=_theta_sql(
+        "list(CAST(cents AS DOUBLE) ORDER BY i)",
+        f"list_reduce(arrs.xs, (acc, v) -> {_THETA_STEP})",
+    ),
+)
+def events_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta(0,2) forecast of daily revenue — the average of a linear
+    trend extrapolation and snapped-fold SES — backtested on a held-out
+    final week with per-horizon MASE."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_theta_sql(
+        "transform(array_sort(collect_list(named_struct('i', i,"
+        " 'c', cents))), s -> CAST(s.c AS DOUBLE))",
+        "aggregate(slice(arrs.xs, 2, size(arrs.xs) - 1),"
+        f" element_at(arrs.xs, 1), (acc, v) -> {_THETA_STEP})",
+    ))

@@ -46,6 +46,7 @@ ALLOWED = {
     "events_kuiper_two_sample": "eCDF over value histogram (integer cents domain — same stage class as KS)",
     "events_kleinberg_bursts": "day-index window over calendar-bounded daily relation (was hidden behind the recursive form's checkpoint)",
     "events_anderson_darling": "rank window over calendar-bounded daily relation (sorted z-scores)",
+    "events_theta_forecast": "day-index window over calendar-bounded daily relation (train/test split)",
     "events_durbin_watson": "lag window over calendar-bounded daily residual relation",
     "events_hurst_rescaled_range": "day-index window over calendar-bounded daily relation (block indexing)",
     "events_pacf_durbin_levinson": "day-index window over calendar-bounded daily relation (same stage class as events_ljung_box_acf)",

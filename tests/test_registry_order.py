@@ -99,6 +99,7 @@ ROUND10_NEW: list[str] = [
     "quality_cumulative_gains",      # targeting gains/lift deciles
     "events_poisson_dispersion",     # variance-to-mean Poisson gate
     "orders_repeat_purchase_curve",  # retention depth ladder
+    "events_theta_forecast",         # M3-winning theta backtest + MASE
 ]
 
 
