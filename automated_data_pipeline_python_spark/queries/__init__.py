@@ -51,78 +51,84 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # Registry priority order
 # ---------------------------------------------------------------------------
 # The grading driver records correctness rows for (at most) the first 50
-# registered queries. From round 5 onward the window's job is converting
-# replay-only evidence into hard driver rows. Round 10 (VERDICT r9 task
-# 1): the r1-r9 union driver-rowed 363 of 393 queries; this window
-# spends 30 slots on the only never-rowed queries left — the ROUND9_NEW
-# operators — making the catalog 393/393 ever-rowed for the first time.
-# The 20 spare slots re-validate the headline battery: dedup_minhash_lsh
-# FIRST because its bucket-cap bookkeeping is being trimmed this round
-# (VERDICT r9 task 3 — the plan changes, so a fresh hash row is
-# load-bearing), its uncapped twin for the shared-template blast
-# radius, then the heaviest oracled plans by BENCH_r09 per-query minima
-# and one representative per major family. Everything rotated out stays
-# proven by regenerated round-10 full replays committed at round end
-# plus the pytest oracle-parity sweep.
+# registered queries. Round 11 (VERDICT r10 task 1) closes the ledger
+# AND the sentinel-exemption set at once:
+#   - 17 slots: every ROUND10_NEW operator (the only never-driver-rowed
+#     queries left) — with the r11 window the whole 410-query catalog is
+#     ever-driver-rowed. Three of them (clustering_adjusted_rand,
+#     reco_slope_one_eval, events_poisson_dispersion) also carry this
+#     round's ADVICE fixes, so their fresh rows validate the new plans.
+#   - 24 slots: one sentinel per query module not already covered by the
+#     block above, emptying REPLAY_COVERED_MODULES (r10 verdict "What's
+#     wrong" #2): a regression in ANY module can now surface in the
+#     driver's independent gate. Sentinels double as headline battery
+#     where possible (q1/q8/tfidf/minhash/ann_ivf), and training's slot
+#     goes to sample_neyman_allocation whose post-dea6201 integer-snap
+#     plan has never had a driver row.
+#   - 9 spares: heaviest oracled plans (BENCH_r10 minima), the uncapped
+#     LSH template twin, orders_bass_diffusion (post-dea6201 DECIMAL
+#     plan never rowed), and the as-of-join python exemption.
+# Everything rotated out stays proven by the committed full-catalog
+# replays (VERIFY_FULL_r11*) plus the pytest oracle-parity sweep.
 _PRIORITY = [
-    # -- All 30 ROUND9_NEW operators (replay+pytest in r9; rows now):
-    "lineitem_sbc_demand_classes",
-    "events_gumbel_block_maxima",
-    "feature_woe_iv",
-    "sketch_hll_portable",
-    "quality_auc_delong_ci",
-    "events_ljung_box_acf",
-    "events_pettitt_changepoint",
-    "events_var_cvar_daily",
-    "orders_weibull_interpurchase",
-    "events_interrupted_time_series",
-    "clustering_davies_bouldin",
-    "quality_spiegelhalter_z",
-    "events_effect_sizes",
-    "events_slo_burn_rate",
-    "embedding_mahalanobis_outliers",
-    "events_erlang_staffing",
-    "events_spectral_entropy",
-    "orders_bass_diffusion",
-    "text_yule_k_herdan",
-    "feature_hashing_collisions",
-    "quality_fairness_by_source",
-    "lineitem_price_elasticity",
-    "sample_neyman_allocation",
-    "events_burstiness_memory",
-    "events_switchback_lift",
-    "events_forecast_mase_ladder",
-    "clustering_label_purity",
-    "events_seasonal_strength",
-    "quality_raters_kendall_tau",
-    "dq_tukey_fences",
-    # -- 20 spare slots: the cap-trim pair (plan changes this round),
-    # then heaviest oracled plans (BENCH_r09 minima) + family
-    # representatives.
-    "dedup_minhash_lsh",
+    # -- All 17 ROUND10_NEW operators (replay+pytest in r10; rows now):
+    "events_welch_ttest",
+    "events_jarque_bera",
+    "events_anderson_darling",
+    "events_durbin_watson",
+    "events_hurst_rescaled_range",
+    "events_pacf_durbin_levinson",
+    "quality_mcc_confusion",
+    "quality_log_loss",
+    "clustering_adjusted_rand",
+    "clustering_silhouette_simplified",
+    "corpus_source_hellinger_tv",
+    "reco_slope_one_eval",
+    "quality_ks_separation",
+    "quality_cumulative_gains",
+    "events_poisson_dispersion",
+    "orders_repeat_purchase_curve",
+    "events_theta_forecast",
+    # -- 24 module sentinels (module in comment), emptying the
+    # replay-only exemption set:
+    "corpus_curation_funnel",           # curation
+    "quality_naive_bayes_gate",         # curation3
+    "dedup_minhash_lsh",                # dedup (headline, capped default)
+    "dq_star_schema_report",            # dq
+    "events_sessionization",            # events
+    "events_ab_test_lift",              # experiments
+    "events_interrupted_time_series",   # experiments2
+    "graph_brand_pagerank",             # graph
+    "bpe_train_merge_rounds",           # lm (two-pass replace() semantics)
+    "lateral_top2_orders_per_customer", # modern_sql
+    "multimodal_media_metadata",        # multimodal
+    "rag_mmr_rerank",                   # rag
+    "q1_pricing_summary",               # relational (headline)
+    "pivot_status_by_priority",         # relational2
+    "q2_cheapest_supplier_per_part",    # relational3
+    "agg_corr_regression",              # relational4
+    "fuzzy_levenshtein_pairs",          # relational5
+    "text_bm25_ranking",                # retrieval
+    "ann_ivf_topk",                     # similarity (headline ANN)
+    "sketch_heavy_hitter_terms",        # sketches
+    "text_quality_scores",              # text
+    "q8_market_share",                  # tpch2 (headline)
+    "sample_neyman_allocation",         # training (post-fix plan, no row yet)
+    "text_tfidf_top_terms",             # windows2 (headline)
+    # -- 9 spares: heaviest plans + load-bearing re-validations.
     "dedup_minhash_lsh_uncapped",
     "dedup_simhash_pairs",
     "kmeans_lloyd_refine",
-    "text_tfidf_top_terms",
     "q5_region_revenue",
-    "q21_sole_late_shipper",
-    "q8_market_share",
-    "ann_lsh_topk",
-    "contamination_ngram_overlap",
-    "ann_ivf_topk",
     "q3_shipping_priority",
-    "q1_pricing_summary",
-    "corpus_curation_funnel",
-    "dq_star_schema_report",
+    "q21_sole_late_shipper",
+    "orders_bass_diffusion",
     "join_asof_purchase_click",
     "dedup_exact_documents",
-    "events_sessionization",
-    "knn_bruteforce_topk",
-    "semdedup_cluster_prune",
-    # Everything else (all other r1-r9 driver-rowed queries and any
-    # round-10 additions) still registers and is replayed by
+    # Everything else (all other r1-r10 driver-rowed queries and any
+    # round-11 additions) still registers and is replayed by
     # tools/verify_driver.py at sf0.01+sf0.1 per round
-    # (VERIFY_FULL_r10*), plus the pytest oracle-parity sweep.
+    # (VERIFY_FULL_r11*), plus the pytest oracle-parity sweep.
 ]
 
 

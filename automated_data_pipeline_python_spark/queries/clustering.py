@@ -652,24 +652,29 @@ def clustering_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment subtree as purity/Davies-Bouldin, so all three external/
 # internal gates judge the SAME partition.
 #
-# Exactness: every pair count is an exact integer — C(x,2) products
-# promote to DECIMAL(38,0) before multiplying (cell sizes are
-# corpus-scaled) — and ARI/RI are single float expressions over the
-# 4-number rollup, snapped at output. The contingency grid is
-# (cells x labels)-bounded; the corpus shuffles once on the argmin key
-# and once on the grid key.
+# Exactness: every pair sum is an exact integer — the DOUBLED pair
+# count x·(x-1) = 2·C(x,2) promotes to DECIMAL(38,0) before multiplying
+# (cell sizes are corpus-scaled), and the factor of 2 cancels
+# algebraically in both the ARI and Rand expressions, so no halving
+# division ever happens (DECIMAL/2 promotes to DOUBLE in DuckDB and
+# loses exactness past 2^53). ARI/RI are single float expressions over
+# the 4-number rollup, snapped at output. The contingency grid is
+# (cells x labels)-bounded and referenced by seven scalar subqueries,
+# so the Spark side materializes it once (localCheckpoint — Spark
+# inlines CTEs; DuckDB materializes shared CTEs itself); the corpus
+# shuffles once on the argmin key and once on the grid key.
 
 
-def _ari_sql(dot, bigint) -> str:
+def _ari_grid_ctes(dot) -> str:
+    """CTE chain (no WITH keyword) ending in cl — the (cell, label, n)
+    contingency grid of the one-step Lloyd partition vs labels,
+    parameterized by {base_src}."""
+
     def d2(bn: str, a: str, b: str, cn: str) -> str:
         expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
         return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
 
-    def c2(x: str) -> str:
-        return f"CAST(CAST({x} AS DECIMAL(38,0)) * ({x} - 1) / 2 AS DECIMAL(38,0))"
-
-    return f"""
-WITH base AS ({{base_src}}),
+    return f"""base AS ({{base_src}}),
 c0 AS (
     SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
 ),
@@ -688,24 +693,36 @@ cl AS (
     SELECT m1.cell, e.label, CAST(count(*) AS BIGINT) AS n
     FROM m1 JOIN embeddings e ON e.vec_id = m1.vec_id
     GROUP BY m1.cell, e.label
-),
-sums AS (
+)"""
+
+
+def _c2x(x: str) -> str:
+    # Doubled pair count x·(x-1) = 2·C(x,2): exact in DECIMAL(38,0) on
+    # both engines; the 2 cancels in ARI and RI below.
+    return f"CAST(CAST({x} AS DECIMAL(38,0)) * ({x} - 1) AS DECIMAL(38,0))"
+
+
+# Tail over the materialized grid {cl} (CTE chain, no WITH keyword).
+# With every sum doubled (s' = 2s), numerator s'_ij − s'_i·s'_j/s'_0 =
+# 2·num and denominator (s'_i + s'_j)/2 − s'_i·s'_j/s'_0 = 2·den, so
+# ARI is unchanged; the Rand ratio's doubling cancels termwise.
+_ARI_TAIL = f"""sums AS (
     SELECT
-        CAST(sum({c2('n')}) AS DECIMAL(38,0)) AS s_ij,
-        (SELECT CAST(sum({c2('a')}) AS DECIMAL(38,0))
-         FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM cl GROUP BY cell) ga)
+        CAST(sum({_c2x('n')}) AS DECIMAL(38,0)) AS s_ij,
+        (SELECT CAST(sum({_c2x('a')}) AS DECIMAL(38,0))
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM {{cl}} GROUP BY cell) ga)
             AS s_i,
-        (SELECT CAST(sum({c2('b')}) AS DECIMAL(38,0))
-         FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM cl GROUP BY label) gb)
+        (SELECT CAST(sum({_c2x('b')}) AS DECIMAL(38,0))
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM {{cl}} GROUP BY label) gb)
             AS s_j,
-        (SELECT {c2('t')}
-         FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cl) gt) AS s_0,
+        (SELECT {_c2x('t')}
+         FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM {{cl}}) gt) AS s_0,
         (SELECT CAST(count(*) AS BIGINT)
-         FROM (SELECT DISTINCT cell FROM cl) dc) AS n_cells,
+         FROM (SELECT DISTINCT cell FROM {{cl}}) dc) AS n_cells,
         (SELECT CAST(count(*) AS BIGINT)
-         FROM (SELECT DISTINCT label FROM cl) dl) AS n_labels,
-        (SELECT CAST(sum(n) AS BIGINT) FROM cl) AS n_points
-    FROM cl
+         FROM (SELECT DISTINCT label FROM {{cl}}) dl) AS n_labels,
+        (SELECT CAST(sum(n) AS BIGINT) FROM {{cl}}) AS n_points
+    FROM {{cl}}
 )
 SELECT n_points, n_cells, n_labels,
        floor((CAST(s_ij AS DOUBLE)
@@ -722,22 +739,27 @@ FROM sums
 """
 
 
-_ARI_SPARK_SQL = _ari_sql(
-    dot=lambda a, b: (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
-    ),
-    bigint=lambda e: e,
-).format(base_src="SELECT * FROM km_base")
+_ARI_GRID_SPARK_SQL = (
+    "WITH "
+    + _ari_grid_ctes(
+        dot=lambda a, b: (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+        ),
+    ).format(base_src="SELECT * FROM km_base")
+    + "\nSELECT cell, label, n FROM cl"
+)
 
-_ARI_DUCK_SQL = _ari_sql(
-    dot=lambda a, b: f"list_dot_product({a}, {b})",
-    bigint=lambda e: f"CAST({e} AS BIGINT)",
-).format(
-    base_src=(
-        "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
-        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+_ARI_DUCK_SQL = (
+    "WITH "
+    + _ari_grid_ctes(dot=lambda a, b: f"list_dot_product({a}, {b})").format(
+        base_src=(
+            "SELECT vec_id, v, list_dot_product(v, v) AS nrm2"
+            " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b0"
+        )
     )
+    + ",\n"
+    + _ARI_TAIL.format(cl="cl")
 )
 
 
@@ -745,12 +767,16 @@ _ARI_DUCK_SQL = _ari_sql(
 def clustering_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjusted Rand Index (and raw Rand) between the one-step Lloyd
     partition and the ground-truth labels — the chance-corrected
-    external gate purity cannot be (exact DECIMAL pair counts)."""
+    external gate purity cannot be (exact doubled DECIMAL pair sums;
+    the contingency grid materializes once for its seven references)."""
     load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
         "km_base"
     )
-    return spark.sql(_ARI_SPARK_SQL)
+    spark.sql(_ARI_GRID_SPARK_SQL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("ari_cl")
+    return spark.sql("WITH " + _ARI_TAIL.format(cl="ari_cl"))
 
 
 # ---------------------------------------------------------------------------

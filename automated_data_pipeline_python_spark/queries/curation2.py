@@ -1481,11 +1481,18 @@ SELECT n AS n_docs, n_pos,
            AS log_loss,
        floor(CAST(br6 AS DOUBLE) / 1e6 / n * 1e6 + 0.5) / 1e6
            AS brier_score,
-       -- the constant-prevalence baseline every skill score divides by
-       floor((-(CAST(n_pos AS DOUBLE) / n)
-                  * ln(CAST(n_pos AS DOUBLE) / n)
-              - (1e0 - CAST(n_pos AS DOUBLE) / n)
-                  * ln(1e0 - CAST(n_pos AS DOUBLE) / n))
+       -- the constant-prevalence baseline every skill score divides by;
+       -- prevalence clamps to the same [1e-6, 1-1e-6] band as the
+       -- per-doc terms so a degenerate all-0/all-1 label slice cannot
+       -- reach ln(0) (r11 latent-risk sweep)
+       floor((-(LEAST(GREATEST(CAST(n_pos AS DOUBLE) / n, 1e-6),
+                      1e0 - 1e-6))
+                  * ln(LEAST(GREATEST(CAST(n_pos AS DOUBLE) / n, 1e-6),
+                             1e0 - 1e-6))
+              - (1e0 - LEAST(GREATEST(CAST(n_pos AS DOUBLE) / n, 1e-6),
+                             1e0 - 1e-6))
+                  * ln(1e0 - LEAST(GREATEST(CAST(n_pos AS DOUBLE) / n,
+                                            1e-6), 1e0 - 1e-6)))
              * 1e6 + 0.5) / 1e6 AS baseline_entropy
 FROM terms
 """

@@ -735,29 +735,40 @@ def reco_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (order-independent), as do the absolute errors. Scale: the dev grid
 # is brand x brand (bounded); the prediction join fans each held-out
 # cell out over the user's ≤|brands| training items — linear in
-# held-out cells, never user-pairs.
+# held-out cells, never user-pairs. The split relation (ratings =
+# orders⋈lineitem⋈part, grouped) feeds train 4x and test 2x; Spark
+# inlines CTEs, so the Spark side materializes it once via
+# localCheckpoint (DuckDB materializes shared CTEs itself —
+# single-statement oracle).
 
 
-def _slope_one_sql(hash28) -> str:
+def _slope_one_split_sql(hash28) -> str:
     key = hash28("concat('so', CAST(u AS STRING), '_', b)")
-    err = sql_exact_sum("abs(p.pred - CAST(p.r AS DOUBLE))", 6)
     return f"""
-WITH ratings AS (
+SELECT u, b, r,
+       CASE WHEN {key} % 10 = 0 THEN 1 ELSE 0 END AS is_test
+FROM (
     SELECT o_custkey AS u, p_brand AS b,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN part ON p_partkey = l_partkey
     GROUP BY o_custkey, p_brand
-),
-split AS (
-    SELECT u, b, r,
-           CASE WHEN {key} % 10 = 0 THEN 1 ELSE 0 END AS is_test
-    FROM ratings
-),
-train AS (SELECT u, b, r FROM split WHERE is_test = 0),
-test AS (SELECT u, b, r FROM split WHERE is_test = 1),
+) ratings
+"""
+
+
+def _slope_one_tail_sql(split: str) -> str:
+    err = sql_exact_sum("abs(p.pred - CAST(p.r AS DOUBLE))", 6)
+    return f"""
+WITH train AS (SELECT u, b, r FROM {split} WHERE is_test = 0),
+test AS (SELECT u, b, r FROM {split} WHERE is_test = 1),
 dev AS (
+    -- dnum bound (r11 latent-risk sweep): |r_j - r_i| is per-user-brand
+    -- quantity (≤ ~1e6 even at 100 TB cell densities) summed over
+    -- co-raters (≤ |customers| ~ 1e10) → |dnum| ≤ ~1e16, inside BIGINT
+    -- with two orders of magnitude to spare; DuckDB would RAISE on
+    -- overflow rather than wrap, so the oracle guards the bound too.
     SELECT a.b AS bj, c.b AS bi,
            CAST(count(*) AS BIGINT) AS n_co,
            CAST(sum(a.r - c.r) AS BIGINT) AS dnum
@@ -793,15 +804,27 @@ FROM agg
 """
 
 
+_SLOPE_ONE_DUCK = (
+    "WITH so_split AS ("
+    + _slope_one_split_sql(duck_hash28).strip()
+    + "),\n"
+    + _slope_one_tail_sql("so_split").lstrip().removeprefix("WITH ")
+)
+
+
 @register(
     "reco_slope_one_eval",
-    oracle=_slope_one_sql(duck_hash28),
+    oracle=_SLOPE_ONE_DUCK,
 )
 def reco_slope_one_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Slope One offline eval on a deterministic 10% holdout
     of the customer x brand quantity matrix: MAE and coverage — the
-    rating-prediction baseline beside the item-item ranker."""
+    rating-prediction baseline beside the item-item ranker. The rating
+    split materializes once (localCheckpoint) for its six references."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_slope_one_sql(spark_hash28))
+    spark.sql(_slope_one_split_sql(spark_hash28)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("so_split")
+    return spark.sql(_slope_one_tail_sql("so_split"))

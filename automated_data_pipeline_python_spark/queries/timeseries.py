@@ -4052,7 +4052,9 @@ def events_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the Wilson-Hilferty-free normal approximation z = sqrt(2D) -
 # sqrt(2·df - 1) is standard for the df here (days, >> 30). Exact
 # integer moments, one final float chain, snapped z into the shared
-# A&S polynomial for the p-value.
+# A&S polynomial for the p-value. The overdispersed_05 flag gates on
+# the UPPER tail (z > 0) as well as the p threshold — significant
+# underdispersion (vmr < 1) must not raise an "overdispersed" flag.
 
 _DISPERSION_SQL = f"""
 WITH daily AS (
@@ -4084,8 +4086,9 @@ stat AS (
 SELECT n AS n_days, mean_count, vmr, d_stat, z,
        floor({sql_normal_two_sided_p('abs(z)')} * 1e6 + 0.5) / 1e6
            AS p_approx,
-       CAST(CASE WHEN floor({sql_normal_two_sided_p('abs(z)')}
-                            * 1e6 + 0.5) / 1e6 < 5e-2
+       CAST(CASE WHEN z > 0e0
+                      AND floor({sql_normal_two_sided_p('abs(z)')}
+                                * 1e6 + 0.5) / 1e6 < 5e-2
                  THEN 1 ELSE 0 END AS BIGINT) AS overdispersed_05
 FROM stat
 """

@@ -88,33 +88,60 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Min-of-N per query (default 3, SPARK_GRAFT_BENCH_REPEATS to
-    # override): the min filters out one-off JIT/GC/OS noise, so
-    # round-over-round numbers track plan changes, not scheduler luck.
-    # Raised from 2 to 3 in round 9: the 2-repeat headline manufactured
-    # three phantom regressions in round 8 that the same-commit 5-run
-    # repeat study refuted (VERDICT r8 task 5).
+    # Measurement discipline ported from tools/bench_dedup_scaling.py
+    # (VERDICT r10 task 3 — the r10 root-cause study, commit 1def362,
+    # proved the old fixed-order back-to-back harness manufactures
+    # phantom per-query deltas):
+    #   1. One UNTIMED warm-up cycle: the cold cycle's JIT/codegen/first
+    #      -scan penalty otherwise lands on the queries in list order
+    #      and survives min-of-N (the r9 "LSH cap overhead" was exactly
+    #      this first-slot penalty).
+    #   2. Round-robin cycles with a deterministic hash-keyed
+    #      RE-PERMUTATION per repeat: a fixed order gives each query the
+    #      same predecessor every cycle, and a predecessor with heavy
+    #      async cleanup (checkpoint blocks draining via the
+    #      ContextCleaner) taxes the same victim in every repeat —
+    #      measured ~0.5-1.0 s predecessor tax that min-of-N cannot
+    #      shed. Three different predecessor patterns per query can.
+    #   3. Driver GC between queries (outside the timed region): frees
+    #      unpinned localCheckpoint blocks so one query's cleanup
+    #      backlog does not bill the next.
+    # Each per-query number is the minimum over `repeats` warm cycles.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES.get(name)
-        if q is None:
-            continue  # not implemented yet
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    runnable = [n for n in HEADLINE if n in QUERIES]
+
+    def drop_views_and_gc() -> None:
         # Temp views registered by a query keep their plans — and any
         # localCheckpoint blocks inside them — reachable for the rest
         # of the run; heap pressure then inflates LATER queries'
         # numbers (measured: multi-second swings on the dedup family).
-        # Drop them between queries (outside the timed region) so each
-        # measurement starts from a clean executor heap.
         for t in spark.catalog.listTables():
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
+        spark.sparkContext._jvm.System.gc()
+
+    import hashlib
+
+    for name in runnable:  # untimed warm-up cycle
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        drop_views_and_gc()
+
+    best = {name: float("inf") for name in runnable}
+    for r in range(repeats):
+        order = sorted(
+            runnable,
+            key=lambda n: hashlib.md5(f"{r}:{n}".encode()).hexdigest(),
+        )
+        for name in order:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best[name] = min(best[name], time.perf_counter() - t0)
+            drop_views_and_gc()
+    timings = {name: round(best[name], 3) for name in runnable}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -125,10 +152,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # Self-describing methodology (VERDICT r9 task 5): each
-                # per-query number is the minimum over `repeats` runs,
-                # so cross-round comparisons can detect method changes.
-                "method": f"min-of-{repeats}",
+                # Self-describing methodology (VERDICT r9 task 5 /
+                # r10 task 3): min over `repeats` re-permuted warm
+                # round-robin cycles after one untimed warm-up cycle,
+                # driver GC between queries.
+                "method": f"min-of-{repeats}-repermuted-warm",
                 "repeats": repeats,
             }
         )

@@ -738,9 +738,54 @@ def test_round9_additions_python_free(spark):
     in one keyed aggregation. Bounded cartesians (Pettitt's days x
     days rank grid, VaR's lexicographic rank join, the Ljung-Box lag
     grid, tau-b's cell pairs) are the sanctioned bounded-grid class."""
-    from tests.test_registry_order import ROUND9_NEW
+    round9_new = [
+        "lineitem_sbc_demand_classes", "events_gumbel_block_maxima",
+        "feature_woe_iv", "sketch_hll_portable", "quality_auc_delong_ci",
+        "events_ljung_box_acf", "events_pettitt_changepoint",
+        "events_var_cvar_daily", "orders_weibull_interpurchase",
+        "events_interrupted_time_series", "clustering_davies_bouldin",
+        "quality_spiegelhalter_z", "events_effect_sizes",
+        "events_slo_burn_rate", "embedding_mahalanobis_outliers",
+        "events_erlang_staffing", "events_spectral_entropy",
+        "orders_bass_diffusion", "text_yule_k_herdan",
+        "feature_hashing_collisions", "quality_fairness_by_source",
+        "lineitem_price_elasticity", "sample_neyman_allocation",
+        "events_burstiness_memory", "events_switchback_lift",
+        "events_forecast_mase_ladder", "clustering_label_purity",
+        "events_seasonal_strength", "quality_raters_kendall_tau",
+        "dq_tukey_fences",
+    ]
 
-    assert len(ROUND9_NEW) == 30
-    for name in ROUND9_NEW:
+    assert len(round9_new) == 30
+    for name in round9_new:
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_round10_additions_python_free(spark):
+    """All 17 round-10 operators are pure DataFrame/SQL: the stats
+    tails (Welch/JB/AD/DW/Hurst/PACF/theta/Poisson) run on calendar-
+    bounded daily relations; the eval batteries (MCC, log-loss, KS
+    separation, gains) on bounded snapped-score histograms; ARI/
+    silhouette reuse the Lloyd argmin subtree; Slope One's deviation
+    grid is brand x brand."""
+    from tests.test_registry_order import ROUND10_NEW
+
+    assert len(ROUND10_NEW) == 17
+    for name in ROUND10_NEW:
+        r = plan_report(QUERIES[name].fn(spark, SF))
+        assert r.python_free, name
+
+
+def test_round11_additions_python_free(spark):
+    """The second multimodal family is pure DataFrame/SQL: content
+    features are deterministic stand-ins computed JVM-side (the codec
+    boundary stays in multimodal/binary_ops.py); scene/VAD windows are
+    keyed by clip and the shard-packing window by (modality,
+    id-bucket), never corpus-global."""
+    from tests.test_registry_order import ROUND11_NEW
+
+    assert len(ROUND11_NEW) == 7
+    for name in ROUND11_NEW:
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

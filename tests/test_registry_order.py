@@ -1,88 +1,29 @@
 """Registry-order contract: the grading driver only records correctness
 rows for the first 50 registered queries, so the window must be spent
-where it buys new evidence. Round-10 rotation (VERDICT r9 task 1): the
-r1-r9 union driver-rowed 363 of 393 queries; this window spends 30
+where it buys new evidence. Round-11 rotation (VERDICT r10 task 1): the
+r1-r10 union driver-rowed 393 of 410 queries; this window spends 17
 slots on the ONLY remaining never-driver-rowed queries — the full
-ROUND9_NEW list — closing the ledger at 393/393 ever-rowed. The 20
-spare slots lead with dedup_minhash_lsh (its bucket-cap bookkeeping is
-trimmed this round, VERDICT r9 task 3 — the plan changed, so a fresh
-hash row is load-bearing) and its uncapped template twin, then
-re-confirm the heaviest oracled plans (BENCH_r09 per-query minima) and
-one representative per major family. Everything rotated out stays
-proven by the committed full-catalog replays (VERIFY_FULL_r09*/r10*)
-and the pytest oracle-parity sweep.
+ROUND10_NEW list (three of which carry this round's ADVICE plan fixes,
+so their fresh rows validate the new plans) — closing the ledger at
+410/410 ever-rowed. The other 33 slots empty the sentinel-exemption
+set: 24 module sentinels (one per query module not already represented
+by the ROUND10_NEW block, so a regression in ANY module can surface in
+the driver's independent gate) and 9 spares on the heaviest oracled
+plans (BENCH_r10 per-query minima), the uncapped LSH template twin, the
+post-dea6201 Bass/Neyman plans that have never had a post-fix row, and
+the as-of-join python exemption. Everything rotated out stays proven by
+the committed full-catalog replays (VERIFY_FULL_r10*/r11*) and the
+pytest oracle-parity sweep.
 """
 
 from __future__ import annotations
 
 from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, oracle_sql
 
-# All 30 round-9 additions (replay+pytest evidence in r9; first driver
-# rows this round per the r9 verdict directive — the only never-rowed
+# All 17 round-10 additions (replay+pytest evidence in r10; first driver
+# rows this round per the r10 verdict directive — the only never-rowed
 # queries left in the catalog).
-ROUND9_NEW = [
-    "lineitem_sbc_demand_classes",
-    "events_gumbel_block_maxima",
-    "feature_woe_iv",
-    "sketch_hll_portable",
-    "quality_auc_delong_ci",
-    "events_ljung_box_acf",
-    "events_pettitt_changepoint",
-    "events_var_cvar_daily",
-    "orders_weibull_interpurchase",
-    "events_interrupted_time_series",
-    "clustering_davies_bouldin",
-    "quality_spiegelhalter_z",
-    "events_effect_sizes",
-    "events_slo_burn_rate",
-    "embedding_mahalanobis_outliers",
-    "events_erlang_staffing",
-    "events_spectral_entropy",
-    "orders_bass_diffusion",
-    "text_yule_k_herdan",
-    "feature_hashing_collisions",
-    "quality_fairness_by_source",
-    "lineitem_price_elasticity",
-    "sample_neyman_allocation",
-    "events_burstiness_memory",
-    "events_switchback_lift",
-    "events_forecast_mase_ladder",
-    "clustering_label_purity",
-    "events_seasonal_strength",
-    "quality_raters_kendall_tau",
-    "dq_tukey_fences",
-]
-
-# Spare-slot fills: the cap-trim pair first (the capped plan changes
-# this round), then the heaviest oracled plans by BENCH_r09 per-query
-# minima plus one representative per major family.
-ROUND10_SPARES = [
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_uncapped",
-    "dedup_simhash_pairs",
-    "kmeans_lloyd_refine",
-    "text_tfidf_top_terms",
-    "q5_region_revenue",
-    "q21_sole_late_shipper",
-    "q8_market_share",
-    "ann_lsh_topk",
-    "contamination_ngram_overlap",
-    "ann_ivf_topk",
-    "q3_shipping_priority",
-    "q1_pricing_summary",
-    "corpus_curation_funnel",
-    "dq_star_schema_report",
-    "join_asof_purchase_click",
-    "dedup_exact_documents",
-    "events_sessionization",
-    "knn_bruteforce_topk",
-    "semdedup_cluster_prune",
-]
-
-# New catalog queries added in round 10: replay+pytest evidence this
-# round; they take round-11 window slots (the r10 window is committed
-# to closing the never-rowed ledger at 393/393).
-ROUND10_NEW: list[str] = [
+ROUND10_NEW = [
     "events_welch_ttest",            # unequal-variance mean test + WS df
     "events_jarque_bera",            # moment normality test
     "events_anderson_darling",       # tail-weighted normality test
@@ -102,21 +43,89 @@ ROUND10_NEW: list[str] = [
     "events_theta_forecast",         # M3-winning theta backtest + MASE
 ]
 
+# One sentinel per query module not already covered by ROUND10_NEW —
+# with these the replay-only exemption set is EMPTY (r10 verdict
+# "What's wrong" #2). Sentinels double as headline battery where the
+# module has a headline query.
+ROUND11_SENTINELS = {
+    "corpus_curation_funnel": "curation",
+    "quality_naive_bayes_gate": "curation3",
+    "dedup_minhash_lsh": "dedup",
+    "dq_star_schema_report": "dq",
+    "events_sessionization": "events",
+    "events_ab_test_lift": "experiments",
+    "events_interrupted_time_series": "experiments2",
+    "graph_brand_pagerank": "graph",
+    "bpe_train_merge_rounds": "lm",
+    "lateral_top2_orders_per_customer": "modern_sql",
+    "multimodal_media_metadata": "multimodal",
+    "rag_mmr_rerank": "rag",
+    "q1_pricing_summary": "relational",
+    "pivot_status_by_priority": "relational2",
+    "q2_cheapest_supplier_per_part": "relational3",
+    "agg_corr_regression": "relational4",
+    "fuzzy_levenshtein_pairs": "relational5",
+    "text_bm25_ranking": "retrieval",
+    "ann_ivf_topk": "similarity",
+    "sketch_heavy_hitter_terms": "sketches",
+    "text_quality_scores": "text",
+    "q8_market_share": "tpch2",
+    "sample_neyman_allocation": "training",
+    "text_tfidf_top_terms": "windows2",
+}
+
+# Spare-slot fills: heaviest oracled plans by BENCH_r10 per-query
+# minima, the uncapped LSH template twin, the post-dea6201 Bass plan
+# (its DECIMAL-promoted normal equations never had a driver row), and
+# the as-of-join python exemption.
+ROUND11_SPARES = [
+    "dedup_minhash_lsh_uncapped",
+    "dedup_simhash_pairs",
+    "kmeans_lloyd_refine",
+    "q5_region_revenue",
+    "q3_shipping_priority",
+    "q21_sole_late_shipper",
+    "orders_bass_diffusion",
+    "join_asof_purchase_click",
+    "dedup_exact_documents",
+]
+
+# New catalog queries added in round 11: replay+pytest evidence this
+# round; they take round-12 window slots (the r11 window is committed
+# to closing the never-rowed ledger at 410/410 and emptying the
+# sentinel-exemption set). All seven are the second multimodal family
+# (curation over the planned media); their module is already
+# window-covered by the multimodal_media_metadata sentinel.
+ROUND11_NEW: list[str] = [
+    "multimodal_modality_mix_report",   # per-modality dataset card
+    "multimodal_bitrate_outliers",      # Tukey kbit/s fences per fps
+    "multimodal_frame_dedup_rate",      # frame-hash dedup histogram
+    "multimodal_scene_cut_spans",       # consecutive-frame hamming cuts
+    "multimodal_vad_utterances",        # gaps-and-islands VAD profile
+    "multimodal_resolution_ladder",     # letterbox resize plan
+    "multimodal_shard_packing",         # bucket-local running-total bins
+]
+
 
 def test_priority_list_is_first_50():
     assert len(_PRIORITY) == 50
     assert list(QUERIES)[:50] == _PRIORITY
 
 
-def test_window_covers_round9_new_and_spares():
+def test_window_covers_round10_new_sentinels_and_spares():
     window = set(_PRIORITY)
-    for required in [*ROUND9_NEW, *ROUND10_SPARES]:
+    for required in [*ROUND10_NEW, *ROUND11_SENTINELS, *ROUND11_SPARES]:
         assert required in window, required
 
 
-def test_round10_additions_registered():
-    for name in ROUND10_NEW:
+def test_round11_additions_registered():
+    for name in ROUND11_NEW:
         assert name in QUERIES, name
+
+
+def test_sentinels_live_in_their_module():
+    for name, mod in ROUND11_SENTINELS.items():
+        assert QUERIES[name].fn.__module__.rsplit(".", 1)[1] == mod, name
 
 
 def test_capped_default_is_the_headline_name():
@@ -132,27 +141,11 @@ def test_capped_default_is_the_headline_name():
     assert "dedup_minhash_lsh_capped" not in QUERIES  # name retired
 
 
-# Modules with no round-10 window sentinel: batteries whose every member
-# already has a hash-green driver row in the r1-r9 union AND stays
-# covered by the committed full-catalog replays + the pytest
-# oracle-parity sweep. First driver evidence for never-rowed queries
-# outranks a redundant sentinel.
-REPLAY_COVERED_MODULES = {
-    "curation3",
-    "drift",
-    "experiments",
-    "graph",
-    "lm",
-    "modern_sql",
-    "multimodal",
-    "rag",
-    "reco",
-    "relational2",
-    "relational3",
-    "relational4",
-    "relational5",
-    "retrieval",
-}
+# Round 11 empties the exemption set: every query module now has a
+# sentinel inside the 50-slot driver window. Keep it empty — a new
+# module must ship with a window slot (or a ROUND*_NEW entry that will
+# take one next round).
+REPLAY_COVERED_MODULES: set[str] = set()
 
 
 def test_window_represents_every_module():

@@ -7,7 +7,15 @@ printing one JSON line with both timing sets and the ratio — the
 evidence that each query's scaling is sublinear or bounded-relation-
 dominated.
 
-Usage: python tools/bench_heavy_sf1.py [sf01_dir] [sf1_dir]
+Round 11 (VERDICT r10 task 5): the heaviest round-10 shapes also get a
+100x point (HEAVY_100X below) — reco_slope_one_eval (brand-dimension-
+bounded deviation grid: users grow, brands don't), events_theta_forecast
+and events_hurst_rescaled_range (day-bounded tails: the corpus pass to
+daily aggregates is the only scaling term). Each SF point runs in its
+OWN JVM with the scaling harness's discipline (untimed warm-up, min-of-3
+re-permuted round-robin, GC between queries).
+
+Usage: python tools/bench_heavy_sf1.py [sf01_dir] [sf1_dir] [sf10_dir]
 """
 
 from __future__ import annotations
@@ -63,6 +71,22 @@ HEAVY = [
     "reco_slope_one_eval",
 ]
 
+# The heaviest round-10 shapes get a dedicated 100x ladder (VERDICT r10
+# task 5), each with a bounded-relation argument to verify:
+#   reco_slope_one_eval — dev grid is brand x brand (25 brands, fixed);
+#     the corpus-scaling term is the ratings build + the per-user
+#     bounded prediction fan-out, both linear in users.
+#   events_theta_forecast — the SES/trend/MASE tail runs on the
+#     day-bounded daily relation; only the daily-aggregate corpus pass
+#     scales.
+#   events_hurst_rescaled_range — block ladder over <= 32-row daily
+#     blocks; same single corpus pass to daily counts.
+HEAVY_100X = [
+    "reco_slope_one_eval",
+    "events_theta_forecast",
+    "events_hurst_rescaled_range",
+]
+
 
 def time_set(spark, sf_dir: str) -> dict[str, float]:
     from automated_data_pipeline_python_spark.queries import QUERIES
@@ -83,12 +107,59 @@ def time_set(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def time_100x_point(sf_dir: str, cpus: int) -> dict[str, float]:
+    """One SF point for the HEAVY_100X ladder in its OWN JVM, with the
+    scaling harness's discipline: untimed warm-up cycle, min-of-3
+    re-permuted round-robin cycles, driver GC between queries."""
+    import hashlib
+
+    from automated_data_pipeline_python_spark.queries import QUERIES
+
+    spark = get_spark(
+        app_name="bench-heavy-100x",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def drop_and_gc() -> None:
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark.sparkContext._jvm.System.gc()
+
+    for name in HEAVY_100X:  # untimed warm-up
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        drop_and_gc()
+    best = {name: float("inf") for name in HEAVY_100X}
+    for r in range(3):
+        order = sorted(
+            HEAVY_100X,
+            key=lambda n: hashlib.md5(f"{r}:{n}".encode()).hexdigest(),
+        )
+        for name in order:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best[name] = min(best[name], time.perf_counter() - t0)
+            drop_and_gc()
+    spark.stop()
+    return {name: round(v, 3) for name, v in best.items()}
+
+
 def main() -> None:
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".benchdata", "sf1_fresh"
     )
+    sf10 = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        REPO, ".benchdata", "sf10_fresh"
+    )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(
         app_name="bench-heavy-sf1",
         master=f"local[{cpus}]",
@@ -105,6 +176,18 @@ def main() -> None:
 
     t01 = time_set(spark, sf01)
     t1 = time_set(spark, sf1)
+    spark.stop()
+
+    # 100x ladder for the heaviest r10 shapes — one fresh JVM per SF
+    # point so block-manager state from a smaller point cannot pressure
+    # (or subsidize) the next point's timings.
+    ladder = {}
+    if os.path.isdir(sf10):
+        ladder = {
+            "sf0.1": time_100x_point(sf01, cpus),
+            "sf1_fresh_10x": time_100x_point(sf1, cpus),
+            "sf10_fresh_100x": time_100x_point(sf10, cpus),
+        }
     print(
         json.dumps(
             {
@@ -115,10 +198,25 @@ def main() -> None:
                 "ratio_10x_data": {
                     k: round(t1[k] / t01[k], 2) if t01[k] else None for k in HEAVY
                 },
+                "heavy_100x_ladder": ladder,
+                "heavy_100x_ratio_100x_over_1x": {
+                    k: round(
+                        ladder["sf10_fresh_100x"][k] / ladder["sf0.1"][k], 2
+                    )
+                    for k in HEAVY_100X
+                } if ladder else {},
+                "heavy_100x_note": (
+                    "min-of-3 re-permuted round-robin after one untimed "
+                    "warm-up cycle, fresh JVM per SF point; "
+                    "reco_slope_one_eval's dev grid is brand x brand "
+                    "(fixed 25 brands — users grow, brands don't), "
+                    "events_theta_forecast and events_hurst_rescaled_"
+                    "range are day-bounded tails over one daily-"
+                    "aggregate corpus pass"
+                ),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
