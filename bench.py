@@ -158,6 +158,20 @@ def main() -> None:
                 # driver GC between queries.
                 "method": f"min-of-{repeats}-repermuted-warm",
                 "repeats": repeats,
+                # The harness change shifts LEVELS, not just variance:
+                # back-to-back min-of-3 (rounds <= 10) hands runs 2-3 of
+                # each query maximal JIT/codegen/page locality, while
+                # round-robin interleaves 28 queries between a query's
+                # repeats. Measured on the same corpus and commit: the
+                # round-robin min runs ~1.2x the back-to-back min
+                # roughly uniformly (e.g. dedup_minhash_lsh 1.83 vs
+                # 1.37 s, q21 1.39 vs 1.11 s). Compare totals only
+                # within one method generation.
+                "level_note": (
+                    "round-robin min is ~1.2x the old back-to-back min "
+                    "(cross-run warmth removed); not comparable in "
+                    "level to BENCH_r10 and earlier"
+                ),
             }
         )
     )

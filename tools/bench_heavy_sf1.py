@@ -69,6 +69,11 @@ HEAVY = [
     "clustering_silhouette_simplified",
     "corpus_source_hellinger_tv",
     "reco_slope_one_eval",
+    # round-11 additions with a full corpus pass (frame-hash explode +
+    # global distinct; window/hop explode + island windows): the rest
+    # of the multimodal curation family is map-only or bounded.
+    "multimodal_frame_dedup_rate",
+    "multimodal_vad_utterances",
 ]
 
 # The heaviest round-10 shapes get a dedicated 100x ladder (VERDICT r10
