@@ -1,6 +1,6 @@
 """Composed-report regression pins (VERDICT r8 task 8).
 
-The four example reports chain oracle-green catalog operators; pinning
+The five example reports chain oracle-green catalog operators; pinning
 their section values at sf0.01 turns them into integration canaries: a
 change to any shared SQL constant (thresholds, snap grids, hash
 parameters) that shifts results shows up here as a concrete number
@@ -131,6 +131,39 @@ def test_experiment_report_sections_pinned(spark):
                              "slope_change": -60.22375}
 
 
+def test_multimodal_pipeline_sections_pinned(spark):
+    _require_pinned_corpus()
+    from examples.multimodal_pipeline import run
+
+    report = run(spark, SF_CORRECT)
+    assert report["card"] == {
+        "audio": (125, 36586),
+        "image": (125, 39239),
+        "text": (125, 35735),
+        "video": (125, 37614),
+    }
+    assert report["dq"] == {"groups": 3, "outliers": 43, "clips": 500}
+    assert report["plan"] == {
+        "frame_rows": 4000,
+        "audio_rows": 2110,
+        "resize_rows": 1500,
+    }
+    assert report["dedup"] == {
+        "corpus_frames": 4000,
+        "corpus_distinct": 3884,
+        "dup_rate": 0.029,
+    }
+    assert report["segment"] == {
+        "clips": 500,
+        "scenes": 3856,
+        "utterances": 684,
+        "voiced_ms": 56272,
+    }
+    assert report["export"] == {
+        "text": 1, "video": 1, "audio": 1, "image": 1,
+    }
+
+
 # ---------------------------------------------------------------------------
 # sf0.1 scale pins (VERDICT r9 task 6): the sf0.01 pins above catch
 # constant drift; these catch SCALE-dependent breakage in the composed
@@ -230,3 +263,38 @@ def test_experiment_report_sections_pinned_sf01(spark):
                                 "hedges_g": -0.003145}
     assert report["its"] == {"level_change": -6012.604107,
                              "slope_change": 78.57525}
+
+
+def test_multimodal_pipeline_sections_pinned_sf01(spark):
+    _require_pinned_corpus_sf01()
+    from examples.multimodal_pipeline import run
+
+    report = run(spark, SF_SCALE)
+    assert report["card"] == {
+        "audio": (1250, 366832),
+        "image": (1250, 378961),
+        "text": (1250, 378036),
+        "video": (1250, 361747),
+    }
+    assert report["dq"] == {"groups": 3, "outliers": 524, "clips": 5000}
+    assert report["plan"] == {
+        "frame_rows": 40000,
+        "audio_rows": 21002,
+        "resize_rows": 15000,
+    }
+    assert report["dedup"] == {
+        "corpus_frames": 40000,
+        "corpus_distinct": 38735,
+        "dup_rate": 0.031625,
+    }
+    assert report["segment"] == {
+        "clips": 5000,
+        "scenes": 38192,
+        "utterances": 6861,
+        "voiced_ms": 577627,
+    }
+    # at 10x items the 4096-id pack buckets split and shards multiply —
+    # the two-level layout engaging is exactly the scale behavior to pin
+    assert report["export"] == {
+        "text": 7, "video": 6, "audio": 6, "image": 7,
+    }
