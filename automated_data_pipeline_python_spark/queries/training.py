@@ -1141,3 +1141,94 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-breaks, vs the proportional design."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_neyman_sql())
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed dynamic-batching padding waste (round 11)
+# ---------------------------------------------------------------------------
+# pack_sequences_chunked is the PRE-TRAINING loader (concat-and-chunk,
+# zero padding); fine-tuning loaders keep document boundaries and pay
+# PADDING instead — the standard mitigation is length-bucketed batching
+# with dynamic padding to the batch max. This query builds that batch
+# plan and reports the padding bill per length bucket: docs sort into
+# 64-token-granular buckets, batches of 8 form within (bucket,
+# id-sub-bucket) by descending length (near-homogeneous batches), and
+# each batch pads to ITS OWN max. The waste ratio per bucket is the
+# number a loader review reads before choosing bucket granularity.
+#
+# Scale: one corpus pass to token counts; the row_number window is
+# partitioned by (len_bucket, doc_id DIV 4096) — every partition is
+# ≤ 4096 rows no matter the corpus size (the shard-packing idiom;
+# batching a real export runs per file anyway). Output is bounded by
+# the number of length buckets. All arithmetic is exact integers until
+# the single snapped waste division.
+
+_BATCH_SIZE = 8
+_BUCKET_GRAN = 64
+_BATCH_SUB = 4_096
+
+
+def _padding_waste_sql(n_tok: str, idiv) -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, n_tok FROM (
+        SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tok FROM documents
+    ) b WHERE n_tok > 0
+),
+bucketed AS (
+    SELECT doc_id, n_tok,
+           CAST({idiv(f'n_tok + {_BUCKET_GRAN - 1}', _BUCKET_GRAN)}
+                * {_BUCKET_GRAN} AS BIGINT) AS len_bucket,
+           CAST({idiv('doc_id', _BATCH_SUB)} AS BIGINT) AS sub
+    FROM base
+),
+seqd AS (
+    SELECT len_bucket, sub, n_tok,
+           CAST({idiv('''row_number() OVER (
+                   PARTITION BY len_bucket, sub
+                   ORDER BY n_tok DESC, doc_id) - 1''', _BATCH_SIZE)}
+                AS BIGINT) AS batch_id
+    FROM bucketed
+),
+batches AS (
+    SELECT len_bucket, sub, batch_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(max(n_tok) AS BIGINT) AS pad_to,
+           CAST(sum(n_tok) AS BIGINT) AS real_tok
+    FROM seqd GROUP BY len_bucket, sub, batch_id
+)
+SELECT len_bucket,
+       CAST(sum(n_seqs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(n_seqs * pad_to) AS BIGINT) AS padded_tokens,
+       CAST(sum(real_tok) AS BIGINT) AS real_tokens,
+       floor((1e0 - CAST(sum(real_tok) AS DOUBLE)
+              / CAST(sum(n_seqs * pad_to) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS padding_waste
+FROM batches
+GROUP BY len_bucket
+ORDER BY len_bucket
+"""
+
+
+@register(
+    "training_batch_padding_waste",
+    oracle=_padding_waste_sql(
+        f"len({_D_TOK})", lambda a, b: f"(({a}) // ({b}))"
+    ),
+)
+def training_batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic-batching plan + per-bucket padding bill:
+    batches of 8 within 64-token buckets (descending length), each
+    padded to its own max — the fine-tuning loader's waste report
+    beside pack_sequences_chunked's zero-padding pre-training path.
+
+    Windows are (bucket, id-sub-bucket)-partitioned (≤ 4096 rows each);
+    output is bucket-count-bounded."""
+    return _docs_sql(
+        spark,
+        sf_dir,
+        _padding_waste_sql(
+            f"size({_S_TOK})", lambda a, b: f"(({a}) div ({b}))"
+        ),
+    )

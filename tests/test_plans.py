@@ -785,7 +785,7 @@ def test_round11_additions_python_free(spark):
     id-bucket), never corpus-global."""
     from tests.test_registry_order import ROUND11_NEW
 
-    assert len(ROUND11_NEW) == 7
+    assert len(ROUND11_NEW) == 8
     for name in ROUND11_NEW:
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name

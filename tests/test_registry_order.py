@@ -104,6 +104,9 @@ ROUND11_NEW: list[str] = [
     "multimodal_vad_utterances",        # gaps-and-islands VAD profile
     "multimodal_resolution_ladder",     # letterbox resize plan
     "multimodal_shard_packing",         # bucket-local running-total bins
+    # plus the fine-tuning loader's padding bill (module training,
+    # window-covered by the sample_neyman_allocation sentinel):
+    "training_batch_padding_waste",     # length-bucketed dynamic batching
 ]
 
 

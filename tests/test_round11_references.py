@@ -468,3 +468,41 @@ def test_slope_one_matches_literal_prediction_loop(con):
     assert n_predicted == n_pred
     assert abs(coverage - _snap(n_pred / len(test))) < 2e-6
     assert abs(mae - _snap(err6 / 1e6 / n_pred)) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed dynamic-batching padding waste (round-11 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_padding_waste_matches_literal_batch_plan(con):
+    """Buckets, batches-of-8 by descending length, dynamic padding to
+    the batch max — the whole plan rebuilt with plain Python loops from
+    raw whitespace token counts."""
+    docs = [
+        (doc_id, len(text.strip().split()))
+        for doc_id, text in con.execute(
+            "SELECT doc_id, text FROM documents"
+        ).fetchall()
+        if text.strip()
+    ]
+    groups = defaultdict(list)  # (len_bucket, sub) -> [(n_tok, doc_id)]
+    for doc_id, n_tok in docs:
+        bucket = ((n_tok + 63) // 64) * 64
+        groups[(bucket, doc_id // 4096)].append((n_tok, doc_id))
+    per_bucket = defaultdict(lambda: [0, 0, 0, 0])  # docs, batches, padded, real
+    for (bucket, _sub), members in groups.items():
+        members.sort(key=lambda t: (-t[0], t[1]))
+        for i in range(0, len(members), 8):
+            batch = members[i : i + 8]
+            agg = per_bucket[bucket]
+            agg[0] += len(batch)
+            agg[1] += 1
+            agg[2] += len(batch) * max(n for n, _ in batch)
+            agg[3] += sum(n for n, _ in batch)
+    rows = con.execute(_oracle("training_batch_padding_waste")).fetchall()
+    assert [r[0] for r in rows] == sorted(per_bucket)
+    for bucket, n_docs, n_batches, padded, real, waste in rows:
+        want = per_bucket[bucket]
+        assert [n_docs, n_batches, padded, real] == want
+        assert abs(waste - _snap(1.0 - want[3] / want[2])) < 2e-6
