@@ -65,9 +65,13 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 #     where possible (q1/q8/tfidf/minhash/ann_ivf), and training's slot
 #     goes to sample_neyman_allocation whose post-dea6201 integer-snap
 #     plan has never had a driver row.
-#   - 9 spares: heaviest oracled plans (BENCH_r10 minima), the uncapped
-#     LSH template twin, orders_bass_diffusion (post-dea6201 DECIMAL
-#     plan never rowed), and the as-of-join python exemption.
+#   - 9 remaining slots: orders_bass_diffusion (its post-dea6201
+#     DECIMAL plan has never had a driver row) plus ALL EIGHT
+#     ROUND11_NEW operators — rowing this round's additions in their
+#     birth round keeps the ever-rowed ledger complete at 418/418
+#     continuously instead of deferring them to r12 (heaviest-plan
+#     re-validations, which these slots would otherwise re-confirm,
+#     stay proven by the committed full-catalog replays at both SFs).
 # Everything rotated out stays proven by the committed full-catalog
 # replays (VERIFY_FULL_r11*) plus the pytest oracle-parity sweep.
 _PRIORITY = [
@@ -115,16 +119,17 @@ _PRIORITY = [
     "q8_market_share",                  # tpch2 (headline)
     "sample_neyman_allocation",         # training (post-fix plan, no row yet)
     "text_tfidf_top_terms",             # windows2 (headline)
-    # -- 9 spares: heaviest plans + load-bearing re-validations.
-    "dedup_minhash_lsh_uncapped",
-    "dedup_simhash_pairs",
-    "kmeans_lloyd_refine",
-    "q5_region_revenue",
-    "q3_shipping_priority",
-    "q21_sole_late_shipper",
+    # -- 9 remaining slots: the one load-bearing re-validation, then
+    # all ROUND11_NEW operators (driver rows in their birth round).
     "orders_bass_diffusion",
-    "join_asof_purchase_click",
-    "dedup_exact_documents",
+    "multimodal_modality_mix_report",
+    "multimodal_bitrate_outliers",
+    "multimodal_frame_dedup_rate",
+    "multimodal_scene_cut_spans",
+    "multimodal_vad_utterances",
+    "multimodal_resolution_ladder",
+    "multimodal_shard_packing",
+    "training_batch_padding_waste",
     # Everything else (all other r1-r10 driver-rowed queries and any
     # round-11 additions) still registers and is replayed by
     # tools/verify_driver.py at sf0.01+sf0.1 per round

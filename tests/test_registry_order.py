@@ -8,12 +8,12 @@ so their fresh rows validate the new plans) — closing the ledger at
 410/410 ever-rowed. The other 33 slots empty the sentinel-exemption
 set: 24 module sentinels (one per query module not already represented
 by the ROUND10_NEW block, so a regression in ANY module can surface in
-the driver's independent gate) and 9 spares on the heaviest oracled
-plans (BENCH_r10 per-query minima), the uncapped LSH template twin, the
-post-dea6201 Bass/Neyman plans that have never had a post-fix row, and
-the as-of-join python exemption. Everything rotated out stays proven by
-the committed full-catalog replays (VERIFY_FULL_r10*/r11*) and the
-pytest oracle-parity sweep.
+the driver's independent gate), the post-dea6201 Bass plan that never
+had a post-fix row, and ALL EIGHT ROUND11_NEW operators — rowed in
+their birth round, so the ever-rowed ledger stays complete at 418/418
+continuously instead of owing r12 a rotation. Everything rotated out
+stays proven by the committed full-catalog replays (VERIFY_FULL_r11*,
+418/418 green at sf0.01 AND sf0.1) and the pytest oracle-parity sweep.
 """
 
 from __future__ import annotations
@@ -74,28 +74,21 @@ ROUND11_SENTINELS = {
     "text_tfidf_top_terms": "windows2",
 }
 
-# Spare-slot fills: heaviest oracled plans by BENCH_r10 per-query
-# minima, the uncapped LSH template twin, the post-dea6201 Bass plan
-# (its DECIMAL-promoted normal equations never had a driver row), and
-# the as-of-join python exemption.
+# The one load-bearing re-validation slot: orders_bass_diffusion's
+# post-dea6201 DECIMAL-promoted normal equations never had a driver
+# row. (Heaviest-plan re-validations that held spare slots in earlier
+# drafts stay proven by the committed full-catalog replays at both
+# SFs — their rows exist in the r1-r10 union.)
 ROUND11_SPARES = [
-    "dedup_minhash_lsh_uncapped",
-    "dedup_simhash_pairs",
-    "kmeans_lloyd_refine",
-    "q5_region_revenue",
-    "q3_shipping_priority",
-    "q21_sole_late_shipper",
     "orders_bass_diffusion",
-    "join_asof_purchase_click",
-    "dedup_exact_documents",
 ]
 
-# New catalog queries added in round 11: replay+pytest evidence this
-# round; they take round-12 window slots (the r11 window is committed
-# to closing the never-rowed ledger at 410/410 and emptying the
-# sentinel-exemption set). All seven are the second multimodal family
-# (curation over the planned media); their module is already
-# window-covered by the multimodal_media_metadata sentinel.
+# New catalog queries added in round 11 — and, unlike previous rounds,
+# ALSO in the round-11 window (the remaining 8 slots), so they get
+# driver rows in their birth round and the ever-rowed ledger stays
+# complete at 418/418 continuously. Seven are the second multimodal
+# family (curation over the planned media); the eighth is the
+# fine-tuning loader's padding bill.
 ROUND11_NEW: list[str] = [
     "multimodal_modality_mix_report",   # per-modality dataset card
     "multimodal_bitrate_outliers",      # Tukey kbit/s fences per fps
@@ -117,7 +110,8 @@ def test_priority_list_is_first_50():
 
 def test_window_covers_round10_new_sentinels_and_spares():
     window = set(_PRIORITY)
-    for required in [*ROUND10_NEW, *ROUND11_SENTINELS, *ROUND11_SPARES]:
+    for required in [*ROUND10_NEW, *ROUND11_SENTINELS, *ROUND11_SPARES,
+                     *ROUND11_NEW]:
         assert required in window, required
 
 
