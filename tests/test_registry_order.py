@@ -179,6 +179,8 @@ def test_deferred_collect_is_isolated_from_later_registrations(spark):
         "contamination_ngram_overlap",  # re-registers documents + ct_sh
         "semdedup_cluster_prune",   # registers embeddings + sd_asn
         "ann_pq_adc_topk",          # re-registers embeddings + pq_sub
+        "multimodal_frame_dedup_rate",  # re-registers documents + mm_frames
+        "multimodal_vad_utterances",    # re-registers documents + mm_isl
     ]
     built = {n: QUERIES[n].fn(spark, SF_SMOKE) for n in names}  # build all first
 
