@@ -51,89 +51,85 @@ from automated_data_pipeline_python_spark.queries import (  # noqa: F401,E402
 # Registry priority order
 # ---------------------------------------------------------------------------
 # The grading driver records correctness rows for (at most) the first 50
-# registered queries. Round 11 (VERDICT r10 task 1) closes the ledger
-# AND the sentinel-exemption set at once:
-#   - 17 slots: every ROUND10_NEW operator (the only never-driver-rowed
-#     queries left) — with the r11 window the whole 410-query catalog is
-#     ever-driver-rowed. Three of them (clustering_adjusted_rand,
-#     reco_slope_one_eval, events_poisson_dispersion) also carry this
-#     round's ADVICE fixes, so their fresh rows validate the new plans.
-#   - 24 slots: one sentinel per query module not already covered by the
-#     block above, emptying REPLAY_COVERED_MODULES (r10 verdict "What's
-#     wrong" #2): a regression in ANY module can now surface in the
-#     driver's independent gate. Sentinels double as headline battery
-#     where possible (q1/q8/tfidf/minhash/ann_ivf), and training's slot
-#     goes to sample_neyman_allocation whose post-dea6201 integer-snap
-#     plan has never had a driver row.
-#   - 9 remaining slots: orders_bass_diffusion (its post-dea6201
-#     DECIMAL plan has never had a driver row) plus ALL EIGHT
-#     ROUND11_NEW operators — rowing this round's additions in their
-#     birth round keeps the ever-rowed ledger complete at 418/418
-#     continuously instead of deferring them to r12 (heaviest-plan
-#     re-validations, which these slots would otherwise re-confirm,
-#     stay proven by the committed full-catalog replays at both SFs).
-# Everything rotated out stays proven by the committed full-catalog
-# replays (VERIFY_FULL_r11*) plus the pytest oracle-parity sweep.
+# registered queries. With the ever-rowed ledger closed in r11 (418/418
+# catalog queries have at least one driver row), the metric that matters
+# is STALENESS (VERDICT r11 task 6): round 12 rotates the window onto
+# the least-recently-rowed 50 — derived from max(round rowed) per query
+# over CORRECTNESS_r1..r11 — so the oldest driver evidence in the
+# catalog refreshes. Composition:
+#   - all 39 queries whose last driver row was ROUND 1 (the relational /
+#     scalar-battery basics; includes the two rows-only-by-design r1
+#     queries agg_approx_distinct and sample_reproducible, whose
+#     rows-only evidence refreshes the same way it was recorded in r1);
+#   - 11 of the 23 queries last rowed in ROUND 3, chosen to maximize
+#     module diversity first (similarity, rag, dedup, training, tpch2,
+#     text, windows2), then alphabetically (agg_stats_lineitem +
+#     the dedup block).
+# After this window lands, no catalog query's newest driver row is
+# older than round 3. The 8 ROUND11_NEW operators stay out (they rowed
+# in their birth round last round). Modules without a slot this round
+# are the ones whose every member rowed recently (r5-r11); their
+# regression evidence stays live via the committed full-catalog
+# replays at three SFs (VERIFY_FULL_r11*) and the pytest oracle-parity
+# sweep, and staleness rotation naturally returns them to the window
+# in later rounds (tests/test_registry_order.py documents the set).
 _PRIORITY = [
-    # -- All 17 ROUND10_NEW operators (replay+pytest in r10; rows now):
-    "events_welch_ttest",
-    "events_jarque_bera",
-    "events_anderson_darling",
-    "events_durbin_watson",
-    "events_hurst_rescaled_range",
-    "events_pacf_durbin_levinson",
-    "quality_mcc_confusion",
-    "quality_log_loss",
-    "clustering_adjusted_rand",
-    "clustering_silhouette_simplified",
-    "corpus_source_hellinger_tv",
-    "reco_slope_one_eval",
-    "quality_ks_separation",
-    "quality_cumulative_gains",
-    "events_poisson_dispersion",
-    "orders_repeat_purchase_curve",
-    "events_theta_forecast",
-    # -- 24 module sentinels (module in comment), emptying the
-    # replay-only exemption set:
-    "corpus_curation_funnel",           # curation
-    "quality_naive_bayes_gate",         # curation3
-    "dedup_minhash_lsh",                # dedup (headline, capped default)
-    "dq_star_schema_report",            # dq
-    "events_sessionization",            # events
-    "events_ab_test_lift",              # experiments
-    "events_interrupted_time_series",   # experiments2
-    "graph_brand_pagerank",             # graph
-    "bpe_train_merge_rounds",           # lm (two-pass replace() semantics)
-    "lateral_top2_orders_per_customer", # modern_sql
-    "multimodal_media_metadata",        # multimodal
-    "rag_mmr_rerank",                   # rag
-    "q1_pricing_summary",               # relational (headline)
-    "pivot_status_by_priority",         # relational2
-    "q2_cheapest_supplier_per_part",    # relational3
-    "agg_corr_regression",              # relational4
-    "fuzzy_levenshtein_pairs",          # relational5
-    "text_bm25_ranking",                # retrieval
-    "ann_ivf_topk",                     # similarity (headline ANN)
-    "sketch_heavy_hitter_terms",        # sketches
-    "text_quality_scores",              # text
-    "q8_market_share",                  # tpch2 (headline)
-    "sample_neyman_allocation",         # training (post-fix plan, no row yet)
-    "text_tfidf_top_terms",             # windows2 (headline)
-    # -- 9 remaining slots: the one load-bearing re-validation, then
-    # all ROUND11_NEW operators (driver rows in their birth round).
-    "orders_bass_diffusion",
-    "multimodal_modality_mix_report",
-    "multimodal_bitrate_outliers",
-    "multimodal_frame_dedup_rate",
-    "multimodal_scene_cut_spans",
-    "multimodal_vad_utterances",
-    "multimodal_resolution_ladder",
-    "multimodal_shard_packing",
-    "training_batch_padding_waste",
-    # Everything else (all other r1-r10 driver-rowed queries and any
-    # round-11 additions) still registers and is replayed by
-    # tools/verify_driver.py at sf0.01+sf0.1 per round
-    # (VERIFY_FULL_r11*), plus the pytest oracle-parity sweep.
+    # -- 39 queries last driver-rowed in ROUND 1:
+    "agg_approx_distinct",              # rows-only by design (HLL++)
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_rollup_region_nation",
+    "array_agg_functions",
+    "case_when_bucketing",
+    "cross_join_regions_segments",
+    "dedup_keep_first_event",
+    "distinct_order_attributes",
+    "explode_top_words",
+    "filter_in_like_between",
+    "in_subquery_hot_parts",
+    "join_anti_customers_without_orders",
+    "join_full_nation_presence",
+    "join_left_order_counts",
+    "join_range_acctbal",
+    "join_semi_customers_with_orders",
+    "json_extract_events",
+    "limit_offset_page2",
+    "null_handling_funcs",
+    "percentiles_price_by_brand",
+    "q12_priority_by_status",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "sample_reproducible",              # rows-only by design (seeded RNG)
+    "scalar_date_funcs",
+    "scalar_date_funcs2",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_string_funcs2",
+    "scalar_subquery_above_avg",
+    "setops_all_variants",
+    "setops_nation_keys",
+    "top_customers_by_revenue",
+    "unpivot_part_metrics",
+    "window_lag_lead_events",
+    "window_running_total",
+    "window_top3_parts_per_brand",
+    # -- 11 of the 23 queries last driver-rowed in ROUND 3 (module
+    # diversity first, then alphabetical):
+    "ann_lsh_bucket_histogram",         # similarity
+    "chunk_documents_overlap",          # rag
+    "dedup_clusters",                   # dedup
+    "pack_sequences_chunked",           # training
+    "q11_important_suppliers",          # tpch2
+    "text_corpus_stats",                # text
+    "text_redact_patterns",             # windows2
+    "agg_stats_lineitem",               # relational
+    "dedup_embedding_cosine",           # dedup
+    "dedup_ngram_jaccard",              # dedup
+    "dedup_ngram_jaccard_capped",       # dedup
+    # Everything else (all queries last rowed r4-r11) still registers
+    # and is replayed by tools/verify_driver.py at sf0.001+sf0.01+sf0.1
+    # per round (VERIFY_FULL_r11*), plus the pytest oracle-parity sweep.
 ]
 
 

@@ -769,10 +769,20 @@ def test_round10_additions_python_free(spark):
     separation, gains) on bounded snapped-score histograms; ARI/
     silhouette reuse the Lloyd argmin subtree; Slope One's deviation
     grid is brand x brand."""
-    from tests.test_registry_order import ROUND10_NEW
+    round10_new = [
+        "events_welch_ttest", "events_jarque_bera",
+        "events_anderson_darling", "events_durbin_watson",
+        "events_hurst_rescaled_range", "events_pacf_durbin_levinson",
+        "quality_mcc_confusion", "quality_log_loss",
+        "clustering_adjusted_rand", "clustering_silhouette_simplified",
+        "corpus_source_hellinger_tv", "reco_slope_one_eval",
+        "quality_ks_separation", "quality_cumulative_gains",
+        "events_poisson_dispersion", "orders_repeat_purchase_curve",
+        "events_theta_forecast",
+    ]
 
-    assert len(ROUND10_NEW) == 17
-    for name in ROUND10_NEW:
+    assert len(round10_new) == 17
+    for name in round10_new:
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
 

@@ -1,94 +1,23 @@
 """Registry-order contract: the grading driver only records correctness
 rows for the first 50 registered queries, so the window must be spent
-where it buys new evidence. Round-11 rotation (VERDICT r10 task 1): the
-r1-r10 union driver-rowed 393 of 410 queries; this window spends 17
-slots on the ONLY remaining never-driver-rowed queries — the full
-ROUND10_NEW list (three of which carry this round's ADVICE plan fixes,
-so their fresh rows validate the new plans) — closing the ledger at
-410/410 ever-rowed. The other 33 slots empty the sentinel-exemption
-set: 24 module sentinels (one per query module not already represented
-by the ROUND10_NEW block, so a regression in ANY module can surface in
-the driver's independent gate), the post-dea6201 Bass plan that never
-had a post-fix row, and ALL EIGHT ROUND11_NEW operators — rowed in
-their birth round, so the ever-rowed ledger stays complete at 418/418
-continuously instead of owing r12 a rotation. Everything rotated out
-stays proven by the committed full-catalog replays (VERIFY_FULL_r11*,
-418/418 green at sf0.01 AND sf0.1) and the pytest oracle-parity sweep.
+where it buys new evidence. With the ever-rowed ledger closed in r11
+(418/418 catalog queries driver-rowed at least once, every module
+sentinel-covered in the r11 window), the metric that matters is
+STALENESS (VERDICT r11 task 6): the round-12 window holds the 50
+least-recently-rowed queries — all 39 whose last driver row was round
+1 plus 11 of the 23 last rowed in round 3 (module diversity first,
+then alphabetical). After it lands, no catalog query's newest driver
+row is older than round 3. Everything rotated out stays proven by the
+committed full-catalog replays (VERIFY_FULL_r11*, 418/418 green at
+sf0.001, sf0.01 AND sf0.1) and the pytest oracle-parity sweep.
 """
 
 from __future__ import annotations
 
 from automated_data_pipeline_python_spark.queries import QUERIES, _PRIORITY, oracle_sql
 
-# All 17 round-10 additions (replay+pytest evidence in r10; first driver
-# rows this round per the r10 verdict directive — the only never-rowed
-# queries left in the catalog).
-ROUND10_NEW = [
-    "events_welch_ttest",            # unequal-variance mean test + WS df
-    "events_jarque_bera",            # moment normality test
-    "events_anderson_darling",       # tail-weighted normality test
-    "events_durbin_watson",          # residual serial-correlation test
-    "events_hurst_rescaled_range",   # long-memory R/S ladder
-    "events_pacf_durbin_levinson",   # AR-order diagnostic off the ACF
-    "quality_mcc_confusion",         # MCC/F1/balanced-accuracy battery
-    "quality_log_loss",              # proper-score cross-entropy + Brier
-    "clustering_adjusted_rand",      # chance-corrected external index
-    "clustering_silhouette_simplified",  # centroid-based internal index
-    "corpus_source_hellinger_tv",    # metric source-distance matrix
-    "reco_slope_one_eval",           # rating-prediction baseline + MAE
-    "quality_ks_separation",         # max CDF gap between classes
-    "quality_cumulative_gains",      # targeting gains/lift deciles
-    "events_poisson_dispersion",     # variance-to-mean Poisson gate
-    "orders_repeat_purchase_curve",  # retention depth ladder
-    "events_theta_forecast",         # M3-winning theta backtest + MASE
-]
-
-# One sentinel per query module not already covered by ROUND10_NEW —
-# with these the replay-only exemption set is EMPTY (r10 verdict
-# "What's wrong" #2). Sentinels double as headline battery where the
-# module has a headline query.
-ROUND11_SENTINELS = {
-    "corpus_curation_funnel": "curation",
-    "quality_naive_bayes_gate": "curation3",
-    "dedup_minhash_lsh": "dedup",
-    "dq_star_schema_report": "dq",
-    "events_sessionization": "events",
-    "events_ab_test_lift": "experiments",
-    "events_interrupted_time_series": "experiments2",
-    "graph_brand_pagerank": "graph",
-    "bpe_train_merge_rounds": "lm",
-    "lateral_top2_orders_per_customer": "modern_sql",
-    "multimodal_media_metadata": "multimodal",
-    "rag_mmr_rerank": "rag",
-    "q1_pricing_summary": "relational",
-    "pivot_status_by_priority": "relational2",
-    "q2_cheapest_supplier_per_part": "relational3",
-    "agg_corr_regression": "relational4",
-    "fuzzy_levenshtein_pairs": "relational5",
-    "text_bm25_ranking": "retrieval",
-    "ann_ivf_topk": "similarity",
-    "sketch_heavy_hitter_terms": "sketches",
-    "text_quality_scores": "text",
-    "q8_market_share": "tpch2",
-    "sample_neyman_allocation": "training",
-    "text_tfidf_top_terms": "windows2",
-}
-
-# The one load-bearing re-validation slot: orders_bass_diffusion's
-# post-dea6201 DECIMAL-promoted normal equations never had a driver
-# row. (Heaviest-plan re-validations that held spare slots in earlier
-# drafts stay proven by the committed full-catalog replays at both
-# SFs — their rows exist in the r1-r10 union.)
-ROUND11_SPARES = [
-    "orders_bass_diffusion",
-]
-
-# New catalog queries added in round 11 — and, unlike previous rounds,
-# ALSO in the round-11 window (the remaining 8 slots), so they get
-# driver rows in their birth round and the ever-rowed ledger stays
-# complete at 418/418 continuously. Seven are the second multimodal
-# family (curation over the planned media); the eighth is the
-# fine-tuning loader's padding bill.
+# New catalog queries added in round 11 — driver-rowed in their birth
+# round (r11), so the r12 staleness window correctly leaves them out.
 ROUND11_NEW: list[str] = [
     "multimodal_modality_mix_report",   # per-modality dataset card
     "multimodal_bitrate_outliers",      # Tukey kbit/s fences per fps
@@ -97,10 +26,19 @@ ROUND11_NEW: list[str] = [
     "multimodal_vad_utterances",        # gaps-and-islands VAD profile
     "multimodal_resolution_ladder",     # letterbox resize plan
     "multimodal_shard_packing",         # bucket-local running-total bins
-    # plus the fine-tuning loader's padding bill (module training,
-    # window-covered by the sample_neyman_allocation sentinel):
     "training_batch_padding_waste",     # length-bucketed dynamic batching
 ]
+
+# No new catalog queries in round 12 — a hardening round by direction
+# (VERDICT r11 task 8): the window is spent entirely on staleness.
+ROUND12_NEW: list[str] = []
+
+# The two rows-only-by-design queries whose last driver row was round 1
+# sit in the staleness window even though they have no DuckDB oracle
+# (HLL++ estimates and seeded-RNG samples are engine-specific by
+# design); the driver records the same rows-only check it recorded in
+# r1, which is exactly the evidence being refreshed.
+ROWS_ONLY_IN_WINDOW = {"agg_approx_distinct", "sample_reproducible"}
 
 
 def test_priority_list_is_first_50():
@@ -108,21 +46,11 @@ def test_priority_list_is_first_50():
     assert list(QUERIES)[:50] == _PRIORITY
 
 
-def test_window_covers_round10_new_sentinels_and_spares():
-    window = set(_PRIORITY)
-    for required in [*ROUND10_NEW, *ROUND11_SENTINELS, *ROUND11_SPARES,
-                     *ROUND11_NEW]:
-        assert required in window, required
-
-
-def test_round11_additions_registered():
+def test_round11_additions_registered_but_rotated_out():
     for name in ROUND11_NEW:
         assert name in QUERIES, name
-
-
-def test_sentinels_live_in_their_module():
-    for name, mod in ROUND11_SENTINELS.items():
-        assert QUERIES[name].fn.__module__.rsplit(".", 1)[1] == mod, name
+        # they rowed in their birth round; staleness keeps them out now
+        assert name not in set(_PRIORITY), name
 
 
 def test_capped_default_is_the_headline_name():
@@ -138,11 +66,36 @@ def test_capped_default_is_the_headline_name():
     assert "dedup_minhash_lsh_capped" not in QUERIES  # name retired
 
 
-# Round 11 empties the exemption set: every query module now has a
-# sentinel inside the 50-slot driver window. Keep it empty — a new
-# module must ship with a window slot (or a ROUND*_NEW entry that will
-# take one next round).
-REPLAY_COVERED_MODULES: set[str] = set()
+# Modules with no slot in the round-12 staleness window: every one of
+# their queries rowed recently (r5-r11 — most carried r10/r11 rows, and
+# all had a sentinel in the r11 window), so none is among the 50
+# least-recently-rowed. Their regression evidence stays live via the
+# committed full-catalog replays at three SFs plus the pytest
+# oracle-parity sweep, and staleness rotation naturally returns them to
+# the window in later rounds. A NEW module must still ship with a
+# window slot in its birth round (ROUND*_NEW), not an entry here.
+REPLAY_COVERED_MODULES: set[str] = {
+    "clustering",
+    "curation",
+    "curation2",
+    "curation3",
+    "dq",
+    "drift",
+    "events",
+    "experiments",
+    "experiments2",
+    "graph",
+    "lm",
+    "mlstats",
+    "modern_sql",
+    "multimodal",
+    "reco",
+    "relational5",
+    "retrieval",
+    "sketches",
+    "timeseries",
+    "warehouse",
+}
 
 
 def test_window_represents_every_module():
@@ -156,13 +109,20 @@ def test_window_represents_every_module():
         q.fn.__module__.rsplit(".", 1)[1] for q in QUERIES.values()
     }
     assert all_mods - window_mods - REPLAY_COVERED_MODULES == set()
+    # the exemption set must not name modules that DO have a slot (keep
+    # the documented list honest as the window rotates)
+    assert REPLAY_COVERED_MODULES & window_mods == set()
 
 
 def test_window_is_oracle_dense():
-    """Every window slot hash-checks (the by-design rows-only queries
-    are out of the window — their rows exist in the r1-r6 union)."""
+    """Every window slot hash-checks except the two documented
+    rows-only-by-design r1 queries (their rows-only evidence is what
+    the staleness rotation refreshes)."""
     oracles = oracle_sql()
-    missing = [n for n in _PRIORITY if n not in oracles]
+    missing = [
+        n for n in _PRIORITY
+        if n not in oracles and n not in ROWS_ONLY_IN_WINDOW
+    ]
     assert missing == []
 
 
