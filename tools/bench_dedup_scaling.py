@@ -15,9 +15,18 @@ the ANN numbers are a SKEW-ADVERSARIAL upper bound: every IVF cell
 holds N identical copies of its sf0.1 contents.
 
 Repeat study: each (query, SF) point is the MINIMUM of REPEATS runs
-(default 3, env BENCH_SCALING_REPEATS) — single runs on the
+(default 5, env BENCH_SCALING_REPEATS) — single runs on the
 skew-adversarial corpora showed multi-second run-to-run noise that
-made interior points non-monotone (VERDICT r7 task 3).
+made interior points non-monotone (VERDICT r7 task 3), and the r11
+min-of-3 artifact reversed r10's min-of-5 capped-vs-uncapped LSH
+ordering at 100x on identical candidate counts, so min-of-5 is the
+floor for load-bearing claims (VERDICT r11 task 1).
+
+JVM isolation (VERDICT r11 / ADVICE): each SF point runs in its own
+SUBPROCESS (fresh python -> fresh py4j gateway -> fresh JVM). Calling
+get_spark() after spark.stop() in one process only refreshes the
+SparkContext — JIT code caches and heap state carry over — so the
+orchestrating main() shells out to `--point` children instead.
 
 Prints one JSON line with per-SF timings and the 10x/100x slopes;
 committed as BENCH_DEDUP_SCALING.json.
@@ -37,7 +46,7 @@ sys.path.insert(0, REPO)
 
 from automated_data_pipeline_python_spark.session import get_spark  # noqa: E402
 
-REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "5"))
 
 # query -> parquet tables it needs in the corpus dir (skipped with a
 # note when a derived corpus lacks one, e.g. a facts-free sf10 dir).
@@ -233,6 +242,22 @@ def time_set(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_point(sf_dir: str) -> None:
+    """Child mode: time ONE SF point in this (fresh) process's JVM and
+    print its timing dict as one JSON line."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark(
+        app_name="bench-dedup-scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = time_set(spark, sf_dir)
+    spark.stop()
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -241,24 +266,21 @@ def main() -> None:
     sf10 = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
         REPO, ".benchdata", "sf10_fresh"
     )
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
-
-    def fresh_session():
-        # one JVM per SF point: block-manager state from a smaller SF
-        # must not pressure (or subsidize) the next point's timings
-        return get_spark(
-            app_name="bench-dedup-scaling",
-            master=f"local[{cpus}]",
-            shuffle_partitions=cpus,
-        )
+    import subprocess
 
     timings = []
     for d in (sf01, sf1, sf10):
-        spark = fresh_session()
-        spark.sparkContext.setLogLevel("ERROR")
-        timings.append(time_set(spark, d))
-        spark.stop()
+        # fresh python -> fresh JVM per SF point: a same-process
+        # get_spark() after stop() reuses the py4j gateway JVM, so JIT
+        # caches and heap state would otherwise carry across points
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--point", d],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        timings.append(json.loads(proc.stdout.strip().splitlines()[-1]))
     t01, t1, t10 = timings
     ratios_10x = {k: round(t1[k] / t01[k], 2) for k in t1 if k in t01}
     ratios_100x = {k: round(t10[k] / t01[k], 2) for k in t10 if k in t01}
@@ -274,9 +296,13 @@ def main() -> None:
         "note": ("fresh-docs derived corpora: zero cross-generation "
                  "similarity, within-generation dup structure exact; "
                  "embeddings replicate verbatim (ANN = skew-adversarial "
-                 "upper bound); each point = min of "
-                 f"{REPEATS} warm runs after one untimed warm-up "
-                 "cycle, with the cycle order RE-PERMUTED per repeat "
+                 "upper bound); each SF point runs in its OWN "
+                 "SUBPROCESS (fresh python -> fresh JVM, r12 change — "
+                 "same-process session recreation reuses the py4j "
+                 "gateway JVM and its JIT/heap state); each point = "
+                 f"min of {REPEATS} warm runs after one untimed "
+                 "warm-up cycle, with the cycle order RE-PERMUTED per "
+                 "repeat "
                  "(r10 change: a fixed cyclic order gives each query "
                  "the same predecessor every cycle, so one "
                  "predecessor's async checkpoint-cleanup drain taxed "
@@ -293,4 +319,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--point":
+        run_point(sys.argv[2])
+    else:
+        main()

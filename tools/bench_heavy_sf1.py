@@ -12,7 +12,9 @@ Round 11 (VERDICT r10 task 5): the heaviest round-10 shapes also get a
 bounded deviation grid: users grow, brands don't), events_theta_forecast
 and events_hurst_rescaled_range (day-bounded tails: the corpus pass to
 daily aggregates is the only scaling term). Each SF point runs in its
-OWN JVM with the scaling harness's discipline (untimed warm-up, min-of-3
+own SUBPROCESS — a fresh python process and hence a genuinely fresh
+JVM (r12; same-process session recreation reuses the py4j gateway JVM)
+— with the scaling harness's discipline (untimed warm-up, min-of-3
 re-permuted round-robin, GC between queries).
 
 Usage: python tools/bench_heavy_sf1.py [sf01_dir] [sf1_dir] [sf10_dir]
@@ -113,9 +115,13 @@ def time_set(spark, sf_dir: str) -> dict[str, float]:
 
 
 def time_100x_point(sf_dir: str, cpus: int) -> dict[str, float]:
-    """One SF point for the HEAVY_100X ladder in its OWN JVM, with the
-    scaling harness's discipline: untimed warm-up cycle, min-of-3
-    re-permuted round-robin cycles, driver GC between queries."""
+    """One SF point for the HEAVY_100X ladder with the scaling
+    harness's discipline: untimed warm-up cycle, min-of-3 re-permuted
+    round-robin cycles, driver GC between queries. True JVM isolation
+    comes from main() running each point via a `--point` SUBPROCESS
+    (fresh python -> fresh JVM) — calling get_spark() after
+    spark.stop() in one process reuses the py4j gateway JVM, so only
+    the SparkContext would be fresh (ADVICE r11)."""
     import hashlib
 
     from automated_data_pipeline_python_spark.queries import QUERIES
@@ -183,16 +189,27 @@ def main() -> None:
     t1 = time_set(spark, sf1)
     spark.stop()
 
-    # 100x ladder for the heaviest r10 shapes — one fresh JVM per SF
-    # point so block-manager state from a smaller point cannot pressure
-    # (or subsidize) the next point's timings.
+    # 100x ladder for the heaviest r10 shapes — one fresh SUBPROCESS
+    # (hence genuinely fresh JVM) per SF point so block-manager, JIT
+    # and heap state from a smaller point cannot pressure (or
+    # subsidize) the next point's timings.
+    import subprocess
+
     ladder = {}
     if os.path.isdir(sf10):
-        ladder = {
-            "sf0.1": time_100x_point(sf01, cpus),
-            "sf1_fresh_10x": time_100x_point(sf1, cpus),
-            "sf10_fresh_100x": time_100x_point(sf10, cpus),
-        }
+        for key, d in (
+            ("sf0.1", sf01),
+            ("sf1_fresh_10x", sf1),
+            ("sf10_fresh_100x", sf10),
+        ):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--point", d],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=REPO,
+            )
+            ladder[key] = json.loads(proc.stdout.strip().splitlines()[-1])
     print(
         json.dumps(
             {
@@ -212,7 +229,8 @@ def main() -> None:
                 } if ladder else {},
                 "heavy_100x_note": (
                     "min-of-3 re-permuted round-robin after one untimed "
-                    "warm-up cycle, fresh JVM per SF point; "
+                    "warm-up cycle, fresh subprocess (fresh JVM) per "
+                    "SF point; "
                     "reco_slope_one_eval's dev grid is brand x brand "
                     "(fixed 25 brands — users grow, brands don't), "
                     "events_theta_forecast and events_hurst_rescaled_"
@@ -225,4 +243,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--point":
+        _cpus = int(
+            os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+        )
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+        print(json.dumps(time_100x_point(sys.argv[2], _cpus)))
+    else:
+        main()
