@@ -289,6 +289,7 @@ WITH media AS (
     SELECT {_MODALITY} AS modality,
            CAST({nbytes('text')} AS BIGINT) AS n_bytes
     FROM documents
+    WHERE {nbytes('text')} > 0
 ),
 per AS (
     SELECT modality,
@@ -317,6 +318,9 @@ ORDER BY p.modality
 def multimodal_modality_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-modality dataset card: item/byte counts, corpus shares, and
     mean blob size — the table a multimodal mixture design reads first.
+    Empty blobs are excluded (n_bytes > 0) so the card's denominators
+    use the same media universe as the rest of the curation family
+    (every other family-2 operator applies the identical guard).
 
     Scale: one hash aggregation to the 4-row modality relation; shares
     join against a one-row totals frame (planner-chosen tiny join).
@@ -517,7 +521,7 @@ def multimodal_frame_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the distance clears the threshold, scenes = cuts + 1. The lag window
 # is keyed by clip (8 rows per partition) — never global.
 
-_CUT_HAMMING = 24  # > this = scene boundary (0 = identical content)
+_CUT_HAMMING = 24  # >= this = scene boundary (0 = identical content)
 
 
 def _scene_sql(frames: str, xor) -> str:
