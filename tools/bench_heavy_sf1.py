@@ -95,39 +95,27 @@ HEAVY_100X = [
 ]
 
 
-def time_set(spark, sf_dir: str) -> dict[str, float]:
-    from automated_data_pipeline_python_spark.queries import QUERIES
-
-    out: dict[str, float] = {}
-    for name in HEAVY:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
-        for t in spark.catalog.listTables():
-            if t.isTemporary:
-                spark.catalog.dropTempView(t.name)
-    return out
-
-
-def time_100x_point(sf_dir: str, cpus: int) -> dict[str, float]:
-    """One SF point for the HEAVY_100X ladder with the scaling
-    harness's discipline: untimed warm-up cycle, min-of-3 re-permuted
-    round-robin cycles, driver GC between queries. True JVM isolation
-    comes from main() running each point via a `--point` SUBPROCESS
-    (fresh python -> fresh JVM) — calling get_spark() after
+def time_point(sf_dir: str, cpus: int, names: list[str]) -> dict[str, float]:
+    """One (SF, query-set) point with the scaling harness's full
+    discipline: untimed warm-up cycle, min-of-3 re-permuted round-robin
+    cycles, temp-view drop + driver GC between queries. True JVM
+    isolation comes from main() running each point via a `--point`
+    SUBPROCESS (fresh python -> fresh JVM) — calling get_spark() after
     spark.stop() in one process reuses the py4j gateway JVM, so only
-    the SparkContext would be fresh (ADVICE r11)."""
+    the SparkContext would be fresh (ADVICE r11). Round 12 applies the
+    SAME discipline to the 10x section that the 100x ladder already
+    had: its old shared-session 2-repeat loop (no GC, one JVM across
+    both SFs, ~30 queries of checkpoint debt by the second SF) measured
+    graph_closeness_centrality at 31.5 s on the 10x corpus where the
+    subprocess-isolated min-of-5 scaling bench measured 3.975 s the
+    same day — shared-session levels were heap-pressure artifacts, not
+    query cost."""
     import hashlib
 
     from automated_data_pipeline_python_spark.queries import QUERIES
 
     spark = get_spark(
-        app_name="bench-heavy-100x",
+        app_name="bench-heavy-point",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
     )
@@ -139,15 +127,15 @@ def time_100x_point(sf_dir: str, cpus: int) -> dict[str, float]:
                 spark.catalog.dropTempView(t.name)
         spark.sparkContext._jvm.System.gc()
 
-    for name in HEAVY_100X:  # untimed warm-up
+    for name in names:  # untimed warm-up
         QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         drop_and_gc()
-    best = {name: float("inf") for name in HEAVY_100X}
+    best = {name: float("inf") for name in names}
     for r in range(3):
         order = sorted(
-            HEAVY_100X,
+            names,
             key=lambda n: hashlib.md5(f"{r}:{n}".encode()).hexdigest(),
         )
         for name in order:
@@ -161,6 +149,23 @@ def time_100x_point(sf_dir: str, cpus: int) -> dict[str, float]:
     return {name: round(v, 3) for name, v in best.items()}
 
 
+SETS = {"heavy": HEAVY, "ladder": HEAVY_100X}
+
+
+def _subprocess_point(sf_dir: str, set_name: str) -> dict[str, float]:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--point", sf_dir,
+         set_name],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -169,32 +174,11 @@ def main() -> None:
     sf10 = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
         REPO, ".benchdata", "sf10_fresh"
     )
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
-    spark = get_spark(
-        app_name="bench-heavy-sf1",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
-    # warm scans once per corpus
-    from automated_data_pipeline_python_spark.tables import load
+    t01 = _subprocess_point(sf01, "heavy")
+    t1 = _subprocess_point(sf1, "heavy")
 
-    for d in (sf01, sf1):
-        for t in ("events", "documents", "orders", "lineitem"):
-            load(spark, d, t).write.format("noop").mode("overwrite").save()
-
-    t01 = time_set(spark, sf01)
-    t1 = time_set(spark, sf1)
-    spark.stop()
-
-    # 100x ladder for the heaviest r10 shapes — one fresh SUBPROCESS
-    # (hence genuinely fresh JVM) per SF point so block-manager, JIT
-    # and heap state from a smaller point cannot pressure (or
-    # subsidize) the next point's timings.
-    import subprocess
-
+    # 100x ladder for the heaviest r10 shapes — fresh subprocess per SF.
     ladder = {}
     if os.path.isdir(sf10):
         for key, d in (
@@ -202,14 +186,7 @@ def main() -> None:
             ("sf1_fresh_10x", sf1),
             ("sf10_fresh_100x", sf10),
         ):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--point", d],
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=REPO,
-            )
-            ladder[key] = json.loads(proc.stdout.strip().splitlines()[-1])
+            ladder[key] = _subprocess_point(d, "ladder")
     print(
         json.dumps(
             {
@@ -227,15 +204,23 @@ def main() -> None:
                     )
                     for k in HEAVY_100X
                 } if ladder else {},
-                "heavy_100x_note": (
-                    "min-of-3 re-permuted round-robin after one untimed "
-                    "warm-up cycle, fresh subprocess (fresh JVM) per "
-                    "SF point; "
-                    "reco_slope_one_eval's dev grid is brand x brand "
-                    "(fixed 25 brands — users grow, brands don't), "
-                    "events_theta_forecast and events_hurst_rescaled_"
-                    "range are day-bounded tails over one daily-"
-                    "aggregate corpus pass"
+                "note": (
+                    "every (SF, set) point = min-of-3 re-permuted "
+                    "round-robin after one untimed warm-up cycle, in "
+                    "its OWN SUBPROCESS (fresh python -> fresh JVM) "
+                    "with temp-view drop + driver GC between queries. "
+                    "r12 method change: the 10x section previously ran "
+                    "both SFs back-to-back (2 repeats, no GC) in ONE "
+                    "shared session, and its second-SF levels were "
+                    "heap-pressure artifacts (closeness 31.5 s shared "
+                    "vs 3.975 s isolated on the same corpus+day) — "
+                    "levels here are NOT comparable to the r11 "
+                    "artifact's; orderings and cross-SF ratios are the "
+                    "claim. reco_slope_one_eval's dev grid is brand x "
+                    "brand (fixed 25 brands — users grow, brands "
+                    "don't), events_theta_forecast and events_hurst_"
+                    "rescaled_range are day-bounded tails over one "
+                    "daily-aggregate corpus pass"
                 ),
             }
         )
@@ -243,11 +228,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--point":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--point":
         _cpus = int(
             os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
         )
         os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
-        print(json.dumps(time_100x_point(sys.argv[2], _cpus)))
+        print(json.dumps(time_point(sys.argv[2], _cpus, SETS[sys.argv[3]])))
     else:
         main()
