@@ -216,7 +216,18 @@ def main() -> None:
                     "vs 3.975 s isolated on the same corpus+day) — "
                     "levels here are NOT comparable to the r11 "
                     "artifact's; orderings and cross-SF ratios are the "
-                    "claim. reco_slope_one_eval's dev grid is brand x "
+                    "claim. graph_closeness_centrality's 10x level is "
+                    "co-residency-dominated even so: 16.8 s inside "
+                    "this 29-query point vs 4.4-8.4 s solo fresh-JVM "
+                    "min-of-3 probes vs 3.975 s in the 7-query "
+                    "min-of-5 scaling point, all same corpus+day; the "
+                    "query is many tiny stages (complete 25-node "
+                    "graph, BFS converges in one hop) so its wall is "
+                    "scheduler/heap state, not data — "
+                    "BENCH_DEDUP_SCALING.json's closeness_edge_build/"
+                    "closeness_bfs_tail decomposition is the "
+                    "authoritative scaling evidence for it. "
+                    "reco_slope_one_eval's dev grid is brand x "
                     "brand (fixed 25 brands — users grow, brands "
                     "don't), events_theta_forecast and events_hurst_"
                     "rescaled_range are day-bounded tails over one "
