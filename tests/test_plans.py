@@ -799,3 +799,24 @@ def test_round11_additions_python_free(spark):
     for name in ROUND11_NEW:
         r = plan_report(QUERIES[name].fn(spark, SF))
         assert r.python_free, name
+
+
+def test_catalog_python_boundary_audit(spark):
+    """Catalog-wide mechanical gate (r12): EVERY registered query
+    compiles python-free except the two documented Arrow exemptions,
+    each of which is exactly ONE python boundary.
+
+    The per-round `*_python_free` tests above pin each birth cohort;
+    this sweep closes the gap for queries that predate the convention
+    and for any future edit that slips a python stage into an old
+    query. Compile-time plans only (no execution beyond the eager
+    localCheckpoints some builders run), so the sweep costs minutes,
+    not the replay's half hour.
+    """
+    exempt = {"join_asof_arrow_cogroup", "udtf_long_words"}
+    offenders = {}
+    for name, q in QUERIES.items():
+        n = plan_report(q.fn(spark, SF)).python_evals
+        if n != (1 if name in exempt else 0):
+            offenders[name] = n
+    assert offenders == {}
