@@ -801,7 +801,18 @@ def test_round11_additions_python_free(spark):
         assert r.python_free, name
 
 
-def test_catalog_python_boundary_audit(spark):
+@pytest.fixture(scope="module")
+def catalog_reports(spark):
+    """One compile-time plan sweep over the FULL registry, shared by
+    the catalog-wide audits below. Compile-time plans only (no
+    execution beyond the eager localCheckpoints some builders run), so
+    the sweep costs minutes, not the replay's half hour."""
+    return {
+        name: plan_report(q.fn(spark, SF)) for name, q in QUERIES.items()
+    }
+
+
+def test_catalog_python_boundary_audit(catalog_reports):
     """Catalog-wide mechanical gate (r12): EVERY registered query
     compiles python-free except the two documented Arrow exemptions,
     each of which is exactly ONE python boundary.
@@ -809,14 +820,42 @@ def test_catalog_python_boundary_audit(spark):
     The per-round `*_python_free` tests above pin each birth cohort;
     this sweep closes the gap for queries that predate the convention
     and for any future edit that slips a python stage into an old
-    query. Compile-time plans only (no execution beyond the eager
-    localCheckpoints some builders run), so the sweep costs minutes,
-    not the replay's half hour.
+    query.
     """
     exempt = {"join_asof_arrow_cogroup", "udtf_long_words"}
-    offenders = {}
-    for name, q in QUERIES.items():
-        n = plan_report(q.fn(spark, SF)).python_evals
-        if n != (1 if name in exempt else 0):
-            offenders[name] = n
+    offenders = {
+        name: rep.python_evals
+        for name, rep in catalog_reports.items()
+        if rep.python_evals != (1 if name in exempt else 0)
+    }
     assert offenders == {}
+
+
+# Queries whose compiled plan may contain a CartesianProduct: every
+# entry is the sanctioned bounded-grid class — BOTH sides are
+# vocabulary/calendar/bin-bounded relations (never corpus-scaled), so
+# the product is a fixed-size grid at any data scale.
+CARTESIAN_ALLOWED = {
+    "clustering_davies_bouldin",        # k x k cluster-pair grid
+    "clustering_silhouette_simplified",  # k x k cluster-pair grid
+    "dq_t_closeness",                   # QI groups x 5 priorities
+    "events_ljung_box_acf",             # lag grid 1..7 x day-bounded ACF
+    "events_pettitt_changepoint",       # day x day rank grid (calendar)
+    "orders_logrank_survival_test",     # bounded duration grid x cohort
+    "quality_isotonic_calibration",     # 10x10 decile PAV minimax grid
+    "quality_raters_kendall_tau",       # decile x verdict tie grid
+}
+
+
+def test_catalog_cartesian_audit(catalog_reports):
+    """Catalog-wide mechanical gate (r12): no registered query may
+    compile to a CartesianProduct outside CARTESIAN_ALLOWED, whose
+    entries are all bounded grids by construction. A new name in the
+    offender set means an unkeyed join over something that scales with
+    the corpus — the classic silent 100x-at-scale blowup."""
+    offenders = sorted(
+        name
+        for name, rep in catalog_reports.items()
+        if "CartesianProduct" in rep.text and name not in CARTESIAN_ALLOWED
+    )
+    assert offenders == []
