@@ -88,10 +88,19 @@ HEAVY = [
 #     scales.
 #   events_hurst_rescaled_range — block ladder over <= 32-row daily
 #     blocks; same single corpus pass to daily counts.
+# r12 adds the two queries with the highest 10x ratios in the heavy
+# set (2.3-2.4x), so their boundedness argument gets a 100x row too:
+#   mixture_unimax_budget — one corpus pass to per-source token
+#     counts; the UniMax water-fill runs on the source-count-bounded
+#     relation.
+#   quality_log_loss — map-only scoring pass (clamped-ln, per-row
+#     snap) into one global exact-integer aggregate.
 HEAVY_100X = [
     "reco_slope_one_eval",
     "events_theta_forecast",
     "events_hurst_rescaled_range",
+    "mixture_unimax_budget",
+    "quality_log_loss",
 ]
 
 
@@ -153,6 +162,14 @@ SETS = {"heavy": HEAVY, "ladder": HEAVY_100X}
 
 
 def _subprocess_point(sf_dir: str, set_name: str) -> dict[str, float]:
+    """`set_name` is a SETS key, or `query:<name>` for a set of one —
+    the ladder uses the latter: r12 measured the SAME (query, SF,
+    corpus, solo machine) at 16.6 s vs 39.0 s when the only change was
+    ladder co-residents (3 -> 5 queries), so cross-round-comparable
+    ladder numbers require per-query JVM isolation (marginal query
+    cost); with a set of one, round-robin degenerates to back-to-back
+    min-of-3, which is symmetric across SFs and therefore still the
+    right estimator for cross-SF ratios."""
     import subprocess
 
     proc = subprocess.run(
@@ -178,7 +195,8 @@ def main() -> None:
     t01 = _subprocess_point(sf01, "heavy")
     t1 = _subprocess_point(sf1, "heavy")
 
-    # 100x ladder for the heaviest r10 shapes — fresh subprocess per SF.
+    # 100x ladder — fresh subprocess per (query, SF): marginal cost,
+    # independent of ladder composition (see _subprocess_point).
     ladder = {}
     if os.path.isdir(sf10):
         for key, d in (
@@ -186,7 +204,9 @@ def main() -> None:
             ("sf1_fresh_10x", sf1),
             ("sf10_fresh_100x", sf10),
         ):
-            ladder[key] = _subprocess_point(d, "ladder")
+            ladder[key] = {}
+            for name in HEAVY_100X:
+                ladder[key].update(_subprocess_point(d, f"query:{name}"))
     print(
         json.dumps(
             {
@@ -205,33 +225,42 @@ def main() -> None:
                     for k in HEAVY_100X
                 } if ladder else {},
                 "note": (
-                    "every (SF, set) point = min-of-3 re-permuted "
-                    "round-robin after one untimed warm-up cycle, in "
-                    "its OWN SUBPROCESS (fresh python -> fresh JVM) "
-                    "with temp-view drop + driver GC between queries. "
-                    "r12 method change: the 10x section previously ran "
-                    "both SFs back-to-back (2 repeats, no GC) in ONE "
-                    "shared session, and its second-SF levels were "
-                    "heap-pressure artifacts (closeness 31.5 s shared "
-                    "vs 3.975 s isolated on the same corpus+day) — "
-                    "levels here are NOT comparable to the r11 "
-                    "artifact's; orderings and cross-SF ratios are the "
-                    "claim. graph_closeness_centrality's 10x level is "
-                    "co-residency-dominated even so: 16.8 s inside "
-                    "this 29-query point vs 4.4-8.4 s solo fresh-JVM "
-                    "min-of-3 probes vs 3.975 s in the 7-query "
-                    "min-of-5 scaling point, all same corpus+day; the "
-                    "query is many tiny stages (complete 25-node "
-                    "graph, BFS converges in one hop) so its wall is "
-                    "scheduler/heap state, not data — "
+                    "10x sections: min-of-3 re-permuted round-robin "
+                    "over the 29-query set after one untimed warm-up "
+                    "cycle, one SUBPROCESS (fresh python -> fresh "
+                    "JVM) per SF, temp-view drop + driver GC between "
+                    "queries — a production-schedule-shaped estimate "
+                    "whose levels depend on the co-resident set; "
+                    "orderings and cross-SF ratios are the claim, not "
+                    "levels (r12: the old shared-across-SFs session "
+                    "measured closeness at 31.5 s where an isolated "
+                    "point measured 3.975 s, and closeness stays "
+                    "state-dominated even isolated — same-day solo "
+                    "runs of THIS harness measured it at 16.8 s and "
+                    "4.3 s inside the 29-query 10x point, vs "
+                    "4.4-8.4 s solo fresh-JVM probes — it is many "
+                    "tiny stages over a complete 25-node graph, so "
+                    "its wall is scheduler/heap state, not data; "
                     "BENCH_DEDUP_SCALING.json's closeness_edge_build/"
                     "closeness_bfs_tail decomposition is the "
-                    "authoritative scaling evidence for it. "
-                    "reco_slope_one_eval's dev grid is brand x "
-                    "brand (fixed 25 brands — users grow, brands "
-                    "don't), events_theta_forecast and events_hurst_"
-                    "rescaled_range are day-bounded tails over one "
-                    "daily-aggregate corpus pass"
+                    "authoritative scaling evidence for it). "
+                    "100x ladder: one subprocess per (QUERY, SF) — "
+                    "back-to-back min-of-3 after one untimed warm-up, "
+                    "symmetric across SFs — because ladder levels "
+                    "moved 16.6 -> 39.0 s for the same (query, SF, "
+                    "corpus) when the co-resident ladder set grew "
+                    "from 3 to 5 queries; per-query isolation makes "
+                    "the rows marginal query cost, comparable across "
+                    "rounds regardless of ladder composition. "
+                    "Boundedness arguments: reco_slope_one_eval's "
+                    "dev grid is brand x brand (fixed 25 brands — "
+                    "users grow, brands don't); events_theta_forecast "
+                    "and events_hurst_rescaled_range are day-bounded "
+                    "tails over one daily-aggregate corpus pass; "
+                    "mixture_unimax_budget water-fills the "
+                    "source-count-bounded relation after one corpus "
+                    "pass; quality_log_loss is a map-only scoring "
+                    "pass into one global exact-integer aggregate"
                 ),
             }
         )
@@ -244,6 +273,12 @@ if __name__ == "__main__":
             os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
         )
         os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
-        print(json.dumps(time_point(sys.argv[2], _cpus, SETS[sys.argv[3]])))
+        _set = sys.argv[3]
+        _names = (
+            [_set.removeprefix("query:")]
+            if _set.startswith("query:")
+            else SETS[_set]
+        )
+        print(json.dumps(time_point(sys.argv[2], _cpus, _names)))
     else:
         main()
