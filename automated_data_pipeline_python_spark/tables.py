@@ -81,6 +81,54 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ("128m", "4194304b", plain digits) to bytes."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(spark: SparkSession, path: str) -> int | None:
+    """Estimate the parquet scan's partition count from file sizes.
+
+    Mirrors Spark's split sizing (FilePartition.maxSplitBytes):
+    ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))``
+    with each file charged ``openCostInBytes`` — close enough to decide
+    "fewer splits than cores?" without the RDD-conversion round trip
+    ``df.rdd.getNumPartitions()`` costs (a full plan-to-RDD translation
+    per call — measured ~0.1-0.2 s on the driver, in the timed region
+    of every load_scaled query; guide §1.2 "per-task work" applies to
+    the driver too). Returns None when the path is not a local
+    file/directory (object stores etc.) — callers then fall back to the
+    exact RDD probe.
+    """
+    sizes: list[int] = []
+    if os.path.isfile(path):
+        sizes = [os.path.getsize(path)]
+    elif os.path.isdir(path):
+        for root, _dirs, fnames in os.walk(path):
+            sizes.extend(
+                os.path.getsize(os.path.join(root, fn))
+                for fn in fnames
+                if fn.endswith(".parquet")
+            )
+    if not sizes:
+        return None
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    total = sum(sizes) + open_cost * len(sizes)
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_part, max(open_cost, total // parallelism))
+    return max(1, -(-total // max_split))  # ceil division
+
+
 def load_scaled(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a table for compute-heavy per-row pipelines (tokenize, hash,
     shingle, vector math).
@@ -94,10 +142,18 @@ def load_scaled(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     single-core pipeline into a full-width one for a few-MB shuffle; on
     a real multi-file 100 TB corpus the scan already has more splits
     than cores and this is a no-op — no shuffle is ever added at scale.
+
+    The split count comes from file sizes (Spark's own split formula)
+    when the corpus is a local path; only non-local paths pay the exact
+    ``df.rdd.getNumPartitions()`` plan-to-RDD probe.
     """
     df = load(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    n = _estimated_scan_partitions(spark, path)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         df = df.repartition(target)
     return df
 
