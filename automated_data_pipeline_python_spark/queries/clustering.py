@@ -114,20 +114,104 @@ _SPARK_BASE_DERIVE = (
     " transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) b0"
 )
 
-_SPARK_SQL = _sql(
-    dot=lambda a, b: (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
-    ),
-    explode=lambda m: (
-        f"SELECT {m}.cell, d, x FROM {m} "
-        f"JOIN base ON base.vec_id = {m}.vec_id "
-        f"LATERAL VIEW posexplode(base.v) t AS d, x"
-    ),
-    collect="transform(array_sort(collect_list(named_struct('d', d, 'c', c))), s -> s.c)",
-    cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
-    bigint=lambda e: e,
-).format(base_src="SELECT * FROM km_base")
+# r12 optimization (guide §2.4 "remove shuffles outright"): the Spark
+# side no longer runs the template's cross-join + row_number argmin.
+# Assignment is a MAP-SIDE argmin against the centroid set collected
+# into ONE array-of-structs row (8 centroids — broadcast-sized at any
+# corpus scale): a broadcast nested-loop join attaches the array, a
+# higher-order fold computes the same snapped distance expression
+# ((nrm2 - 2*dot) + cnrm2, floor(x*1e6+0.5)/1e6) per centroid and keeps
+# the strict minimum. The centroid array is CELL-ASCENDING (array_sort
+# on the struct, cell is the first field) and the fold keeps the FIRST
+# minimum, so ties break on the lowest cell — exactly row_number()
+# ORDER BY dist, cell. This removes, per iteration: the 8N-row window
+# shuffle+sort AND the member-explode's join back to base (v rides
+# along with the assignment). The DuckDB oracle keeps the template
+# form — results are proven identical by the driver-contract replays.
+
+# Argmin fold over `cents` (array<struct<cell,c,cnrm2>>) for a row with
+# columns (v, nrm2). Distance text matches _sql's d2 byte-for-byte
+# modulo qualifiers: floor((nrm2 - 2*dot + cnrm2) * 1e6 + 0.5) / 1e6.
+_KM_ARGMIN = (
+    "aggregate(transform(cents, ct -> named_struct("
+    "'dist', floor((nrm2 - 2 * aggregate(zip_with(v, ct.c, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, e) -> acc + e) + ct.cnrm2) * 1e6 + 0.5) / 1e6,"
+    " 'cell', ct.cell)),"
+    " named_struct('dist', CAST('Infinity' AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),"
+    " (best, e) -> IF(e.dist < best.dist, e, best)).cell"
+)
+
+_KM_DOT_CC = (
+    "aggregate(zip_with(c, c, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+)
+
+# Iteration 1: seed centroids (vec_id < _K) -> assign -> per-(cell,d)
+# snapped means -> 8-row (cell, c, cnrm2) relation. Materialized by the
+# query fn (it feeds both the iteration-2 assignment and the final
+# drift join; Spark inlines CTEs, so the inline form would re-run the
+# whole iteration-1 corpus pass per reference). The assignment carries
+# v, so the member explode needs NO join back to the corpus.
+_SPARK_C1_SQL = f"""
+WITH cents0 AS (
+    SELECT array_sort(collect_list(named_struct(
+        'cell', vec_id, 'c', v, 'cnrm2', nrm2))) AS cents
+    FROM km_base WHERE vec_id < {_K}
+),
+a1 AS (
+    SELECT v, {_KM_ARGMIN} AS cell
+    FROM km_base CROSS JOIN cents0
+),
+u1 AS (
+    SELECT cell, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+    FROM a1 LATERAL VIEW posexplode(v) t AS d, x
+    GROUP BY cell, d
+)
+SELECT cell, c, {_KM_DOT_CC} AS cnrm2
+FROM (SELECT cell,
+             transform(array_sort(collect_list(named_struct('d', d, 'c', c))),
+                       s -> s.c) AS c
+      FROM u1 GROUP BY cell) cc1
+"""
+
+# Iteration 2 + report. n_members comes from the d=0 slice of the same
+# aggregation that computes the means (every vector contributes exactly
+# one d=0 row), so the assignment pass runs ONCE — no separate members
+# aggregation over a re-executed subtree.
+_SPARK_SQL = f"""
+WITH cents1 AS (
+    SELECT array_sort(collect_list(named_struct(
+        'cell', cell, 'c', c, 'cnrm2', cnrm2))) AS cents
+    FROM km_c1
+),
+a2 AS (
+    SELECT v, {_KM_ARGMIN} AS cell
+    FROM km_base CROSS JOIN cents1
+),
+u2 AS (
+    SELECT cell, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c, count(*) AS nd
+    FROM a2 LATERAL VIEW posexplode(v) t AS d, x
+    GROUP BY cell, d
+),
+c2 AS (
+    SELECT cell, c, {_KM_DOT_CC} AS cnrm2, n_members
+    FROM (SELECT cell,
+                 transform(array_sort(collect_list(named_struct('d', d, 'c', c))),
+                           s -> s.c) AS c,
+                 max(CASE WHEN d = 0 THEN nd END) AS n_members
+          FROM u2 GROUP BY cell) cc2
+)
+SELECT
+    c2.cell,
+    c2.n_members AS n_members,
+    floor(sqrt(c2.cnrm2) * 1e6 + 0.5) / 1e6 AS centroid_norm,
+    floor(sqrt(greatest(floor((c1.cnrm2 - 2 * aggregate(zip_with(c1.c, c2.c,
+        (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, e) -> acc + e)
+        + c2.cnrm2) * 1e6 + 0.5) / 1e6, 0)) * 1e6 + 0.5) / 1e6 AS drift
+FROM c2
+JOIN km_c1 c1 ON c1.cell = c2.cell
+ORDER BY c2.cell
+"""
 
 _DUCK_SQL = _sql(
     dot=lambda a, b: f"list_dot_product({a}, {b})",
@@ -154,14 +238,21 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns per-cell membership, centroid norm, and inter-iteration
     drift (the convergence signal a driver loop would test against).
 
-    The doubled-vector + self-dot base relation is materialized once
-    (km_base): four consumers read it (seed slice, two assignment cross
-    joins, two member explodes) and Spark would otherwise inline the
-    scan+cast+fold subtree into each — 4 corpus passes instead of 1.
+    The iteration-1 centroids (8 rows) are materialized: they feed the
+    iteration-2 assignment AND the drift join, and the inline form
+    would re-run the whole iteration-1 corpus pass per reference. The
+    doubled-vector base relation is NOT materialized any more (r12): it
+    is a cheap scan+cast+fold map lineage, and re-executing it (3x:
+    seed slice, two assignment passes) measures faster locally than
+    checkpoint-write+read — and at 100 TB three column-pruned parquet
+    scans beat writing a corpus-sized doubled copy to executor disks
+    (guide §5: cache only when recomputing costs more than the
+    materialization).
     """
     load_scaled(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    spark.sql(_SPARK_BASE_DERIVE).localCheckpoint(eager=True).createOrReplaceTempView(
-        "km_base"
+    spark.sql(_SPARK_BASE_DERIVE).createOrReplaceTempView("km_base")
+    spark.sql(_SPARK_C1_SQL).localCheckpoint(eager=True).createOrReplaceTempView(
+        "km_c1"
     )
     return spark.sql(_SPARK_SQL)
 
