@@ -130,6 +130,17 @@ _DUCK_PLANE_KEY = (
 _SPARK_WT = f"(({spark_hash60(_SPARK_PLANE_KEY)}) % 2001 - 1000) / 1000.0"
 _DUCK_WT = f"(({duck_hash60(_DUCK_PLANE_KEY)}) % 2001 - 1000) / 1000.0"
 
+# r12 optimization (guide §2.3/§2.4): the hyperplane dot products are
+# computed MAP-SIDE against the 12 plane-weight vectors collected into
+# ONE array-of-structs row (t-, p-, then d-sorted — 768 doubles,
+# broadcast-sized forever), instead of exploding the corpus to
+# N×DIMS component rows, joining them against the plane relation and
+# re-aggregating twice. The old shape shuffled corpus×12 partial dot
+# rows plus corpus×4 bucket rows; this shape shuffles NOTHING until a
+# consumer aggregates buckets. The per-(vec,t,p) dot folds d ascending
+# (deterministic) where the old hash aggregate summed in arbitrary
+# order — both engines snap nothing here, but the >= 0 sign decision is
+# far from any summation-order ulp at every SF (oracle-verified).
 _BUCKETS_CORE_SPARK = f"""
 WITH planes AS (
     SELECT t, p, d, {_SPARK_WT} AS wt
@@ -137,20 +148,26 @@ WITH planes AS (
     CROSS JOIN (SELECT explode(sequence(0, {_N_PLANES - 1})) AS p)
     CROSS JOIN (SELECT explode(sequence(0, {_DIMS - 1})) AS d)
 ),
-comps AS (
-    SELECT vec_id, pos AS d, CAST(x AS DOUBLE) AS x
-    FROM embeddings LATERAL VIEW posexplode(embedding) e AS pos, x
-),
-dots AS (
-    SELECT c.vec_id, p.t, p.p, sum(c.x * p.wt) AS dot
-    FROM comps c JOIN planes p ON c.d = p.d
-    GROUP BY c.vec_id, p.t, p.p
+ptab AS (
+    SELECT array_sort(collect_list(named_struct('t', t, 'p', p, 'w', w))) AS ps
+    FROM (SELECT t, p,
+                 transform(array_sort(collect_list(named_struct('d', d, 'wt', wt))),
+                           s -> s.wt) AS w
+          FROM planes GROUP BY t, p) g
 ),
 buckets AS (
-    SELECT vec_id, t,
-           sum(CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), p)
-                    ELSE CAST(0 AS BIGINT) END) AS bucket
-    FROM dots GROUP BY vec_id, t
+    SELECT vec_id, tb.t AS t, tb.bucket AS bucket
+    FROM (
+        SELECT vec_id,
+               transform(sequence(0, {_N_TABLES - 1}), tt -> named_struct(
+                   't', tt,
+                   'bucket', aggregate(filter(ps, e -> e.t = tt), CAST(0 AS BIGINT),
+                       (acc, e) -> acc + IF(aggregate(zip_with(embedding, e.w,
+                           (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),
+                           (a2, v2) -> a2 + v2) >= 0,
+                           shiftleft(CAST(1 AS BIGINT), e.p), CAST(0 AS BIGINT))))) AS tbs
+        FROM embeddings CROSS JOIN ptab
+    ) b LATERAL VIEW explode(tbs) x AS tb
 )
 """
 
@@ -328,18 +345,50 @@ FROM (
 """
 
 
-_CELL_ASSIGN_SPARK_SQL = _cell_assign_sql(
-    dot=lambda a, b: (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        f" CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
-    ),
-    explode=lambda m: (
-        f"SELECT label, d, x FROM {m} LATERAL VIEW posexplode({m}.v) t AS d, x"
-    ),
-    collect="transform(array_sort(collect_list(named_struct('d', d, 'c', c))), s -> s.c)",
-    cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
-    bigint=lambda e: e,
+# r12 optimization (guide §2.4): Spark-side assignment is a MAP-SIDE
+# argmin against the centroid set collected into one array-of-structs
+# row (cell-ascending; the fold keeps the FIRST minimum, so ties break
+# on the lowest cell — exactly row_number() ORDER BY dist, cell), in
+# place of the template's corpus×cells cross join + window shuffle+sort.
+# Distance text matches the template's d2 byte-for-byte
+# ((nrm2 - 2*dot) + cnrm2, snapped floor(x*1e6+0.5)/1e6). The DuckDB
+# oracle keeps the template form.
+_CELL_ASSIGN_ARGMIN = (
+    "aggregate(transform(cents, ct -> named_struct("
+    "'dist', floor((b.nrm2 - 2 * aggregate(zip_with(b.v, ct.c, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, e) -> acc + e) + ct.cnrm2) * 1e6 + 0.5) / 1e6,"
+    " 'cell', ct.cell)),"
+    " named_struct('dist', CAST('Infinity' AS DOUBLE), 'cell', CAST(-1 AS INT)),"
+    " (best, e) -> IF(e.dist < best.dist, e, best))"
 )
+
+_CELL_ASSIGN_SPARK_SQL = f"""
+WITH base AS (
+    SELECT vec_id, label, v,
+           aggregate(zip_with(v, v, (x, y) -> x * y),
+                     CAST(0 AS DOUBLE), (acc, e) -> acc + e) AS nrm2
+    FROM (SELECT vec_id, label,
+                 transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings) b0
+),
+cent_long AS (
+    SELECT label, d, floor(avg(x) * 1e6 + 0.5) / 1e6 AS c
+    FROM (SELECT label, d, x FROM base LATERAL VIEW posexplode(base.v) t AS d, x) e
+    GROUP BY label, d
+),
+cents_tab AS (
+    SELECT array_sort(collect_list(named_struct('cell', cell, 'c', c,
+        'cnrm2', aggregate(zip_with(c, c, (x, y) -> x * y),
+                           CAST(0 AS DOUBLE), (acc, e) -> acc + e)))) AS cents
+    FROM (SELECT label AS cell,
+                 transform(array_sort(collect_list(named_struct('d', d, 'c', c))),
+                           s -> s.c) AS c
+          FROM cent_long GROUP BY label) cc
+)
+SELECT vec_id, r.cell AS cell, r.dist AS dist
+FROM (SELECT b.vec_id, {_CELL_ASSIGN_ARGMIN} AS r
+      FROM base b CROSS JOIN cents_tab) am
+"""
 
 _CELL_ASSIGN_DUCK_SQL = _cell_assign_sql(
     dot=lambda a, b: f"list_dot_product({a}, {b})",
@@ -377,6 +426,64 @@ def ann_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_IVF_CELLS = 8
 _N_PROBE = 2
 _IVF_TOP_K = 5
+
+# r12 optimization (guide §2.4): the Spark side replaces the template's
+# corpus×centroids cross join + TWO window passes (ranked_assign is
+# referenced by `cells` AND `probes`, and Spark inlines CTEs — so the
+# cross join and the row_number shuffle+sort each ran twice) with ONE
+# map-side sorted centroid ranking per vector: array_sort by
+# (-cos, cid) == ORDER BY cos DESC, cid (cos is never NaN: the corpus
+# has no zero vectors), the pos=0 slice is the cell assignment, the
+# first nprobe slices are the query probes. Query embedding and norm
+# ride along, so the re-rank join needs no extra emb_n joins either.
+# The DuckDB oracle keeps the template form.
+_IVF_SPARK_SQL = f"""
+WITH {_SPARK_EMB_N_CTE},
+cents AS (
+    SELECT array_sort(collect_list(named_struct(
+        'cid', vec_id, 'e', embedding, 'nrm', nrm))) AS cs
+    FROM emb_n WHERE vec_id < {_N_IVF_CELLS}
+),
+rk AS (
+    SELECT vec_id, embedding, nrm,
+           array_sort(transform(cs, ct -> named_struct(
+               'negcos', -(aggregate(zip_with(embedding, ct.e,
+                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (nrm * ct.nrm)),
+               'cid', ct.cid))) AS rks
+    FROM emb_n CROSS JOIN cents
+),
+ex AS (
+    SELECT vec_id, embedding, nrm, pos, pr.cid AS cid
+    FROM rk LATERAL VIEW posexplode(slice(rks, 1, {_N_PROBE})) t AS pos, pr
+),
+cells AS (SELECT vec_id, embedding, nrm, cid FROM ex WHERE pos = 0),
+probes AS (
+    SELECT vec_id AS query_id, embedding, nrm, cid
+    FROM ex WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+    -- probes is query-count-bounded (vec_id < {_N_QUERIES} x nprobe rows)
+    -- at EVERY scale factor, so the hint is safe: it keeps the
+    -- corpus-sized cells side from being sorted/shuffled by an
+    -- 8-value key for a sort-merge join.
+    SELECT /*+ BROADCAST(p) */ p.query_id, m.vec_id AS neighbor_id,
+           aggregate(zip_with(p.embedding, m.embedding,
+               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (p.nrm * m.nrm) AS cos
+    FROM probes p JOIN cells m ON m.cid = p.cid AND m.vec_id != p.query_id
+),
+final_rank AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id,
+       floor((cos) * 1e6 + 0.5) / 1e6 AS cos_sim,
+       CAST(rnk AS INT) AS rnk
+FROM final_rank WHERE rnk <= {_IVF_TOP_K}
+"""
 
 _IVF_SQL_TEMPLATE = """
 WITH {emb_n},
@@ -525,14 +632,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     because assignment is 1:1. Re-rank touches ~nprobe/cells of the
     data per query.
     """
-    return _emb_sql(
-        spark,
-        sf_dir,
-        _IVF_SQL_TEMPLATE.format(
-            cells=_N_IVF_CELLS, queries=_N_QUERIES, nprobe=_N_PROBE, k=_IVF_TOP_K,
-            cos=_SPARK_COS, emb_n=_SPARK_EMB_N_CTE,
-        ),
-    )
+    return _emb_sql(spark, sf_dir, _IVF_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------
