@@ -166,6 +166,35 @@ WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_JACCARD_THRESHOLD}
 """
 
 
+# r12 optimization (guide §2.3/§2.4): a document's DISTINCT shingle set
+# is intra-row (array_distinct over its own shingle array), so the old
+# corpus-wide DISTINCT exchange over shingle STRINGS — the fattest
+# shuffle in the pipeline — disappears: mh_sets is one row per doc
+# carrying the distinct-shingle array, computed entirely map-side.
+# Docs with <3 tokens have no shingles and were absent from the old
+# (exploded) relation — the size(hs) > 0 filter on the signature branch
+# preserves that (empty docs can then never reach a band bucket, and
+# the verify branch only sees docs that appear in candidates). The
+# SHA-derived portable hash array (the expensive scalar) is computed
+# once per doc INSIDE the materialization: the signature branch's 16
+# permutation projections would otherwise each re-expand the transform
+# after project collapsing (measured 16x the SHA work — a 4.5x wall
+# regression before this was pinned into the checkpoint).
+# NO row filter here: a predicate on size(shs) would be pushed below
+# load_scaled's repartition exchange and re-expand the whole
+# tokenize+distinct pipeline into a single-core pre-exchange Filter
+# (measured 5x wall). Empty docs ride along as empty arrays and are
+# dropped AFTER materialization (mins' WHERE below reads checkpointed
+# data — nothing to re-expand).
+_MINHASH_SETS_SPARK = f"""
+SELECT doc_id, shs, transform(shs, s -> {spark_hash28('s')}) AS hs
+FROM (SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
+      FROM (SELECT doc_id, {_S_TOK} AS w FROM documents) toks) d
+"""
+
+# Exploded (doc_id, shingle, h) relation — still the right shape for
+# the n-gram jaccard family, whose df caps / prefix filters / cluster
+# joins work on shingle ROWS. h computed once per (doc, shingle).
 _MINHASH_SH_SPARK = f"""
 WITH toks AS (
     SELECT doc_id, {_S_TOK} AS w FROM documents
@@ -174,34 +203,32 @@ sh AS (
     SELECT DISTINCT doc_id, shingle
     FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
 )
--- h materialized alongside the shingle: the SHA-derived portable hash is
--- the expensive scalar in this pipeline; compute it once per (doc,shingle)
 SELECT doc_id, shingle, {spark_hash28('shingle')} AS h FROM sh
 """
 
 _MINHASH_TAIL_SPARK = f"""
--- all 16 permutation minima in ONE aggregation pass (no 16-way row
--- fanout; the shuffle carries one row per doc)
+-- all 16 permutation minima map-side from the per-doc hash array (the
+-- old form was one grouped aggregation pass over exploded rows — one
+-- full-corpus exchange; this one shuffles nothing)
 WITH mins AS (
     SELECT doc_id,
-           min(((1) * h + 0) % 2147483647) AS m0,
-           min(((3) * h + 12582917) % 2147483647) AS m1,
-           min(((5) * h + 25165834) % 2147483647) AS m2,
-           min(((7) * h + 37748751) % 2147483647) AS m3,
-           min(((9) * h + 50331668) % 2147483647) AS m4,
-           min(((11) * h + 62914585) % 2147483647) AS m5,
-           min(((13) * h + 75497502) % 2147483647) AS m6,
-           min(((15) * h + 88080419) % 2147483647) AS m7,
-           min(((17) * h + 100663336) % 2147483647) AS m8,
-           min(((19) * h + 113246253) % 2147483647) AS m9,
-           min(((21) * h + 125829170) % 2147483647) AS m10,
-           min(((23) * h + 138412087) % 2147483647) AS m11,
-           min(((25) * h + 150995004) % 2147483647) AS m12,
-           min(((27) * h + 163577921) % 2147483647) AS m13,
-           min(((29) * h + 176160838) % 2147483647) AS m14,
-           min(((31) * h + 188743755) % 2147483647) AS m15
-    FROM mh_sh
-    GROUP BY doc_id
+           array_min(transform(hs, h -> ((1) * h + 0) % 2147483647)) AS m0,
+           array_min(transform(hs, h -> ((3) * h + 12582917) % 2147483647)) AS m1,
+           array_min(transform(hs, h -> ((5) * h + 25165834) % 2147483647)) AS m2,
+           array_min(transform(hs, h -> ((7) * h + 37748751) % 2147483647)) AS m3,
+           array_min(transform(hs, h -> ((9) * h + 50331668) % 2147483647)) AS m4,
+           array_min(transform(hs, h -> ((11) * h + 62914585) % 2147483647)) AS m5,
+           array_min(transform(hs, h -> ((13) * h + 75497502) % 2147483647)) AS m6,
+           array_min(transform(hs, h -> ((15) * h + 88080419) % 2147483647)) AS m7,
+           array_min(transform(hs, h -> ((17) * h + 100663336) % 2147483647)) AS m8,
+           array_min(transform(hs, h -> ((19) * h + 113246253) % 2147483647)) AS m9,
+           array_min(transform(hs, h -> ((21) * h + 125829170) % 2147483647)) AS m10,
+           array_min(transform(hs, h -> ((23) * h + 138412087) % 2147483647)) AS m11,
+           array_min(transform(hs, h -> ((25) * h + 150995004) % 2147483647)) AS m12,
+           array_min(transform(hs, h -> ((27) * h + 163577921) % 2147483647)) AS m13,
+           array_min(transform(hs, h -> ((29) * h + 176160838) % 2147483647)) AS m14,
+           array_min(transform(hs, h -> ((31) * h + 188743755) % 2147483647)) AS m15
+    FROM mh_sets WHERE size(hs) > 0
 ),
 bands AS (
     SELECT doc_id, band, s0, s1, s2, s3
@@ -230,12 +257,11 @@ cand AS (
                   b -> named_struct('a', a, 'b', b))))) t AS p
 ),
 -- verify: per-doc shingle ARRAYS + array_intersect, evaluated inside
--- the candidate join -- the shingle relation shuffles ONCE into arrays
--- (one row per doc) instead of re-joining 2x per candidate pair and
--- re-aggregating; intersection size is exact (shingles are distinct)
+-- the candidate join -- the per-doc set relation is already one array
+-- row per doc (no aggregation at all since r12); intersection size is
+-- exact (shingles are distinct)
 arrs AS (
-    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
-    FROM mh_sh GROUP BY doc_id
+    SELECT doc_id, shs, size(shs) AS n FROM mh_sets
 ),
 ver AS (
     SELECT c.doc_a, c.doc_b,
@@ -267,7 +293,7 @@ def dedup_minhash_lsh_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact-Jaccard ground truth.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "mh_sets")
     return spark.sql(_MINHASH_TAIL_SPARK)
 
 
@@ -406,6 +432,12 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are what keep simhash output near-dup-sized at scale.
 _HAMMING_MAX = 3
 
+# NOTE (r12): a bucket-grouped pair explode (the minhash cand shape)
+# was tried here and measured 2.5-20x WORSE: chunk-blocking buckets are
+# UNCAPPED and byte-chunk values are shared by hundreds of docs, so the
+# slice-per-element explode materializes O(B^2) struct arrays per
+# bucket, while the equi-join below streams the same pairs through the
+# join without materializing them. Keep the join.
 _SIMHASH_PAIRS_TAIL_SPARK = f"""
 WITH chunks AS (
     SELECT doc_id, simhash, c, shiftright(simhash, 8 * c) & 255 AS chunk
@@ -680,9 +712,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Never computes docs×docs: candidates come from (band, signature)
     buckets — grouped, not self-joined, so the signatures shuffle once
     and pairs explode bucket-locally; only candidates pay the
-    exact-jaccard verification join. The hashed shingle set is
-    materialized once (referenced by signatures, sizes, and both sides
-    of the verification join).
+    exact-jaccard verification join. The per-doc distinct-shingle SET
+    relation is computed entirely map-side (array_distinct is intra-row
+    — r12; no corpus-wide DISTINCT exchange) and materialized once
+    (referenced by signatures and both sides of the verification join).
 
     Bucket-size-capped BY DEFAULT (round-9 change, per the measured
     scaling study): band buckets larger than {cap} members are skipped
@@ -704,7 +737,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_mllib_parity.py.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "mh_sets")
     return spark.sql(_MINHASH_CAPPED_TAIL_SPARK)
 
 
@@ -1113,6 +1146,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "mh_sets")
     _materialize_view(spark.sql(_LSH_EVAL_SPARK_TRUTH), "truth_pairs")
     spark.sql(_MINHASH_TAIL_SPARK).createOrReplaceTempView("lsh_pairs")
     return spark.sql(_LSH_EVAL_TAIL_SPARK)

@@ -46,11 +46,6 @@ def _docs_sql(
     return spark.sql(sql)
 
 
-def _materialize_view(df: DataFrame, name: str) -> None:
-    """Compute once, reuse by name (Spark inlines CTEs; see dedup.py)."""
-    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
-
-
 # ---------------------------------------------------------------------------
 # Benchmark decontamination: n-gram overlap vs a held-out eval set
 # ---------------------------------------------------------------------------
@@ -62,17 +57,33 @@ def _materialize_view(df: DataFrame, name: str) -> None:
 
 _CONTAM_MOD = 19
 
-_CONTAM_SH_SPARK = f"""
-WITH toks AS (
-    SELECT doc_id, {_S_TOK} AS w FROM documents
-)
-SELECT DISTINCT doc_id, shingle
-FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
+# r12 optimization (guide §2.3/§2.4): a document's DISTINCT shingle set
+# is intra-row (array_distinct over its own shingle array), so the old
+# corpus-wide DISTINCT exchange and its localCheckpoint disappear —
+# both the benchmark side (filter pushed to the scan: only the 1/19
+# eval slice is tokenized) and the corpus side explode per-doc
+# DISTINCT arrays computed map-side. The broadcast hash join + per-doc
+# aggregation stay: probing a broadcast hash table per shingle beats a
+# per-row array_intersect against the full eval-set array (measured
+# 6x wall on exactly that variant).
+# The per-doc set relation is materialized (localCheckpoint): both the
+# benchmark and corpus branches explode it, and explode-of-an-attribute
+# makes InferFiltersFromGenerate add a size(shs) > 0 filter that would
+# otherwise be pushed below the repartition exchange with the WHOLE
+# tokenize+distinct expression re-expanded into it, single-core
+# (measured 13x wall). Against checkpointed arrays the inferred filter
+# is a cheap size() probe.
+_CONTAM_SETS_SPARK = f"""
+SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
+FROM (SELECT doc_id, {_S_TOK} AS w FROM documents) toks
 """
 
-_CONTAM_TAIL_SPARK = f"""
-WITH bench AS (
-    SELECT DISTINCT shingle FROM ct_sh WHERE doc_id % {_CONTAM_MOD} = 0
+_CONTAM_SPARK_SQL = f"""
+WITH sets AS (SELECT doc_id, shs FROM ct_sets),
+bench AS (
+    SELECT DISTINCT shingle
+    FROM (SELECT shs FROM sets WHERE doc_id % {_CONTAM_MOD} = 0) e
+    LATERAL VIEW explode(shs) t AS shingle
 )
 SELECT /*+ BROADCAST(b) */
        c.doc_id,
@@ -80,7 +91,9 @@ SELECT /*+ BROADCAST(b) */
        count(b.shingle)                               AS n_contaminated,
        floor((CAST(count(b.shingle) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
                                                       AS contamination_ratio
-FROM (SELECT doc_id, shingle FROM ct_sh WHERE doc_id % {_CONTAM_MOD} != 0) c
+FROM (SELECT doc_id, shingle
+      FROM (SELECT doc_id, shs FROM sets WHERE doc_id % {_CONTAM_MOD} != 0) x
+      LATERAL VIEW explode(shs) t AS shingle) c
 LEFT JOIN bench b ON c.shingle = b.shingle
 GROUP BY c.doc_id
 """
@@ -113,13 +126,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     contamination_ratio = |doc shingles ∩ benchmark shingles| / |doc
     shingles|; a curation pipeline drops or flags docs above a
-    threshold before training. The shingle relation is materialized
-    once (benchmark and corpus sides both read it); the benchmark
-    shingle set is broadcast.
+    threshold before training. Per-doc distinct shingle sets are
+    intra-row (array_distinct, map-side — no corpus-wide DISTINCT
+    exchange or checkpoint since r12); the benchmark shingle set is
+    broadcast and the only corpus exchange left is the per-doc count
+    aggregation (map-side partials).
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_CONTAM_SH_SPARK), "ct_sh")
-    return spark.sql(_CONTAM_TAIL_SPARK)
+    spark.sql(_CONTAM_SETS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ct_sets"
+    )
+    return spark.sql(_CONTAM_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -131,7 +131,7 @@ def lsh_candidate_counts(spark, sf_dir: str) -> dict[str, float]:
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    D._materialize_view(spark.sql(D._MINHASH_SH_SPARK), "mh_sh")
+    D._materialize_view(spark.sql(D._MINHASH_SETS_SPARK), "mh_sets")
 
     def cand_count(tail: str) -> int:
         sql = tail[: tail.index("-- verify")].rstrip().rstrip(",")
