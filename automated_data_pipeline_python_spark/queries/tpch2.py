@@ -668,33 +668,45 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact.
 
     "Late" is shipping >90 days after the order date (no receipt/commit
-    dates here). Scale: both correlated subqueries decorrelate into
-    semi/anti joins on l_orderkey — three co-keyed shuffles of the fact
-    that AQE coalesces; the NOT EXISTS carries the o_orderdate
-    correlation as a join-side filter. Total order: (numwait, s_name).
+    dates here). Total order: (numwait, s_name).
+
+    r12 optimization (guide §2.4): the Spark side rewrites the
+    EXISTS + NOT EXISTS pair as per-order distinct-supplier counts over
+    ONE keyed window — `EXISTS another supplier` ⟺ the order has >1
+    distinct suppliers, `NOT EXISTS another late supplier` (for a late
+    l1 row) ⟺ the order's late lines come from exactly 1 distinct
+    supplier. One lineitem scan and one l_orderkey exchange replace the
+    decorrelated plan's THREE lineitem scans and three co-keyed
+    shuffles (plans/r12/q21_sole_late_shipper_{{before,after}}.txt).
+    Window groups are order-sized (bounded ~7 lines), keyed by
+    l_orderkey. The DuckDB oracle keeps the textbook EXISTS form;
+    equivalence is oracle-checked at every SF.
     """
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q21")
     return spark.sql(
         """
+        WITH fl AS (
+            SELECT l_orderkey, l_suppkey,
+                   CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem_q21
+            JOIN orders_q21 ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        flagged AS (
+            SELECT l_suppkey, late,
+                   size(collect_set(l_suppkey)
+                        OVER (PARTITION BY l_orderkey)) AS n_supp,
+                   size(collect_set(CASE WHEN late = 1 THEN l_suppkey END)
+                        OVER (PARTITION BY l_orderkey)) AS n_late_supp
+            FROM fl
+        )
         SELECT s_name, count(*) AS numwait
-        FROM supplier_q21
-        JOIN lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders_q21 ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-          AND EXISTS (
-            SELECT 1 FROM lineitem_q21 l2
-            WHERE l2.l_orderkey = l1.l_orderkey
-              AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM lineitem_q21 l3
-            WHERE l3.l_orderkey = l1.l_orderkey
-              AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
-          )
+        FROM flagged
+        JOIN supplier_q21 ON s_suppkey = l_suppkey
+        WHERE late = 1 AND n_supp > 1 AND n_late_supp = 1
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20

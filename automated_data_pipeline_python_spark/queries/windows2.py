@@ -163,14 +163,21 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tok.tf * ln(CAST(n.n AS DOUBLE) / dfreq) AS tfidf
             FROM tok JOIN df ON tok.token = df.token CROSS JOIN n_docs n
         ),
-        ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY tfidf DESC, token) AS rn
-            FROM scored
+        -- r12 optimization (guide §2.3 "aggregate before you shuffle"):
+        -- the per-doc argmax is min(struct(-tfidf, token)) — a hash
+        -- aggregate with map-side partials (one row per doc crosses the
+        -- exchange) instead of row_number()'s full shuffle+sort of every
+        -- (doc, token) row. (-tfidf, token) ascending == ORDER BY tfidf
+        -- DESC, token; negation is exact on doubles, and tfidf is never
+        -- NaN (tf >= 1, n >= dfreq >= 1). Oracle keeps the window form.
+        best AS (
+            SELECT doc_id,
+                   min(named_struct('negt', -tfidf, 'token', token)) AS m
+            FROM scored GROUP BY doc_id
         )
-        SELECT doc_id, token AS top_term,
-               floor((tfidf) * 1e6 + 0.5) / 1e6 AS tfidf
-        FROM ranked WHERE rn = 1
+        SELECT doc_id, m.token AS top_term,
+               floor((-m.negt) * 1e6 + 0.5) / 1e6 AS tfidf
+        FROM best
         """
     )
 
