@@ -14,10 +14,10 @@ components are snapped to a 1e-6 grid at every step (floor(x*1e6+0.5)
 form), and argmin ties break on cell id — so differing float summation
 orders between engines cannot flip an assignment.
 
-Scale: per iteration the corpus is read once, the shuffle keys are
-(vec) for argmin and (cell, dim) for the update — both bounded by data
-size, never by pairs; centroids are k·d doubles (broadcast-sized at any
-corpus scale).
+Scale (r12 form): assignment is map-side (no shuffle at all — the
+k·d-double centroid array broadcasts at any corpus scale); the only
+corpus-derived exchange per iteration is the (cell, dim) mean update,
+partial-aggregated map-side.
 """
 
 from __future__ import annotations
@@ -102,11 +102,11 @@ _SPARK_DOT = (
     " CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
 )
 
-# The base relation (vec_id, doubled vector, self-dot) feeds four
-# consumers (c0 seed slice, both assignment cross joins, both member
-# explode joins). Spark inlines CTEs, so the inline form scans and
-# re-derives it 4x — the Spark side materializes it once instead
-# (km_base view below) and the template just reads it.
+# The base relation (vec_id, doubled vector, self-dot) is registered
+# as a plain view (km_base): it is a cheap scan+cast map lineage, so
+# its three consumers (seed slice, two assignment passes) re-derive it
+# from column-pruned scans — measured faster than checkpoint-write+read
+# locally and the right call at 100 TB (guide §5).
 _SPARK_BASE_DERIVE = (
     "SELECT vec_id, v, "
     + _SPARK_DOT.format(a="v", b="v")
