@@ -192,9 +192,20 @@ FROM (SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
       FROM (SELECT doc_id, {_S_TOK} AS w FROM documents) toks) d
 """
 
-# Exploded (doc_id, shingle, h) relation — still the right shape for
-# the n-gram jaccard family, whose df caps / prefix filters / cluster
-# joins work on shingle ROWS. h computed once per (doc, shingle).
+# Same per-doc set relation without the SHA hash array, for consumers
+# whose discovery is keyed on shingle strings (capped df-cap, prefix
+# filter) — no point paying a SHA pass they never read.
+_SETS_SHS_ONLY_SPARK = f"""
+SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
+FROM (SELECT doc_id, {_S_TOK} AS w FROM documents) toks
+"""
+
+# Exploded (doc_id, shingle, h) reference relation. No production query
+# materializes this any more (r12: discovery shuffles (doc_id, h) ints
+# off the per-doc set arrays; string rows, where still needed, derive
+# map-side by exploding the checkpointed sets) — kept as the textbook
+# form for ground-truth construction in tests (test_mllib_parity,
+# test_skew).
 _MINHASH_SH_SPARK = f"""
 WITH toks AS (
     SELECT doc_id, {_S_TOK} AS w FROM documents
@@ -301,61 +312,37 @@ def dedup_minhash_lsh_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash fingerprint + chunk-blocked hamming pairs
 # ---------------------------------------------------------------------------
 
+# r12 optimization (guide §2.3/§2.4): the signature is computed entirely
+# MAP-SIDE. sum(cnt * sign_b) over distinct (doc, token) rows equals
+# sum(sign_b) over raw token OCCURRENCES (integer addition is
+# associative/commutative; the per-token cnt just groups equal terms),
+# so the old two-exchange core -- GROUP BY (doc_id, token) count, then a
+# per-doc 32-sum aggregation -- collapses into one intra-row fold: hash
+# every occurrence, fold +/-1 into a 32-lane bit-sum array, pack the
+# signs. The trade is SHA-per-occurrence instead of
+# SHA-per-distinct-token (~2.3x hash work on this corpus: 54 tokens/doc,
+# 23 distinct) for ZERO corpus exchanges -- the (doc_id, token, cnt)
+# shuffle was the simhash family's last corpus-scale string shuffle.
+# One aggregate expression references the transformed hash array exactly
+# once, so nothing re-expands under project collapsing (the r12
+# Catalyst trap).
+_SH_BITS = "array(" + ", ".join(str(b) for b in range(32)) + ")"
+
 _SIMHASH_CORE_SPARK = f"""
-WITH toks AS (
-    SELECT doc_id, {_S_TOK} AS w FROM documents
-),
-tok AS (
-    -- aggregate multiplicity BEFORE hashing: distinct (doc, token) rows
-    -- are vocab-bounded, collapsing the stream by the repetition factor
-    SELECT doc_id, token, count(*) AS cnt
-    FROM toks LATERAL VIEW explode(w) t AS token
-    GROUP BY doc_id, token
-),
-th AS (SELECT doc_id, {spark_hash60('token')} AS h, cnt FROM tok),
--- all 32 bit-sums as one aggregation pass: no 32-way row fanout, the
--- shuffle carries one row per doc instead of 32
-acc AS (
+WITH sig AS (
     SELECT doc_id,
-           sum(CASE WHEN (shiftright(h, 0) & 1) = 1 THEN cnt ELSE -cnt END) AS s0,
-           sum(CASE WHEN (shiftright(h, 1) & 1) = 1 THEN cnt ELSE -cnt END) AS s1,
-           sum(CASE WHEN (shiftright(h, 2) & 1) = 1 THEN cnt ELSE -cnt END) AS s2,
-           sum(CASE WHEN (shiftright(h, 3) & 1) = 1 THEN cnt ELSE -cnt END) AS s3,
-           sum(CASE WHEN (shiftright(h, 4) & 1) = 1 THEN cnt ELSE -cnt END) AS s4,
-           sum(CASE WHEN (shiftright(h, 5) & 1) = 1 THEN cnt ELSE -cnt END) AS s5,
-           sum(CASE WHEN (shiftright(h, 6) & 1) = 1 THEN cnt ELSE -cnt END) AS s6,
-           sum(CASE WHEN (shiftright(h, 7) & 1) = 1 THEN cnt ELSE -cnt END) AS s7,
-           sum(CASE WHEN (shiftright(h, 8) & 1) = 1 THEN cnt ELSE -cnt END) AS s8,
-           sum(CASE WHEN (shiftright(h, 9) & 1) = 1 THEN cnt ELSE -cnt END) AS s9,
-           sum(CASE WHEN (shiftright(h, 10) & 1) = 1 THEN cnt ELSE -cnt END) AS s10,
-           sum(CASE WHEN (shiftright(h, 11) & 1) = 1 THEN cnt ELSE -cnt END) AS s11,
-           sum(CASE WHEN (shiftright(h, 12) & 1) = 1 THEN cnt ELSE -cnt END) AS s12,
-           sum(CASE WHEN (shiftright(h, 13) & 1) = 1 THEN cnt ELSE -cnt END) AS s13,
-           sum(CASE WHEN (shiftright(h, 14) & 1) = 1 THEN cnt ELSE -cnt END) AS s14,
-           sum(CASE WHEN (shiftright(h, 15) & 1) = 1 THEN cnt ELSE -cnt END) AS s15,
-           sum(CASE WHEN (shiftright(h, 16) & 1) = 1 THEN cnt ELSE -cnt END) AS s16,
-           sum(CASE WHEN (shiftright(h, 17) & 1) = 1 THEN cnt ELSE -cnt END) AS s17,
-           sum(CASE WHEN (shiftright(h, 18) & 1) = 1 THEN cnt ELSE -cnt END) AS s18,
-           sum(CASE WHEN (shiftright(h, 19) & 1) = 1 THEN cnt ELSE -cnt END) AS s19,
-           sum(CASE WHEN (shiftright(h, 20) & 1) = 1 THEN cnt ELSE -cnt END) AS s20,
-           sum(CASE WHEN (shiftright(h, 21) & 1) = 1 THEN cnt ELSE -cnt END) AS s21,
-           sum(CASE WHEN (shiftright(h, 22) & 1) = 1 THEN cnt ELSE -cnt END) AS s22,
-           sum(CASE WHEN (shiftright(h, 23) & 1) = 1 THEN cnt ELSE -cnt END) AS s23,
-           sum(CASE WHEN (shiftright(h, 24) & 1) = 1 THEN cnt ELSE -cnt END) AS s24,
-           sum(CASE WHEN (shiftright(h, 25) & 1) = 1 THEN cnt ELSE -cnt END) AS s25,
-           sum(CASE WHEN (shiftright(h, 26) & 1) = 1 THEN cnt ELSE -cnt END) AS s26,
-           sum(CASE WHEN (shiftright(h, 27) & 1) = 1 THEN cnt ELSE -cnt END) AS s27,
-           sum(CASE WHEN (shiftright(h, 28) & 1) = 1 THEN cnt ELSE -cnt END) AS s28,
-           sum(CASE WHEN (shiftright(h, 29) & 1) = 1 THEN cnt ELSE -cnt END) AS s29,
-           sum(CASE WHEN (shiftright(h, 30) & 1) = 1 THEN cnt ELSE -cnt END) AS s30,
-           sum(CASE WHEN (shiftright(h, 31) & 1) = 1 THEN cnt ELSE -cnt END) AS s31
-    FROM th
-    GROUP BY doc_id
-),
-sig AS (
-    SELECT doc_id,
-           CASE WHEN s0 > 0 THEN shiftleft(CAST(1 AS BIGINT), 0) ELSE CAST(0 AS BIGINT) END + CASE WHEN s1 > 0 THEN shiftleft(CAST(1 AS BIGINT), 1) ELSE CAST(0 AS BIGINT) END + CASE WHEN s2 > 0 THEN shiftleft(CAST(1 AS BIGINT), 2) ELSE CAST(0 AS BIGINT) END + CASE WHEN s3 > 0 THEN shiftleft(CAST(1 AS BIGINT), 3) ELSE CAST(0 AS BIGINT) END + CASE WHEN s4 > 0 THEN shiftleft(CAST(1 AS BIGINT), 4) ELSE CAST(0 AS BIGINT) END + CASE WHEN s5 > 0 THEN shiftleft(CAST(1 AS BIGINT), 5) ELSE CAST(0 AS BIGINT) END + CASE WHEN s6 > 0 THEN shiftleft(CAST(1 AS BIGINT), 6) ELSE CAST(0 AS BIGINT) END + CASE WHEN s7 > 0 THEN shiftleft(CAST(1 AS BIGINT), 7) ELSE CAST(0 AS BIGINT) END + CASE WHEN s8 > 0 THEN shiftleft(CAST(1 AS BIGINT), 8) ELSE CAST(0 AS BIGINT) END + CASE WHEN s9 > 0 THEN shiftleft(CAST(1 AS BIGINT), 9) ELSE CAST(0 AS BIGINT) END + CASE WHEN s10 > 0 THEN shiftleft(CAST(1 AS BIGINT), 10) ELSE CAST(0 AS BIGINT) END + CASE WHEN s11 > 0 THEN shiftleft(CAST(1 AS BIGINT), 11) ELSE CAST(0 AS BIGINT) END + CASE WHEN s12 > 0 THEN shiftleft(CAST(1 AS BIGINT), 12) ELSE CAST(0 AS BIGINT) END + CASE WHEN s13 > 0 THEN shiftleft(CAST(1 AS BIGINT), 13) ELSE CAST(0 AS BIGINT) END + CASE WHEN s14 > 0 THEN shiftleft(CAST(1 AS BIGINT), 14) ELSE CAST(0 AS BIGINT) END + CASE WHEN s15 > 0 THEN shiftleft(CAST(1 AS BIGINT), 15) ELSE CAST(0 AS BIGINT) END + CASE WHEN s16 > 0 THEN shiftleft(CAST(1 AS BIGINT), 16) ELSE CAST(0 AS BIGINT) END + CASE WHEN s17 > 0 THEN shiftleft(CAST(1 AS BIGINT), 17) ELSE CAST(0 AS BIGINT) END + CASE WHEN s18 > 0 THEN shiftleft(CAST(1 AS BIGINT), 18) ELSE CAST(0 AS BIGINT) END + CASE WHEN s19 > 0 THEN shiftleft(CAST(1 AS BIGINT), 19) ELSE CAST(0 AS BIGINT) END + CASE WHEN s20 > 0 THEN shiftleft(CAST(1 AS BIGINT), 20) ELSE CAST(0 AS BIGINT) END + CASE WHEN s21 > 0 THEN shiftleft(CAST(1 AS BIGINT), 21) ELSE CAST(0 AS BIGINT) END + CASE WHEN s22 > 0 THEN shiftleft(CAST(1 AS BIGINT), 22) ELSE CAST(0 AS BIGINT) END + CASE WHEN s23 > 0 THEN shiftleft(CAST(1 AS BIGINT), 23) ELSE CAST(0 AS BIGINT) END + CASE WHEN s24 > 0 THEN shiftleft(CAST(1 AS BIGINT), 24) ELSE CAST(0 AS BIGINT) END + CASE WHEN s25 > 0 THEN shiftleft(CAST(1 AS BIGINT), 25) ELSE CAST(0 AS BIGINT) END + CASE WHEN s26 > 0 THEN shiftleft(CAST(1 AS BIGINT), 26) ELSE CAST(0 AS BIGINT) END + CASE WHEN s27 > 0 THEN shiftleft(CAST(1 AS BIGINT), 27) ELSE CAST(0 AS BIGINT) END + CASE WHEN s28 > 0 THEN shiftleft(CAST(1 AS BIGINT), 28) ELSE CAST(0 AS BIGINT) END + CASE WHEN s29 > 0 THEN shiftleft(CAST(1 AS BIGINT), 29) ELSE CAST(0 AS BIGINT) END + CASE WHEN s30 > 0 THEN shiftleft(CAST(1 AS BIGINT), 30) ELSE CAST(0 AS BIGINT) END + CASE WHEN s31 > 0 THEN shiftleft(CAST(1 AS BIGINT), 31) ELSE CAST(0 AS BIGINT) END AS simhash
-    FROM acc
+           aggregate(
+               zip_with(
+                   aggregate(
+                       transform({_S_TOK}, t -> {spark_hash60('t')}),
+                       array_repeat(CAST(0 AS BIGINT), 32),
+                       (acc, h) -> zip_with(acc, {_SH_BITS}, (a, b) ->
+                           a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+                   {_SH_BITS},
+                   (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
+                                CAST(0 AS BIGINT))),
+               CAST(0 AS BIGINT), (x, y) -> x + y) AS simhash
+    FROM documents
 )
 """
 
@@ -527,20 +514,37 @@ WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
 """
 
 
-_NGRAM_TAIL_SPARK = f"""
-WITH sizes AS (SELECT doc_id, count(*) AS n FROM ng_sh GROUP BY doc_id),
-inter AS (
-    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS isect
-    FROM ng_sh s1 JOIN ng_sh s2
-      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-    GROUP BY s1.doc_id, s2.doc_id
+# r12 optimization (guide §2.2/§2.3): discovery joins on the 28-bit
+# shingle HASH (ints) instead of the shingle STRING — the corpus-scale
+# discovery shuffle carries (doc_id, h) rows, and per-doc sizes come
+# map-side from the set arrays (the old sizes GROUP BY exchange is
+# gone). Verification is exact over the full per-doc shingle-STRING
+# sets, so hash collisions cannot change results: h-candidates are a
+# superset of shingle-equality candidates (same shingle → same h), and
+# any collision-only pair verifies to jaccard < threshold (an isect of
+# 0 needs ≥ 1 truly shared shingle to pass any threshold > 0). The
+# explode reads CHECKPOINTED arrays (never an un-materialized computed
+# array — the r12 InferFiltersFromGenerate trap).
+_NGRAM_SETS_TAIL_SPARK = f"""
+WITH hrows AS (
+    SELECT doc_id, h FROM ng_sets LATERAL VIEW explode(hs) t AS h
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT c.doc_a, c.doc_b,
+           size(array_intersect(a.shs, b.shs)) AS isect,
+           size(a.shs) AS na, size(b.shs) AS nb
+    FROM cand c
+    JOIN ng_sets a ON c.doc_a = a.doc_id
+    JOIN ng_sets b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b,
-       floor((CAST(isect AS DOUBLE) / (na.n + nb.n - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
-FROM inter
-JOIN sizes na ON inter.doc_a = na.doc_id
-JOIN sizes nb ON inter.doc_b = nb.doc_id
-WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
+       floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM ver
+WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_NGRAM_THRESHOLD}
 """
 
 
@@ -558,11 +562,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact but O(pairs sharing a shingle) — at 100 TB this is the
     *verification* stage after LSH candidate generation, not the
     discovery stage (hot shingles need frequency-capping/salting). The
-    shingle set is materialized once (referenced three times).
+    per-doc set relation is map-side (array_distinct — r12, no corpus
+    DISTINCT exchange) and materialized once (referenced three times);
+    discovery shuffles (doc_id, h) ints, never shingle strings.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
-    return spark.sql(_NGRAM_TAIL_SPARK)
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "ng_sets")
+    return spark.sql(_NGRAM_SETS_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -585,30 +591,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOT_DF_CAP = 6
 
+# r12: the exploded (doc_id, shingle) rows the hot-list/discovery
+# stages need are derived map-side by EXPLODING the checkpointed
+# per-doc set arrays — the old materialization paid a corpus-wide
+# DISTINCT exchange to build the same rows. Discovery stays keyed on
+# shingle STRINGS: the frequency cap's semantics (drop rows whose
+# shingle has df > cap from discovery only) are defined on shingles,
+# and an h-keyed join could discover collision-only pairs the oracle's
+# string join cannot. Verification reads the set arrays directly (the
+# old collect_list re-aggregation exchange is gone; n = size(shs)).
 _NGRAM_CAPPED_TAIL_SPARK = f"""
-WITH hot AS (
-    SELECT shingle FROM ng_sh GROUP BY shingle HAVING count(*) > {_HOT_DF_CAP}
+WITH sh AS (
+    SELECT doc_id, shingle FROM ng_sets LATERAL VIEW explode(shs) t AS shingle
+),
+hot AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_HOT_DF_CAP}
 ),
 disc AS (
     SELECT /*+ BROADCAST(hot) */ s.doc_id, s.shingle
-    FROM ng_sh s LEFT ANTI JOIN hot ON s.shingle = hot.shingle
+    FROM sh s LEFT ANTI JOIN hot ON s.shingle = hot.shingle
 ),
 cand AS (
     SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
     FROM disc s1 JOIN disc s2
       ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
 ),
-arrs AS (
-    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
-    FROM ng_sh GROUP BY doc_id
-),
 ver AS (
     SELECT c.doc_a, c.doc_b,
            size(array_intersect(a.shs, b.shs)) AS isect,
-           a.n AS na, b.n AS nb
+           size(a.shs) AS na, size(b.shs) AS nb
     FROM cand c
-    JOIN arrs a ON c.doc_a = a.doc_id
-    JOIN arrs b ON c.doc_b = b.doc_id
+    JOIN ng_sets a ON c.doc_a = a.doc_id
+    JOIN ng_sets b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b,
        floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
@@ -664,7 +678,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets. The hot list is heavy-hitters-small and broadcast.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
+    _materialize_view(spark.sql(_SETS_SHS_ONLY_SPARK), "ng_sets")
     return spark.sql(_NGRAM_CAPPED_TAIL_SPARK)
 
 
@@ -895,8 +909,8 @@ def dedup_remove_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_scaled(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
-    pairs = spark.sql(_NGRAM_TAIL_SPARK).select("doc_a", "doc_b")
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "ng_sets")
+    pairs = spark.sql(_NGRAM_SETS_TAIL_SPARK).select("doc_a", "doc_b")
     dupes = (
         connected_components(pairs, src="doc_a", dst="doc_b")
         .filter(F.col("component") != F.col("node"))
@@ -921,8 +935,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
-    pairs = spark.sql(_NGRAM_TAIL_SPARK).select("doc_a", "doc_b")
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "ng_sets")
+    pairs = spark.sql(_NGRAM_SETS_TAIL_SPARK).select("doc_a", "doc_b")
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
@@ -1073,22 +1087,26 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # when no band signature collides for a true pair — the number this
 # query reports is the one you tune bands/permutations against.
 
+# r12: truth discovery joins on h ints off the checkpointed set arrays
+# (exact — candidates are a superset of string-equality candidates and
+# verification over the full string sets drops collision-only pairs);
+# the old form shuffled the exploded string relation twice plus a
+# collect_list re-aggregation.
 _LSH_EVAL_SPARK_TRUTH = f"""
-WITH arrs AS (
-    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
-    FROM mh_sh GROUP BY doc_id
+WITH hrows AS (
+    SELECT doc_id, h FROM mh_sets LATERAL VIEW explode(hs) t AS h
 ),
 cand AS (
-    SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
-    FROM mh_sh s1 JOIN mh_sh s2
-      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
 ),
 ver AS (
     SELECT c.doc_a, c.doc_b,
-           size(array_intersect(a.shs, b.shs)) AS isect, a.n AS na, b.n AS nb
+           size(array_intersect(a.shs, b.shs)) AS isect,
+           size(a.shs) AS na, size(b.shs) AS nb
     FROM cand c
-    JOIN arrs a ON c.doc_a = a.doc_id
-    JOIN arrs b ON c.doc_b = b.doc_id
+    JOIN mh_sets a ON c.doc_a = a.doc_id
+    JOIN mh_sets b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b FROM ver
 WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_JACCARD_THRESHOLD}
@@ -1142,10 +1160,9 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the exact-truth side is evaluation-only (run on a sampled
     slice in production); the LSH side is the production pipeline
-    unchanged. Both read the one materialized shingle relation.
+    unchanged. Both read the one materialized per-doc set relation.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "mh_sh")
     _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "mh_sets")
     _materialize_view(spark.sql(_LSH_EVAL_SPARK_TRUTH), "truth_pairs")
     spark.sql(_MINHASH_TAIL_SPARK).createOrReplaceTempView("lsh_pairs")
@@ -1167,8 +1184,14 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INC_MOD = 13
 
+# r12: all 16 permutation minima map-side as array_min folds off the
+# checkpointed per-doc hash arrays (the old form was one grouped pass
+# over exploded rows — a corpus exchange); the verify side reads the
+# set arrays directly instead of re-aggregating collect_list. hs is a
+# CHECKPOINTED attribute, so the 16 projections re-expand nothing.
 _INC_MINS = ",\n           ".join(
-    f"min((({2 * i + 1}) * h + {i * _B_MULT}) % {_PRIME}) AS m{i}"
+    f"array_min(transform(hs, h -> (({2 * i + 1}) * h + {i * _B_MULT})"
+    f" % {_PRIME})) AS m{i}"
     for i in range(_N_PERM)
 )
 
@@ -1176,8 +1199,7 @@ _INC_TAIL_SPARK = f"""
 WITH mins AS (
     SELECT doc_id,
            {_INC_MINS}
-    FROM inc_sh
-    GROUP BY doc_id
+    FROM inc_sets WHERE size(hs) > 0
 ),
 bands AS (
     SELECT doc_id, band, s0, s1, s2, s3
@@ -1195,17 +1217,13 @@ cand AS (
       ON i.band = e.band AND i.s0 = e.s0 AND i.s1 = e.s1
      AND i.s2 = e.s2 AND i.s3 = e.s3
 ),
-arrs AS (
-    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
-    FROM inc_sh GROUP BY doc_id
-),
 ver AS (
     SELECT c.doc_new, c.doc_old,
            size(array_intersect(a.shs, b.shs)) AS isect,
-           a.n AS na, b.n AS nb
+           size(a.shs) AS na, size(b.shs) AS nb
     FROM cand c
-    JOIN arrs a ON c.doc_new = a.doc_id
-    JOIN arrs b ON c.doc_old = b.doc_id
+    JOIN inc_sets a ON c.doc_new = a.doc_id
+    JOIN inc_sets b ON c.doc_old = b.doc_id
 )
 SELECT doc_new, doc_old,
        floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
@@ -1267,11 +1285,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are strictly incoming × existing — the existing side's
     signatures are index state computed when those docs arrived, so a
     daily increment costs O(batch shingles) plus one bucket probe join,
-    not a corpus rescan. The hashed shingle relation is materialized
-    once (signature, probe, and verify stages read it).
+    not a corpus rescan. The per-doc set relation is materialized once
+    (signature, probe, and verify stages read it).
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "inc_sh")
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "inc_sets")
     return spark.sql(_INC_TAIL_SPARK)
 
 
@@ -1325,26 +1343,42 @@ ct_sh2 AS (
 )
 
 
+# r12: same restructure as _NGRAM_SETS_TAIL_SPARK — int-keyed h
+# discovery, exact verification over the full string sets (any
+# threshold > 0 needs isect ≥ 1, so collision-only candidates drop).
+_CONTAIN_SETS_TAIL_SPARK = f"""
+WITH hrows AS (
+    SELECT doc_id, h FROM ct_sets LATERAL VIEW explode(hs) t AS h
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT c.doc_a, c.doc_b,
+           size(array_intersect(a.shs, b.shs)) AS isect,
+           size(a.shs) AS na, size(b.shs) AS nb
+    FROM cand c
+    JOIN ct_sets a ON c.doc_a = a.doc_id
+    JOIN ct_sets b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(isect AS BIGINT) AS isect,
+       floor((CAST(isect AS DOUBLE) / least(na, nb)) * 1e6 + 0.5) / 1e6
+           AS containment,
+       floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6
+           AS jaccard
+FROM ver
+WHERE CAST(isect AS DOUBLE) / least(na, nb) >= {_CONTAIN_THRESHOLD}
+"""
+
+
 @register("dedup_ngram_containment", oracle=_CONTAIN_DUCK_SQL)
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-containment pairs ≥ 0.8 with the jaccard contrast column."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    # shingles only — skip _MINHASH_SH_SPARK's SHA hash column, which
-    # containment never reads
-    _materialize_view(
-        spark.sql(f"""
-            WITH toks AS (SELECT doc_id, {_S_TOK} AS w FROM documents)
-            SELECT DISTINCT doc_id, shingle
-            FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)})
-                 t AS shingle
-        """),
-        "ct_sh2",
-    )
-    return spark.sql(
-        "WITH " + _CONTAIN_TAIL.replace("{sh}", "ct_sh2").replace(
-            "{thr}", str(_CONTAIN_THRESHOLD)
-        )
-    )
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "ct_sets")
+    return spark.sql(_CONTAIN_SETS_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -1427,19 +1461,66 @@ est_hashed AS (
 )
 
 
+def _est_ms(col: str) -> str:
+    """All 16 permutation minima of a per-doc hash array, as one array."""
+    return (
+        "array("
+        + ", ".join(
+            f"array_min(transform({col}, h -> (({2 * i + 1}) * h"
+            f" + {i * _B_MULT}) % {_PRIME}))"
+            for i in range(_N_PERM)
+        )
+        + ")"
+    )
+
+
+# r12: the sampled pairs are deterministic (doc, doc+1), so nothing
+# corpus-scale needs to shuffle at all — the old form paid an exploded
+# ×16 CROSS JOIN + GROUP BY (doc_id, i) over the whole corpus plus a
+# string-equality intersection join. Now both the 16 slot minima and
+# the exact intersection are intra-row folds over the checkpointed set
+# arrays, evaluated only for the N/5 sampled pairs; slot agreement is a
+# zip_with (slot i meets slot i, exactly the old mb.i = ma.i join).
+# Slot values are exact integers, so = is exact; pairs need both docs
+# shingled (size(shs) > 0), matching the old DISTINCT-doc_id relation.
+_MH_EST_SETS_TAIL_SPARK = f"""
+WITH pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM (SELECT doc_id FROM est_sets WHERE size(shs) > 0) a
+    JOIN (SELECT doc_id FROM est_sets WHERE size(shs) > 0) b
+      ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 5 = 0
+),
+j AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(size(filter(zip_with({_est_ms('a.hs')}, {_est_ms('b.hs')},
+                                     (x, y) -> x = y), v -> v)) AS INT)
+               AS matches,
+           size(array_intersect(a.shs, b.shs)) AS isect,
+           size(a.shs) AS na, size(b.shs) AS nb
+    FROM pairs p
+    JOIN est_sets a ON a.doc_id = p.doc_a
+    JOIN est_sets b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, matches,
+       floor((CAST(matches AS DOUBLE) / {_N_PERM}) * 1e6 + 0.5) / 1e6
+           AS est_jaccard,
+       floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6
+           AS exact_jaccard,
+       floor(abs(CAST(matches AS DOUBLE) / {_N_PERM}
+                 - CAST(isect AS DOUBLE) / (na + nb - isect))
+             * 1e6 + 0.5) / 1e6 AS abs_err
+FROM j
+ORDER BY doc_a
+"""
+
+
 @register("dedup_minhash_estimate_accuracy", oracle=_MH_EST_DUCK_SQL)
 def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-agreement jaccard estimates vs exact, per sampled pair."""
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "est_sh")
-    return spark.sql(
-        "WITH "
-        + _MH_EST_TAIL.format(
-            hashed="(SELECT doc_id, h FROM est_sh)",
-            sh="est_sh",
-            perm=f"SELECT explode(sequence(0, {_N_PERM - 1})) AS i",
-        ).lstrip()
-    )
+    _materialize_view(spark.sql(_MINHASH_SETS_SPARK), "est_sets")
+    return spark.sql(_MH_EST_SETS_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -1513,12 +1594,24 @@ pf_sh AS (
     + _PF_TAIL.format(sh="pf_sh")
 )
 
-_PF_SH_SPARK = f"""
-WITH toks AS (
-    SELECT doc_id, {_S_TOK} AS w FROM documents
+# r12: the exploded rows the df/rank/join stages need derive map-side
+# from the checkpointed per-doc set arrays (no corpus DISTINCT
+# exchange), and per-doc sizes come from size(shs) instead of a
+# GROUP BY pass. The df aggregation, df-ordered prefix window and
+# rare-key join keep their string form — the prefix filter's ordering
+# and exact-recall guarantee are defined on shingle identity.
+_PF_TAIL_SPARK = _PF_TAIL.format(sh="pf_sh").replace(
+    """sized AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pf_sh GROUP BY doc_id
+),""",
+    """sized AS (
+    SELECT doc_id, CAST(size(shs) AS BIGINT) AS n FROM pf_sets
+),""",
 )
-SELECT DISTINCT doc_id, shingle
-FROM toks LATERAL VIEW explode({spark_word_shingles('w', 3)}) t AS shingle
+assert _PF_TAIL_SPARK != _PF_TAIL.format(sh="pf_sh")
+
+_PF_SH_EXPLODE = """
+SELECT doc_id, shingle FROM pf_sets LATERAL VIEW explode(shs) t AS shingle
 """
 
 
@@ -1533,11 +1626,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a recall trade (contrast dedup_ngram_jaccard_capped).
 
     Scale: one df aggregation + one doc-keyed window + a rare-key join;
-    the shingle relation is materialized once (CTE-inlining guard).
+    the per-doc set relation is materialized once (CTE-inlining guard)
+    and the exploded rows derive from it map-side.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_PF_SH_SPARK), "pf_sh")
-    return spark.sql("WITH " + _PF_TAIL.format(sh="pf_sh").lstrip())
+    _materialize_view(spark.sql(_SETS_SHS_ONLY_SPARK), "pf_sets")
+    spark.sql(_PF_SH_EXPLODE).createOrReplaceTempView("pf_sh")
+    return spark.sql("WITH " + _PF_TAIL_SPARK.lstrip())
 
 
 # ---------------------------------------------------------------------------
