@@ -83,6 +83,46 @@ def test_lsh_bucket_core_is_map_side(spark):
     assert "posexplode" not in plan.lower()
 
 
+def test_simhash_signature_core_is_map_only(spark):
+    # r12: the signature is one intra-row fold over occurrence hashes —
+    # no (doc, token) count aggregation, no per-doc 32-sum exchange, no
+    # token explode. The plan is scan → (fan-out) → project.
+    plan = _plan(spark, "dedup_simhash_signatures")
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_jaccard", "dedup_ngram_containment"]
+)
+def test_ngram_discovery_joins_on_hash_not_strings(spark, name):
+    # r12: candidate discovery self-joins (doc_id, h) ints exploded from
+    # the checkpointed per-doc hash arrays, and verification reads the
+    # set ARRAYS — the tail never touches a shingle STRING column.
+    plan = _plan(spark, name)
+    assert "shingle#" not in plan
+
+
+def test_estimator_accuracy_is_intra_row(spark):
+    # r12: slot minima and slot agreement are intra-row folds evaluated
+    # only for the sampled pairs — the exploded ×16 permutation cross
+    # join and the corpus (doc_id, i) aggregation are gone.
+    plan = _plan(spark, "dedup_minhash_estimate_accuracy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Generate" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_jaccard_capped", "dedup_incremental_minhash"]
+)
+def test_verify_side_reads_set_arrays_not_collect_list(spark, name):
+    # r12: the verification arrays come from the checkpointed per-doc
+    # sets — the collect_list re-aggregation exchange must not return.
+    plan = _plan(spark, name)
+    assert "collect_list" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
