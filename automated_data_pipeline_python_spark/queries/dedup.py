@@ -516,23 +516,47 @@ WHERE CAST(isect AS DOUBLE) / (na.n + nb.n - isect) >= {_NGRAM_THRESHOLD}
 
 # r12 optimization (guide §2.2/§2.3): discovery joins on the 28-bit
 # shingle HASH (ints) instead of the shingle STRING — the corpus-scale
-# discovery shuffle carries (doc_id, h) rows, and per-doc sizes come
-# map-side from the set arrays (the old sizes GROUP BY exchange is
-# gone). Verification is exact over the full per-doc shingle-STRING
-# sets, so hash collisions cannot change results: h-candidates are a
-# superset of shingle-equality candidates (same shingle → same h), and
-# any collision-only pair verifies to jaccard < threshold (an isect of
-# 0 needs ≥ 1 truly shared shingle to pass any threshold > 0). The
-# explode reads CHECKPOINTED arrays (never an un-materialized computed
-# array — the r12 InferFiltersFromGenerate trap).
-_NGRAM_SETS_TAIL_SPARK = f"""
-WITH hrows AS (
-    SELECT doc_id, h FROM ng_sets LATERAL VIEW explode(hs) t AS h
+# discovery shuffle carries (doc_id, h, n) ints — and the per-pair
+# intersection is COUNTED in the join's aggregation, exactly like the
+# textbook string form, not rebuilt per pair from arrays (an
+# array_intersect over every candidate pair measured 3.3x the wall at
+# sf0.1: O(pairs × set size) string hashing). Because h-matches can
+# overcount a true intersection (28-bit collisions, and intra-doc hash
+# duplicates multiply join hits), the counted value is only an UPPER
+# BOUND — capped at least(na, nb) so the degenerate all-equal-h case
+# cannot push the denominator negative and drop a true pair — and the
+# jaccard built from it is ≥ the true jaccard (x/(na+nb-x) is
+# increasing in x). The prefilter therefore passes a SUPERSET of the
+# true threshold pairs, and the tiny surviving slice is re-verified
+# EXACTLY over the full per-doc shingle-STRING sets, so results are
+# unchanged. The explode reads CHECKPOINTED arrays (never an
+# un-materialized computed array — the r12 InferFiltersFromGenerate
+# trap).
+
+
+def _h_prefilter_cand(sets: str, pre_where: str) -> str:
+    """Int-keyed discovery + upper-bound count prefilter CTEs."""
+    return f"""hrows AS (
+    SELECT doc_id, h, CAST(size(shs) AS BIGINT) AS n
+    FROM {sets} LATERAL VIEW explode(hs) t AS h
+),
+pre AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           least(count(*), min(a.n), min(b.n)) AS ub,
+           min(a.n) AS na, min(b.n) AS nb
+    FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
 ),
 cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
-),
+    SELECT doc_a, doc_b FROM pre WHERE {pre_where}
+)"""
+
+
+_NGRAM_SETS_TAIL_SPARK = f"""
+WITH {_h_prefilter_cand(
+    'ng_sets',
+    f'CAST(ub AS DOUBLE) / (na + nb - ub) >= {_NGRAM_THRESHOLD}',
+)},
 ver AS (
     SELECT c.doc_a, c.doc_b,
            size(array_intersect(a.shs, b.shs)) AS isect,
@@ -1088,18 +1112,16 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query reports is the one you tune bands/permutations against.
 
 # r12: truth discovery joins on h ints off the checkpointed set arrays
-# (exact — candidates are a superset of string-equality candidates and
-# verification over the full string sets drops collision-only pairs);
-# the old form shuffled the exploded string relation twice plus a
-# collect_list re-aggregation.
+# with the counted upper-bound prefilter (superset of the true ≥ 0.5
+# pairs — see _NGRAM_SETS_TAIL_SPARK), then exact verification over
+# the full string sets for the surviving slice; the old form shuffled
+# the exploded string relation twice plus a collect_list
+# re-aggregation.
 _LSH_EVAL_SPARK_TRUTH = f"""
-WITH hrows AS (
-    SELECT doc_id, h FROM mh_sets LATERAL VIEW explode(hs) t AS h
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
-),
+WITH {_h_prefilter_cand(
+    'mh_sets',
+    f'CAST(ub AS DOUBLE) / (na + nb - ub) >= {_JACCARD_THRESHOLD}',
+)},
 ver AS (
     SELECT c.doc_a, c.doc_b,
            size(array_intersect(a.shs, b.shs)) AS isect,
@@ -1344,16 +1366,14 @@ ct_sh2 AS (
 
 
 # r12: same restructure as _NGRAM_SETS_TAIL_SPARK — int-keyed h
-# discovery, exact verification over the full string sets (any
-# threshold > 0 needs isect ≥ 1, so collision-only candidates drop).
+# discovery with the counted upper bound (ub ≥ isect, ub ≤ least(na,
+# nb) so ub/least(na,nb) ≥ true containment and stays ≤ 1), then exact
+# verification over the full string sets for the surviving slice.
 _CONTAIN_SETS_TAIL_SPARK = f"""
-WITH hrows AS (
-    SELECT doc_id, h FROM ct_sets LATERAL VIEW explode(hs) t AS h
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM hrows a JOIN hrows b ON a.h = b.h AND a.doc_id < b.doc_id
-),
+WITH {_h_prefilter_cand(
+    'ct_sets',
+    f'CAST(ub AS DOUBLE) / least(na, nb) >= {_CONTAIN_THRESHOLD}',
+)},
 ver AS (
     SELECT c.doc_a, c.doc_b,
            size(array_intersect(a.shs, b.shs)) AS isect,
