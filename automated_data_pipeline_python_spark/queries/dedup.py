@@ -193,19 +193,20 @@ FROM (SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
 """
 
 # Same per-doc set relation without the SHA hash array, for consumers
-# whose discovery is keyed on shingle strings (capped df-cap, prefix
-# filter) — no point paying a SHA pass they never read.
+# whose discovery is keyed on shingle strings (prefix filter) — no
+# point paying a SHA pass they never read.
 _SETS_SHS_ONLY_SPARK = f"""
 SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
 FROM (SELECT doc_id, {_S_TOK} AS w FROM documents) toks
 """
 
-# Exploded (doc_id, shingle, h) reference relation. No production query
-# materializes this any more (r12: discovery shuffles (doc_id, h) ints
-# off the per-doc set arrays; string rows, where still needed, derive
-# map-side by exploding the checkpointed sets) — kept as the textbook
-# form for ground-truth construction in tests (test_mllib_parity,
-# test_skew).
+# Exploded (doc_id, shingle, h) relation. Post-r12 only
+# dedup_ngram_jaccard_capped still materializes it (the cap's df/
+# discovery semantics live on string rows, and the sets-derived
+# variants measured slower — see _NGRAM_CAPPED_TAIL_SPARK); every
+# other family member works off the per-doc set arrays. Also the
+# textbook form for ground-truth construction in tests
+# (test_mllib_parity, test_skew).
 _MINHASH_SH_SPARK = f"""
 WITH toks AS (
     SELECT doc_id, {_S_TOK} AS w FROM documents
@@ -615,38 +616,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOT_DF_CAP = 6
 
-# r12: the exploded (doc_id, shingle) rows the hot-list/discovery
-# stages need are derived map-side by EXPLODING the checkpointed
-# per-doc set arrays — the old materialization paid a corpus-wide
-# DISTINCT exchange to build the same rows. Discovery stays keyed on
-# shingle STRINGS: the frequency cap's semantics (drop rows whose
-# shingle has df > cap from discovery only) are defined on shingles,
-# and an h-keyed join could discover collision-only pairs the oracle's
-# string join cannot. Verification reads the set arrays directly (the
-# old collect_list re-aggregation exchange is gone; n = size(shs)).
+# r12: capped KEEPS the pre-r12 exploded-relation form — the sets
+# restructure was measured here and REJECTED. Two variants tried:
+# (1) deriving the exploded rows from the per-doc set arrays via a
+# Generate view (no DISTINCT exchange) flipped downstream join
+# strategies off the Generate node's inflated size estimate;
+# (2) checkpointing that exploded relation (accurate stats, still no
+# DISTINCT exchange, verify off the set arrays) measured +13% at 10x
+# and +46% at 100x on the A/B ladder (9.67 vs 8.53 s; 58.0 vs 39.7 s)
+# — the extra materialization write outweighs the removed exchanges
+# for this pipeline, whose wall is the string-keyed discovery
+# self-join either way. The cap semantics (df > cap on shingle
+# IDENTITY) keep discovery on string rows; an h-keyed join could
+# discover collision-only pairs the oracle's string join cannot.
 _NGRAM_CAPPED_TAIL_SPARK = f"""
-WITH sh AS (
-    SELECT doc_id, shingle FROM ng_sets LATERAL VIEW explode(shs) t AS shingle
-),
-hot AS (
-    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_HOT_DF_CAP}
+WITH hot AS (
+    SELECT shingle FROM ng_sh GROUP BY shingle HAVING count(*) > {_HOT_DF_CAP}
 ),
 disc AS (
     SELECT /*+ BROADCAST(hot) */ s.doc_id, s.shingle
-    FROM sh s LEFT ANTI JOIN hot ON s.shingle = hot.shingle
+    FROM ng_sh s LEFT ANTI JOIN hot ON s.shingle = hot.shingle
 ),
 cand AS (
     SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
     FROM disc s1 JOIN disc s2
       ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
 ),
+arrs AS (
+    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
+    FROM ng_sh GROUP BY doc_id
+),
 ver AS (
     SELECT c.doc_a, c.doc_b,
            size(array_intersect(a.shs, b.shs)) AS isect,
-           size(a.shs) AS na, size(b.shs) AS nb
+           a.n AS na, b.n AS nb
     FROM cand c
-    JOIN ng_sets a ON c.doc_a = a.doc_id
-    JOIN ng_sets b ON c.doc_b = b.doc_id
+    JOIN arrs a ON c.doc_a = a.doc_id
+    JOIN arrs b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b,
        floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
@@ -702,7 +708,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets. The hot list is heavy-hitters-small and broadcast.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_SETS_SHS_ONLY_SPARK), "ng_sets")
+    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
     return spark.sql(_NGRAM_CAPPED_TAIL_SPARK)
 
 
@@ -1617,7 +1623,12 @@ pf_sh AS (
 # r12: the exploded rows the df/rank/join stages need derive map-side
 # from the checkpointed per-doc set arrays (no corpus DISTINCT
 # exchange), and per-doc sizes come from size(shs) instead of a
-# GROUP BY pass. The df aggregation, df-ordered prefix window and
+# GROUP BY pass. The exploded relation is checkpointed AGAIN (a
+# map-side write, not a shuffle): left as a view over Generate, its
+# inflated size estimate flipped the prefix-candidate join from
+# broadcast to sort-merge (measured 4.4 → 7.1 s at sf0.1) — the
+# second checkpoint restores the accurate stats the old materialized
+# relation had. The df aggregation, df-ordered prefix window and
 # rare-key join keep their string form — the prefix filter's ordering
 # and exact-recall guarantee are defined on shingle identity.
 _PF_TAIL_SPARK = _PF_TAIL.format(sh="pf_sh").replace(
@@ -1651,7 +1662,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_SETS_SHS_ONLY_SPARK), "pf_sets")
-    spark.sql(_PF_SH_EXPLODE).createOrReplaceTempView("pf_sh")
+    _materialize_view(spark.sql(_PF_SH_EXPLODE), "pf_sh")
     return spark.sql("WITH " + _PF_TAIL_SPARK.lstrip())
 
 

@@ -113,13 +113,12 @@ def test_estimator_accuracy_is_intra_row(spark):
     assert "Generate" not in plan
 
 
-@pytest.mark.parametrize(
-    "name", ["dedup_ngram_jaccard_capped", "dedup_incremental_minhash"]
-)
-def test_verify_side_reads_set_arrays_not_collect_list(spark, name):
+def test_verify_side_reads_set_arrays_not_collect_list(spark):
     # r12: the verification arrays come from the checkpointed per-doc
     # sets — the collect_list re-aggregation exchange must not return.
-    plan = _plan(spark, name)
+    # (dedup_ngram_jaccard_capped deliberately keeps the exploded-
+    # relation form: the sets variant measured slower at 10x/100x.)
+    plan = _plan(spark, "dedup_incremental_minhash")
     assert "collect_list" not in plan
 
 
