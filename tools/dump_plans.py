@@ -4,7 +4,7 @@ Usage::
 
     python tools/dump_plans.py <suffix> [query ...]
 
-Writes ``plans/r12/<query>_<suffix>.txt`` for each query (default: the
+Writes ``plans/$PLANS_TAG/<query>_<suffix>.txt`` (default r13) for each query (default: the
 bench headline set). The optimization-round judge checks plan claims
 (Exchange counts, join strategies, PushedFilters) against these files,
 so regenerate the ``_after`` files whenever a touched query's plan
@@ -24,7 +24,7 @@ sys.path.insert(0, REPO)
 from automated_data_pipeline_python_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "plans", "r12")
+OUT = os.path.join(REPO, "plans", os.environ.get("PLANS_TAG", "r13"))
 
 
 def main() -> None:
