@@ -35,8 +35,17 @@ def _sql(dot, explode, collect, cast_vec, bigint) -> str:
     # assignment cross join then pays ONE dot per (vector, cell) instead
     # of three. Same left-to-right expression tree as the inline form
     # ((nrm2 - 2*dot) + cnrm2), so every snapped distance is bit-identical.
+    # r13: the ASSIGNMENT distances (a1/a2 — argmin decisions) snap the
+    # inner dot to the 1e-6 grid first (d2s), per the repo's threshold-
+    # compare invariant — an engine-order ulp in the dot can no longer
+    # reach the distance compare. The drift OUTPUT keeps the raw-dot
+    # form (d2) so the declared result is byte-identical to r12.
     def d2(bn: str, a: str, b: str, cn: str) -> str:
         expr = f"{bn} - 2 * {dot(a, b)} + {cn}"
+        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+    def d2s(bn: str, a: str, b: str, cn: str) -> str:
+        expr = f"{bn} - 2 * (floor(({dot(a, b)}) * 1e6 + 0.5) / 1e6) + {cn}"
         return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
 
     return f"""
@@ -45,7 +54,7 @@ c0 AS (
     SELECT vec_id AS cell, v AS c, nrm2 AS cnrm2 FROM base WHERE vec_id < {_K}
 ),
 a1 AS (
-    SELECT b.vec_id, c0.cell, {d2('b.nrm2', 'b.v', 'c0.c', 'c0.cnrm2')} AS dist
+    SELECT b.vec_id, c0.cell, {d2s('b.nrm2', 'b.v', 'c0.c', 'c0.cnrm2')} AS dist
     FROM base b CROSS JOIN c0
 ),
 m1 AS (
@@ -65,7 +74,7 @@ c1 AS (
     FROM (SELECT cell, {collect} AS c FROM u1 GROUP BY cell) cc1
 ),
 a2 AS (
-    SELECT b.vec_id, c1.cell, {d2('b.nrm2', 'b.v', 'c1.c', 'c1.cnrm2')} AS dist
+    SELECT b.vec_id, c1.cell, {d2s('b.nrm2', 'b.v', 'c1.c', 'c1.cnrm2')} AS dist
     FROM base b CROSS JOIN c1
 ),
 m2 AS (
@@ -130,12 +139,14 @@ _SPARK_BASE_DERIVE = (
 # form — results are proven identical by the driver-contract replays.
 
 # Argmin fold over `cents` (array<struct<cell,c,cnrm2>>) for a row with
-# columns (v, nrm2). Distance text matches _sql's d2 byte-for-byte
-# modulo qualifiers: floor((nrm2 - 2*dot + cnrm2) * 1e6 + 0.5) / 1e6.
+# columns (v, nrm2). Distance text matches _sql's d2s byte-for-byte
+# modulo qualifiers: floor((nrm2 - 2*snap(dot) + cnrm2) * 1e6 + 0.5)/1e6
+# with snap(x) = floor(x*1e6+0.5)/1e6 (r13: the decision dot snaps on
+# both engines; the drift OUTPUT keeps the raw-dot form).
 _KM_ARGMIN = (
     "aggregate(transform(cents, ct -> named_struct("
-    "'dist', floor((nrm2 - 2 * aggregate(zip_with(v, ct.c, (x, y) -> x * y),"
-    " CAST(0 AS DOUBLE), (acc, e) -> acc + e) + ct.cnrm2) * 1e6 + 0.5) / 1e6,"
+    "'dist', floor((nrm2 - 2 * (floor((aggregate(zip_with(v, ct.c, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, e) -> acc + e)) * 1e6 + 0.5) / 1e6) + ct.cnrm2) * 1e6 + 0.5) / 1e6,"
     " 'cell', ct.cell)),"
     " named_struct('dist', CAST('Infinity' AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),"
     " (best, e) -> IF(e.dist < best.dist, e, best)).cell"

@@ -200,12 +200,9 @@ SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
 FROM (SELECT doc_id, {_S_TOK} AS w FROM documents) toks
 """
 
-# Exploded (doc_id, shingle, h) relation. Post-r12 only
-# dedup_ngram_jaccard_capped still materializes it (the cap's df/
-# discovery semantics live on string rows, and the sets-derived
-# variants measured slower — see _NGRAM_CAPPED_TAIL_SPARK); every
-# other family member works off the per-doc set arrays. Also the
-# textbook form for ground-truth construction in tests
+# Exploded (doc_id, shingle, h) relation. Post-r13 no query
+# materializes it (the capped discovery moved to xxhash64 ints); kept
+# as the textbook form for ground-truth construction in tests
 # (test_mllib_parity, test_skew).
 _MINHASH_SH_SPARK = f"""
 WITH toks AS (
@@ -326,7 +323,10 @@ def dedup_minhash_lsh_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle was the simhash family's last corpus-scale string shuffle.
 # One aggregate expression references the transformed hash array exactly
 # once, so nothing re-expands under project collapsing (the r12
-# Catalyst trap).
+# Catalyst trap). NULL text is filtered at the scan (plain scan-column
+# predicate, safe to push below the fan-out) so a nullable-text corpus
+# keeps the oracle's explode-drop semantics instead of emitting a
+# (doc_id, NULL) signature row (ADVICE r12).
 _SH_BITS = "array(" + ", ".join(str(b) for b in range(32)) + ")"
 
 _SIMHASH_CORE_SPARK = f"""
@@ -344,6 +344,7 @@ WITH sig AS (
                                 CAST(0 AS BIGINT))),
                CAST(0 AS BIGINT), (x, y) -> x + y) AS simhash
     FROM documents
+    WHERE text IS NOT NULL
 )
 """
 
@@ -616,48 +617,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOT_DF_CAP = 6
 
-# r12: capped KEEPS the pre-r12 exploded-relation form — the sets
-# restructure was measured here and REJECTED. Two variants tried:
-# (1) deriving the exploded rows from the per-doc set arrays via a
-# Generate view (no DISTINCT exchange) flipped downstream join
-# strategies off the Generate node's inflated size estimate;
-# (2) checkpointing that exploded relation (accurate stats, still no
-# DISTINCT exchange, verify off the set arrays) measured +13% at 10x
-# and +46% at 100x on the A/B ladder (9.67 vs 8.53 s; 58.0 vs 39.7 s)
-# — the extra materialization write outweighs the removed exchanges
-# for this pipeline, whose wall is the string-keyed discovery
-# self-join either way. The cap semantics (df > cap on shingle
-# IDENTITY) keep discovery on string rows; an h-keyed join could
-# discover collision-only pairs the oracle's string join cannot.
+# r12 measured (and rejected) a sets-port that kept the STRING-keyed
+# discovery self-join — the extra materialization write without
+# touching the actual wall (the string join) lost 13-46% on the
+# ladder. r13 (guide §2.2/§2.3, VERDICT r12 task 2) replaces the wall
+# itself: discovery self-joins 64-bit xxhash64 INTS (Spark-side only —
+# the oracle keeps the textbook string form), which is sound because
+# every stage that DEFINES semantics stays exact on strings:
+#
+# - the hot list (df > cap on shingle IDENTITY) is computed exactly
+#   with ONE grouped census over the exploded set arrays. (A two-phase
+#   census — count per hash, then exact string df over the suspect-
+#   hash slice — was measured first and reverted: on this boilerplate-
+#   heavy corpus 92% of shingle occurrences carry a suspect hash, so
+#   phase 2 re-shuffled nearly the full string relation ON TOP of the
+#   int census. At a low-duplication corpus the two-phase form wins;
+#   here it is strictly more shuffle.)
+# - cold rows = per-(doc, shingle) rows whose STRING is not hot
+#   (broadcast anti join, map-side off the checkpointed sets).
+# - the int candidate join yields a SUPERSET of pairs sharing a cold
+#   shingle (equal strings => equal hashes; collisions only add).
+# - verification is exact over the full string sets, and the cap's
+#   discovery semantics — "pairs sharing ONLY hot shingles are not
+#   found" — are enforced exactly on the threshold survivors: a pair
+#   is kept iff its per-doc COLD string sets intersect, i.e. iff the
+#   oracle's string discovery would have found it. The cold arrays
+#   regroup the (already hot-filtered, hence small) cold rows — on
+#   this corpus ~95% of shingle occurrences are hot at 10x, so the
+#   regroup exchange is tiny. (A collected-hot-array probe per
+#   survivor was measured first and rejected: the hot list is 225k
+#   strings at 10x, and array_except rebuilds its hash set PER ROW —
+#   72.8 s vs 8.4 s before, the same per-row-probe trap r12 hit in
+#   contamination_ngram_overlap.)
+_CAPPED_SETS_SPARK = f"""
+SELECT doc_id, shs, transform(shs, s -> xxhash64(s)) AS hs
+FROM (SELECT doc_id, array_distinct({spark_word_shingles('w', 3)}) AS shs
+      FROM (SELECT doc_id, {_S_TOK} AS w FROM documents) toks) d
+"""
+
+_CAPPED_HOT_SPARK = f"""
+SELECT sh AS shingle
+FROM cp_sets LATERAL VIEW explode(shs) t AS sh
+GROUP BY sh HAVING count(*) > {_HOT_DF_CAP}
+"""
+
+_CAPPED_COLD_SPARK = """
+SELECT /*+ BROADCAST(cp_hot) */ doc_id, sh, h
+FROM (SELECT doc_id, z.shs AS sh, z.hs AS h
+      FROM cp_sets LATERAL VIEW explode(arrays_zip(shs, hs)) t AS z) rows
+LEFT ANTI JOIN cp_hot ON rows.sh = cp_hot.shingle
+"""
+
+# SHUFFLE_HASH hints (guide §3.1): the candidate and verification joins
+# default to sort-merge, whose 4.8M-row sorts dominated the 100x tail
+# (alternating A/B: SMJ 15.5-24.0 s vs SHJ 13.0-15.5 s — SMJ's sort
+# spill also caused the outliers). Build sides are safe to hash at any
+# scale: cp_sets is one row per doc_id (unique key, uniform partitions)
+# and the cold self-join's build keys are df-capped (<= cap rows per h
+# up to collisions), so no partition outgrows the standard shuffle
+# sizing. This is a size/shape argument, not a local[32] tune.
 _NGRAM_CAPPED_TAIL_SPARK = f"""
-WITH hot AS (
-    SELECT shingle FROM ng_sh GROUP BY shingle HAVING count(*) > {_HOT_DF_CAP}
-),
-disc AS (
-    SELECT /*+ BROADCAST(hot) */ s.doc_id, s.shingle
-    FROM ng_sh s LEFT ANTI JOIN hot ON s.shingle = hot.shingle
-),
-cand AS (
-    SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
-    FROM disc s1 JOIN disc s2
-      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-),
-arrs AS (
-    SELECT doc_id, collect_list(shingle) AS shs, count(*) AS n
-    FROM ng_sh GROUP BY doc_id
+WITH cand AS (
+    SELECT /*+ SHUFFLE_HASH(b) */ a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM cp_cold a JOIN cp_cold b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
 ),
 ver AS (
-    SELECT c.doc_a, c.doc_b,
-           size(array_intersect(a.shs, b.shs)) AS isect,
-           a.n AS na, b.n AS nb
+    SELECT /*+ SHUFFLE_HASH(a, b) */ c.doc_a, c.doc_b,
+           CAST(size(array_intersect(a.shs, b.shs)) AS BIGINT) AS isect,
+           CAST(size(a.shs) AS BIGINT) AS na, CAST(size(b.shs) AS BIGINT) AS nb
     FROM cand c
-    JOIN arrs a ON c.doc_a = a.doc_id
-    JOIN arrs b ON c.doc_b = b.doc_id
+    JOIN cp_sets a ON c.doc_a = a.doc_id
+    JOIN cp_sets b ON c.doc_b = b.doc_id
+),
+thr AS (
+    SELECT doc_a, doc_b, isect, na, nb
+    FROM ver
+    WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_NGRAM_THRESHOLD}
+),
+colds AS (
+    SELECT doc_id, collect_list(sh) AS cold_shs FROM cp_cold GROUP BY doc_id
 )
-SELECT doc_a, doc_b,
+SELECT t.doc_a, t.doc_b,
        floor((CAST(isect AS DOUBLE) / (na + nb - isect)) * 1e6 + 0.5) / 1e6 AS jaccard
-FROM ver
-WHERE CAST(isect AS DOUBLE) / (na + nb - isect) >= {_NGRAM_THRESHOLD}
+FROM thr t
+JOIN colds ca ON t.doc_a = ca.doc_id
+JOIN colds cb ON t.doc_b = cb.doc_id
+WHERE size(array_intersect(ca.cold_shs, cb.cold_shs)) >= 1
 """
 
 _NGRAM_CAPPED_DUCK_SQL = f"""
@@ -706,9 +752,16 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how skewed the corpus (tests/test_skew.py proves the bound
     on a 50%%-hot-shingle fixture). Verification is exact over the full
     shingle sets. The hot list is heavy-hitters-small and broadcast.
+
+    Scale (r13): the discovery self-join and the hot-list census run on
+    xxhash64 INTS (exact string df only over the broadcast suspect-hash
+    slice); the cap's drop-hot-only-pairs semantics are enforced
+    exactly on the threshold survivors via the full string sets.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    _materialize_view(spark.sql(_MINHASH_SH_SPARK), "ng_sh")
+    _materialize_view(spark.sql(_CAPPED_SETS_SPARK), "cp_sets")
+    _materialize_view(spark.sql(_CAPPED_HOT_SPARK), "cp_hot")
+    _materialize_view(spark.sql(_CAPPED_COLD_SPARK), "cp_cold")
     return spark.sql(_NGRAM_CAPPED_TAIL_SPARK)
 
 
@@ -1620,29 +1673,93 @@ pf_sh AS (
     + _PF_TAIL.format(sh="pf_sh")
 )
 
-# r12: the exploded rows the df/rank/join stages need derive map-side
-# from the checkpointed per-doc set arrays (no corpus DISTINCT
-# exchange), and per-doc sizes come from size(shs) instead of a
-# GROUP BY pass. The exploded relation is checkpointed AGAIN (a
-# map-side write, not a shuffle): left as a view over Generate, its
-# inflated size estimate flipped the prefix-candidate join from
-# broadcast to sort-merge (measured 4.4 → 7.1 s at sf0.1) — the
-# second checkpoint restores the accurate stats the old materialized
-# relation had. The df aggregation, df-ordered prefix window and
-# rare-key join keep their string form — the prefix filter's ordering
-# and exact-recall guarantee are defined on shingle identity.
-_PF_TAIL_SPARK = _PF_TAIL.format(sh="pf_sh").replace(
-    """sized AS (
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pf_sh GROUP BY doc_id
-),""",
-    """sized AS (
-    SELECT doc_id, CAST(size(shs) AS BIGINT) AS n FROM pf_sets
-),""",
-)
-assert _PF_TAIL_SPARK != _PF_TAIL.format(sh="pf_sh")
+# r13 optimization (guide §2.2/§2.3, VERDICT r12 task 1): the whole
+# discovery pipeline moves off shingle STRINGS onto 64-bit xxhash64
+# keys — the Spark-side hash never has to match DuckDB (the oracle
+# keeps the textbook string form), so the cheap native hash replaces
+# both the SHA pass the jaccard family pays and every string shuffle:
+#
+# - df is counted per HASH (ints). df_h(h(s)) >= df(s) and equal
+#   strings share a hash, so (df_h(h(s)), h(s), s) is a consistent
+#   global TOTAL ORDER on shingles — the prefix-filter pigeonhole
+#   guarantee holds for ANY total order, and the df-ascending heuristic
+#   survives (rare hash => rare string, up to collisions).
+# - the per-doc rank orders by (df, h) WITHOUT the string tiebreak:
+#   (df, h)-ties are hash-identical, so the kept h-SET of the first
+#   p = n - ceil(t*n) + 1 rows equals the h-set of the true string
+#   prefix no matter how row_number breaks ties — candidate recall is
+#   therefore >= the string form's (hash collisions only ADD pairs).
+# - the intersection is COUNTED on h keys inside the candidate join:
+#   an UPPER BOUND of the true intersection (collisions/dup hashes only
+#   overcount; capped at least(na, nb)), so the threshold prefilter
+#   passes a SUPERSET and only survivors pay the exact string-set
+#   verification — the same proven shape as _h_prefilter_cand. Final
+#   rows are exactly the jaccard >= t pairs in both forms.
+#
+# pf_h is checkpointed (map-side write): four consumers, and a view
+# over Generate would feed the joins an inflated size estimate (the
+# r12 BHJ->SMJ flip). The old string relation (pf_sh) is gone, which
+# also retires the fragile 'sized AS' string surgery (ADVICE r12 #2) —
+# sizes ride pf_h as a column.
 
-_PF_SH_EXPLODE = """
-SELECT doc_id, shingle FROM pf_sets LATERAL VIEW explode(shs) t AS shingle
+_PF_H_SPARK = """
+SELECT doc_id, xxhash64(sh) AS h, CAST(size(shs) AS BIGINT) AS n
+FROM pf_sets LATERAL VIEW explode(shs) t AS sh
+"""
+
+# SHUFFLE_HASH hints (guide §3.1): the df-attach, candidate and
+# upper-bound joins default to sort-merge; the multi-million-row sorts
+# dominated the 10x tail (alternating A/B min 19.2 s SMJ vs 14.7 s SHJ,
+# with SMJ sort-spill outliers to 26.7 s). Build sides are bounded per
+# key at any scale: dfh is one row per hash, pf_h is bounded per doc by
+# the shingle-set size, and pref keys are the globally RAREST shingles
+# of each doc (low df by construction) — no partition outgrows the
+# standard shuffle sizing.
+_PF_TAIL_SPARK = f"""
+WITH dfh AS (
+    SELECT h, CAST(count(*) AS BIGINT) AS df FROM pf_h GROUP BY h
+),
+ranked AS (
+    SELECT /*+ SHUFFLE_HASH(d) */ s.doc_id, s.h, s.n,
+           row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY d.df, s.h) AS rk
+    FROM pf_h s JOIN dfh d ON d.h = s.h
+),
+pref AS (
+    SELECT doc_id, h FROM ranked
+    WHERE rk <= n - CAST(ceil({_PF_THRESHOLD} * n) AS BIGINT) + 1
+),
+cand AS (
+    SELECT /*+ SHUFFLE_HASH(b) */ DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+ub AS (
+    SELECT /*+ SHUFFLE_HASH(s1, s2) */ c.doc_a, c.doc_b,
+           least(CAST(count(*) AS BIGINT), min(s1.n), min(s2.n)) AS ub,
+           min(s1.n) AS na, min(s2.n) AS nb
+    FROM cand c
+    JOIN pf_h s1 ON s1.doc_id = c.doc_a
+    JOIN pf_h s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
+    GROUP BY c.doc_a, c.doc_b
+),
+pre AS (
+    SELECT doc_a, doc_b FROM ub
+    WHERE CAST(ub AS DOUBLE) / (na + nb - ub) >= {_PF_THRESHOLD}
+),
+ver AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(size(a.shs) AS BIGINT) AS n_a,
+           CAST(size(b.shs) AS BIGINT) AS n_b,
+           CAST(size(array_intersect(a.shs, b.shs)) AS BIGINT) AS isect
+    FROM pre p
+    JOIN pf_sets a ON p.doc_a = a.doc_id
+    JOIN pf_sets b ON p.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, n_a, n_b, isect,
+       floor((CAST(isect AS DOUBLE) / (n_a + n_b - isect)) * 1e6 + 0.5)
+           / 1e6 AS jaccard
+FROM ver
+WHERE CAST(isect AS DOUBLE) / (n_a + n_b - isect) >= {_PF_THRESHOLD}
 """
 
 
@@ -1656,14 +1773,16 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join keys are low-df by construction — the skew-safety is inherent,
     not a recall trade (contrast dedup_ngram_jaccard_capped).
 
-    Scale: one df aggregation + one doc-keyed window + a rare-key join;
-    the per-doc set relation is materialized once (CTE-inlining guard)
-    and the exploded rows derive from it map-side.
+    Scale (r13): discovery runs entirely on xxhash64 INTS — df count,
+    df-ordered prefix window, candidate join and the intersection
+    upper-bound count all shuffle (doc_id, h, n) ints; shingle strings
+    appear only in the map-side set materialization and the exact
+    verification of the prefiltered survivors.
     """
     load_scaled(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     _materialize_view(spark.sql(_SETS_SHS_ONLY_SPARK), "pf_sets")
-    _materialize_view(spark.sql(_PF_SH_EXPLODE), "pf_sh")
-    return spark.sql("WITH " + _PF_TAIL_SPARK.lstrip())
+    _materialize_view(spark.sql(_PF_H_SPARK), "pf_h")
+    return spark.sql(_PF_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------

@@ -139,8 +139,11 @@ _DUCK_WT = f"(({duck_hash60(_DUCK_PLANE_KEY)}) % 2001 - 1000) / 1000.0"
 # rows plus corpus×4 bucket rows; this shape shuffles NOTHING until a
 # consumer aggregates buckets. The per-(vec,t,p) dot folds d ascending
 # (deterministic) where the old hash aggregate summed in arbitrary
-# order — both engines snap nothing here, but the >= 0 sign decision is
-# far from any summation-order ulp at every SF (oracle-verified).
+# order. r13 snaps the dot to the 1e-6 grid on BOTH engines before the
+# >= 0 sign decision (the repo's threshold-compare invariant) — the old
+# form relied on "far from any summation-order ulp at every SF"; now a
+# corpus regeneration cannot flip a bucket bit unless the true dot sits
+# on a grid midpoint. Results proven byte-identical at 3 SFs.
 _BUCKETS_CORE_SPARK = f"""
 WITH planes AS (
     SELECT t, p, d, {_SPARK_WT} AS wt
@@ -162,9 +165,9 @@ buckets AS (
                transform(sequence(0, {_N_TABLES - 1}), tt -> named_struct(
                    't', tt,
                    'bucket', aggregate(filter(ps, e -> e.t = tt), CAST(0 AS BIGINT),
-                       (acc, e) -> acc + IF(aggregate(zip_with(embedding, e.w,
+                       (acc, e) -> acc + IF(floor((aggregate(zip_with(embedding, e.w,
                            (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),
-                           (a2, v2) -> a2 + v2) >= 0,
+                           (a2, v2) -> a2 + v2)) * 1e6 + 0.5) / 1e6 >= 0,
                            shiftleft(CAST(1 AS BIGINT), e.p), CAST(0 AS BIGINT))))) AS tbs
         FROM embeddings CROSS JOIN ptab
     ) b LATERAL VIEW explode(tbs) x AS tb
@@ -189,7 +192,8 @@ dots AS (
 ),
 buckets AS (
     SELECT vec_id, t,
-           CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+           CAST(sum(CASE WHEN floor((dot) * 1e6 + 0.5) / 1e6 >= 0
+                         THEN (CAST(1 AS BIGINT) << p)
                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id, t
 )
