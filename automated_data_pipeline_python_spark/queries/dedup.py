@@ -327,22 +327,45 @@ def dedup_minhash_lsh_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate, safe to push below the fan-out) so a nullable-text corpus
 # keeps the oracle's explode-drop semantics instead of emitting a
 # (doc_id, NULL) signature row (ADVICE r12).
+#
+# r13 (guide §1.2 per-task work): the SHA runs per DISTINCT token run,
+# not per occurrence — tokens are sorted intra-row and folded with
+# run-length state (prev, cnt, acc); a run's hash is bound ONCE via
+# `aggregate(array(sha), acc, ...)` (a bare hash inside the zip_with
+# lambda would re-evaluate the SHA per bit lane). sum over runs of
+# cnt*sign == sum over occurrences of sign (exact integers), proven
+# equal row-for-row on the 100x corpus and byte-identical at 3 SFs.
+# ~2.3x less SHA work on this corpus (54 occurrences vs 23 distinct
+# per doc): the signature pass measured 6.27 -> 5.05 s at 100x
+# (alternating A/B min-of-3). Still ZERO exchanges.
 _SH_BITS = "array(" + ", ".join(str(b) for b in range(32)) + ")"
+
+_SH_FLUSH = (
+    f"IF(st.prev IS NULL, st.acc, aggregate(array({spark_hash60('st.prev')}),"
+    f" st.acc, (acc2, h) -> zip_with(acc2, {_SH_BITS}, (a, b) ->"
+    f" a + IF((shiftright(h, b) & 1) = 1, st.cnt, -st.cnt))))"
+)
 
 _SIMHASH_CORE_SPARK = f"""
 WITH sig AS (
     SELECT doc_id,
            aggregate(
-               zip_with(
-                   aggregate(
-                       transform({_S_TOK}, t -> {spark_hash60('t')}),
-                       array_repeat(CAST(0 AS BIGINT), 32),
-                       (acc, h) -> zip_with(acc, {_SH_BITS}, (a, b) ->
-                           a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
-                   {_SH_BITS},
-                   (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
-                                CAST(0 AS BIGINT))),
-               CAST(0 AS BIGINT), (x, y) -> x + y) AS simhash
+               array_sort({_S_TOK}),
+               named_struct('prev', CAST(NULL AS STRING),
+                            'cnt', CAST(0 AS BIGINT),
+                            'acc', array_repeat(CAST(0 AS BIGINT), 32)),
+               (st, t) -> IF(st.prev IS NOT NULL AND t = st.prev,
+                   named_struct('prev', st.prev,
+                                'cnt', st.cnt + CAST(1 AS BIGINT),
+                                'acc', st.acc),
+                   named_struct('prev', t, 'cnt', CAST(1 AS BIGINT),
+                                'acc', {_SH_FLUSH})),
+               st -> aggregate(
+                   zip_with({_SH_FLUSH}, {_SH_BITS},
+                            (s, b) -> IF(s > 0,
+                                         shiftleft(CAST(1 AS BIGINT), b),
+                                         CAST(0 AS BIGINT))),
+                   CAST(0 AS BIGINT), (x, y) -> x + y)) AS simhash
     FROM documents
     WHERE text IS NOT NULL
 )

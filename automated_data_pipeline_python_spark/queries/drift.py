@@ -154,6 +154,65 @@ def _mi_joint_sql(table: str, x: str, y: str) -> str:
     )
 
 
+# r13 (guide §2.4, VERDICT r12 task 7): the Spark side folds each
+# branch's eight tiny re-aggregations of the materialized joint (mx,
+# my, n x3, entropies, cards — a dozen exchanges per branch, 36 in the
+# plan) into ONE collect_list over the <= |X|*|Y| joint plus intra-row
+# higher-order folds. Marginals and n are sums of integer-valued
+# doubles (exact in any order); mi/h fold over the (jx, jy)-sorted
+# array, so the Spark value is deterministic and lands on the same
+# 1e-6 grid cell as before (proven by byte-identical result hashes at
+# 3 SFs). The DuckDB oracle keeps the relational form.
+_MI_BRANCH_SPARK = """
+SELECT '{label}' AS pair,
+       CAST(size(xs) AS INT) AS card_x,
+       CAST(size(ys) AS INT) AS card_y,
+       floor((mi) * 1e6 + 0.5) / 1e6 AS mi_nats,
+       floor((hx) * 1e6 + 0.5) / 1e6 AS h_x,
+       floor((hy) * 1e6 + 0.5) / 1e6 AS h_y,
+       floor(((floor((mi) * 1e6 + 0.5) / 1e6)
+              / least(floor((hx) * 1e6 + 0.5) / 1e6,
+                      floor((hy) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6
+           AS nmi
+FROM (
+    SELECT xs, ys,
+           aggregate(js, CAST(0 AS DOUBLE), (a, e) -> a
+               + (e.c / n) * ln((e.c / n)
+                   / ((aggregate(filter(js, f -> f.jx <=> e.jx),
+                                 CAST(0 AS DOUBLE), (a2, f) -> a2 + f.c) / n)
+                      * (aggregate(filter(js, f -> f.jy <=> e.jy),
+                                   CAST(0 AS DOUBLE), (a2, f) -> a2 + f.c) / n)))) AS mi,
+           -aggregate(xs, CAST(0 AS DOUBLE), (a, x) -> a
+               + (aggregate(filter(js, f -> f.jx <=> x),
+                            CAST(0 AS DOUBLE), (a2, f) -> a2 + f.c) / n)
+                 * ln(aggregate(filter(js, f -> f.jx <=> x),
+                                CAST(0 AS DOUBLE), (a2, f) -> a2 + f.c) / n)) AS hx,
+           -aggregate(ys, CAST(0 AS DOUBLE), (a, y) -> a
+               + (aggregate(filter(js, f -> f.jy <=> y),
+                            CAST(0 AS DOUBLE), (a2, f) -> a2 + f.c) / n)
+                 * ln(aggregate(filter(js, f -> f.jy <=> y),
+                                CAST(0 AS DOUBLE), (a2, f) -> a2 + f.c) / n)) AS hy
+    FROM (
+        SELECT js, aggregate(js, CAST(0 AS DOUBLE), (a, e) -> a + e.c) AS n,
+               array_distinct(transform(js, e -> e.jx)) AS xs,
+               array_distinct(transform(js, e -> e.jy)) AS ys
+        FROM (SELECT array_sort(collect_list(named_struct(
+                  'jx', jx, 'jy', jy, 'c', c))) AS js
+              FROM {rel}) g0
+    ) g1
+) g2
+"""
+
+
+def _mi_spark_sql(rels: list[str]) -> str:
+    branches = [
+        _MI_BRANCH_SPARK.format(label=f"{t}.{x}|{t}.{y}", rel=rel)
+        for (t, x, y), rel in zip(_MI_PAIRS, rels)
+    ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM ({b})" for b in branches)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY pair"
+
+
 def _mi_sql(rels: list[str]) -> str:
     branches = [
         _MI_BRANCH.format(label=f"{t}.{x}|{t}.{y}", rel=rel)
@@ -184,7 +243,7 @@ def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = f"mi_joint_{i}"
         _materialize_view(spark.sql(_mi_joint_sql(t, x, y)), view)
         rels.append(view)
-    return spark.sql(_mi_sql(rels))
+    return spark.sql(_mi_spark_sql(rels))
 
 
 # ---------------------------------------------------------------------------

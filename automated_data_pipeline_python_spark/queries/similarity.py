@@ -972,14 +972,105 @@ ORDER BY m, codes
 """
 
 
-_PQ_SWEEP_SPARK_SQL = _pq_sweep_sql(
-    d2=_pq_d2_spark,
-    cast_vec="transform(embedding, x -> CAST(x AS DOUBLE))",
-    subspaces=lambda m, subdim: (
+# r13 optimization (guide §2.4, VERDICT r12 task 7): the Spark sweep's
+# ENCODE stage is map-side — each config's codebook (<= 16x32 rows of
+# subdim doubles, bounded by construction) is collected into ONE
+# (m, code)-sorted array row and the per-(vector, subspace) code is a
+# first-minimum fold, exactly the kmeans/_CELL_ASSIGN argmin pattern
+# (same snapped d2 text, ties on the lowest code == row_number ORDER BY
+# d2, code). This removes, per config, the corpus x M encode join and
+# its (vec_id, m)-keyed row_number window shuffle+sort — five
+# corpus-scale windows gone from the statement; what remains
+# corpus-sized is one ADC aggregation per config (the scan IS the
+# search) and the shared exact-truth ranking (queries-bounded
+# partitions). The DuckDB oracle keeps the template form.
+
+
+def _pq_sweep_spark_chain(tag: str, m: int, codes: int, subdim: int) -> str:
+    sub = (
         f"SELECT vec_id, m, slice(v, m * {subdim} + 1, {subdim}) AS sv\n"
         f"    FROM base LATERAL VIEW explode(sequence(0, {m - 1})) t AS m"
-    ),
-).format(base_src="SELECT * FROM pq_sweep_base")
+    )
+    d2 = _pq_d2_spark("sv", "e.cw")
+    return f"""
+sub_{tag} AS ({sub}),
+cb_{tag} AS (
+    SELECT vec_id AS code, m, sv AS cw FROM sub_{tag} WHERE vec_id < {codes}
+),
+cbarr_{tag} AS (
+    SELECT array_sort(collect_list(named_struct('m', m, 'code', code,
+                                                'cw', cw))) AS cbs
+    FROM cb_{tag}
+),
+enc_{tag} AS (
+    SELECT vec_id, m,
+           aggregate(
+               transform(filter(cbs, e -> e.m = m),
+                         e -> named_struct('d', {d2}, 'code', e.code)),
+               named_struct('d', CAST('Infinity' AS DOUBLE),
+                            'code', CAST(-1 AS BIGINT)),
+               (best, e) -> IF(e.d < best.d, e, best)).code AS code
+    FROM sub_{tag} CROSS JOIN cbarr_{tag}
+),
+qd_{tag} AS (
+    SELECT q.vec_id AS query_id, cb.m, cb.code,
+           {_pq_d2_spark('q.sv', 'cb.cw')} AS pd
+    FROM sub_{tag} q JOIN cb_{tag} cb ON q.m = cb.m
+    WHERE q.vec_id < {_N_QUERIES}
+),
+topk_{tag} AS (
+    -- qd is query-count-bounded at every SF (queries x M x codes
+    -- <= 2560 rows): broadcasting it keeps the corpus-sized encode
+    -- stream from shuffling for the ADC join (repo hint rule: fixed
+    -- eval sets may broadcast).
+    SELECT query_id, neighbor_id FROM (
+        SELECT /*+ BROADCAST(qd) */ qd.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qd.query_id
+                                  ORDER BY sum(qd.pd), e.vec_id) AS rnk
+        FROM enc_{tag} e
+        JOIN qd_{tag} qd ON qd.m = e.m AND qd.code = e.code
+        WHERE e.vec_id != qd.query_id
+        GROUP BY qd.query_id, e.vec_id
+    ) rr WHERE rnk <= {_PQ_TOP_K}
+)"""
+
+
+def _pq_sweep_spark_sql() -> str:
+    chains, selects = [], []
+    for m, codes in _PQ_SWEEP_CONFIGS:
+        tag = f"m{m}c{codes}"
+        chains.append(_pq_sweep_spark_chain(tag, m, codes, _DIMS // m))
+        selects.append(
+            f"SELECT '{tag}' AS config, {m} AS m, {codes} AS codes,"
+            f" count(p.neighbor_id) AS n_hit\n"
+            f"FROM exact_topk e LEFT JOIN topk_{tag} p\n"
+            f"  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id"
+        )
+    exact = f"""
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_pq_d2_spark('a.v', 'b.v')}, b.vec_id) AS rnk
+        FROM base a JOIN base b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+    ) er WHERE rnk <= {_PQ_TOP_K}
+)"""
+    union = "\nUNION ALL\n".join(selects)
+    total = _N_QUERIES * _PQ_TOP_K
+    return f"""
+WITH base AS (SELECT * FROM pq_sweep_base),
+{exact},{','.join(chains)},
+per_config AS ({union})
+SELECT config, CAST(m AS INT) AS m, CAST(codes AS INT) AS codes,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       floor((CAST(n_hit AS DOUBLE) / {total}) * 1e6 + 0.5) / 1e6 AS recall
+FROM per_config
+ORDER BY m, codes
+"""
+
+
+_PQ_SWEEP_SPARK_SQL = _pq_sweep_spark_sql()
 
 _PQ_SWEEP_DUCK_SQL = _pq_sweep_sql(
     d2=_pq_d2_duck,

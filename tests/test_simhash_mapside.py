@@ -1,12 +1,15 @@
-"""The r12 map-side simhash core equals the grouped textbook form.
+"""The map-side simhash core equals the grouped textbook form.
 
 The restructure rests on one identity: summing ±1 over raw token
 OCCURRENCES equals summing cnt-weighted ±1 over distinct (doc, token)
-rows. The repo corpus only exercises ~2.3× token repetition, so this
-fixture pushes the cases that would expose a broken fold: heavy
-repetition (one token 50×), exact half-splits (the s_b > 0 strict
-inequality), single-token docs, and the empty-text tokenization edge
-(split(trim('')) → ['']).
+rows. r13 sharpened the core to a RUN-LENGTH fold over the sorted
+token array (one SHA per distinct-token run instead of per
+occurrence), so this fixture now also guards the run-state machine:
+heavy repetition (one token 50×), interleaved tokens whose sorted
+runs must merge (a b a b ...), exact half-splits (the s_b > 0 strict
+inequality), single-token docs, the empty-text tokenization edge
+(split(trim('')) → ['']), and a NULL-text doc (dropped, per the
+oracle's explode semantics — ADVICE r12).
 """
 
 from __future__ import annotations
@@ -66,7 +69,7 @@ def rep_dir(tmp_path_factory):
                 "text": text,
                 "lang": "en",
                 "source": "rep",
-                "n_chars": len(text),
+                "n_chars": len(text) if text is not None else 0,
             }
         )
 
@@ -76,6 +79,7 @@ def rep_dir(tmp_path_factory):
     add(3, "  ")                                         # trim -> '' -> ['']
     add(4, " ".join(f"w{i}" for i in range(40)))        # all-distinct
     add(5, " ".join(["x"] * 3 + ["y"] * 5 + ["z"] * 7))  # mixed counts
+    add(6, None)  # NULL text: dropped on BOTH sides (ADVICE r12 fix)
     d = tmp_path_factory.mktemp("rep")
     pd.DataFrame(docs).to_parquet(d / "documents.parquet")
     return str(d)
@@ -91,4 +95,5 @@ def test_mapside_core_equals_grouped_reference(spark, rep_dir):
     }
     ref = {r.doc_id: r.simhash for r in spark.sql(_REF_SQL).collect()}
     assert got == ref
-    assert len(got) == 6
+    assert len(got) == 6  # doc 6 (NULL text) dropped by both forms
+    assert 6 not in got
